@@ -1,0 +1,364 @@
+package graft.store
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import java.util.UUID
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** Parquet row shape for a Fact (column names = on-disk schema). */
+final case class FactRow(
+    id: String, fact_type: String, subject: String, position: Long,
+    appended_at: java.sql.Timestamp, appended_at_nanos: Long,
+    payload_data: Array[Byte], payload_format: Option[String],
+    payload_schema: Option[String], metadata: Map[String, String],
+    tags: Map[String, String])
+
+object FactRow {
+  def fromInput(in: FactInput, id: String, position: Long, at: Instant): FactRow =
+    FactRow(id, in.factType, in.subject, position,
+      java.sql.Timestamp.from(at), Timestamps.toNanos(at),
+      in.payloadData, in.payloadFormat, in.payloadSchema, in.metadata, in.tags)
+  def toFact(r: Row): Fact = Fact(
+    id = r.getAs[String]("id"),
+    factType = r.getAs[String]("fact_type"),
+    subject = r.getAs[String]("subject"),
+    position = r.getAs[Long]("position"),
+    appendedAt = Timestamps.fromNanos(r.getAs[Long]("appended_at_nanos")),
+    payloadData = r.getAs[Array[Byte]]("payload_data"),
+    payloadFormat = Option(r.getAs[String]("payload_format")),
+    payloadSchema = Option(r.getAs[String]("payload_schema")),
+    metadata = Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
+    tags = Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty))
+}
+
+/** Spark-native FactStore over per-store Parquet logs.
+  *
+  * Layout under `rootDir`:
+  * {{{
+  *   catalog/{storeName}.store    one line: id \t name \t createdAtMillis
+  *   stores/{storeId}/commits/    commit log (FactLog)
+  *   stores/{storeId}/data/       committed Parquet files
+  * }}}
+  *
+  * Store creation uses the same hard-link CAS as commits, so duplicate
+  * names lose atomically. Removal deletes the catalog entry first (the
+  * store disappears atomically); data is reclaimed best-effort. Because the
+  * data dir is keyed by storeId (UUID), recreate-after-delete starts empty
+  * (reference contract AbstractFactStoreTest.kt:1479-1497).
+  */
+final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends FactStore {
+  private val catalogDir = rootDir.resolve("catalog")
+  private val storesDir = rootDir.resolve("stores")
+  Files.createDirectories(catalogDir)
+  Files.createDirectories(storesDir)
+
+  // serialize same-store writers within this JVM; cross-process safety comes
+  // from the commit-file CAS.
+  private val writeLocks = mutable.Map[String, Object]()
+  private def lockFor(storeId: String): Object =
+    writeLocks.synchronized(writeLocks.getOrElseUpdate(storeId, new Object))
+
+  import spark.implicits._
+
+  // -- catalog ---------------------------------------------------------------
+  // Filename = SHA-256 of the store name: same name -> same file, so the
+  // create-link CAS still enforces name uniqueness, and 255-char store names
+  // (valid per the reference's StoreName rules) can't exceed filename limits.
+  private def catalogPath(name: String): Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(name.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    catalogDir.resolve(s"$h.store")
+  }
+
+  override def createStore(name: String): CreateStoreResult = {
+    if (!Validation.validStoreName(name)) return CreateStoreResult.InvalidName(name)
+    val md = StoreMetadata(UUID.randomUUID().toString, name, Instant.now())
+    val tmp = catalogDir.resolve(s".tmp-${md.id}")
+    Files.writeString(tmp, s"${md.id}\t${md.name}\t${md.createdAt.toEpochMilli}\n", UTF_8)
+    try {
+      Files.createLink(catalogPath(name), tmp)
+      Files.createDirectories(storesDir.resolve(md.id))
+      CreateStoreResult.Created(md)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => CreateStoreResult.NameAlreadyExists
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def parseMeta(p: Path): StoreMetadata = {
+    val a = Files.readString(p, UTF_8).trim.split('\t')
+    StoreMetadata(a(0), a(1), Instant.ofEpochMilli(a(2).toLong))
+  }
+
+  override def listStores(): Seq[StoreMetadata] =
+    Files.list(catalogDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".store"))
+      .map(parseMeta).toSeq.sortBy(_.createdAt)
+
+  override def storeExists(name: String): Boolean = Files.exists(catalogPath(name))
+
+  override def findStoreByName(name: String): Option[StoreMetadata] = {
+    val p = catalogPath(name)
+    if (Files.exists(p)) Some(parseMeta(p)) else None
+  }
+
+  override def removeStore(name: String): RemoveStoreResult = {
+    findStoreByName(name) match {
+      case None => RemoveStoreResult.StoreNotFound
+      case Some(md) =>
+        if (!Files.deleteIfExists(catalogPath(name))) RemoveStoreResult.StoreNotFound
+        else {
+          deleteRecursively(storesDir.resolve(md.id)) // data + commits + idempotency keys
+          RemoveStoreResult.StoreRemoved
+        }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+
+  private def logFor(md: StoreMetadata): FactLog = new FactLog(storesDir.resolve(md.id))
+
+  /** Committed log as a DataFrame (optionally pruned via commit metadata). */
+  def logDataFrame(name: String,
+      minPos: Long = Long.MinValue, maxPos: Long = Long.MaxValue,
+      minNanos: Long = Long.MinValue, maxNanos: Long = Long.MaxValue): Option[DataFrame] =
+    findStoreByName(name).map { md =>
+      FactLog.read(spark, logFor(md).committedFiles(minPos, maxPos, minNanos, maxNanos))
+    }
+
+  // -- append (SURVEY §2 #6-12) ----------------------------------------------
+  override def append(request: AppendRequest): AppendResult = {
+    findStoreByName(request.storeName) match {
+      case None => AppendResult.StoreNotFound
+      case Some(md) =>
+        lockFor(md.id).synchronized {
+          val log = logFor(md)
+          var result: AppendResult = null
+          while (result == null) {
+            val headCommit = log.head()
+            val headPos = headCommit.map(_.lastPosition).getOrElse(0L)
+            if (log.idempotencyKeys().contains(request.idempotencyKey))
+              result = AppendResult.AlreadyApplied
+            else if (!conditionHolds(log, request.condition))
+              result = AppendResult.AppendConditionViolated
+            else {
+              val at = Instant.now()
+              val atNanos = math.max(Timestamps.toNanos(at),
+                headCommit.map(_.appendedAtNanos).getOrElse(Long.MinValue)) // keep monotonic
+              val rows = request.facts.zipWithIndex.map { case (in, i) =>
+                FactRow.fromInput(in, UUID.randomUUID().toString, headPos + i + 1,
+                  Timestamps.fromNanos(atNanos))
+              }
+              val rel = log.newDataFileName()
+              val target = log.resolveData(rel)
+              writeParquetSingleFile(spark.createDataset(rows).toDF(), target)
+              val rec = CommitRecord(
+                headCommit.map(_.seq).getOrElse(0L) + 1, headPos + 1,
+                headPos + rows.size, atNanos, request.idempotencyKey, Seq(s"data/$rel"))
+              if (log.tryCommit(rec))
+                result = AppendResult.Appended(rows.map(_.id), Timestamps.fromNanos(atNanos))
+              else Files.deleteIfExists(target) // lost the CAS: discard and re-evaluate
+            }
+          }
+          result
+        }
+    }
+  }
+
+  /** Bulk-load a prepared fact DataFrame (columns = FactLog.schema minus
+    * id/position/appended_at*, i.e. fact_type, subject, payload_data,
+    * payload_format, payload_schema, metadata, tags) as ONE atomic commit.
+    * Positions follow the DataFrame's row order via zipWithIndex — a
+    * per-partition offset scheme with no global sort or single-partition
+    * shuffle, so it scales to arbitrarily large loads. */
+  def bulkAppend(storeName: String, facts: DataFrame,
+      idempotencyKey: String = UUID.randomUUID().toString): AppendResult = {
+    findStoreByName(storeName) match {
+      case None => AppendResult.StoreNotFound
+      case Some(md) =>
+        lockFor(md.id).synchronized {
+          val log = logFor(md)
+          var result: AppendResult = null
+          while (result == null) {
+            val headCommit = log.head()
+            val headPos = headCommit.map(_.lastPosition).getOrElse(0L)
+            if (log.idempotencyKeys().contains(idempotencyKey)) {
+              result = AppendResult.AlreadyApplied
+            } else {
+              val at = Instant.now()
+              val atNanos = math.max(Timestamps.toNanos(at),
+                headCommit.map(_.appendedAtNanos).getOrElse(Long.MinValue))
+              val ts = java.sql.Timestamp.from(Timestamps.fromNanos(atNanos))
+              val withPos = zipWithPosition(facts, headPos + 1)
+                .withColumn("id", expr("uuid()"))
+                .withColumn("appended_at", lit(ts))
+                .withColumn("appended_at_nanos", lit(atNanos))
+                .select(FactLog.schema.fieldNames.map(col): _*)
+              val rel = log.newDataFileName()
+              val target = log.resolveData(rel)
+              val n = writeParquetDir(withPos, target)
+              if (n == 0L) { result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos)) }
+              else {
+                val rec = CommitRecord(
+                  headCommit.map(_.seq).getOrElse(0L) + 1, headPos + 1, headPos + n,
+                  atNanos, idempotencyKey, Seq(s"data/$rel"))
+                if (log.tryCommit(rec))
+                  result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos))
+                else deleteRecursively(target)
+              }
+            }
+          }
+          result
+        }
+    }
+  }
+
+  /** Contiguous position assignment preserving row order, distributed:
+    * count rows per partition, prefix-sum the offsets on the driver (one
+    * long per partition), then index within partitions. */
+  private def zipWithPosition(df: DataFrame, firstPos: Long): DataFrame = {
+    val schema = df.schema
+    val rdd = df.rdd
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator.single(i -> it.size.toLong)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(firstPos)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withPos = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var p = bc.value(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ p); p += 1; out }
+    }
+    spark.createDataFrame(withPos,
+      schema.add(org.apache.spark.sql.types.StructField("position",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Small appends: one in-memory batch -> exactly one parquet file. */
+  private def writeParquetSingleFile(df: DataFrame, target: Path): Unit = {
+    val tmpDir = target.getParent.resolve(s".stage-${UUID.randomUUID()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = Files.list(tmpDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part in $tmpDir"))
+    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(tmpDir)
+  }
+
+  /** Bulk appends: keep Spark's parallel multi-part output as a directory
+    * (parquet readers accept directories in the file list); returns count. */
+  private def writeParquetDir(df: DataFrame, target: Path): Long = {
+    df.write.mode("overwrite").parquet(target.toString)
+    spark.read.schema(FactLog.schema).parquet(target.toString).count()
+  }
+
+  // -- append conditions (evaluated inside the commit critical section) -------
+  private def conditionHolds(log: FactLog, c: AppendCondition): Boolean = c match {
+    case AppendCondition.None => true
+    case AppendCondition.ExpectedLastFact(subject, expected) =>
+      val df = FactLog.read(spark, log.committedFiles())
+      val last = FactFinders.bySubject(df, subject, Limit.Of(1), ReadDirection.Backward)
+        .select("id").collect().headOption.map(_.getString(0))
+      last == expected
+    case AppendCondition.All(cs) => cs.forall(conditionHolds(log, _))
+    case AppendCondition.TagQueryBased(query, after) =>
+      val afterPos = after match {
+        case Some(id) =>
+          val df = FactLog.read(spark, log.committedFiles())
+          FactFinders.byId(df, id).select("position").collect()
+            .headOption.map(_.getLong(0)).getOrElse(Long.MaxValue)
+        case None => 0L
+      }
+      // limit-1 existence probe over files pruned to positions > afterPos
+      val pruned = FactLog.read(spark, log.committedFiles(minPos = afterPos + 1))
+      pruned.filter(col("position") > lit(afterPos) &&
+          FactFinders.tagQueryPredicate(query))
+        .limit(1).isEmpty
+  }
+
+  // -- finders -----------------------------------------------------------------
+  private def collectFacts(df: DataFrame): Seq[Fact] =
+    df.collect().toSeq.map(FactRow.toFact)
+
+  override def findById(store: String, factId: String): FindByIdResult =
+    logDataFrame(store) match {
+      case None => FindByIdResult.StoreNotFound
+      case Some(df) =>
+        collectFacts(FactFinders.byId(df, factId)).headOption
+          .fold(FindByIdResult.NotFound: FindByIdResult)(FindByIdResult.Found(_))
+    }
+
+  override def existsById(store: String, factId: String): ExistsByIdResult =
+    logDataFrame(store) match {
+      case None => ExistsByIdResult.StoreNotFound
+      case Some(df) =>
+        if (!FactFinders.byId(df, factId).isEmpty) ExistsByIdResult.Exists
+        else ExistsByIdResult.DoesNotExist
+    }
+
+  override def findInTimeRange(store: String, range: TimeRange, limit: Limit,
+      dir: ReadDirection): FindResult =
+    findStoreByName(store) match {
+      case None => FindResult.StoreNotFound
+      case Some(md) =>
+        // prune committed files by the nano range before Spark sees them
+        val minN = range.start.map(Timestamps.toNanos).getOrElse(Long.MinValue)
+        val maxN = range.end.map(e => Timestamps.toNanos(e) - 1).getOrElse(Long.MaxValue)
+        val df = FactLog.read(spark, logFor(md).committedFiles(minNanos = minN, maxNanos = maxN))
+        FindResult.Found(collectFacts(FactFinders.inTimeRange(df, range, limit, dir)))
+    }
+
+  override def findBySubject(store: String, subject: String, limit: Limit,
+      dir: ReadDirection): FindResult =
+    logDataFrame(store) match {
+      case None => FindResult.StoreNotFound
+      case Some(df) => FindResult.Found(collectFacts(FactFinders.bySubject(df, subject, limit, dir)))
+    }
+
+  override def findByTags(store: String, tags: Map[String, String], limit: Limit,
+      dir: ReadDirection): FindResult =
+    logDataFrame(store) match {
+      case None => FindResult.StoreNotFound
+      case Some(df) => FindResult.Found(collectFacts(FactFinders.byTags(df, tags, limit, dir)))
+    }
+
+  override def findByTagQuery(store: String, query: TagQuery): FindResult =
+    logDataFrame(store) match {
+      case None => FindResult.StoreNotFound
+      case Some(df) => FindResult.Found(collectFacts(FactFinders.byTagQuery(df, query)))
+    }
+
+  // -- bounded replay (SURVEY §2 #20-21) ---------------------------------------
+  override def replay(store: String, start: ReplayStart,
+      batchSize: Int): Either[StreamError, Iterator[Seq[Fact]]] =
+    findStoreByName(store) match {
+      case None => Left(StreamError.StoreNotFound)
+      case Some(md) =>
+        val log = logFor(md)
+        val pinnedHead = log.headPosition() // pinned BEFORE resolving/reading
+        val afterPos: Either[StreamError, Long] = start match {
+          case ReplayStart.Beginning => Right(0L)
+          case ReplayStart.After(id) =>
+            val df = FactLog.read(spark, log.committedFiles())
+            FactFinders.byId(df, id).select("position").collect().headOption
+              .map(r => Right(r.getLong(0)))
+              .getOrElse(Left(StreamError.FactIdNotFound(id)))
+        }
+        afterPos.map { pos =>
+          if (pos >= pinnedHead) Iterator.empty
+          else {
+            val df = FactLog.read(spark, log.committedFiles(minPos = pos + 1, maxPos = pinnedHead))
+            val facts = collectFacts(FactFinders.positionWindow(df, pos, pinnedHead))
+            facts.grouped(batchSize)
+          }
+        }
+    }
+}
