@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs graft.Verify on a scale-factor dir, then executes each oracle SQL in
+DuckDB against the same parquet tables and compares with the Spark result:
+columns sorted by name, values compared exactly, row order respected.
+
+Usage: python3 scripts/verify_local.py [sfdir] [outdir]
+"""
+import json, math, subprocess, sys, glob, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+SKIP_RUN = os.environ.get("SKIP_RUN") == "1"
+
+if not SKIP_RUN:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
+                               if "[verify]" in l or "error" in l.lower()) + "\n")
+    if r.returncode != 0:
+        print(r.stdout[-4000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+from decimal import Decimal
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        s = format(v, "f")
+        if "." in s: s = s.rstrip("0").rstrip(".")
+        return s or "0"
+    if isinstance(v, bytes): return v.hex()
+    return str(v)
+
+fail = 0
+names = sorted(set(list(oracle.keys()) +
+                   [os.path.basename(d) for d in glob.glob(f"{OUT}/*") if os.path.isdir(d)]))
+for name in names:
+    qdir = f"{OUT}/{name}"
+    if not os.path.isdir(qdir):
+        print(f"MISS  {name}: oracle present but no Spark output"); fail += 1; continue
+    files = sorted(glob.glob(f"{qdir}/*.parquet"))
+    if not files:
+        print(f"MISS  {name}: no parquet written"); fail += 1; continue
+    sdf = con.sql(f"SELECT * FROM read_parquet({files!r})")
+    scols = sorted(sdf.columns)
+    spark_rows = con.sql(
+        f"SELECT {', '.join(scols)} FROM read_parquet({files!r})").fetchall()
+    if name not in oracle:
+        print(f"ok?   {name}: rows={len(spark_rows)} (no oracle, rows-only check)")
+        continue
+    try:
+        odf = con.sql(oracle[name])
+        ocols = sorted(odf.columns)
+        oracle_rows = con.sql(
+            f"SELECT {', '.join(ocols)} FROM ({oracle[name]}) _o").fetchall()
+    except Exception as e:
+        print(f"FAIL  {name}: oracle SQL error: {e}"); fail += 1; continue
+    if scols != ocols:
+        print(f"FAIL  {name}: columns differ spark={scols} oracle={ocols}"); fail += 1; continue
+    sc = [[canon(v) for v in r] for r in spark_rows]
+    oc = [[canon(v) for v in r] for r in oracle_rows]
+    if sc == oc:
+        print(f"OK    {name}: {len(sc)} rows")
+    else:
+        fail += 1
+        if sorted(map(tuple, sc)) == sorted(map(tuple, oc)):
+            print(f"FAIL  {name}: same multiset, row ORDER differs ({len(sc)} rows)")
+        else:
+            print(f"FAIL  {name}: values differ spark={len(sc)} oracle={len(oc)} rows")
+            sset, oset = set(map(tuple, sc)), set(map(tuple, oc))
+            for r in list(sset - oset)[:3]: print(f"   spark-only: {r}")
+            for r in list(oset - sset)[:3]: print(f"  oracle-only: {r}")
+print(("ALL GREEN" if fail == 0 else f"{fail} FAILURES"))
+sys.exit(1 if fail else 0)

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytics over the TPC-H-ish star schema — the general-purpose
+  * query layer of the engine (aggregation, multi-way joins, window
+  * functions, sessionization). Written Spark-first: broadcast hints on the
+  * dimension sides, decimal arithmetic for cross-engine-exact aggregation,
+  * and total output ordering for the oracle hash-compare.
+  *
+  * At 100 TB the fact tables (lineitem/orders/events) are the scan side;
+  * region/nation/customer/supplier/part are broadcast dims, so none of
+  * these plans shuffles more than one fact table.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H date columns load as TIMESTAMP_NTZ; epoch under the UTC session
+    * tz matches DuckDB's epoch_us on naive timestamps. */
+  private def epochUs(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+
+  private val dec = "decimal(18,4)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: single-pass partial-agg-friendly scan.
+    "q1_pricing_summary" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val qty = col("l_quantity").cast(dec)
+      val price = col("l_extendedprice").cast(dec)
+      val discFactor = (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      l.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).as("sum_qty"),
+          sum(price).as("sum_base_price"),
+          sum((price * discFactor).cast("decimal(28,8)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3-style: top-10 orders by discounted revenue for one segment.
+    // customer is the small side -> broadcast; lineitem shuffles once on
+    // the groupBy key.
+    "q3_top_revenue" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .select("o_orderkey", "o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_orderdate_us"))
+        .agg(sum((col("l_extendedprice").cast(dec) *
+          (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+          .cast("decimal(28,8)")).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-style: revenue per nation through a 5-way join; all dims
+    // broadcast, single shuffle on the final groupBy.
+    "q5_nation_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast(dec) *
+            (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+            .cast("decimal(28,8)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(asc("n_name"))
+    }),
+
+    // Window function: top-3 customers per nation by account balance.
+    "w_top_customers_per_nation" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val nat = t(s, d, "nation")
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(asc("n_name"), asc("rk"))
+    }),
+
+    // Sessionization: 30-minute inactivity gap splits a user's event stream
+    // into sessions — lag + conditional cumsum, one shuffle on user_id.
+    "events_sessionize" -> ((s, d) => {
+      val ev = EventFinders.events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val withGap = ev
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withGap.groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("sess_events"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("sess_id")).as("n_sessions"),
+          sum(col("sess_events")).as("n_events"),
+          max(col("sess_events")).as("longest_session"))
+        .orderBy(asc("user_id"))
+    }),
+
+    // Tumbling 1-hour window aggregate — the batch analogue of the
+    // streaming windowed agg (integer epoch division keeps it exact).
+    "events_hourly_rollup" -> ((s, d) => {
+      val ev = EventFinders.events(s, d)
+      val hourUs = 3600L * 1000000
+      // `div` = exact integer division (double `/` could round x.9999→x+1)
+      ev.withColumn("window_start_us",
+          expr(s"(ts div 1000) div ${hourUs}L") * hourUs)
+        .groupBy(col("window_start_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+        .orderBy(asc("window_start_us"), asc("event_type"))
+    }),
+
+    // Join + rollup on orders: segment x status matrix.
+    "orders_segment_status" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).as("sum_total"))
+        .orderBy(asc("c_mktsegment"), asc("o_orderstatus"))
+    }),
+
+    // Anti-join: customers with no orders (set difference at scale —
+    // broadcast the distinct keys of the smaller side).
+    "customers_without_orders" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      cust.join(ord.select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(asc("c_custkey"))
+    }),
+
+    // Semi-join + existence: parts that ship in any lineitem with qty > 45.
+    "parts_high_qty" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_quantity") > 45.0)
+      val part = t(s, d, "part")
+      part.join(li.select(col("l_partkey")).distinct(),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+        .orderBy(asc("p_partkey"))
+    })
+  )
+
+  private val revenueSql =
+    "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)))"
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price, " +
+        s"$revenueSql AS sum_disc_price, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q3_top_revenue" ->
+      ("SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, " +
+        s"$revenueSql AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q5_nation_revenue" ->
+      (s"SELECT n_name, $revenueSql AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "w_top_customers_per_nation" ->
+      ("SELECT n_name, rk, c_custkey, c_name, c_acctbal FROM (" +
+        "SELECT n_name, c_custkey, c_name, c_acctbal, " +
+        "row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rk " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey) " +
+        "WHERE rk <= 3 ORDER BY n_name, rk"),
+    "events_sessionize" ->
+      ("WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts FROM events), " +
+        "m AS (SELECT user_id, event_id, " +
+        "CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM g), " +
+        "sess AS (SELECT user_id, event_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m), " +
+        "per AS (SELECT user_id, sess_id, count(*) AS sess_events FROM sess GROUP BY user_id, sess_id) " +
+        "SELECT user_id, max(sess_id) AS n_sessions, sum(sess_events) AS n_events, " +
+        "max(sess_events) AS longest_session FROM per GROUP BY user_id ORDER BY user_id"),
+    "events_hourly_rollup" ->
+      ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type, " +
+        "count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value " +
+        "FROM events GROUP BY window_start_us, event_type ORDER BY window_start_us, event_type"),
+    "orders_segment_status" ->
+      ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, " +
+        "sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus"),
+    "customers_without_orders" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey"),
+    "parts_high_qty" ->
+      ("SELECT p_partkey, p_brand, p_type FROM part " +
+        "WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0) " +
+        "ORDER BY p_partkey")
+  )
+}

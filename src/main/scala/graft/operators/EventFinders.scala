@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's finder surface (SURVEY §2 #13-18, #20) expressed against
+  * the driver's `events` table, which is shaped like a fact log:
+  * `event_id` = position, `user_id` = subject, `event_type` = fact type,
+  * `ts` = appendedAt, `props` = tags. Each query is the same
+  * filter → orderBy(position) → direction → limit pipeline the real
+  * `FactFinders` uses, so the DuckDB oracle checks the exact finder
+  * semantics (half-open time ranges, backward+limit on intersections,
+  * OR-of-AND tag queries) on neutral data.
+  *
+  * Determinism contract with the oracle: timestamps are projected as epoch
+  * micros (`unix_micros`), row order is always total (unique `event_id`
+  * tiebreak), and no floating-point aggregation is emitted raw.
+  */
+object EventFinders {
+
+  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default; `nanosAsLong` reads `ts` as nanos-since-epoch
+    * LongType (set per-query so it holds in any session). */
+  private[operators] def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** `ts` is nanos (LongType); `div` keeps the µs projection exact. */
+  private val tsUs: Column = expr("ts div 1000")
+
+  /** props is `{"k": N}`; extract N. regexp keeps the oracle engine-neutral
+    * (no JSON extension needed). */
+  private val kVal: Column = regexp_extract(col("props"), "(\\d+)", 1).cast("long")
+
+  private def envelope(df: DataFrame): DataFrame =
+    df.select(
+      col("event_id"), col("event_type"), col("user_id"),
+      tsUs.as("ts_us"), col("value"), kVal.as("k_val"))
+
+  private val envelopeSql =
+    "event_id, event_type, user_id, epoch_us(ts) AS ts_us, value, " +
+      "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k_val"
+
+  // ts bounds as epoch micros (UTC) — numeric on both engines, no tz games.
+  private val T0 = 1704412800000000L // 2024-01-05T00:00:00Z
+  private val T1 = 1704672000000000L // 2024-01-08T00:00:00Z
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // findById: point lookup by unique id (reference FactFinder.kt:20)
+    "fs_find_by_id" -> ((s, d) =>
+      envelope(events(s, d).filter(col("event_id") === 4242L))),
+
+    // existsById: limit-1 existence probe (reference FactFinder.kt:27)
+    "fs_exists_by_id" -> ((s, d) =>
+      events(s, d).select(
+        (count(when(col("event_id") === 4242L, 1)) > 0).as("exists_flag"),
+        (count(when(col("event_id") === 99999999L, 1)) > 0).as("missing_flag"))),
+
+    // findBySubject: full per-entity history in append order (FactFinder.kt:41)
+    "fs_find_by_subject" -> ((s, d) =>
+      envelope(events(s, d).filter(col("user_id") === 7L))
+        .orderBy(asc("event_id"))),
+
+    // findBySubject Backward + limit: the two newest first
+    "fs_find_by_subject_back" -> ((s, d) =>
+      envelope(events(s, d).filter(col("user_id") === 7L))
+        .orderBy(desc("event_id")).limit(10)),
+
+    // findByTags: AND of tag predicates + Backward + limit on the
+    // intersection path (reference AbstractFactStoreTest.kt:704-751)
+    "fs_find_by_tags_back" -> ((s, d) =>
+      envelope(events(s, d).filter(col("event_type") === "click" && kVal >= 50L))
+        .orderBy(desc("event_id")).limit(100)),
+
+    // findByTagQuery: OR across items, AND within; global append order
+    // (reference TagQuery.kt:12-78)
+    "fs_tag_query" -> ((s, d) =>
+      envelope(events(s, d).filter(
+        (col("event_type").isin("click", "view") && kVal < 20L) ||
+          col("event_type") === "error"))
+        .orderBy(asc("event_id"))),
+
+    // findInTimeRange: half-open [start, end) (reference TimeRange.kt:24-53)
+    "fs_time_range" -> ((s, d) =>
+      envelope(events(s, d).filter(
+        tsUs >= T0 && tsUs < T1))
+        .orderBy(asc("event_id"))),
+
+    // time range, Backward + limit
+    "fs_time_range_back" -> ((s, d) =>
+      envelope(events(s, d).filter(
+        tsUs >= T0 && tsUs < T1))
+        .orderBy(desc("event_id")).limit(50)),
+
+    // replay: bounded position window (afterPos, pinnedHead] (FactReplayer)
+    "fs_replay_window" -> ((s, d) =>
+      envelope(events(s, d).filter(col("event_id") > 500L && col("event_id") <= 900L))
+        .orderBy(asc("event_id"))),
+
+    // head pointer: max(position) without a scan-and-sort (SURVEY §2 #23)
+    "fs_head_position" -> ((s, d) =>
+      events(s, d).select(
+        max(col("event_id")).as("head_position"), count(lit(1)).as("n_facts"))),
+
+    // per-type stats: the store's type index as an aggregation
+    "fs_type_stats" -> ((s, d) =>
+      events(s, d).groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"),
+          min(col("event_id")).as("first_position"),
+          max(col("event_id")).as("last_position"))
+        .orderBy(asc("event_type")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "fs_find_by_id" ->
+      s"SELECT $envelopeSql FROM events WHERE event_id = 4242",
+    "fs_exists_by_id" ->
+      ("SELECT count(*) FILTER (WHERE event_id = 4242) > 0 AS exists_flag, " +
+        "count(*) FILTER (WHERE event_id = 99999999) > 0 AS missing_flag FROM events"),
+    "fs_find_by_subject" ->
+      s"SELECT $envelopeSql FROM events WHERE user_id = 7 ORDER BY event_id",
+    "fs_find_by_subject_back" ->
+      s"SELECT $envelopeSql FROM events WHERE user_id = 7 ORDER BY event_id DESC LIMIT 10",
+    "fs_find_by_tags_back" ->
+      (s"SELECT $envelopeSql FROM events WHERE event_type = 'click' AND " +
+        "CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) >= 50 " +
+        "ORDER BY event_id DESC LIMIT 100"),
+    "fs_tag_query" ->
+      (s"SELECT $envelopeSql FROM events WHERE " +
+        "(event_type IN ('click','view') AND CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) < 20) " +
+        "OR event_type = 'error' ORDER BY event_id"),
+    "fs_time_range" ->
+      (s"SELECT $envelopeSql FROM events WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1 " +
+        "ORDER BY event_id"),
+    "fs_time_range_back" ->
+      (s"SELECT $envelopeSql FROM events WHERE epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1 " +
+        "ORDER BY event_id DESC LIMIT 50"),
+    "fs_replay_window" ->
+      s"SELECT $envelopeSql FROM events WHERE event_id > 500 AND event_id <= 900 ORDER BY event_id",
+    "fs_head_position" ->
+      "SELECT max(event_id) AS head_position, count(*) AS n_facts FROM events",
+    "fs_type_stats" ->
+      ("SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value, " +
+        "min(event_id) AS first_position, max(event_id) AS last_position " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
+  )
+}
