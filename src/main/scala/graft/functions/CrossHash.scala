@@ -1,0 +1,120 @@
+package graft.functions
+
+/** Cross-engine deterministic text/vector hashing primitives.
+  *
+  * Every primitive is pure int64 / IEEE-double arithmetic with a pinned
+  * evaluation order, emitted twice from the same constants: once as a Spark
+  * SQL expression (codegen'd higher-order functions — no UDFs) and once as
+  * DuckDB SQL for the oracle. This is what makes MinHash/SimHash/fingerprint
+  * results hash-identical across engines, something library hash functions
+  * (murmur, xxhash) can't give us.
+  *
+  * Numeric safety: the fold keeps `acc < P ≈ 2^30`, so `acc*31 + char`
+  * stays < 2^36 and `a*x + b` (minhash permutation) stays < 2^61 — all
+  * exact in int64 on both engines.
+  */
+object CrossHash {
+  /** Modulus for all polynomial hashes. */
+  val P = 1000000007L
+
+  /** MinHash permutation constants (a_j, b_j), pinned. */
+  val MinhashPerms: Seq[(Long, Long)] = (0 until 16).map { j =>
+    // simple fixed LCG over j; values pinned forever once committed
+    val a = ((j * 2654435761L + 1234567L) % (P - 1)) + 1
+    val b = (j * 40503L * 65537L + 9176L) % P
+    (a, b)
+  }
+
+  val Bands = 8 // MinHash bands of 2 rows each (16 perms)
+
+  // -------------------------------------------------------------------------
+  // Spark SQL expression builders (strings for functions.expr)
+  // -------------------------------------------------------------------------
+
+  /** Polynomial char-fold hash of a string expr → [0, P). */
+  def charHashSpark(in: String): String =
+    s"aggregate(split($in, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % $P)"
+
+  /** Whitespace tokens with empties dropped (cross-engine safe on any
+    * spacing). */
+  def tokensSpark(in: String): String =
+    s"filter(split($in, ' '), t -> t != '')"
+
+  /** Array of per-token polynomial hashes. */
+  def wordHashesSpark(tokens: String): String =
+    s"transform($tokens, w -> ${charHashSpark("w")})"
+
+  /** Word 3-gram shingle hashes combined arithmetically from word hashes
+    * (1-based element_at matches DuckDB list indexing). */
+  def shingleHashesSpark(wh: String): String =
+    s"""transform(sequence(1, greatest(size($wh) - 2, 0)),
+        i -> ((element_at($wh, i) * 31 + element_at($wh, i + 1)) * 31
+               + element_at($wh, i + 2)) % $P)"""
+
+  /** MinHash signature: array of 16 mins over the shingle set. */
+  def minhashSigSpark(sh: String): String = {
+    val mins = MinhashPerms.map { case (a, b) =>
+      s"array_min(transform($sh, x -> ($a * x + $b) % $P))"
+    }
+    s"array(${mins.mkString(", ")})"
+  }
+
+  /** 32-bit SimHash over token hashes (with multiplicity as weight). */
+  def simhashSpark(wh: String): String =
+    s"""aggregate(sequence(0, 31), 0L,
+        (acc, i) -> acc + if(
+          aggregate($wh, 0L, (a, h) -> a + 2 * (shiftright(h, i) & 1) - 1) > 0,
+          shiftleft(1L, i), 0L))"""
+
+  /** Dot product of two float-array exprs in double precision, strict
+    * left-to-right index order (identical IEEE result on both engines). */
+  def dotSpark(a: String, b: String, dim: Int): String =
+    s"""aggregate(sequence(1, $dim), cast(0.0 as double),
+        (acc, i) -> acc + cast(element_at($a, i) as double)
+                        * cast(element_at($b, i) as double))"""
+
+  /** Squared L2 norm, same ordering discipline. */
+  def norm2Spark(a: String, dim: Int): String =
+    s"""aggregate(sequence(1, $dim), cast(0.0 as double),
+        (acc, i) -> acc + cast(element_at($a, i) as double)
+                        * cast(element_at($a, i) as double))"""
+
+  // -------------------------------------------------------------------------
+  // DuckDB SQL builders (the oracle side; list_reduce needs a seed element)
+  // -------------------------------------------------------------------------
+
+  def charHashDuck(in: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($in, ''), " +
+      s"c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % $P)"
+
+  def tokensDuck(in: String): String =
+    s"list_filter(string_split($in, ' '), t -> t != '')"
+
+  def wordHashesDuck(tokens: String): String =
+    s"list_transform($tokens, w -> ${charHashDuck("w")})"
+
+  def shingleHashesDuck(wh: String): String =
+    s"list_transform(range(1, greatest(len($wh) - 2, 0) + 1), " +
+      s"i -> ((list_extract($wh, i) * 31 + list_extract($wh, i + 1)) * 31 " +
+      s"+ list_extract($wh, i + 2)) % $P)"
+
+  def minhashSigDuck(sh: String): String = {
+    val mins = MinhashPerms.map { case (a, b) =>
+      s"list_min(list_transform($sh, x -> ($a * x + $b) % $P))"
+    }
+    s"[${mins.mkString(", ")}]"
+  }
+
+  def simhashDuck(wh: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, range(0, 32)), (acc, i) -> acc + CASE WHEN " +
+      s"list_reduce(list_prepend(0::BIGINT, $wh), (a, h) -> a + 2 * ((h >> i) & 1) - 1) > 0 " +
+      s"THEN (1::BIGINT << i) ELSE 0 END)"
+
+  def dotDuck(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
+      s"i -> list_extract($a, i)::DOUBLE * list_extract($b, i)::DOUBLE)), (acc, x) -> acc + x)"
+
+  def norm2Duck(a: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
+      s"i -> list_extract($a, i)::DOUBLE * list_extract($a, i)::DOUBLE)), (acc, x) -> acc + x)"
+}

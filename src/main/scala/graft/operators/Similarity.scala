@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim). Three tiers:
+  *
+  *  - `ann_bruteforce_topk`: exact cosine top-k — the correctness baseline.
+  *  - `ann_lsh_buckets`: random-hyperplane LSH sign buckets — candidates
+  *    share a bucket, so the join is equi- not cross-; the 100 TB path.
+  *  - `ann_ivf_probe`: IVF-style — coarse centroids (per label), queries
+  *    probe the nearest 2 cells, exact rerank inside probed cells only.
+  *
+  * Determinism: cosine is a strict index-ordered double fold (CrossHash),
+  * scores are emitted as exact-floor ppm integers, ranks tie-break on
+  * vec_id, and the LSH hyperplanes are integer-arithmetic pseudo-random
+  * (identical literals in both engines).
+  */
+object Similarity {
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private val Dim = 64
+
+  /** Pseudo-random hyperplane component for (plane j, dim i): integer LCG
+    * mapped to [-0.5, 0.5) in exact double arithmetic. */
+  private def hyper(j: Int, i: Int): Double =
+    (((j * 1009L + i) * 2654435761L % 1048576L + 1048576L) % 1048576L) / 1048576.0 - 0.5
+
+  private val NPlanes = 8
+
+  /** Sign-bit bucket id for `v` under the 8 pinned hyperplanes (Spark). */
+  private def lshBucketSpark(v: String): String =
+    (0 until NPlanes).map { j =>
+      val dot = s"aggregate(sequence(1, $Dim), cast(0.0 as double), (acc, i) -> " +
+        s"acc + cast(element_at($v, i) as double) * element_at(array(" +
+        (1 to Dim).map(i => s"cast(${hyper(j, i)} as double)").mkString(",") + "), i))"
+      s"if($dot > 0, ${1L << j}L, 0L)"
+    }.mkString("(", " + ", ")")
+
+  /** Same bucket id on the DuckDB side (identical literals). */
+  private def lshBucketDuck(v: String): String =
+    (0 until NPlanes).map { j =>
+      val dot = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+        s"range(1, ${Dim + 1}), i -> list_extract($v, i)::DOUBLE * list_extract([" +
+        (1 to Dim).map(i => s"${hyper(j, i)}::DOUBLE").mkString(",") + "], i))), (acc, x) -> acc + x)"
+      s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def cosPpmSpark(a: String, b: String): String =
+    s"CAST(floor(${dotSpark(a, b, Dim)} / (sqrt(${norm2Spark(a, Dim)}) * " +
+      s"sqrt(${norm2Spark(b, Dim)})) * 1000000) AS BIGINT)"
+
+  private def cosPpmDuck(a: String, b: String): String =
+    s"CAST(floor(${dotDuck(a, b, Dim)} / (sqrt(${norm2Duck(a, Dim)}) * " +
+      s"sqrt(${norm2Duck(b, Dim)})) * 1000000) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine top-10 for 5 query vectors — the rerank/baseline kernel.
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "embedding AS qv")
+      q.join(e.selectExpr("vec_id", "embedding AS v"), col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id",
+          s"${cosPpmSpark("qv", "v")} AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(desc("cos_ppm"), asc("neighbor_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
+    // LSH bucketing: per-vector sign bucket + per-bucket stats. Candidates
+    // for any query are its bucket only — the equi-join scale path.
+    "ann_lsh_buckets" -> ((s, d) =>
+      emb(s, d)
+        .selectExpr("vec_id", "label", s"${lshBucketSpark("embedding")} AS bucket")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("vec_id")).as("min_vec_id"),
+          max(col("vec_id")).as("max_vec_id"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(asc("bucket"))),
+
+    // LSH-bucketed near-neighbor pairs: exact cosine only within buckets.
+    "ann_lsh_pairs" -> ((s, d) => {
+      val b = emb(s, d).selectExpr("vec_id", "embedding AS v",
+        s"${lshBucketSpark("embedding")} AS bucket")
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
+          s"${cosPpmSpark("a.v", "b.v")} AS cos_ppm")
+        .filter(col("cos_ppm") >= 100000)
+        .orderBy(asc("vec_a"), asc("vec_b"))
+    }),
+
+    // IVF: coarse quantizer = per-label centroid (decimal component sums —
+    // scale-invariant under cosine, so no division); queries probe the 2
+    // nearest cells and rerank exactly inside them.
+    "ann_ivf_probe" -> ((s, d) => {
+      val e = emb(s, d)
+      // centroid sum-vectors, exactly, via posexplode + decimal sums
+      val cent = e.select(col("label"), posexplode(col("embedding")))
+        .withColumnRenamed("col", "x")
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("x").cast("decimal(28,10)")).as("sx"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
+      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding AS qv")
+      val probed = q.crossJoin(broadcast(cent))
+        .selectExpr("query_id", "qv", "label",
+          s"${cosPpmSpark("qv", "cv")} AS cell_cos")
+        .withColumn("cell_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(desc("cell_cos"), asc("label"))))
+        .filter(col("cell_rank") <= 2)
+        .select(col("query_id"), col("qv"), col("label"))
+      probed.join(e.selectExpr("vec_id", "label", "embedding AS v"), Seq("label"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id",
+          s"${cosPpmSpark("qv", "v")} AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(desc("cos_ppm"), asc("neighbor_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
+    // Per-vector norms + per-label norm envelope (no float summation —
+    // min/max only, deterministic).
+    "vector_stats" -> ((s, d) =>
+      emb(s, d)
+        .selectExpr("label",
+          s"CAST(floor(sqrt(${norm2Spark("embedding", Dim)}) * 1000000) AS BIGINT) AS norm_ppm")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("norm_ppm")).as("min_norm_ppm"),
+          max(col("norm_ppm")).as("max_norm_ppm"))
+        .orderBy(asc("label")))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        s"${cosPpmDuck("qv", "e.embedding")} AS cos_ppm, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM q JOIN embeddings e ON e.vec_id <> query_id) " +
+        "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 10 " +
+        "ORDER BY query_id, rank"),
+    "ann_lsh_buckets" ->
+      (s"WITH b AS (SELECT vec_id, label, ${lshBucketDuck("embedding")} AS bucket FROM embeddings) " +
+        "SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id, " +
+        "max(vec_id) AS max_vec_id, count(DISTINCT label) AS n_labels " +
+        "FROM b GROUP BY bucket ORDER BY bucket"),
+    "ann_lsh_pairs" ->
+      (s"WITH b AS (SELECT vec_id, embedding AS v, ${lshBucketDuck("embedding")} AS bucket FROM embeddings) " +
+        s"SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, ${cosPpmDuck("a.v", "b2.v")} AS cos_ppm " +
+        "FROM b AS a JOIN b AS b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id " +
+        s"WHERE ${cosPpmDuck("a.v", "b2.v")} >= 100000 ORDER BY vec_a, vec_b"),
+    "ann_ivf_probe" ->
+      ("WITH comp AS (SELECT label, r.range AS pos, " +
+        "sum(list_extract(embedding, r.range)::DECIMAL(28,10)) AS sx " +
+        "FROM embeddings CROSS JOIN range(1, 65) r GROUP BY label, r.range), " +
+        "cent AS (SELECT label, list_transform(list(sx ORDER BY pos), x -> x::DOUBLE) AS cv " +
+        "FROM comp GROUP BY label), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "cells AS (SELECT query_id, qv, label, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "cv")} DESC, label) AS cell_rank " +
+        "FROM q CROSS JOIN cent), " +
+        "probed AS (SELECT query_id, qv, label FROM cells WHERE cell_rank <= 2), " +
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        s"${cosPpmDuck("qv", "e.embedding")} AS cos_ppm, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM probed JOIN embeddings e USING (label) WHERE e.vec_id <> query_id) " +
+        "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+    "vector_stats" ->
+      (s"SELECT label, count(*) AS n, " +
+        s"min(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS min_norm_ppm, " +
+        s"max(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS max_norm_ppm " +
+        "FROM embeddings GROUP BY label ORDER BY label")
+  )
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Text-analysis operators for a training-data pipeline, over `documents`:
+  * token statistics, quality scoring, n-gram language ID, and document
+  * fingerprinting. All pure codegen'd Spark SQL expressions (no UDFs);
+  * every ratio is emitted as an exact integer (basis points via integer
+  * division) so the DuckDB oracle hash-matches bit-for-bit.
+  *
+  * Scale: each query is a single narrow scan + project (no shuffle except
+  * the final order for the oracle); at 100 TB this is the map-side of the
+  * corpus pipeline.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (shared literal lists with the oracle SQL). */
+  val StopLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "zu", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "est"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo")
+  )
+
+  private val EnStop = StopLists.toMap.apply("en")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + a BPE-ish sub-word proxy
+    // (4-char chunks, the standard chars-per-token heuristic).
+    "text_token_count" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "doc_id",
+        s"size(${tokensSpark("text")}) AS n_tokens",
+        s"size(array_distinct(${tokensSpark("text")})) AS n_uniq_tokens",
+        "length(text) AS n_chars_measured",
+        // ceil-division in pure integer math: (len + 3) div 4
+        "(length(text) + 3) div 4 AS n_bpe_ish_tokens"
+      ).orderBy(asc("doc_id"))),
+
+    // Quality scoring: structural ratios as exact basis points.
+    "text_quality" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "doc_id",
+        s"size(${tokensSpark("text")}) AS n_tokens",
+        // mean token length in basis points
+        s"(length(text) * 10000) div greatest(size(${tokensSpark("text")}), 1) AS avg_token_len_bp",
+        // type-token ratio (lexical diversity) in bp
+        s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
+            div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""",
+        // stopword ratio in bp
+        s"""(size(filter(${tokensSpark("text")},
+             t -> t IN (${EnStop.map("'" + _ + "'").mkString(",")}))) * 10000)
+            div greatest(size(${tokensSpark("text")}), 1) AS stopword_bp""",
+        // punctuation + digit counts via regexp strip
+        "length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS n_punct",
+        "length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits"
+      ).orderBy(asc("doc_id"))),
+
+    // Language ID: score per stoplist, argmax with pinned tiebreak order.
+    "text_langid" -> ((s, d) => {
+      val withScores = StopLists.foldLeft(docs(s, d)) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", expr(
+          s"""size(filter(${tokensSpark("text")},
+              t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"""))
+      }
+      val langs = StopLists.map(_._1)
+      // first maximal score in alphabetical language order wins
+      val pred = langs.map { l =>
+        val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $geAll THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      withScores.selectExpr(
+        Seq("doc_id", "lang AS labeled_lang") ++ langs.map(l => s"s_$l") :+
+          s"$pred AS pred_lang": _*)
+        .withColumn("label_match", (col("pred_lang") === col("labeled_lang")).cast("int"))
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Document fingerprinting: full-content polynomial hash + winnowing-ish
+    // minimum over 8-char rolling windows (stride 4).
+    "text_fingerprint" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "doc_id",
+        s"${charHashSpark("text")} AS content_hash",
+        s"""array_min(transform(
+             sequence(1, greatest((length(text) - 7 + 3) div 4, 1)),
+             i -> ${charHashSpark("substring(text, (i - 1) * 4 + 1, 8)")}
+           )) AS window_fingerprint"""
+      ).orderBy(asc("doc_id"))),
+
+    // Corpus rollup: per (lang, source) token totals — the reduce side.
+    "text_corpus_stats" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("lang", "source", "n_chars",
+          s"size(${tokensSpark("text")}) AS n_tokens")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_tokens")).as("max_tokens"))
+        .orderBy(asc("lang"), asc("source")))
+  )
+
+  def oracles: Map[String, String] = {
+    val toks = tokensDuck("text")
+    Map(
+      "text_token_count" ->
+        (s"SELECT doc_id, len($toks) AS n_tokens, " +
+          s"len(list_distinct($toks)) AS n_uniq_tokens, " +
+          "length(text) AS n_chars_measured, " +
+          "(length(text) + 3) // 4 AS n_bpe_ish_tokens " +
+          "FROM documents ORDER BY doc_id"),
+      "text_quality" ->
+        (s"SELECT doc_id, len($toks) AS n_tokens, " +
+          s"(length(text) * 10000) // greatest(len($toks), 1) AS avg_token_len_bp, " +
+          s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp, " +
+          s"(len(list_filter($toks, t -> t IN (${EnStop.map("'" + _ + "'").mkString(",")}))) * 10000) " +
+          s"// greatest(len($toks), 1) AS stopword_bp, " +
+          "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, " +
+          "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits " +
+          "FROM documents ORDER BY doc_id"),
+      "text_langid" -> {
+        val langs = StopLists.map(_._1)
+        val scoreCols = StopLists.map { case (lang, words) =>
+          s"len(list_filter($toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$lang"
+        }.mkString(", ")
+        val pred = langs.map { l =>
+          val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"WITH scored AS (SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents) " +
+          s"SELECT doc_id, labeled_lang, ${langs.map(l => s"s_$l").mkString(", ")}, " +
+          s"$pred AS pred_lang, " +
+          s"CAST($pred = labeled_lang AS INT) AS label_match FROM scored ORDER BY doc_id"
+      },
+      "text_fingerprint" ->
+        (s"SELECT doc_id, ${charHashDuck("text")} AS content_hash, " +
+          "list_min(list_transform(range(1, greatest((length(text) - 7 + 3) // 4, 1) + 1), " +
+          s"i -> ${charHashDuck("substring(text, (i - 1) * 4 + 1, 8)")})) AS window_fingerprint " +
+          "FROM documents ORDER BY doc_id"),
+      "text_corpus_stats" ->
+        (s"SELECT lang, source, count(*) AS n_docs, sum(len($toks)) AS total_tokens, " +
+          "sum(n_chars) AS total_chars, max(len(" + toks + ")) AS max_tokens " +
+          "FROM documents GROUP BY lang, source ORDER BY lang, source")
+    )
+  }
+}
