@@ -25,7 +25,17 @@ object CrossHash {
     (a, b)
   }
 
-  val Bands = 8 // MinHash bands of 2 rows each (16 perms)
+  /** MinHash banding: 4 bands x 4 rows. Wider rows cut false candidates
+    * sharply (collision prob J^4 per band) while keeping near-certain
+    * recall for J >= 0.9 dups — the knob that keeps the candidate join
+    * near-linear at corpus scale. */
+  val Bands = 4
+  val BandRows = 4
+
+  /** SimHash width: features are shingle hashes, which are ~uniform on
+    * [0, P) ≈ 30 bits (the mod-P wrap mixes them); bits above 30 would be
+    * constant, so the signature stops there. */
+  val SimhashBits = 30
 
   // -------------------------------------------------------------------------
   // Spark SQL expression builders (strings for functions.expr)
@@ -59,9 +69,10 @@ object CrossHash {
     s"array(${mins.mkString(", ")})"
   }
 
-  /** 32-bit SimHash over token hashes (with multiplicity as weight). */
+  /** SimHash over a feature-hash array (use shingle hashes: uniform bit
+    * spread; short-word hashes would leave high bits constant). */
   def simhashSpark(wh: String): String =
-    s"""aggregate(sequence(0, 31), 0L,
+    s"""aggregate(sequence(0, ${SimhashBits - 1}), 0L,
         (acc, i) -> acc + if(
           aggregate($wh, 0L, (a, h) -> a + 2 * (shiftright(h, i) & 1) - 1) > 0,
           shiftleft(1L, i), 0L))"""
@@ -106,7 +117,7 @@ object CrossHash {
   }
 
   def simhashDuck(wh: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, range(0, 32)), (acc, i) -> acc + CASE WHEN " +
+    s"list_reduce(list_prepend(0::BIGINT, range(0, $SimhashBits)), (acc, i) -> acc + CASE WHEN " +
       s"list_reduce(list_prepend(0::BIGINT, $wh), (a, h) -> a + 2 * ((h >> i) & 1) - 1) > 0 " +
       s"THEN (1::BIGINT << i) ELSE 0 END)"
 
@@ -117,4 +128,15 @@ object CrossHash {
   def norm2Duck(a: String, dim: Int): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +
       s"i -> list_extract($a, i)::DOUBLE * list_extract($a, i)::DOUBLE)), (acc, x) -> acc + x)"
+
+  /** Band bucket key: polynomial combine of the band's signature rows
+    * (exact in int64; spurious key collisions only add candidates that the
+    * exact verify rejects). `sig` is 1-based-indexed on both engines. */
+  def bandKeySpark(sig: String, band: String): String =
+    (1 to BandRows).map(r => s"element_at($sig, $BandRows * $band + $r)")
+      .reduce((a, b) => s"($a * 31 + $b)")
+
+  def bandKeyDuck(sig: String, band: String): String =
+    (1 to BandRows).map(r => s"list_extract($sig, $BandRows * $band + $r)")
+      .reduce((a, b) => s"($a * 31 + $b)")
 }

@@ -8,15 +8,15 @@ import graft.functions.CrossHash._
 /** Deduplication operators for a training-data pipeline, over `documents`
   * and `embeddings`: exact (content-hash groupBy), MinHash+LSH
   * (shingle → signature → band-bucket join → exact-Jaccard verify),
-  * SimHash (bit-block LSH → Hamming verify), n-gram Jaccard with
-  * same-language blocking, and embedding-cosine near-dup.
+  * SimHash (bit-block LSH → Hamming verify), n-gram Jaccard via an
+  * inverted shingle index, and embedding-cosine near-dup.
   *
-  * Scale design: every variant is blocked — candidates come from an
-  * equi-join on a bucket key (LSH band, SimHash block, language), never
-  * from an unblocked cross join, so the candidate set stays near-linear at
-  * 100 TB and the expensive exact verify runs only on candidates. All
-  * hashes are CrossHash polynomial folds → the DuckDB oracle reproduces
-  * them bit-for-bit.
+  * Scale design: candidates always come from an equi-join on a bucket key
+  * (LSH band, SimHash block, shingle value, label partition), never from an
+  * unblocked cross join; Jaccard is counted by shuffle (inverted index)
+  * rather than per-pair array intersection, so the plan stays near-linear
+  * in corpus size at 100 TB. All hashes are CrossHash polynomial folds →
+  * the DuckDB oracle reproduces them bit-for-bit.
   */
 object Dedup {
 
@@ -25,11 +25,25 @@ object Dedup {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** doc_id + distinct word-3gram shingle hashes. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).selectExpr(
-      "doc_id", "lang",
-      s"array_distinct(${shingleHashesSpark(wordHashesSpark(tokensSpark("text")))}) AS sh")
+  /** doc_id + distinct word-3gram shingle hashes, staged and persisted.
+    *
+    * Two deliberate materialization barriers: higher-order functions run
+    * interpreted (CodegenFallback) with NO common-subexpression
+    * elimination, so a single collapsed projection would re-evaluate the
+    * word-hash array once per `element_at` reference (~450x per doc).
+    * Staging makes each hash a plain column read. The repartition spreads
+    * the CPU-heavy hashing across all cores (the source is one small
+    * parquet file = one input split). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val wh = docs(spark, dir).repartition(par)
+      .selectExpr("doc_id", "lang",
+        s"${wordHashesSpark(tokensSpark("text"))} AS wh")
+      .persist()
+    wh.selectExpr("doc_id", "lang",
+        s"array_distinct(${shingleHashesSpark("wh")}) AS sh")
+      .persist()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy; histogram of group sizes is the
@@ -41,16 +55,16 @@ object Dedup {
         .groupBy(col("dup_count")).agg(count(lit(1)).as("n_groups"))
         .orderBy(asc("dup_count"))),
 
-    // MinHash + LSH: 16-perm signature, 8 bands x 2 rows; pairs sharing a
-    // band bucket are candidates; exact Jaccard >= 0.7 confirms.
+    // MinHash + LSH: 16-perm signature, 4 bands x 4 rows; pairs sharing a
+    // band bucket are candidates; exact Jaccard >= 0.7 confirms. The sig
+    // relation is persisted: it feeds both the band explode and the verify.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sig = shingled(s, d)
         .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
+        .persist()
       val bands = sig.selectExpr("doc_id",
         s"""explode(transform(sequence(0, ${Bands - 1}),
-            b -> struct(b AS band,
-              element_at(sig, 2 * b + 1) * $P + element_at(sig, 2 * b + 2) AS bkey)
-            )) AS e""")
+            b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
         .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -68,11 +82,13 @@ object Dedup {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
-    // SimHash: 32-bit signature, 4 byte-blocks as LSH (pigeonhole: hamming
-    // <= 3 pairs must agree on >= 1 of 4 blocks); verify popcount(xor) <= 3.
+    // SimHash over shingle features: 30-bit signature, 4 x 8-bit blocks as
+    // LSH (pigeonhole: hamming <= 3 pairs agree on >= 1 block); verify
+    // popcount <= 3.
     "dedup_simhash" -> ((s, d) => {
-      val sig = docs(s, d).selectExpr("doc_id",
-        s"${simhashSpark(wordHashesSpark(tokensSpark("text")))} AS simhash")
+      val sig = shingled(s, d).selectExpr("doc_id",
+        s"${simhashSpark("sh")} AS simhash")
+        .persist()
       val blocks = sig.selectExpr("doc_id", "simhash",
         """explode(transform(sequence(0, 3),
            b -> struct(b AS blk, shiftright(simhash, b * 8) & 255 AS bval))) AS e""")
@@ -82,37 +98,45 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
           "bit_count(a.simhash ^ b.simhash) AS hamming")
-        .distinct()
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
-    // N-gram Jaccard with same-language blocking: exact set similarity on
-    // word 3-grams within a language partition.
+    // N-gram Jaccard via inverted shingle index: common-shingle counts come
+    // from a (lang, shingle) equi-join + groupBy — no per-pair array math,
+    // and pairs with zero overlap never materialize.
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d)
-      sh.as("l").join(sh.as("r"),
-          col("l.lang") === col("r.lang") && col("l.doc_id") < col("r.doc_id"))
-        .selectExpr("l.doc_id AS doc_a", "r.doc_id AS doc_b",
-          "size(array_intersect(l.sh, r.sh)) AS n_common",
-          "size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS n_union")
-        .selectExpr("doc_a", "doc_b", "n_common", "n_union",
-          "(n_common * 10000) div n_union AS jaccard_bp")
+      val sh = shingled(s, d).selectExpr("doc_id", "lang", "sh", "size(sh) AS sz")
+      val inv = sh.selectExpr("lang", "doc_id", "sz", "explode(sh) AS shv")
+      inv.as("l").join(inv.as("r"),
+          col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .selectExpr("doc_a", "doc_b", "n_common",
+          "sz_a + sz_b - n_common AS n_union",
+          "(n_common * 10000) div (sz_a + sz_b - n_common) AS jaccard_bp")
         .filter(col("jaccard_bp") >= 5000)
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
-    // Embedding-cosine near-dup: double-precision ordered-fold cosine in
-    // exact ppm. Pairwise here (the corpus fits); the LSH-bucketed scale
-    // path for 100 TB is Similarity's ann_lsh_buckets.
+    // Embedding-cosine near-dup within label partitions (cluster-blocked:
+    // at corpus scale the block key is the ANN bucket — see Similarity's
+    // ann_lsh_pairs for the unpartitioned path).
     "dedup_embedding_cosine" -> ((s, d) => {
-      val e = embeddings(s, d).selectExpr("vec_id", "label", "embedding AS v",
-        s"${norm2Spark("embedding", 64)} AS n2")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .selectExpr("vec_id", "label", "embedding AS v",
+          s"${norm2Spark("embedding", 64)} AS n2")
+        .persist()
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
           s"""CAST(floor(${dotSpark("a.v", "b.v", 64)}
               / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
-        .filter(col("cos_ppm") >= 450000)
+        .filter(col("cos_ppm") >= 400000)
         .orderBy(asc("vec_a"), asc("vec_b"))
     })
   )
@@ -128,7 +152,7 @@ object Dedup {
         (s"WITH shingled AS ($shingledSql), " +
           s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled), " +
           s"bands AS (SELECT doc_id, r.range AS band, " +
-          s"list_extract(sig, 2 * r.range + 1) * $P + list_extract(sig, 2 * r.range + 2) AS bkey " +
+          s"${bandKeyDuck("sig", "r.range")} AS bkey " +
           s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
           "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
           "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
@@ -139,32 +163,30 @@ object Dedup {
           "SELECT doc_a, doc_b, n_common, n_union, (n_common * 10000) // n_union AS jaccard_bp " +
           "FROM verified WHERE (n_common * 10000) // n_union >= 7000 ORDER BY doc_a, doc_b"),
       "dedup_simhash" ->
-        (s"WITH sigs AS (SELECT doc_id, " +
-          s"${simhashDuck(wordHashesDuck(tokensDuck("text")))} AS simhash FROM documents), " +
+        (s"WITH shingled AS ($shingledSql), " +
+          s"sigs AS (SELECT doc_id, ${simhashDuck("sh")} AS simhash FROM shingled), " +
           "blocks AS (SELECT doc_id, simhash, r.range AS blk, " +
-          "(simhash >> (r.range * 8)) & 255 AS bval FROM sigs CROSS JOIN range(0, 4) r), " +
+          "(simhash >> (r.range * 8)::INT) & 255 AS bval FROM sigs CROSS JOIN range(0, 4) r), " +
           "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
           "bit_count(xor(a.simhash, b.simhash)) AS hamming FROM blocks a " +
           "JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id) " +
           "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
       "dedup_ngram_jaccard" ->
-        (s"WITH shingled AS ($shingledSql) " +
-          "SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, " +
-          "len(list_intersect(l.sh, r.sh)) AS n_common, " +
-          "len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS n_union, " +
-          "(len(list_intersect(l.sh, r.sh)) * 10000) // " +
-          "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard_bp " +
-          "FROM shingled l JOIN shingled r ON l.lang = r.lang AND l.doc_id < r.doc_id " +
-          "WHERE (len(list_intersect(l.sh, r.sh)) * 10000) // " +
-          "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 5000 " +
-          "ORDER BY doc_a, doc_b"),
+        (s"WITH shingled AS (SELECT doc_id, lang, sh, len(sh) AS sz FROM ($shingledSql)), " +
+          "inv AS (SELECT lang, doc_id, sz, unnest(sh) AS shv FROM shingled), " +
+          "common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sz AS sz_a, r.sz AS sz_b, " +
+          "count(*) AS n_common FROM inv l JOIN inv r ON l.lang = r.lang AND l.shv = r.shv " +
+          "AND l.doc_id < r.doc_id GROUP BY 1, 2, 3, 4) " +
+          "SELECT doc_a, doc_b, n_common, sz_a + sz_b - n_common AS n_union, " +
+          "(n_common * 10000) // (sz_a + sz_b - n_common) AS jaccard_bp FROM common " +
+          "WHERE (n_common * 10000) // (sz_a + sz_b - n_common) >= 5000 ORDER BY doc_a, doc_b"),
       "dedup_embedding_cosine" ->
-        (s"WITH e AS (SELECT vec_id, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
+        (s"WITH e AS (SELECT vec_id, label, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
           "FROM embeddings) " +
           "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
           s"CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
-          "FROM e a JOIN e b ON a.vec_id < b.vec_id " +
-          s"WHERE CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) >= 450000 " +
+          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+          s"WHERE CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) >= 400000 " +
           "ORDER BY vec_a, vec_b")
     )
   }
