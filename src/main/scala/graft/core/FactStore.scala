@@ -38,4 +38,16 @@ trait FactStore {
   //    appended afterwards are excluded. Returns batches in position order.
   def replay(store: String, start: ReplayStart,
       batchSize: Int = 10000): Either[StreamError, Iterator[Seq[Fact]]]
+
+  // -- live subscription (SURVEY §2 #19): drain from `start`, then follow
+  //    new appends until closed; never completes on its own (reference
+  //    FactSubscriber.kt:18-59). Start-cursor errors are returned before
+  //    any data flows (#21).
+  def subscribe(store: String, start: StartPosition,
+      batchSize: Int = 10000): Either[StreamError, Subscription]
 }
+
+/** A live tail over a store: batches of facts in position order. `hasNext`
+  * is true until `close()`; `next()` blocks while the store is idle. The
+  * Scala rendering of the reference's never-completing `Flow<List<Fact>>`. */
+trait Subscription extends Iterator[Seq[Fact]] with AutoCloseable

@@ -130,6 +130,41 @@ final class MemoryFactStore extends FactStore {
       FindResult.Found(st.facts.filter(matchesQuery(_, query)).sortBy(_.position).toSeq)
     }
 
+  // -- subscribe ---------------------------------------------------------------
+  override def subscribe(store: String, start: StartPosition,
+      batchSize: Int): Either[StreamError, Subscription] = synchronized {
+    stores.get(store) match {
+      case None => Left(StreamError.StoreNotFound)
+      case Some(st) =>
+        val afterPos: Either[StreamError, Long] = start match {
+          case StartPosition.Beginning => Right(0L)
+          case StartPosition.End       => Right(st.facts.size.toLong)
+          case StartPosition.After(id) =>
+            st.facts.find(_.id == id).map(_.position)
+              .toRight(StreamError.FactIdNotFound(id))
+        }
+        afterPos.map { pos =>
+          new Subscription {
+            private var cursor = pos
+            @volatile private var closed = false
+            override def hasNext: Boolean = !closed
+            override def next(): Seq[Fact] = {
+              while (!closed) {
+                val batch = MemoryFactStore.this.synchronized {
+                  stores.get(store).toSeq
+                    .flatMap(_.facts.filter(_.position > cursor).take(batchSize))
+                }
+                if (batch.nonEmpty) { cursor = batch.last.position; return batch }
+                Thread.sleep(10) // mirrors the reference memory backend's poll tail
+              }
+              throw new NoSuchElementException("subscription closed")
+            }
+            override def close(): Unit = closed = true
+          }
+        }
+    }
+  }
+
   // -- replay -----------------------------------------------------------------
   override def replay(store: String, start: ReplayStart,
       batchSize: Int): Either[StreamError, Iterator[Seq[Fact]]] = synchronized {

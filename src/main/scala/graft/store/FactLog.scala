@@ -89,6 +89,38 @@ final class FactLog(val storeDir: Path) {
   def newDataFileName(): String = s"${java.util.UUID.randomUUID()}.parquet"
   def resolveData(rel: String): Path = dataDir.resolve(rel)
 
+  // --- streaming view -------------------------------------------------------
+  // `stream/` holds hard links to COMMITTED data files only, created after
+  // the commit CAS is won. Spark's file-source streaming can therefore tail
+  // it safely: uncommitted or CAS-losing files never appear, and links
+  // appear atomically. (Batch readers never list directories — they read
+  // exact paths from commit records — so they don't need this.)
+  private val streamDir = storeDir.resolve("stream")
+
+  def streamPath: Path = streamDir
+
+  /** Link the files of a freshly committed record into `stream/`. */
+  def publishToStream(rec: CommitRecord): Unit = {
+    Files.createDirectories(streamDir)
+    rec.files.zipWithIndex.foreach { case (rel, i) =>
+      val src = storeDir.resolve(rel)
+      val parts: Seq[Path] =
+        if (Files.isDirectory(src))
+          Files.list(src).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        else Seq(src)
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val target = streamDir.resolve(f"${rec.seq}%020d-$i-$j.parquet")
+        try Files.createLink(target, p)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+  }
+
+  /** Idempotent backfill: make `stream/` reflect every committed record
+    * (covers stores written before a subscriber first attaches). */
+  def ensureStreamLinks(): Unit = commits().foreach(publishToStream)
+
   /** Absolute paths of all committed data files, optionally pruned by
     * position range and/or appendedAt-nanos range (both inclusive bounds on
     * overlap). Pruning uses only commit metadata — no file listing, no

@@ -164,9 +164,10 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
               val rec = CommitRecord(
                 headCommit.map(_.seq).getOrElse(0L) + 1, headPos + 1,
                 headPos + rows.size, atNanos, request.idempotencyKey, Seq(s"data/$rel"))
-              if (log.tryCommit(rec))
+              if (log.tryCommit(rec)) {
+                log.publishToStream(rec)
                 result = AppendResult.Appended(rows.map(_.id), Timestamps.fromNanos(atNanos))
-              else Files.deleteIfExists(target) // lost the CAS: discard and re-evaluate
+              } else Files.deleteIfExists(target) // lost the CAS: discard and re-evaluate
             }
           }
           result
@@ -211,9 +212,10 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
                 val rec = CommitRecord(
                   headCommit.map(_.seq).getOrElse(0L) + 1, headPos + 1, headPos + n,
                   atNanos, idempotencyKey, Seq(s"data/$rel"))
-                if (log.tryCommit(rec))
+                if (log.tryCommit(rec)) {
+                  log.publishToStream(rec)
                   result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos))
-                else deleteRecursively(target)
+                } else deleteRecursively(target)
               }
             }
           }
@@ -335,6 +337,93 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
       case None => FindResult.StoreNotFound
       case Some(df) => FindResult.Found(collectFacts(FactFinders.byTagQuery(df, query)))
     }
+
+  // -- live subscription (SURVEY §2 #19, #21) ----------------------------------
+  override def subscribe(store: String, start: StartPosition,
+      batchSize: Int): Either[StreamError, Subscription] =
+    findStoreByName(store) match {
+      case None => Left(StreamError.StoreNotFound)
+      case Some(md) =>
+        val log = logFor(md)
+        val afterPos: Either[StreamError, Long] = start match {
+          case StartPosition.Beginning => Right(0L)
+          case StartPosition.End       => Right(log.headPosition())
+          case StartPosition.After(id) =>
+            val df = FactLog.read(spark, log.committedFiles())
+            FactFinders.byId(df, id).select("position").collect().headOption
+              .map(r => Right(r.getLong(0)))
+              .getOrElse(Left(StreamError.FactIdNotFound(id)))
+        }
+        afterPos.map { pos =>
+          new Subscription {
+            private var cursor = pos
+            private var pending: List[Seq[Fact]] = Nil
+            @volatile private var closed = false
+            override def hasNext: Boolean = !closed
+            override def next(): Seq[Fact] = {
+              while (!closed) {
+                pending match {
+                  case batch :: rest =>
+                    pending = rest
+                    cursor = batch.last.position
+                    return batch
+                  case Nil =>
+                    val head = log.headPosition() // cheap: commit-log metadata only
+                    if (head > cursor) {
+                      val df = FactLog.read(spark,
+                        log.committedFiles(minPos = cursor + 1, maxPos = head))
+                      val facts = collectFacts(
+                        FactFinders.positionWindow(df, cursor, head))
+                      pending = facts.grouped(batchSize).toList
+                    } else Thread.sleep(50) // poll tail (reference memory backend: 100 ms)
+                }
+              }
+              throw new NoSuchElementException("subscription closed")
+            }
+            override def close(): Unit = closed = true
+          }
+        }
+    }
+
+  /** Live tail as a Structured Streaming DataFrame over the committed-only
+    * `stream/` link directory (fact-log schema; position-ordered within a
+    * commit, micro-batched by file arrival). `start` resolves to a
+    * `position > cursor` predicate that prunes at the parquet scan. */
+  def subscribeStream(store: String, start: StartPosition = StartPosition.Beginning,
+      maxFilesPerTrigger: Option[Int] = None): Either[StreamError, DataFrame] =
+    findStoreByName(store) match {
+      case None => Left(StreamError.StoreNotFound)
+      case Some(md) =>
+        val log = logFor(md)
+        log.ensureStreamLinks() // backfill for stores predating the subscriber
+        val afterPos: Either[StreamError, Long] = start match {
+          case StartPosition.Beginning => Right(0L)
+          case StartPosition.End       => Right(log.headPosition())
+          case StartPosition.After(id) =>
+            val df = FactLog.read(spark, log.committedFiles())
+            FactFinders.byId(df, id).select("position").collect().headOption
+              .map(r => Right(r.getLong(0)))
+              .getOrElse(Left(StreamError.FactIdNotFound(id)))
+        }
+        afterPos.map { pos =>
+          val reader = spark.readStream.schema(FactLog.schema)
+          val tuned = maxFilesPerTrigger.fold(reader)(n =>
+            reader.option("maxFilesPerTrigger", n))
+          val df = tuned.parquet(log.streamPath.toString)
+          if (pos == 0L) df else df.filter(col("position") > lit(pos))
+        }
+    }
+
+  /** Bounded replay as a streaming DataFrame: run the returned query with
+    * `Trigger.AvailableNow` to drain everything committed at start and then
+    * stop — the Spark-native rendering of the reference's pinned-head
+    * replay (FdbFactStreamer.kt:60-110). */
+  def replayStream(store: String, start: ReplayStart = ReplayStart.Beginning)
+      : Either[StreamError, DataFrame] =
+    subscribeStream(store, start match {
+      case ReplayStart.Beginning => StartPosition.Beginning
+      case ReplayStart.After(id) => StartPosition.After(id)
+    })
 
   // -- bounded replay (SURVEY §2 #20-21) ---------------------------------------
   override def replay(store: String, start: ReplayStart,

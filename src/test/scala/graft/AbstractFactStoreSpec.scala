@@ -402,6 +402,69 @@ abstract class AbstractFactStoreSpec extends AnyFunSuite {
     }
   }
 
+  // --- subscribe (reference :777-879) -----------------------------------------
+  private def take(sub: Subscription, n: Int, timeoutMs: Long = 20000): Seq[Fact] = {
+    val out = scala.collection.mutable.ArrayBuffer[Fact]()
+    val worker = new Thread(() => {
+      try while (out.size < n && sub.hasNext) out.synchronized { out ++= sub.next() }
+      catch { case _: NoSuchElementException => () }
+    })
+    worker.setDaemon(true); worker.start()
+    worker.join(timeoutMs)
+    sub.close()
+    worker.join(2000)
+    out.toSeq
+  }
+
+  test("subscribe from Beginning drains catch-up then follows live appends") {
+    withStore { (fs, s) =>
+      (1 to 3).foreach(i => appendOne(fs, s, input(factType = s"T$i")))
+      val Right(sub) = fs.subscribe(s, StartPosition.Beginning): @unchecked
+      val appender = new Thread(() => {
+        Thread.sleep(200)
+        (4 to 5).foreach(i => appendOne(fs, s, input(factType = s"T$i")))
+      })
+      appender.start()
+      val got = take(sub, 5)
+      appender.join()
+      assert(got.map(_.factType) == (1 to 5).map(i => s"T$i"))
+      assert(got.map(_.position) == (1L to 5L))
+    }
+  }
+
+  test("subscribe from End sees only facts appended after open") {
+    withStore { (fs, s) =>
+      (1 to 3).foreach(i => appendOne(fs, s, input(factType = s"OLD$i")))
+      val Right(sub) = fs.subscribe(s, StartPosition.End): @unchecked
+      val appender = new Thread(() => {
+        Thread.sleep(200)
+        appendOne(fs, s, input(factType = "NEW"))
+      })
+      appender.start()
+      val got = take(sub, 1)
+      appender.join()
+      assert(got.map(_.factType) == Seq("NEW"))
+    }
+  }
+
+  test("subscribe After(factId) resumes just past the cursor") {
+    withStore { (fs, s) =>
+      val ids = (1 to 4).map(i => appendOne(fs, s, input(factType = s"T$i")))
+      val Right(sub) = fs.subscribe(s, StartPosition.After(ids(1))): @unchecked
+      val got = take(sub, 2)
+      assert(got.map(_.factType) == Seq("T3", "T4"))
+    }
+  }
+
+  test("subscribe errors: unknown cursor, missing store") {
+    withStore { (fs, s) =>
+      assert(fs.subscribe(s, StartPosition.After("nope")) ==
+        Left(StreamError.FactIdNotFound("nope")))
+      assert(fs.subscribe(MissingStore, StartPosition.Beginning) ==
+        Left(StreamError.StoreNotFound))
+    }
+  }
+
   // --- scale probe (reference :1230-1315, shrunk) -------------------------------
   test("scale probe: 2000 facts, tag query returns the matching half") {
     withStore { (fs, s) =>

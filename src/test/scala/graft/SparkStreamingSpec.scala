@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.store.SparkFactStore
+
+/** Structured Streaming over the store: the committed-only `stream/` link
+  * directory makes the fact log tailable by Spark's file source. */
+class SparkStreamingSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  private def newStore(): (SparkFactStore, String) = {
+    val fs = new SparkFactStore(spark, Files.createTempDirectory("graft-stream-"))
+    fs.createStore("s")
+    (fs, "s")
+  }
+
+  private def in(ft: String, subject: String = "SUBJ"): FactInput =
+    FactInput(ft, subject, Array[Byte](1), tags = Map("k" -> "v"))
+
+  test("replayStream with Trigger.AvailableNow drains exactly the committed facts") {
+    val (fs, s) = newStore()
+    (1 to 5).foreach(i => fs.append(s, in(s"T$i")))
+    val Right(df) = fs.replayStream(s): @unchecked
+    val seen = new ConcurrentLinkedQueue[(Long, String)]()
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("position", "fact_type").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+      }
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == (1 to 5).map(i => (i.toLong, s"T$i")))
+  }
+
+  test("subscribeStream(After) prunes up to the cursor; live appends arrive") {
+    val (fs, s) = newStore()
+    val ids = (1 to 3).map { i =>
+      fs.append(s, in(s"T$i")) match {
+        case AppendResult.Appended(fids, _) => fids.head
+        case other => fail(s"$other")
+      }
+    }
+    val Right(df) = fs.subscribeStream(s, StartPosition.After(ids(1))): @unchecked
+    val seen = new ConcurrentLinkedQueue[String]()
+    val q = df.writeStream
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("fact_type").collect().foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+    try {
+      // catch-up part: only T3 (cursor is after T2)
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.size < 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      fs.append(s, in("T4"))
+      while (seen.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == Seq("T3", "T4"))
+  }
+
+  test("streaming errors surface before any query starts") {
+    val (fs, s) = newStore()
+    assert(fs.subscribeStream("missing", StartPosition.Beginning) ==
+      Left(StreamError.StoreNotFound))
+    assert(fs.subscribeStream(s, StartPosition.After("nope")) ==
+      Left(StreamError.FactIdNotFound("nope")))
+  }
+
+  test("watermarked tumbling-window aggregation over a live subscription") {
+    val (fs, s) = newStore()
+    (1 to 6).foreach(i => fs.append(s, in(if (i % 2 == 0) "EVEN" else "ODD")))
+    val Right(df) = fs.subscribeStream(s): @unchecked
+    val agg = df
+      .withWatermark("appended_at", "10 seconds")
+      .groupBy(window(col("appended_at"), "1 minute"), col("fact_type"))
+      .agg(count(lit(1)).as("n"))
+    val seen = new ConcurrentLinkedQueue[(String, Long)]()
+    val q = agg.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("fact_type", "n").collect()
+          .foreach(r => seen.add((r.getString(0), r.getLong(1))))
+      }
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    val byType = seen.asScala.groupMapReduce(_._1)(_._2)(math.max)
+    assert(byType == Map("EVEN" -> 3L, "ODD" -> 3L))
+  }
+}
