@@ -15,7 +15,8 @@ object SparkEntry {
       (Analytics.queries, Analytics.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
-      (Similarity.queries, Similarity.oracles)
+      (Similarity.queries, Similarity.oracles),
+      (Multimodal.queries, Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

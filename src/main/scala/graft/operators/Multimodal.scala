@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Multimodal-column plumbing for a training-data pipeline: media payloads
+  * travel as opaque `binary` columns with typed metadata structs; decode /
+  * feature-extract / frame-sample run batch-wise over partitions.
+  *
+  * The actual codec step is STUBBED (this environment has no image/audio
+  * libraries): `decodeStub` derives deterministic fake dimensions from the
+  * byte content. Everything around the stub — the binary schema, the
+  * partition-batched invocation shape (the Scala analogue of
+  * `mapInPandas`), the metadata struct, and the pruned-column scan — is
+  * real and oracle-tested. The driver tables carry no binary column, so
+  * the oracle queries derive the bytes from `documents.text` (ASCII ⇒
+  * byte i == char code i, which keeps DuckDB bit-exact).
+  */
+object Multimodal {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Typed result of the (stubbed) decode step. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, header_code: Int, checksum: Long,
+      width: Int, height: Int, format: String)
+
+  /** Deterministic fake decode of one payload — the `???` seam where a real
+    * codec (libjpeg/ffmpeg/...) would plug in. Pure function of the bytes. */
+  def decodeOne(docId: Long, payload: Array[Byte]): MediaMeta = {
+    var h = 0L
+    payload.foreach { b => h = (h * 31 + (b & 0xff)) % P }
+    MediaMeta(
+      doc_id = docId,
+      n_bytes = payload.length,
+      header_code = if (payload.nonEmpty) payload(0) & 0xff else 0,
+      checksum = h,
+      width = (16 + h % 64).toInt,
+      height = (16 + (h / 64) % 64).toInt,
+      format = (h % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+  }
+
+  /** Batch decode over partitions: one JVM-side pass per partition, rows
+    * streamed — the batch shape a Pandas-UDF/`mapInPandas` decode would
+    * have. Input must carry (doc_id: Long, payload: Binary). */
+  def decodeStub(spark: SparkSession, withPayload: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Metadata extraction: payload envelope -> typed columns, all derived
+    // from the bytes with exact integer arithmetic.
+    "media_metadata" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "doc_id",
+        "octet_length(encode(text, 'UTF-8')) AS n_bytes",
+        "ascii(substring(text, 1, 1)) AS header_code",
+        s"${charHashSpark("text")} AS checksum",
+        s"CAST(16 + ${charHashSpark("text")} % 64 AS INT) AS width",
+        s"CAST(16 + (${charHashSpark("text")} div 64) % 64 AS INT) AS height",
+        s"CASE ${charHashSpark("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format"
+      ).orderBy(asc("doc_id"))),
+
+    // Frame sampling: every 16th byte (video-frame subsampling analogue);
+    // emits the sampled "frame track" length and content hash.
+    "media_frame_sample" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "doc_id",
+        "CAST((length(text) + 15) div 16 AS BIGINT) AS n_frames",
+        s"""${charHashSpark(
+            "array_join(transform(sequence(1, (length(text) + 15) div 16), i -> substring(text, (i - 1) * 16 + 1, 1)), '')")}
+           AS track_hash"""
+      ).orderBy(asc("doc_id"))),
+
+    // Format routing: fake-decoded format buckets -> per-format volumes
+    // (the partition/routing step of a multimodal ingest job).
+    "media_format_stats" -> ((s, d) =>
+      docs(s, d).selectExpr("doc_id",
+          "octet_length(encode(text, 'UTF-8')) AS n_bytes",
+          s"CASE ${charHashSpark("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format")
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(asc("format"))),
+
+    // The mapPartitions decode stub itself (not SQL-expressible -> driver
+    // records a rows-only check; the checksum/width/height math is pinned
+    // by media_metadata's oracle above).
+    "media_decode_stub" -> ((s, d) => {
+      val payloads = docs(s, d)
+        .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
+      decodeStub(s, payloads).toDF().orderBy(asc("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "media_metadata" ->
+      (s"SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+        "unicode(substring(text, 1, 1)) AS header_code, " +
+        s"${charHashDuck("text")} AS checksum, " +
+        s"CAST(16 + ${charHashDuck("text")} % 64 AS INT) AS width, " +
+        s"CAST(16 + (${charHashDuck("text")} // 64) % 64 AS INT) AS height, " +
+        s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
+        "FROM documents ORDER BY doc_id"),
+    "media_frame_sample" ->
+      (s"SELECT doc_id, CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames, " +
+        s"${charHashDuck("list_aggregate(list_transform(range(1, (length(text) + 15) // 16 + 1), " +
+          "i -> substring(text, (i - 1) * 16 + 1, 1)), 'string_agg', '')")} AS track_hash " +
+        "FROM documents ORDER BY doc_id"),
+    "media_format_stats" ->
+      (s"WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
+        s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
+        "FROM documents) " +
+        "SELECT format, count(*) AS n_docs, sum(n_bytes) AS total_bytes " +
+        "FROM m GROUP BY format ORDER BY format")
+    // media_decode_stub: intentionally no oracle (mapPartitions operator)
+  )
+}
