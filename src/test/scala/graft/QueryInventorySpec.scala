@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query must at least plan, execute, and produce a stable
+  * schema at sf0.001 — the in-build smoke twin of the driver's DuckDB gate
+  * (which checks values at sf0.01). Also pins the contract that every
+  * query has an oracle unless explicitly exempted. */
+class QueryInventorySpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries that are deliberately not SQL-expressible (driver records a
+    * rows-only check). Keep this list short and justified. */
+  private val noOracleExempt = Set("media_decode_stub")
+
+  test("every query has an oracle or an explicit exemption") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleExempt
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without query: $orphaned")
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"query executes at sf0.001: $name") {
+      val df = fn(SparkTestSession.spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.schema.fieldNames.nonEmpty)
+    }
+  }
+}
