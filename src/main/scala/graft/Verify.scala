@@ -20,6 +20,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale output from an earlier run must not mask the failure
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) { dir.listFiles.foreach(_.delete()); dir.delete() }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

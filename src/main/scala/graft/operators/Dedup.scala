@@ -22,8 +22,10 @@ object Dedup {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
-  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+  private def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark) // codegen'd vec_dot/vec_norm2
     spark.read.parquet(s"$dir/embeddings.parquet")
+  }
 
   /** doc_id + distinct word-3gram shingle hashes, staged and persisted.
     *
@@ -129,12 +131,12 @@ object Dedup {
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .selectExpr("vec_id", "label", "embedding AS v",
-          s"${norm2Spark("embedding", 64)} AS n2")
+          "vec_norm2(embedding) AS n2")
         .persist()
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
-          s"""CAST(floor(${dotSpark("a.v", "b.v", 64)}
+          """CAST(floor(vec_dot(a.v, b.v)
               / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
         .filter(col("cos_ppm") >= 400000)
         .orderBy(asc("vec_a"), asc("vec_b"))

@@ -21,8 +21,10 @@ import graft.functions.CrossHash._
   */
 object Similarity {
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark) // codegen'd vec_dot/vec_norm2
     spark.read.parquet(s"$dir/embeddings.parquet")
+  }
 
   private val Dim = 64
 
@@ -36,9 +38,8 @@ object Similarity {
   /** Sign-bit bucket id for `v` under the 8 pinned hyperplanes (Spark). */
   private def lshBucketSpark(v: String): String =
     (0 until NPlanes).map { j =>
-      val dot = s"aggregate(sequence(1, $Dim), cast(0.0 as double), (acc, i) -> " +
-        s"acc + cast(element_at($v, i) as double) * element_at(array(" +
-        (1 to Dim).map(i => s"cast(${hyper(j, i)} as double)").mkString(",") + "), i))"
+      val dot = s"vec_dot($v, array(" +
+        (1 to Dim).map(i => s"cast(${hyper(j, i)} as double)").mkString(",") + "))"
       s"if($dot > 0, ${1L << j}L, 0L)"
     }.mkString("(", " + ", ")")
 
@@ -51,9 +52,12 @@ object Similarity {
       s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Whole-stage-codegen cosine via the native VecDot/VecNorm2 expressions
+    * (identical index-order double accumulation as the CrossHash folds, so
+    * the DuckDB oracle — which uses the folds — still hash-matches). */
   private def cosPpmSpark(a: String, b: String): String =
-    s"CAST(floor(${dotSpark(a, b, Dim)} / (sqrt(${norm2Spark(a, Dim)}) * " +
-      s"sqrt(${norm2Spark(b, Dim)})) * 1000000) AS BIGINT)"
+    s"CAST(floor(vec_dot($a, $b) / (sqrt(vec_norm2($a)) * " +
+      s"sqrt(vec_norm2($b))) * 1000000) AS BIGINT)"
 
   private def cosPpmDuck(a: String, b: String): String =
     s"CAST(floor(${dotDuck(a, b, Dim)} / (sqrt(${norm2Duck(a, Dim)}) * " +
