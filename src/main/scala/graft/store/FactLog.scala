@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.jdk.CollectionConverters._
 import scala.collection.mutable
@@ -24,11 +24,27 @@ final case class CommitRecord(
     files: Seq[String] // relative to store dir
 )
 
+/** Per compacted file: path + metadata ranges for pruning. */
+final case class FileMeta(path: String, minPos: Long, maxPos: Long,
+    minNanos: Long, maxNanos: Long)
+
+/** A checkpoint at seq K supersedes commit records 1..K: the facts live in
+  * few position-bucketed compacted files and the idempotency-key set is
+  * carried forward. Published with the same hard-link CAS as commits, so
+  * exactly one checkpoint exists per seq and readers switch atomically.
+  * This caps both file count and commit-log length — the knob that keeps a
+  * store with millions of appends readable at 100 TB. */
+final case class Checkpoint(seq: Long, lastPosition: Long, appendedAtNanos: Long,
+    idempotencyKeys: Set[String], files: Seq[FileMeta])
+
+/** The writer's view of the log head (continues across checkpoints). */
+final case class HeadState(seq: Long, lastPosition: Long, appendedAtNanos: Long)
+
 /** Per-store append-only log with an optimistic single-winner commit
   * protocol, replacing the reference's FoundationDB serializable
   * transactions (fdb/FdbFactAppender.kt:33-122):
   *
-  *   1. read head (last commit)
+  *   1. read head (last commit or checkpoint)
   *   2. caller evaluates idempotency + conditions against the committed log
   *   3. write data file(s) with positions head+1..head+N (uncommitted)
   *   4. atomically publish commit record `seq = head.seq+1` via hard-link
@@ -36,40 +52,66 @@ final case class CommitRecord(
   *      file and retry, re-evaluating conditions (mirrors FDB's retry loop,
   *      making the exactly-one-winner concurrency contract hold)
   *
-  * Readers take the contiguous committed prefix, so they see an atomic,
-  * snapshot-isolated view regardless of in-flight writers.
+  * Readers take the latest checkpoint plus the contiguous committed suffix
+  * after it, so they see an atomic, snapshot-isolated view regardless of
+  * in-flight writers or compactions.
   */
 final class FactLog(val storeDir: Path) {
   private val commitsDir = storeDir.resolve("commits")
   private val dataDir = storeDir.resolve("data")
+  private val checkpointsDir = storeDir.resolve("checkpoints")
   Files.createDirectories(commitsDir)
   Files.createDirectories(dataDir)
 
-  // cache: commits already parsed (append-only, so safe to cache by seq)
+  // cache: commits already parsed (append-only and immutable once written,
+  // so caching by seq is always safe — even across vacuums)
   private val cache = mutable.LongMap[CommitRecord]()
-  private var cachedUpTo = 0L
 
   private def commitPath(seq: Long): Path = commitsDir.resolve(f"$seq%020d.commit")
 
-  /** Contiguous committed prefix, seq 1..K. */
-  def commits(): Seq[CommitRecord] = synchronized {
-    var seq = cachedUpTo + 1
+  /** Contiguous committed records with seq > `after` (stops at first gap). */
+  def commitsAfter(after: Long): Seq[CommitRecord] = synchronized {
+    val out = mutable.ArrayBuffer[CommitRecord]()
+    var seq = after + 1
     var more = true
     while (more) {
-      val p = commitPath(seq)
-      if (Files.exists(p)) {
-        cache(seq) = parse(Files.readString(p, UTF_8))
-        cachedUpTo = seq
-        seq += 1
-      } else more = false
+      cache.get(seq) match {
+        case Some(r) => out += r; seq += 1
+        case None =>
+          val p = commitPath(seq)
+          if (Files.exists(p)) {
+            val r = parse(Files.readString(p, UTF_8))
+            cache(seq) = r
+            out += r
+            seq += 1
+          } else more = false
+      }
     }
-    (1L to cachedUpTo).map(cache)
+    out.toSeq
   }
 
-  def head(): Option[CommitRecord] = commits().lastOption
-  def headPosition(): Long = head().map(_.lastPosition).getOrElse(0L)
+  /** Latest checkpoint (if any) + commit records after it — the atomic read
+    * view every reader uses. */
+  def snapshot(): (Option[Checkpoint], Seq[CommitRecord]) = {
+    val ckpt = latestCheckpoint()
+    (ckpt, commitsAfter(ckpt.map(_.seq).getOrElse(0L)))
+  }
 
-  def idempotencyKeys(): Set[String] = commits().iterator.map(_.idempotencyKey).toSet
+  /** Writer head: last commit if any, else the checkpoint, else origin. */
+  def headState(): HeadState = {
+    val (ckpt, recs) = snapshot()
+    recs.lastOption
+      .map(r => HeadState(r.seq, r.lastPosition, r.appendedAtNanos))
+      .orElse(ckpt.map(c => HeadState(c.seq, c.lastPosition, c.appendedAtNanos)))
+      .getOrElse(HeadState(0L, 0L, Long.MinValue))
+  }
+
+  def headPosition(): Long = headState().lastPosition
+
+  def idempotencyKeys(): Set[String] = {
+    val (ckpt, recs) = snapshot()
+    ckpt.map(_.idempotencyKeys).getOrElse(Set.empty) ++ recs.iterator.map(_.idempotencyKey)
+  }
 
   /** Attempt to publish `record` (with the given seq). True iff this writer
     * won the CAS for that seq. */
@@ -88,6 +130,104 @@ final class FactLog(val storeDir: Path) {
   /** Fresh uncommitted data-file path (relative name returned). */
   def newDataFileName(): String = s"${java.util.UUID.randomUUID()}.parquet"
   def resolveData(rel: String): Path = dataDir.resolve(rel)
+  def resolve(rel: String): Path = storeDir.resolve(rel)
+
+  /** Absolute paths of all committed data files, optionally pruned by
+    * position range and/or appendedAt-nanos range (both inclusive bounds on
+    * overlap). Pruning uses only commit/checkpoint metadata — no file
+    * listing, no footer reads — so a 100 TB store scoped to a replay cursor
+    * or time window touches only the overlapping files. */
+  def committedFiles(
+      minPos: Long = Long.MinValue, maxPos: Long = Long.MaxValue,
+      minNanos: Long = Long.MinValue, maxNanos: Long = Long.MaxValue): Seq[String] = {
+    val (ckpt, incremental) = snapshot()
+    val base = ckpt.toSeq.flatMap(_.files.collect {
+      case f if f.maxPos >= minPos && f.minPos <= maxPos &&
+        f.maxNanos >= minNanos && f.minNanos <= maxNanos => f.path
+    })
+    // appendedAtNanos is monotonic non-decreasing across commits (assigned in
+    // the single-writer critical section), so both prunings are range cuts.
+    val inc = incremental.filter { c =>
+      c.lastPosition >= minPos && c.firstPosition <= maxPos &&
+      c.appendedAtNanos >= minNanos && c.appendedAtNanos <= maxNanos
+    }.flatMap(_.files)
+    (base ++ inc).map(f => storeDir.resolve(f).toString)
+  }
+
+  // --- checkpoints (log compaction) -----------------------------------------
+
+  private def checkpointPath(seq: Long): Path = checkpointsDir.resolve(f"$seq%020d.ckpt")
+
+  def latestCheckpoint(): Option[Checkpoint] = {
+    if (!Files.exists(checkpointsDir)) return None
+    val seqs = Files.list(checkpointsDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).toSeq
+    seqs.sorted.lastOption.map(readCheckpoint)
+  }
+
+  private def readCheckpoint(seq: Long): Checkpoint = {
+    val lines = Files.readAllLines(checkpointPath(seq), UTF_8).asScala
+    val h = lines.head.split('\t')
+    val keys = lines.tail.iterator.filter(_.startsWith("k\t")).map(_.drop(2)).toSet
+    val files = lines.tail.iterator.filter(_.startsWith("f\t")).map { l =>
+      val a = l.split('\t')
+      FileMeta(a(1), a(2).toLong, a(3).toLong, a(4).toLong, a(5).toLong)
+    }.toSeq
+    Checkpoint(h(0).toLong, h(1).toLong, h(2).toLong, keys, files)
+  }
+
+  /** CAS-publish a checkpoint; true iff this writer won. */
+  def tryPublishCheckpoint(c: Checkpoint): Boolean = {
+    Files.createDirectories(checkpointsDir)
+    val body = new StringBuilder
+    body.append(s"${c.seq}\t${c.lastPosition}\t${c.appendedAtNanos}\n")
+    c.idempotencyKeys.toSeq.sorted.foreach(k => body.append(s"k\t$k\n"))
+    c.files.foreach(f =>
+      body.append(s"f\t${f.path}\t${f.minPos}\t${f.maxPos}\t${f.minNanos}\t${f.maxNanos}\n"))
+    val tmp = checkpointsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, body.toString, UTF_8)
+    try { Files.createLink(checkpointPath(c.seq), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Delete commit records with seq <= `seq` and their data files — they are
+    * superseded by a checkpoint. Opt-in: a concurrent reader still holding a
+    * pre-checkpoint snapshot would lose its files. `stream/` hard links
+    * survive (same inodes), so live subscribers are unaffected. */
+  def vacuum(seq: Long): Unit = {
+    commitsAfter(0L).takeWhile(_.seq <= seq).foreach { c =>
+      c.files.foreach { rel =>
+        val p = storeDir.resolve(rel)
+        if (Files.isDirectory(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        else Files.deleteIfExists(p)
+      }
+      Files.deleteIfExists(commitPath(c.seq))
+    }
+  }
+
+  /** Delete checkpoints older than `keepSeq` and their compacted files
+    * (they are fully superseded by the checkpoint at `keepSeq`). */
+  def vacuumCheckpoints(keepSeq: Long): Unit = {
+    if (!Files.exists(checkpointsDir)) return
+    val old = Files.list(checkpointsDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).filter(_ < keepSeq).toSeq
+    old.foreach { seq =>
+      val c = readCheckpoint(seq)
+      c.files.foreach { f =>
+        val p = storeDir.resolve(f.path)
+        if (Files.isDirectory(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(x => Files.deleteIfExists(x))
+        else Files.deleteIfExists(p)
+      }
+      Files.deleteIfExists(checkpointPath(seq))
+    }
+  }
 
   // --- streaming view -------------------------------------------------------
   // `stream/` holds hard links to COMMITTED data files only, created after
@@ -117,26 +257,10 @@ final class FactLog(val storeDir: Path) {
     }
   }
 
-  /** Idempotent backfill: make `stream/` reflect every committed record
-    * (covers stores written before a subscriber first attaches). */
-  def ensureStreamLinks(): Unit = commits().foreach(publishToStream)
-
-  /** Absolute paths of all committed data files, optionally pruned by
-    * position range and/or appendedAt-nanos range (both inclusive bounds on
-    * overlap). Pruning uses only commit metadata — no file listing, no
-    * footer reads — so a 100 TB store scoped to a replay cursor or time
-    * window touches only the overlapping files. */
-  def committedFiles(
-      minPos: Long = Long.MinValue, maxPos: Long = Long.MaxValue,
-      minNanos: Long = Long.MinValue, maxNanos: Long = Long.MaxValue): Seq[String] = {
-    val cs = commits()
-    // appendedAtNanos is monotonic non-decreasing across commits (assigned in
-    // the single-writer critical section), so both prunings are range cuts.
-    cs.filter { c =>
-      c.lastPosition >= minPos && c.firstPosition <= maxPos &&
-      c.appendedAtNanos >= minNanos && c.appendedAtNanos <= maxNanos
-    }.flatMap(_.files).map(f => storeDir.resolve(f).toString)
-  }
+  /** Idempotent backfill: make `stream/` reflect every not-yet-vacuumed
+    * committed record (covers stores written before a subscriber first
+    * attaches; post-commit `publishToStream` is the primary path). */
+  def ensureStreamLinks(): Unit = commitsAfter(0L).foreach(publishToStream)
 
   // --- serialization: one line, tab-separated (ids are UUIDs, names are
   //     UUID-based — no tabs/newlines possible) -------------------------------

@@ -125,7 +125,11 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
 
-  private def logFor(md: StoreMetadata): FactLog = new FactLog(storesDir.resolve(md.id))
+  // FactLog instances cached per store: the parsed-commit cache makes
+  // repeated metadata reads O(new commits), not O(all commits).
+  private val logs = mutable.Map[String, FactLog]()
+  private def logFor(md: StoreMetadata): FactLog =
+    logs.synchronized(logs.getOrElseUpdate(md.id, new FactLog(storesDir.resolve(md.id))))
 
   /** Committed log as a DataFrame (optionally pruned via commit metadata). */
   def logDataFrame(name: String,
@@ -144,16 +148,15 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
           val log = logFor(md)
           var result: AppendResult = null
           while (result == null) {
-            val headCommit = log.head()
-            val headPos = headCommit.map(_.lastPosition).getOrElse(0L)
+            val head = log.headState()
+            val headPos = head.lastPosition
             if (log.idempotencyKeys().contains(request.idempotencyKey))
               result = AppendResult.AlreadyApplied
             else if (!conditionHolds(log, request.condition))
               result = AppendResult.AppendConditionViolated
             else {
               val at = Instant.now()
-              val atNanos = math.max(Timestamps.toNanos(at),
-                headCommit.map(_.appendedAtNanos).getOrElse(Long.MinValue)) // keep monotonic
+              val atNanos = math.max(Timestamps.toNanos(at), head.appendedAtNanos) // keep monotonic
               val rows = request.facts.zipWithIndex.map { case (in, i) =>
                 FactRow.fromInput(in, UUID.randomUUID().toString, headPos + i + 1,
                   Timestamps.fromNanos(atNanos))
@@ -162,7 +165,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
               val target = log.resolveData(rel)
               writeParquetSingleFile(spark.createDataset(rows).toDF(), target)
               val rec = CommitRecord(
-                headCommit.map(_.seq).getOrElse(0L) + 1, headPos + 1,
+                head.seq + 1, headPos + 1,
                 headPos + rows.size, atNanos, request.idempotencyKey, Seq(s"data/$rel"))
               if (log.tryCommit(rec)) {
                 log.publishToStream(rec)
@@ -190,14 +193,13 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
           val log = logFor(md)
           var result: AppendResult = null
           while (result == null) {
-            val headCommit = log.head()
-            val headPos = headCommit.map(_.lastPosition).getOrElse(0L)
+            val head = log.headState()
+            val headPos = head.lastPosition
             if (log.idempotencyKeys().contains(idempotencyKey)) {
               result = AppendResult.AlreadyApplied
             } else {
               val at = Instant.now()
-              val atNanos = math.max(Timestamps.toNanos(at),
-                headCommit.map(_.appendedAtNanos).getOrElse(Long.MinValue))
+              val atNanos = math.max(Timestamps.toNanos(at), head.appendedAtNanos)
               val ts = java.sql.Timestamp.from(Timestamps.fromNanos(atNanos))
               val withPos = zipWithPosition(facts, headPos + 1)
                 .withColumn("id", expr("uuid()"))
@@ -210,7 +212,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
               if (n == 0L) { result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos)) }
               else {
                 val rec = CommitRecord(
-                  headCommit.map(_.seq).getOrElse(0L) + 1, headPos + 1, headPos + n,
+                  head.seq + 1, headPos + 1, headPos + n,
                   atNanos, idempotencyKey, Seq(s"data/$rel"))
                 if (log.tryCommit(rec)) {
                   log.publishToStream(rec)
@@ -261,6 +263,62 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
     df.write.mode("overwrite").parquet(target.toString)
     spark.read.schema(FactLog.schema).parquet(target.toString).count()
   }
+
+  // -- log compaction ----------------------------------------------------------
+  /** Compact the store's committed log into position-bucketed files and
+    * publish a checkpoint superseding the per-append commit records. Keeps
+    * file count and commit-log length bounded regardless of append count —
+    * required hygiene at 100 TB. `vacuum` additionally deletes the
+    * superseded commits + data files (live subscribers keep working:
+    * `stream/` hard links pin the inodes).
+    *
+    * Returns the number of commit records folded into the checkpoint (0 =
+    * nothing to do). */
+  def compact(storeName: String, rowsPerBucket: Long = 1L << 20,
+      vacuum: Boolean = false): Int =
+    findStoreByName(storeName) match {
+      case None => 0
+      case Some(md) =>
+        lockFor(md.id).synchronized {
+          val log = logFor(md)
+          val (_, recs) = log.snapshot()
+          if (recs.isEmpty) return 0
+          val state = log.headState()
+          val keys = log.idempotencyKeys()
+          val df = FactLog.read(spark, log.committedFiles())
+            .withColumn("bucket", expr(s"(position - 1) div ${rowsPerBucket}L"))
+          // NOT dot-prefixed: Spark silently ignores hidden paths on read
+          val tmp = log.resolve(s"data/tmp-compact-${UUID.randomUUID()}")
+          df.repartition(col("bucket")).write.partitionBy("bucket")
+            .parquet(tmp.toString)
+          // per-bucket metadata for pruning (exact ranges from one agg pass)
+          val metas = spark.read.parquet(tmp.toString)
+            .groupBy(col("bucket"))
+            .agg(min("position").as("minp"), max("position").as("maxp"),
+              min("appended_at_nanos").as("minn"), max("appended_at_nanos").as("maxn"))
+            .collect()
+          val ckptId = UUID.randomUUID().toString.take(8)
+          // partition-column inference may type bucket as int
+          val files = metas.sortBy(_.getAs[Number]("bucket").longValue).map { r =>
+            val b = r.getAs[Number]("bucket").longValue
+            val src = tmp.resolve(s"bucket=$b")
+            val rel = s"data/compact-$ckptId-b$b"
+            Files.move(src, log.resolve(rel)) // same fs: atomic rename
+            FileMeta(rel, r.getAs[Long]("minp"), r.getAs[Long]("maxp"),
+              r.getAs[Long]("minn"), r.getAs[Long]("maxn"))
+          }.toSeq
+          deleteRecursively(tmp)
+          val ckpt = Checkpoint(state.seq, state.lastPosition, state.appendedAtNanos,
+            keys, files)
+          if (log.tryPublishCheckpoint(ckpt)) {
+            if (vacuum) { log.vacuum(state.seq); log.vacuumCheckpoints(state.seq) }
+            recs.size
+          } else {
+            files.foreach(f => deleteRecursively(log.resolve(f.path)))
+            0
+          }
+        }
+    }
 
   // -- append conditions (evaluated inside the commit critical section) -------
   private def conditionHolds(log: FactLog, c: AppendCondition): Boolean = c match {
