@@ -1,0 +1,66 @@
+package graft.store
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.core.{TagQuery, TagQueryItem}
+
+/** Per-file Bloom filters over the indexed attributes of a fact — the
+  * Spark-style replacement for the reference's tag/type/subject secondary
+  * indexes (fdb/FdbFactStore.kt:80-91). Every commit record and checkpoint
+  * bucket carries a bloom of its rows' `t:type`, `s:subject` and `g:k=v`
+  * entries; limit-1 existence probes (TagQueryBased conditions,
+  * ExpectedLastFact) consult the bloom before touching data, so a probe
+  * for an absent tag answers from metadata alone regardless of store size.
+  * False positives only cost a scan of that one file. */
+object Blooms {
+
+  def typeEntry(t: String): String = s"t:$t"
+  def subjectEntry(s: String): String = s"s:$s"
+  def tagEntry(k: String, v: String): String = s"g:$k=$v"
+
+  def entriesOf(factType: String, subject: String, tags: Map[String, String]): Seq[String] =
+    typeEntry(factType) +: subjectEntry(subject) +: tags.map { case (k, v) => tagEntry(k, v) }.toSeq
+
+  /** Build a bloom from entry strings (3% fpp; capped size so checkpoint
+    * metadata stays compact — oversized buckets just degrade to scans). */
+  def build(expectedEntries: Long)(insert: BloomFilter => Unit): Array[Byte] = {
+    val bf = BloomFilter.create(math.min(math.max(expectedEntries, 64L), 500000L), 0.03)
+    insert(bf)
+    serialize(bf)
+  }
+
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  def mightContainAll(bloom: Array[Byte], entries: Seq[String]): Boolean = {
+    val bf = deserialize(bloom)
+    entries.forall(bf.mightContainString)
+  }
+
+  /** Could this file contain a fact matching the query? (None bloom =
+    * unknown = candidate.) */
+  def mightMatchQuery(bloom: Option[Array[Byte]], q: TagQuery): Boolean =
+    bloom match {
+      case None => true
+      case Some(b) =>
+        val bf = deserialize(b)
+        q.items.exists {
+          case TagQueryItem.TagOnly(tags) =>
+            tags.forall { case (k, v) => bf.mightContainString(tagEntry(k, v)) }
+          case TagQueryItem.TagType(types, tags) =>
+            types.exists(t => bf.mightContainString(typeEntry(t))) &&
+              tags.forall { case (k, v) => bf.mightContainString(tagEntry(k, v)) }
+        }
+    }
+
+  def mightContainSubject(bloom: Option[Array[Byte]], subject: String): Boolean =
+    bloom.forall(b => deserialize(b).mightContainString(subjectEntry(subject)))
+}

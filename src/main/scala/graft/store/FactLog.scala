@@ -21,12 +21,17 @@ final case class CommitRecord(
     lastPosition: Long,
     appendedAtNanos: Long,
     idempotencyKey: String,
-    files: Seq[String] // relative to store dir
+    files: Seq[String], // relative to store dir
+    bloom: Option[Array[Byte]] = None // Blooms over id/type/subject/tag entries
 )
 
-/** Per compacted file: path + metadata ranges for pruning. */
+/** Per compacted file: path + metadata ranges and attribute bloom for
+  * pruning (range cuts for position/time, bloom for type/subject/tags). */
 final case class FileMeta(path: String, minPos: Long, maxPos: Long,
-    minNanos: Long, maxNanos: Long)
+    minNanos: Long, maxNanos: Long, bloom: Option[Array[Byte]] = None)
+
+/** A committed data file (or directory) + its pruning bloom. */
+final case class FileRef(path: String, bloom: Option[Array[Byte]])
 
 /** A checkpoint at seq K supersedes commit records 1..K: the facts live in
   * few position-bucketed compacted files and the idempotency-key set is
@@ -139,31 +144,40 @@ final class FactLog(val storeDir: Path) {
     * or time window touches only the overlapping files. */
   def committedFiles(
       minPos: Long = Long.MinValue, maxPos: Long = Long.MaxValue,
-      minNanos: Long = Long.MinValue, maxNanos: Long = Long.MaxValue): Seq[String] = {
+      minNanos: Long = Long.MinValue, maxNanos: Long = Long.MaxValue): Seq[String] =
+    committedFileRefs(minPos, maxPos, minNanos, maxNanos).map(_.path)
+
+  /** Same, with each file's attribute bloom for probe pruning. */
+  def committedFileRefs(
+      minPos: Long = Long.MinValue, maxPos: Long = Long.MaxValue,
+      minNanos: Long = Long.MinValue, maxNanos: Long = Long.MaxValue): Seq[FileRef] = {
     val (ckpt, incremental) = snapshot()
     val base = ckpt.toSeq.flatMap(_.files.collect {
       case f if f.maxPos >= minPos && f.minPos <= maxPos &&
-        f.maxNanos >= minNanos && f.minNanos <= maxNanos => f.path
+        f.maxNanos >= minNanos && f.minNanos <= maxNanos =>
+        FileRef(storeDir.resolve(f.path).toString, f.bloom)
     })
     // appendedAtNanos is monotonic non-decreasing across commits (assigned in
     // the single-writer critical section), so both prunings are range cuts.
     val inc = incremental.filter { c =>
       c.lastPosition >= minPos && c.firstPosition <= maxPos &&
       c.appendedAtNanos >= minNanos && c.appendedAtNanos <= maxNanos
-    }.flatMap(_.files)
-    (base ++ inc).map(f => storeDir.resolve(f).toString)
+    }.flatMap(c => c.files.map(f => FileRef(storeDir.resolve(f).toString, c.bloom)))
+    base ++ inc
   }
 
   // --- checkpoints (log compaction) -----------------------------------------
 
   private def checkpointPath(seq: Long): Path = checkpointsDir.resolve(f"$seq%020d.ckpt")
+  private val ckptCache = mutable.LongMap[Checkpoint]() // immutable per seq
 
   def latestCheckpoint(): Option[Checkpoint] = {
     if (!Files.exists(checkpointsDir)) return None
     val seqs = Files.list(checkpointsDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
       .map(_.stripSuffix(".ckpt").toLong).toSeq
-    seqs.sorted.lastOption.map(readCheckpoint)
+    seqs.sorted.lastOption.map(sq =>
+      synchronized(ckptCache.getOrElseUpdate(sq, readCheckpoint(sq))))
   }
 
   private def readCheckpoint(seq: Long): Checkpoint = {
@@ -172,7 +186,8 @@ final class FactLog(val storeDir: Path) {
     val keys = lines.tail.iterator.filter(_.startsWith("k\t")).map(_.drop(2)).toSet
     val files = lines.tail.iterator.filter(_.startsWith("f\t")).map { l =>
       val a = l.split('\t')
-      FileMeta(a(1), a(2).toLong, a(3).toLong, a(4).toLong, a(5).toLong)
+      FileMeta(a(1), a(2).toLong, a(3).toLong, a(4).toLong, a(5).toLong,
+        if (a.length > 6 && a(6) != "-") Some(java.util.Base64.getDecoder.decode(a(6))) else None)
     }.toSeq
     Checkpoint(h(0).toLong, h(1).toLong, h(2).toLong, keys, files)
   }
@@ -183,8 +198,10 @@ final class FactLog(val storeDir: Path) {
     val body = new StringBuilder
     body.append(s"${c.seq}\t${c.lastPosition}\t${c.appendedAtNanos}\n")
     c.idempotencyKeys.toSeq.sorted.foreach(k => body.append(s"k\t$k\n"))
-    c.files.foreach(f =>
-      body.append(s"f\t${f.path}\t${f.minPos}\t${f.maxPos}\t${f.minNanos}\t${f.maxNanos}\n"))
+    c.files.foreach { f =>
+      val b = f.bloom.map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
+      body.append(s"f\t${f.path}\t${f.minPos}\t${f.maxPos}\t${f.minNanos}\t${f.maxNanos}\t$b\n")
+    }
     val tmp = checkpointsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, body.toString, UTF_8)
     try { Files.createLink(checkpointPath(c.seq), tmp); true }
@@ -209,21 +226,25 @@ final class FactLog(val storeDir: Path) {
     }
   }
 
-  /** Delete checkpoints older than `keepSeq` and their compacted files
-    * (they are fully superseded by the checkpoint at `keepSeq`). */
-  def vacuumCheckpoints(keepSeq: Long): Unit = {
+  /** Delete checkpoint records older than `keepSeq`. With `deleteFiles`
+    * their compacted files go too (full compaction rewrote everything);
+    * without it only the metadata goes (incremental compaction's new
+    * checkpoint still references the old buckets). */
+  def vacuumCheckpoints(keepSeq: Long, deleteFiles: Boolean): Unit = {
     if (!Files.exists(checkpointsDir)) return
     val old = Files.list(checkpointsDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
       .map(_.stripSuffix(".ckpt").toLong).filter(_ < keepSeq).toSeq
     old.foreach { seq =>
-      val c = readCheckpoint(seq)
-      c.files.foreach { f =>
-        val p = storeDir.resolve(f.path)
-        if (Files.isDirectory(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(x => Files.deleteIfExists(x))
-        else Files.deleteIfExists(p)
+      if (deleteFiles) {
+        val c = readCheckpoint(seq)
+        c.files.foreach { f =>
+          val p = storeDir.resolve(f.path)
+          if (Files.isDirectory(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(x => Files.deleteIfExists(x))
+          else Files.deleteIfExists(p)
+        }
       }
       Files.deleteIfExists(checkpointPath(seq))
     }
@@ -264,12 +285,15 @@ final class FactLog(val storeDir: Path) {
 
   // --- serialization: one line, tab-separated (ids are UUIDs, names are
   //     UUID-based — no tabs/newlines possible) -------------------------------
-  private def render(r: CommitRecord): String =
-    s"${r.seq}\t${r.firstPosition}\t${r.lastPosition}\t${r.appendedAtNanos}\t${r.idempotencyKey}\t${r.files.mkString(",")}\n"
+  private def render(r: CommitRecord): String = {
+    val b = r.bloom.map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
+    s"${r.seq}\t${r.firstPosition}\t${r.lastPosition}\t${r.appendedAtNanos}\t${r.idempotencyKey}\t${r.files.mkString(",")}\t$b\n"
+  }
   private def parse(s: String): CommitRecord = {
     val a = s.trim.split('\t')
     CommitRecord(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong, a(4),
-      if (a.length > 5 && a(5).nonEmpty) a(5).split(',').toSeq else Seq.empty)
+      if (a.length > 5 && a(5).nonEmpty) a(5).split(',').toSeq else Seq.empty,
+      if (a.length > 6 && a(6) != "-") Some(java.util.Base64.getDecoder.decode(a(6))) else None)
   }
 }
 

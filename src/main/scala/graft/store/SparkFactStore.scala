@@ -53,7 +53,8 @@ object FactRow {
   * data dir is keyed by storeId (UUID), recreate-after-delete starts empty
   * (reference contract AbstractFactStoreTest.kt:1479-1497).
   */
-final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends FactStore {
+final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
+    val autoCompactEvery: Int = 64) extends FactStore {
   private val catalogDir = rootDir.resolve("catalog")
   private val storesDir = rootDir.resolve("stores")
   Files.createDirectories(catalogDir)
@@ -163,12 +164,26 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
               }
               val rel = log.newDataFileName()
               val target = log.resolveData(rel)
-              writeParquetSingleFile(spark.createDataset(rows).toDF(), target)
+              // latency-critical path: direct parquet write, no Spark job
+              LocalParquet.write(target, rows)
+              val bloom = Blooms.build(rows.size.toLong * 5) { bf =>
+                rows.foreach { r =>
+                  bf.putString(s"i:${r.id}")
+                  Blooms.entriesOf(r.fact_type, r.subject, r.tags).foreach(bf.putString)
+                }
+              }
               val rec = CommitRecord(
                 head.seq + 1, headPos + 1,
-                headPos + rows.size, atNanos, request.idempotencyKey, Seq(s"data/$rel"))
+                headPos + rows.size, atNanos, request.idempotencyKey, Seq(s"data/$rel"),
+                Some(bloom))
               if (log.tryCommit(rec)) {
                 log.publishToStream(rec)
+                // bound the per-append commit-file count: fold the suffix
+                // into a checkpoint every `autoCompactEvery` commits.
+                // Runs OUTSIDE the append lock (checkpoint publish is CAS,
+                // no vacuum) so appenders never stall behind the Spark job.
+                if (autoCompactEvery > 0 && log.snapshot()._2.size >= autoCompactEvery)
+                  triggerAsyncCompact(request.storeName, md.id)
                 result = AppendResult.Appended(rows.map(_.id), Timestamps.fromNanos(atNanos))
               } else Files.deleteIfExists(target) // lost the CAS: discard and re-evaluate
             }
@@ -265,6 +280,20 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
   }
 
   // -- log compaction ----------------------------------------------------------
+  private val compacting = mutable.Set[String]() // storeIds with a running job
+
+  private def triggerAsyncCompact(storeName: String, storeId: String): Unit = {
+    val start = compacting.synchronized(compacting.add(storeId))
+    if (start) {
+      val t = new Thread(() => {
+        try compact(storeName, vacuum = false, takeLock = false)
+        finally compacting.synchronized(compacting.remove(storeId))
+      }, s"graft-compact-$storeName")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
   /** Compact the store's committed log into position-bucketed files and
     * publish a checkpoint superseding the per-append commit records. Keeps
     * file count and commit-log length bounded regardless of append count —
@@ -272,20 +301,31 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
     * superseded commits + data files (live subscribers keep working:
     * `stream/` hard links pin the inodes).
     *
+    * Incremental by default: only the commit suffix since the last
+    * checkpoint is rewritten (O(new data)); the previous checkpoint's
+    * buckets are carried forward by reference. `full = true` rewrites the
+    * whole store (bucket merge / defrag).
+    *
     * Returns the number of commit records folded into the checkpoint (0 =
     * nothing to do). */
   def compact(storeName: String, rowsPerBucket: Long = 1L << 20,
-      vacuum: Boolean = false): Int =
+      vacuum: Boolean = false, full: Boolean = false,
+      takeLock: Boolean = true): Int =
     findStoreByName(storeName) match {
       case None => 0
       case Some(md) =>
-        lockFor(md.id).synchronized {
+        def withOptionalLock[A](body: => A): A =
+          if (takeLock) lockFor(md.id).synchronized(body) else body
+        withOptionalLock {
           val log = logFor(md)
-          val (_, recs) = log.snapshot()
-          if (recs.isEmpty) return 0
+          val (prevCkpt, recs) = log.snapshot()
+          if (recs.isEmpty && !(full && prevCkpt.isDefined)) return 0
           val state = log.headState()
           val keys = log.idempotencyKeys()
-          val df = FactLog.read(spark, log.committedFiles())
+          val input =
+            if (full) log.committedFiles()
+            else recs.flatMap(_.files).map(f => log.resolve(f).toString)
+          val df = FactLog.read(spark, input)
             .withColumn("bucket", expr(s"(position - 1) div ${rowsPerBucket}L"))
           // NOT dot-prefixed: Spark silently ignores hidden paths on read
           val tmp = log.resolve(s"data/tmp-compact-${UUID.randomUUID()}")
@@ -297,6 +337,21 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
             .agg(min("position").as("minp"), max("position").as("maxp"),
               min("appended_at_nanos").as("minn"), max("appended_at_nanos").as("maxn"))
             .collect()
+          // per-bucket attribute blooms (distributed mergeable aggregation)
+          val blooms: Map[Long, Array[Byte]] = spark.read.parquet(tmp.toString)
+            .select("bucket", "id", "fact_type", "subject", "tags").rdd
+            .map { r =>
+              val tags = Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty)
+              (r.getAs[Number]("bucket").longValue,
+                s"i:${r.getAs[String]("id")}" +:
+                  Blooms.entriesOf(r.getAs[String]("fact_type"),
+                    r.getAs[String]("subject"), tags))
+            }
+            .aggregateByKey(
+              org.apache.spark.util.sketch.BloomFilter.create(500000, 0.03))(
+              (bf, es) => { es.foreach(bf.putString); bf },
+              (a, b) => { a.mergeInPlace(b); a })
+            .mapValues(Blooms.serialize).collect().toMap
           val ckptId = UUID.randomUUID().toString.take(8)
           // partition-column inference may type bucket as int
           val files = metas.sortBy(_.getAs[Number]("bucket").longValue).map { r =>
@@ -305,13 +360,17 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
             val rel = s"data/compact-$ckptId-b$b"
             Files.move(src, log.resolve(rel)) // same fs: atomic rename
             FileMeta(rel, r.getAs[Long]("minp"), r.getAs[Long]("maxp"),
-              r.getAs[Long]("minn"), r.getAs[Long]("maxn"))
+              r.getAs[Long]("minn"), r.getAs[Long]("maxn"), blooms.get(b))
           }.toSeq
           deleteRecursively(tmp)
+          val carried = if (full) Seq.empty else prevCkpt.map(_.files).getOrElse(Seq.empty)
           val ckpt = Checkpoint(state.seq, state.lastPosition, state.appendedAtNanos,
-            keys, files)
+            keys, carried ++ files)
           if (log.tryPublishCheckpoint(ckpt)) {
-            if (vacuum) { log.vacuum(state.seq); log.vacuumCheckpoints(state.seq) }
+            if (vacuum) {
+              log.vacuum(state.seq)
+              log.vacuumCheckpoints(state.seq, deleteFiles = full)
+            }
             recs.size
           } else {
             files.foreach(f => deleteRecursively(log.resolve(f.path)))
@@ -321,27 +380,51 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
     }
 
   // -- append conditions (evaluated inside the commit critical section) -------
+  // Probes switch on pruned-file volume: small scans run locally via
+  // parquet-mr (no Spark job — the reference's probe is one FDB read),
+  // large scans distribute through Spark. Same semantics either way.
+  private val LocalScanMaxBytes = 64L << 20
+
+  private def localOk(files: Seq[String]): Boolean =
+    LocalParquet.totalBytes(files) <= LocalScanMaxBytes
+
   private def conditionHolds(log: FactLog, c: AppendCondition): Boolean = c match {
     case AppendCondition.None => true
     case AppendCondition.ExpectedLastFact(subject, expected) =>
-      val df = FactLog.read(spark, log.committedFiles())
-      val last = FactFinders.bySubject(df, subject, Limit.Of(1), ReadDirection.Backward)
-        .select("id").collect().headOption.map(_.getString(0))
+      // bloom prune: only files that might contain the subject
+      val files = log.committedFileRefs()
+        .filter(f => Blooms.mightContainSubject(f.bloom, subject)).map(_.path)
+      val last =
+        if (localOk(files)) LocalParquet.lastIdOfSubject(files, subject)
+        else FactFinders.bySubject(FactLog.read(spark, files), subject,
+          Limit.Of(1), ReadDirection.Backward)
+          .select("id").collect().headOption.map(_.getString(0))
       last == expected
     case AppendCondition.All(cs) => cs.forall(conditionHolds(log, _))
     case AppendCondition.TagQueryBased(query, after) =>
       val afterPos = after match {
-        case Some(id) =>
-          val df = FactLog.read(spark, log.committedFiles())
-          FactFinders.byId(df, id).select("position").collect()
-            .headOption.map(_.getLong(0)).getOrElse(Long.MaxValue)
+        case Some(id) => resolvePosition(log, id).getOrElse(Long.MaxValue)
         case None => 0L
       }
-      // limit-1 existence probe over files pruned to positions > afterPos
-      val pruned = FactLog.read(spark, log.committedFiles(minPos = afterPos + 1))
-      pruned.filter(col("position") > lit(afterPos) &&
+      // limit-1 existence probe over files pruned to positions > afterPos,
+      // then bloom-pruned to files that might match the query at all
+      val pruned = log.committedFileRefs(minPos = afterPos + 1)
+        .filter(f => Blooms.mightMatchQuery(f.bloom, query)).map(_.path)
+      if (localOk(pruned)) !LocalParquet.existsMatching(pruned, afterPos, query)
+      else FactLog.read(spark, pruned)
+        .filter(col("position") > lit(afterPos) &&
           FactFinders.tagQueryPredicate(query))
         .limit(1).isEmpty
+  }
+
+  /** Position of a fact id, via local probe or Spark depending on volume. */
+  private def resolvePosition(log: FactLog, factId: String): Option[Long] = {
+    val files = log.committedFileRefs()
+      .filter(f => f.bloom.forall(b =>
+        Blooms.deserialize(b).mightContainString(s"i:$factId"))).map(_.path)
+    if (localOk(files)) LocalParquet.positionOfId(files, factId)
+    else FactLog.read(spark, files).filter(col("id") === lit(factId))
+      .select("position").collect().headOption.map(_.getLong(0))
   }
 
   // -- finders -----------------------------------------------------------------
@@ -407,9 +490,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
           case StartPosition.Beginning => Right(0L)
           case StartPosition.End       => Right(log.headPosition())
           case StartPosition.After(id) =>
-            val df = FactLog.read(spark, log.committedFiles())
-            FactFinders.byId(df, id).select("position").collect().headOption
-              .map(r => Right(r.getLong(0)))
+            resolvePosition(log, id).map(Right(_))
               .getOrElse(Left(StreamError.FactIdNotFound(id)))
         }
         afterPos.map { pos =>
@@ -428,10 +509,14 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
                   case Nil =>
                     val head = log.headPosition() // cheap: commit-log metadata only
                     if (head > cursor) {
-                      val df = FactLog.read(spark,
-                        log.committedFiles(minPos = cursor + 1, maxPos = head))
-                      val facts = collectFacts(
-                        FactFinders.positionWindow(df, cursor, head))
+                      val files = log.committedFiles(minPos = cursor + 1, maxPos = head)
+                      // live-tail deltas are typically small: local read keeps
+                      // tail latency in single-digit ms; Spark handles big gaps
+                      val facts =
+                        if (localOk(files))
+                          LocalParquet.readFacts(files, cursor + 1, head)
+                        else collectFacts(FactFinders.positionWindow(
+                          FactLog.read(spark, files), cursor, head))
                       pending = facts.grouped(batchSize).toList
                     } else Thread.sleep(50) // poll tail (reference memory backend: 100 ms)
                 }
@@ -458,9 +543,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
           case StartPosition.Beginning => Right(0L)
           case StartPosition.End       => Right(log.headPosition())
           case StartPosition.After(id) =>
-            val df = FactLog.read(spark, log.committedFiles())
-            FactFinders.byId(df, id).select("position").collect().headOption
-              .map(r => Right(r.getLong(0)))
+            resolvePosition(log, id).map(Right(_))
               .getOrElse(Left(StreamError.FactIdNotFound(id)))
         }
         afterPos.map { pos =>
@@ -494,9 +577,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path) extends F
         val afterPos: Either[StreamError, Long] = start match {
           case ReplayStart.Beginning => Right(0L)
           case ReplayStart.After(id) =>
-            val df = FactLog.read(spark, log.committedFiles())
-            FactFinders.byId(df, id).select("position").collect().headOption
-              .map(r => Right(r.getLong(0)))
+            resolvePosition(log, id).map(Right(_))
               .getOrElse(Left(StreamError.FactIdNotFound(id)))
         }
         afterPos.map { pos =>
