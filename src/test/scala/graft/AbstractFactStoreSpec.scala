@@ -402,6 +402,107 @@ abstract class AbstractFactStoreSpec extends AnyFunSuite {
     }
   }
 
+  // --- envelope round-trips (reference :77-85 helper pattern) ------------------
+  test("payload bytes, format and schema are stored verbatim (spec, not the fdb copy-bug)") {
+    withStore { (fs, s) =>
+      val bytes = Array.tabulate(256)(i => i.toByte)
+      val id = appendOne(fs, s, FactInput("BIN", "subj", bytes,
+        payloadFormat = Some("Avro"), payloadSchema = Some("schemas/v1/thing")))
+      fs.findById(s, id) match {
+        case FindByIdResult.Found(f) =>
+          assert(f.payloadData.toSeq == bytes.toSeq)
+          assert(f.payloadFormat.contains("Avro"))
+          // SURVEY §2 fine print: fdb copies format into schema; the spec
+          // (and we) keep them independent
+          assert(f.payloadSchema.contains("schemas/v1/thing"))
+        case other => fail(s"$other")
+      }
+    }
+  }
+
+  test("metadata map round-trips and does not affect tag queries") {
+    withStore { (fs, s) =>
+      val id = appendOne(fs, s, input(metadata = Map("origin" -> "import", "n" -> "42")))
+      fs.findById(s, id) match {
+        case FindByIdResult.Found(f) =>
+          assert(f.metadata == Map("origin" -> "import", "n" -> "42"))
+        case other => fail(s"$other")
+      }
+      // metadata keys are not tags
+      assert(found(fs.findByTags(s, Map("origin" -> "import"))).isEmpty)
+    }
+  }
+
+  test("presence-only tags: empty TagValue is legal and queryable") {
+    withStore { (fs, s) =>
+      val id = appendOne(fs, s, input(tags = Map("flagged" -> "")))
+      val hits = found(fs.findByTags(s, Map("flagged" -> "")))
+      assert(hits.map(_.id) == Seq(id))
+    }
+  }
+
+  test("appendedAt is non-decreasing across appends") {
+    withStore { (fs, s) =>
+      val ats = (1 to 5).map { i =>
+        fs.append(s, input(factType = s"T$i")) match {
+          case AppendResult.Appended(_, at) => at
+          case other => fail(s"$other")
+        }
+      }
+      assert(ats.sliding(2).forall { case Seq(a, b) => !b.isBefore(a) })
+    }
+  }
+
+  // --- limit semantics (reference :753-773) ------------------------------------
+  test("limits larger than the result set return everything") {
+    withStore { (fs, s) =>
+      (1 to 3).foreach(i => appendOne(fs, s, input(factType = s"T$i")))
+      assert(found(fs.findBySubject(s, "USER:ALICE", Limit.Of(100))).size == 3)
+      assert(found(fs.findByTags(s, Map("role" -> "admin"), Limit.Of(100))).size == 3)
+      assert(found(fs.findInTimeRange(s, TimeRange.unbounded, Limit.Of(100))).size == 3)
+    }
+  }
+
+  // --- tag-query matrix extras (reference :969-1227) ---------------------------
+  test("TagType with multiple types: OR over types, AND over tags") {
+    withStore { (fs, s) =>
+      appendOne(fs, s, input(factType = "A", tags = Map("x" -> "1")))
+      appendOne(fs, s, input(factType = "B", tags = Map("x" -> "1")))
+      appendOne(fs, s, input(factType = "C", tags = Map("x" -> "1")))
+      appendOne(fs, s, input(factType = "A", tags = Map("x" -> "2")))
+      val hits = found(fs.findByTagQuery(s,
+        TagQuery(Seq(TagQueryItem.TagType(Set("A", "B"), Map("x" -> "1"))))))
+      assert(hits.map(_.factType) == Seq("A", "B"))
+    }
+  }
+
+  test("TagType with empty tags is a pure type filter") {
+    withStore { (fs, s) =>
+      appendOne(fs, s, input(factType = "A"))
+      appendOne(fs, s, input(factType = "B"))
+      val hits = found(fs.findByTagQuery(s,
+        TagQuery(Seq(TagQueryItem.TagType(Set("B"), Map.empty)))))
+      assert(hits.map(_.factType) == Seq("B"))
+    }
+  }
+
+  test("multi-item query unions without duplicating facts matched by both items") {
+    withStore { (fs, s) =>
+      appendOne(fs, s, input(factType = "A", tags = Map("x" -> "1", "y" -> "2")))
+      val hits = found(fs.findByTagQuery(s, TagQuery(Seq(
+        TagQueryItem.TagOnly(Map("x" -> "1")),
+        TagQueryItem.TagOnly(Map("y" -> "2"))))))
+      assert(hits.size == 1)
+    }
+  }
+
+  test("invalid FactInput is rejected at construction (validated micro-types)") {
+    assertThrows[IllegalArgumentException](FactInput("", "subj", Array[Byte]()))
+    assertThrows[IllegalArgumentException](FactInput("T", "", Array[Byte]()))
+    assertThrows[IllegalArgumentException](FactInput("T", " padded ", Array[Byte]()))
+    assertThrows[IllegalArgumentException](FactInput("T", "s", Array[Byte](), tags = Map("" -> "v")))
+  }
+
   // --- subscribe (reference :777-879) -----------------------------------------
   private def take(sub: Subscription, n: Int, timeoutMs: Long = 20000): Seq[Fact] = {
     val out = scala.collection.mutable.ArrayBuffer[Fact]()
