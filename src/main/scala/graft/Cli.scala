@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Paths
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core._
+import graft.store.SparkFactStore
+
+/** Command-line surface mirroring the reference CLI
+  * (factstore-cli/src/main/kotlin/io/factstore/cli/command/, README
+  * defaults `--limit 100 --direction forward`):
+  *
+  * {{{
+  *   graft.Cli --root DIR store create NAME
+  *   graft.Cli --root DIR store list
+  *   graft.Cli --root DIR store remove NAME
+  *   graft.Cli --root DIR fact append STORE TYPE SUBJECT DATA [k=v ...]
+  *   graft.Cli --root DIR fact find-by-id STORE ID
+  *   graft.Cli --root DIR fact find-by-subject STORE SUBJECT [--limit N] [--direction d]
+  *   graft.Cli --root DIR fact find-by-tags STORE k=v[,k=v] [--limit N] [--direction d]
+  *   graft.Cli --root DIR fact find-in-time-range STORE [--from ISO] [--to ISO] [--limit N] [--direction d]
+  *   graft.Cli --root DIR fact replay STORE [--after ID]
+  *   graft.Cli --root DIR fact subscribe STORE [--from beginning|end] [--after ID] [--max N]
+  * }}}
+  */
+object Cli {
+
+  private def fail(msg: String): Nothing = { System.err.println(msg); sys.exit(2) }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = parseArgs(args.toList)
+    val root = flags.getOrElse("root", fail("--root DIR is required"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fs = new SparkFactStore(spark, Paths.get(root))
+    try run(fs, flags, pos)
+    finally spark.stop()
+  }
+
+  private def run(fs: SparkFactStore, flags: Map[String, String], pos: List[String]): Unit = {
+    val limit = flags.get("limit").map(_.toInt).filter(_ > 0)
+      .map(Limit.Of(_): Limit).getOrElse(Limit.Of(100))
+    val dir = flags.get("direction") match {
+      case Some("backward") => ReadDirection.Backward
+      case _ => ReadDirection.Forward
+    }
+    pos match {
+      case "store" :: "create" :: name :: Nil => println(fs.createStore(name))
+      case "store" :: "list" :: Nil =>
+        fs.listStores().foreach(md => println(s"${md.id}\t${md.name}\t${md.createdAt}"))
+      case "store" :: "remove" :: name :: Nil => println(fs.removeStore(name))
+      case "fact" :: "append" :: store :: tpe :: subject :: data :: rest =>
+        val tags = rest.map(kv => kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case Array(k) => k -> ""
+        }).toMap
+        println(fs.append(store, FactInput(tpe, subject, data.getBytes("UTF-8"), tags = tags)))
+      case "fact" :: "find-by-id" :: store :: id :: Nil =>
+        println(render(fs.findById(store, id)))
+      case "fact" :: "find-by-subject" :: store :: subject :: Nil =>
+        printFacts(fs.findBySubject(store, subject, limit, dir))
+      case "fact" :: "find-by-tags" :: store :: tags :: Nil =>
+        val m = tags.split(',').map(kv => kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case Array(k) => k -> ""
+        }).toMap
+        printFacts(fs.findByTags(store, m, limit, dir))
+      case "fact" :: "find-in-time-range" :: store :: Nil =>
+        val range = TimeRange(flags.get("from").map(Instant.parse),
+          flags.get("to").map(Instant.parse))
+        printFacts(fs.findInTimeRange(store, range, limit, dir))
+      case "fact" :: "replay" :: store :: Nil =>
+        val start = flags.get("after").fold(ReplayStart.Beginning: ReplayStart)(ReplayStart.After(_))
+        fs.replay(store, start) match {
+          case Left(e) => fail(e.toString)
+          case Right(it) => it.foreach(_.foreach(f => println(line(f))))
+        }
+      case "fact" :: "subscribe" :: store :: Nil =>
+        val start = flags.get("after").map(StartPosition.After(_))
+          .getOrElse(if (flags.get("from").contains("end")) StartPosition.End
+          else StartPosition.Beginning)
+        val max = flags.get("max").map(_.toLong).getOrElse(Long.MaxValue)
+        fs.subscribe(store, start) match {
+          case Left(e) => fail(e.toString)
+          case Right(sub) =>
+            var n = 0L
+            while (n < max && sub.hasNext) {
+              sub.next().foreach { f => println(line(f)); n += 1 }
+            }
+            sub.close()
+        }
+      case other => fail(s"unknown command: ${other.mkString(" ")}")
+    }
+  }
+
+  private def render(r: FindByIdResult): String = r match {
+    case FindByIdResult.Found(f) => line(f)
+    case other => other.toString
+  }
+
+  private def printFacts(r: FindResult): Unit = r match {
+    case FindResult.Found(fs) => fs.foreach(f => println(line(f)))
+    case other => fail(other.toString)
+  }
+
+  private def line(f: Fact): String =
+    s"${f.position}\t${f.id}\t${f.factType}\t${f.subject}\t${f.appendedAt}\t" +
+      f.tags.map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** `--flag value` pairs + positional args. */
+  private def parseArgs(args: List[String]): (Map[String, String], List[String]) = {
+    val flags = Map.newBuilder[String, String]
+    val pos = List.newBuilder[String]
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case f :: v :: tail if f.startsWith("--") => flags += f.drop(2) -> v; rest = tail
+      case a :: tail => pos += a; rest = tail
+      case Nil => ()
+    }
+    (flags.result(), pos.result())
+  }
+}

@@ -1,0 +1,318 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core._
+
+/** REST adapter over the FactStore API — capability parity with the
+  * reference's Quarkus HTTP surface (factstore-server/.../http/
+  * StoreResource.kt, AppendResource.kt, QueryResource.kt,
+  * StreamResource.kt), built on the JDK HttpServer + Jackson so it adds
+  * zero dependencies:
+  *
+  *  - POST/GET            /api/v1/stores            create / list
+  *  - GET/HEAD/DELETE     /api/v1/stores/{name}
+  *  - POST                /api/v1/stores/{s}/facts  append (idempotencyKey,
+  *                        condition: none|expectedLastFact|all|tagQueryBased)
+  *  - GET                 /api/v1/stores/{s}/facts/{factId}
+  *  - GET                 /api/v1/stores/{s}/facts?from&to&tag=k%3Dv&limit&direction
+  *                        (tags XOR time range — combining is 400, like the
+  *                        reference QueryResource.kt:74-78)
+  *  - GET                 /api/v1/stores/{s}/subjects/{subject}/facts
+  *  - POST                /api/v1/stores/{s}/facts/query  (tag query)
+  *  - GET                 /api/v1/stores/{s}/facts/replay?after=  (NDJSON)
+  *
+  * Payload `data` is base64, like the reference (README.md:25-27). Errors
+  * are structured `{"error": ..., "detail": ...}`.
+  */
+final class RestServer(store: FactStore, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): RestServer = {
+    server.createContext("/api/v1/stores", (ex: HttpExchange) => safely(ex)(route))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // --- routing ---------------------------------------------------------------
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/stores")
+    val segs = path.split('/').filter(_.nonEmpty).toList
+    (ex.getRequestMethod, segs) match {
+      case ("POST", Nil)           => createStore(ex)
+      case ("GET", Nil)            => listStores(ex)
+      case ("GET", name :: Nil)    => getStore(ex, name)
+      case ("HEAD", name :: Nil)   => headStore(ex, name)
+      case ("DELETE", name :: Nil) => deleteStore(ex, name)
+      case ("POST", s :: "facts" :: Nil)          => append(ex, s)
+      case ("GET", s :: "facts" :: Nil)           => queryFacts(ex, s)
+      case ("POST", s :: "facts" :: "query" :: Nil) => tagQuery(ex, s)
+      case ("GET", s :: "facts" :: "replay" :: Nil) => replay(ex, s)
+      case ("GET", s :: "facts" :: id :: Nil)     => findById(ex, s, id)
+      case ("GET", s :: "subjects" :: subject :: "facts" :: Nil) => bySubject(ex, s, subject)
+      case _ => sendError(ex, 404, "not_found", path)
+    }
+  }
+
+  private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
+    try f(ex)
+    catch {
+      case e: IllegalArgumentException => sendError(ex, 400, "invalid_request", e.getMessage)
+      case e: Throwable => sendError(ex, 500, "internal", String.valueOf(e.getMessage))
+    } finally ex.close()
+
+  // --- store management ------------------------------------------------------
+
+  private def createStore(ex: HttpExchange): Unit = {
+    val name = body(ex).path("name").asText("")
+    store.createStore(name) match {
+      case CreateStoreResult.Created(md) => send(ex, 201, storeJson(md))
+      case CreateStoreResult.NameAlreadyExists => sendError(ex, 409, "name_already_exists", name)
+      case CreateStoreResult.InvalidName(n) => sendError(ex, 400, "invalid_store_name", n)
+    }
+  }
+
+  private def listStores(ex: HttpExchange): Unit = {
+    val arr = mapper.createArrayNode()
+    store.listStores().foreach(md => arr.add(storeJson(md)))
+    send(ex, 200, arr)
+  }
+
+  private def getStore(ex: HttpExchange, name: String): Unit =
+    store.findStoreByName(name) match {
+      case Some(md) => send(ex, 200, storeJson(md))
+      case None => sendError(ex, 404, "store_not_found", name)
+    }
+
+  private def headStore(ex: HttpExchange, name: String): Unit = {
+    ex.sendResponseHeaders(if (store.storeExists(name)) 200 else 404, -1)
+  }
+
+  private def deleteStore(ex: HttpExchange, name: String): Unit =
+    store.removeStore(name) match {
+      case RemoveStoreResult.StoreRemoved => ex.sendResponseHeaders(204, -1)
+      case RemoveStoreResult.StoreNotFound => sendError(ex, 404, "store_not_found", name)
+    }
+
+  // --- append ----------------------------------------------------------------
+
+  private def append(ex: HttpExchange, storeName: String): Unit = {
+    val b = body(ex)
+    val facts = asSeq(b.path("facts")).map(parseFactInput)
+    require(facts.nonEmpty, "facts must be a non-empty array")
+    val key = Option(b.get("idempotencyKey")).map(_.asText())
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val condition = parseCondition(b.get("condition"))
+    store.append(AppendRequest(storeName, facts, key, condition)) match {
+      case AppendResult.Appended(ids, at) =>
+        val o = mapper.createObjectNode()
+        val arr = o.putArray("factIds"); ids.foreach(arr.add)
+        o.put("appendedAt", at.toString)
+        send(ex, 200, o)
+      case AppendResult.AlreadyApplied => sendError(ex, 409, "already_applied", key)
+      case AppendResult.AppendConditionViolated =>
+        sendError(ex, 409, "append_condition_violated", "")
+      case AppendResult.StoreNotFound => sendError(ex, 404, "store_not_found", storeName)
+    }
+  }
+
+  private def parseFactInput(n: JsonNode): FactInput =
+    FactInput(
+      factType = n.path("type").asText(""),
+      subject = n.path("subject").asText(""),
+      payloadData = Base64.getDecoder.decode(n.path("data").asText("")),
+      payloadFormat = optText(n, "format"),
+      payloadSchema = optText(n, "schema"),
+      metadata = asMap(n.get("metadata")),
+      tags = asMap(n.get("tags")))
+
+  /** Jackson node -> AppendCondition; `type` discriminators mirror the
+    * reference's polymorphic DTOs (http/api.kt:35-77). */
+  private def parseCondition(n: JsonNode): AppendCondition =
+    if (n == null || n.isNull) AppendCondition.None
+    else n.path("type").asText("none") match {
+      case "none" => AppendCondition.None
+      case "expectedLastFact" =>
+        AppendCondition.ExpectedLastFact(
+          n.path("subject").asText(""),
+          optText(n, "expectedLastFactId"))
+      case "all" =>
+        AppendCondition.All(asSeq(n.path("conditions")).map(parseCondition))
+      case "tagQueryBased" =>
+        AppendCondition.TagQueryBased(parseTagQuery(n.path("query")), optText(n, "after"))
+      case other => throw new IllegalArgumentException(s"unknown condition type: $other")
+    }
+
+  private def parseTagQuery(n: JsonNode): TagQuery =
+    TagQuery(asSeq(n.path("items")).map { item =>
+      val tags = asMap(item.get("tags"))
+      if (item.has("types"))
+        TagQueryItem.TagType(asSeq(item.path("types")).map(_.asText()).toSet, tags)
+      else TagQueryItem.TagOnly(tags)
+    })
+
+  // --- queries ---------------------------------------------------------------
+
+  private def queryFacts(ex: HttpExchange, s: String): Unit = {
+    val q = params(ex)
+    val tags = q.getOrElse("tag", Nil).map { t =>
+      t.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> ""
+      }
+    }.toMap
+    val from = q.get("from").flatMap(_.headOption).map(java.time.Instant.parse)
+    val to = q.get("to").flatMap(_.headOption).map(java.time.Instant.parse)
+    val limit = q.get("limit").flatMap(_.headOption).map(_.toInt)
+      .filter(_ > 0).map(Limit.Of(_): Limit).getOrElse(Limit.None)
+    val dir = q.get("direction").flatMap(_.headOption) match {
+      case Some("backward") => ReadDirection.Backward
+      case _ => ReadDirection.Forward
+    }
+    if (tags.nonEmpty && (from.nonEmpty || to.nonEmpty))
+      // reference QueryResource.kt:74-78: combining not supported -> 400
+      sendError(ex, 400, "unsupported_query",
+        "combining tags with a time range is not yet supported")
+    else if (tags.nonEmpty)
+      sendFind(ex, s, store.findByTags(s, tags, limit, dir))
+    else
+      sendFind(ex, s, store.findInTimeRange(s, TimeRange(from, to), limit, dir))
+  }
+
+  private def tagQuery(ex: HttpExchange, s: String): Unit =
+    sendFind(ex, s, store.findByTagQuery(s, parseTagQuery(body(ex))))
+
+  private def findById(ex: HttpExchange, s: String, id: String): Unit =
+    store.findById(s, id) match {
+      case FindByIdResult.Found(f) => send(ex, 200, factJson(f))
+      case FindByIdResult.NotFound => sendError(ex, 404, "fact_not_found", id)
+      case FindByIdResult.StoreNotFound => sendError(ex, 404, "store_not_found", s)
+    }
+
+  private def bySubject(ex: HttpExchange, s: String, subject: String): Unit = {
+    val q = params(ex)
+    val limit = q.get("limit").flatMap(_.headOption).map(_.toInt)
+      .filter(_ > 0).map(Limit.Of(_): Limit).getOrElse(Limit.None)
+    val dir = q.get("direction").flatMap(_.headOption) match {
+      case Some("backward") => ReadDirection.Backward
+      case _ => ReadDirection.Forward
+    }
+    sendFind(ex, s, store.findBySubject(s, subject, limit, dir))
+  }
+
+  private def replay(ex: HttpExchange, s: String): Unit = {
+    val after = params(ex).get("after").flatMap(_.headOption)
+    val start = after.fold(ReplayStart.Beginning: ReplayStart)(ReplayStart.After(_))
+    store.replay(s, start) match {
+      case Left(StreamError.StoreNotFound) => sendError(ex, 404, "store_not_found", s)
+      case Left(StreamError.FactIdNotFound(id)) => sendError(ex, 404, "after_fact_not_found", id)
+      case Right(batches) =>
+        // NDJSON stream, one fact per line (the batch envelope of the
+        // reference's SSE/gRPC streams collapses to chunked lines here)
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        batches.foreach { batch =>
+          batch.foreach { f =>
+            os.write(mapper.writeValueAsBytes(factJson(f))); os.write('\n')
+          }
+          os.flush()
+        }
+        os.close()
+    }
+  }
+
+  private def sendFind(ex: HttpExchange, s: String, r: FindResult): Unit = r match {
+    case FindResult.Found(fs) =>
+      val arr = mapper.createArrayNode()
+      fs.foreach(f => arr.add(factJson(f)))
+      send(ex, 200, arr)
+    case FindResult.StoreNotFound => sendError(ex, 404, "store_not_found", s)
+  }
+
+  // --- JSON helpers ----------------------------------------------------------
+
+  private def storeJson(md: StoreMetadata): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", md.id); o.put("name", md.name); o.put("createdAt", md.createdAt.toString)
+    o
+  }
+
+  private def factJson(f: Fact): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("id", f.id)
+    o.put("type", f.factType)
+    o.put("subject", f.subject)
+    o.put("position", f.position)
+    o.put("appendedAt", f.appendedAt.toString)
+    o.put("data", Base64.getEncoder.encodeToString(f.payloadData))
+    f.payloadFormat.foreach(o.put("format", _))
+    f.payloadSchema.foreach(o.put("schema", _))
+    val m = o.putObject("metadata"); f.metadata.foreach { case (k, v) => m.put(k, v) }
+    val t = o.putObject("tags"); f.tags.foreach { case (k, v) => t.put(k, v) }
+    o
+  }
+
+  private def body(ex: HttpExchange): JsonNode =
+    mapper.readTree(new String(ex.getRequestBody.readAllBytes(), UTF_8) match {
+      case "" => "{}"
+      case s => s
+    })
+
+  private def asSeq(n: JsonNode): Seq[JsonNode] =
+    if (n == null || !n.isArray) Seq.empty
+    else (0 until n.size).map(n.get)
+
+  private def asMap(n: JsonNode): Map[String, String] =
+    if (n == null || !n.isObject) Map.empty
+    else {
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+
+  private def optText(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText())
+
+  private def params(ex: HttpExchange): Map[String, List[String]] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split('&').filter(_.nonEmpty).toList
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => dec(k) -> dec(v)
+          case Array(k) => dec(k) -> ""
+        }
+      }
+      .groupMap(_._1)(_._2)
+  }
+
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, UTF_8)
+
+  private def send(ex: HttpExchange, code: Int, node: JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(node)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def sendError(ex: HttpExchange, code: Int, error: String, detail: String): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("error", error); o.put("detail", detail)
+    send(ex, code, o)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.util.Base64
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.server.RestServer
+import graft.store.SparkFactStore
+
+/** HTTP integration tests mirroring the reference's server suite shapes
+  * (StoreResource / AppendResource / QueryResource tests). */
+class RestServerSpec extends AnyFunSuite {
+
+  private def withServer(body: (String, HttpClient) => Unit): Unit = {
+    val fs = new SparkFactStore(SparkTestSession.spark, Files.createTempDirectory("graft-rest-"))
+    val srv = new RestServer(fs).start()
+    try body(s"http://127.0.0.1:${srv.boundPort}/api/v1", HttpClient.newHttpClient())
+    finally srv.stop()
+  }
+
+  private def post(c: HttpClient, url: String, json: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def get(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def delete(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+
+  test("store lifecycle over HTTP: create, duplicate 409, list, delete") {
+    withServer { (base, c) =>
+      assert(post(c, s"$base/stores", """{"name":"orders"}""").statusCode() == 201)
+      assert(post(c, s"$base/stores", """{"name":"orders"}""").statusCode() == 409)
+      assert(post(c, s"$base/stores", """{"name":"1bad"}""").statusCode() == 400)
+      val list = get(c, s"$base/stores")
+      assert(list.statusCode() == 200 && list.body().contains("\"orders\""))
+      assert(get(c, s"$base/stores/orders").statusCode() == 200)
+      assert(delete(c, s"$base/stores/orders").statusCode() == 204)
+      assert(get(c, s"$base/stores/orders").statusCode() == 404)
+    }
+  }
+
+  test("append + find by tags + by id (reference quick-start over HTTP)") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"orders"}""")
+      val r = post(c, s"$base/stores/orders/facts",
+        s"""{"facts":[{"type":"ORDER_PLACED","subject":"order/1",
+            "data":"${b64("""{"total":99}""")}","tags":{"region":"eu"}}]}""")
+      assert(r.statusCode() == 200 && r.body().contains("factIds"))
+      val hits = get(c, s"$base/stores/orders/facts?tag=region%3Deu")
+      assert(hits.statusCode() == 200 && hits.body().contains("ORDER_PLACED"))
+      val id = hits.body().split("\"id\":\"")(1).split("\"")(0)
+      val one = get(c, s"$base/stores/orders/facts/$id")
+      assert(one.statusCode() == 200 && one.body().contains("order/1"))
+    }
+  }
+
+  test("tags combined with time range is rejected with 400 (QueryResourceTest.kt:57-73)") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"s1"}""")
+      val r = get(c, s"$base/stores/s1/facts?tag=a%3Db&from=2024-01-01T00:00:00Z")
+      assert(r.statusCode() == 400 && r.body().contains("unsupported_query"))
+    }
+  }
+
+  test("idempotency key and condition violations surface as 409s") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"s2"}""")
+      val req = s"""{"facts":[{"type":"T","subject":"x","data":""}],"idempotencyKey":"k1"}"""
+      assert(post(c, s"$base/stores/s2/facts", req).statusCode() == 200)
+      val dup = post(c, s"$base/stores/s2/facts", req)
+      assert(dup.statusCode() == 409 && dup.body().contains("already_applied"))
+      val cond = post(c, s"$base/stores/s2/facts",
+        """{"facts":[{"type":"T","subject":"x","data":""}],
+           "condition":{"type":"expectedLastFact","subject":"x","expectedLastFactId":null}}""")
+      assert(cond.statusCode() == 409 && cond.body().contains("append_condition_violated"))
+    }
+  }
+
+  test("subject history and NDJSON replay") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"s3"}""")
+      (1 to 3).foreach { i =>
+        post(c, s"$base/stores/s3/facts",
+          s"""{"facts":[{"type":"T$i","subject":"subj","data":""}]}""")
+      }
+      val hist = get(c, s"$base/stores/s3/facts?tag=missing%3Dx")
+      assert(hist.statusCode() == 200 && hist.body() == "[]")
+      val subj = get(c, s"$base/stores/s3/subjects/subj/facts?limit=2&direction=backward")
+      assert(subj.body().indexOf("T3") < subj.body().indexOf("T2"))
+      assert(!subj.body().contains("T1"))
+      val rep = get(c, s"$base/stores/s3/facts/replay")
+      val lines = rep.body().split('\n').filter(_.nonEmpty)
+      assert(lines.length == 3)
+      assert(lines(0).contains("\"position\":1") && lines(2).contains("\"position\":3"))
+      assert(get(c, s"$base/stores/s3/facts/replay?after=nope").statusCode() == 404)
+      // tag query endpoint: OR of AND items
+      val tq = post(c, s"$base/stores/s3/facts/query",
+        """{"items":[{"types":["T1","T2"],"tags":{}}]}""")
+      assert(tq.statusCode() == 200 && tq.body().contains("T1") && tq.body().contains("T2") &&
+        !tq.body().contains("T3"))
+    }
+  }
+}
