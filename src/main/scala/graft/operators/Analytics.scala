@@ -143,10 +143,10 @@ object Analytics {
         .orderBy(asc("c_mktsegment"), asc("o_orderstatus"))
     }),
 
-    // Anti-join: customers with no orders (set difference at scale —
-    // broadcast the distinct keys of the smaller side).
+    // Anti-join: customers with no FINISHED orders (set difference at
+    // scale — broadcast the distinct keys of the smaller side).
     "customers_without_orders" -> ((s, d) => {
-      val ord = t(s, d, "orders")
+      val ord = t(s, d, "orders").filter(col("o_orderstatus") === "F")
       val cust = t(s, d, "customer")
       cust.join(ord.select(col("o_custkey")).distinct(),
           col("c_custkey") === col("o_custkey"), "left_anti")
@@ -218,7 +218,8 @@ object Analytics {
         "GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus"),
     "customers_without_orders" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
-        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey"),
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') " +
+        "ORDER BY c_custkey"),
     "parts_high_qty" ->
       ("SELECT p_partkey, p_brand, p_type FROM part " +
         "WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0) " +
