@@ -226,9 +226,25 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
               val n = writeParquetDir(withPos, target)
               if (n == 0L) { result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos)) }
               else {
+                // distributed bloom over the bulk batch so probes can prune
+                // this commit like any other (one mergeable-aggregate pass)
+                val bloom = spark.read.schema(FactLog.schema).parquet(target.toString)
+                  .select("id", "fact_type", "subject", "tags").rdd
+                  .treeAggregate(
+                    org.apache.spark.util.sketch.BloomFilter.create(500000, 0.03))(
+                    (bf, r) => {
+                      bf.putString(s"i:${r.getAs[String]("id")}")
+                      Blooms.entriesOf(r.getAs[String]("fact_type"),
+                        r.getAs[String]("subject"),
+                        Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty))
+                        .foreach(bf.putString)
+                      bf
+                    },
+                    (a, b) => { a.mergeInPlace(b); a })
                 val rec = CommitRecord(
                   head.seq + 1, headPos + 1, headPos + n,
-                  atNanos, idempotencyKey, Seq(s"data/$rel"))
+                  atNanos, idempotencyKey, Seq(s"data/$rel"),
+                  Some(Blooms.serialize(bloom)))
                 if (log.tryCommit(rec)) {
                   log.publishToStream(rec)
                   result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos))

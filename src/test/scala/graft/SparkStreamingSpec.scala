@@ -77,6 +77,26 @@ class SparkStreamingSpec extends AnyFunSuite {
       Left(StreamError.FactIdNotFound("nope")))
   }
 
+  test("mapGroupsWithState: per-subject running projection over the fact stream") {
+    val (fs, s) = newStore()
+    fs.append(s, in("A", "x")); fs.append(s, in("B", "x")); fs.append(s, in("C", "y"))
+    val Right(df) = fs.subscribeStream(s): @unchecked
+    val states = graft.streaming.FactStateStreams.subjectStates(spark, df)
+    val seen = new ConcurrentLinkedQueue[(String, Long, String)]()
+    val q = states.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.FactStateStreams.SubjectState], _: Long) =>
+        batch.collect().foreach(st => seen.add((st.subject, st.nFacts, st.lastType)))
+      }
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    val last = seen.asScala.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(last("x") == ("x", 2L, "B"))
+    assert(last("y") == ("y", 1L, "C"))
+  }
+
   test("watermarked tumbling-window aggregation over a live subscription") {
     val (fs, s) = newStore()
     (1 to 6).foreach(i => fs.append(s, in(if (i % 2 == 0) "EVEN" else "ODD")))
