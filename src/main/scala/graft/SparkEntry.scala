@@ -13,6 +13,7 @@ object SparkEntry {
     Seq(
       (EventFinders.queries, EventFinders.oracles),
       (Analytics.queries, Analytics.oracles),
+      (Analytics2.queries, Analytics2.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.CrossHash._
+
+/** Second analytics wave: patterns that exercise distinct Catalyst
+  * machinery — Expand (ROLLUP), subquery decorrelation (min-per-group join
+  * back), sequential funnels over event streams, pivot-style conditional
+  * aggregation, and an end-to-end training-corpus pipeline composite. */
+object Analytics2 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = "decimal(18,4)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP over (lang, source): the Expand operator; grand totals
+    // included. COALESCE pins the null grouping rows for the oracle sort.
+    "rollup_corpus" -> ((s, d) =>
+      t(s, d, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(
+          coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("total_chars"))
+        .orderBy(asc("lang"), asc("source"))),
+
+    // Correlated-subquery shape: parts priced at their type's minimum
+    // (decorrelates to an aggregate + join back on the group key).
+    "q2_cheapest_per_type" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val minPer = part.groupBy(col("p_type").as("t"))
+        .agg(min(col("p_retailprice")).as("min_price"))
+      part.join(broadcast(minPer),
+          col("p_type") === col("t") && col("p_retailprice") === col("min_price"))
+        .select(col("p_type"), col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .orderBy(asc("p_type"), asc("p_partkey"))
+    }),
+
+    // Funnel: users who view, then click after the view, then purchase
+    // after the click (strict temporal order via per-user min-times).
+    "events_funnel" -> ((s, d) => {
+      val ev = EventFinders.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view"))
+      val c = ev.filter(col("event_type") === "click")
+      val p = ev.filter(col("event_type") === "purchase")
+      val clicked = v.join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("first_view"))
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(col("ts_us")).as("first_click_after_view"))
+      val purchased = clicked.join(p, Seq("user_id"))
+        .filter(col("ts_us") > col("first_click_after_view"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_purchase_after_click"))
+      v.select(count(lit(1)).as("n")).crossJoin(
+          clicked.select(count(lit(1)).as("m")).select(col("m").as("n_clicked")))
+        .crossJoin(purchased.select(count(lit(1)).as("n_purchased")))
+        .select(col("n").as("n_viewed"), col("n_clicked"), col("n_purchased"))
+    }),
+
+    // Pivot-style conditional aggregation: order-status counts as columns
+    // per market segment (portable across engines, no PIVOT syntax).
+    "orders_status_pivot" -> ((s, d) =>
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).cast(dec)).as("sum_f"))
+        .orderBy(asc("c_mktsegment"))),
+
+    // End-to-end training-corpus pipeline: exact-dedup keep-first ->
+    // quality gate (token count + stopword ratio) -> per-lang yield.
+    "corpus_pipeline" -> ((s, d) => {
+      val toks = tokensSpark("text")
+      val scored = t(s, d, "documents").selectExpr(
+        "doc_id", "lang", "md5(text) AS h",
+        s"size($toks) AS n_tokens",
+        s"(size(filter($toks, t -> t IN ('the','a','of','and','to','is'))) * 10000) " +
+          s"div greatest(size($toks), 1) AS stopword_bp")
+      val keepFirst = scored.withColumn("rk",
+          row_number().over(Window.partitionBy(col("h")).orderBy(asc("doc_id"))))
+        .filter(col("rk") === 1)
+      keepFirst
+        .withColumn("passes", (col("n_tokens") >= 20 && col("stopword_bp") < 2000).cast("int"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("passes")).as("n_kept"),
+          sum(when(col("passes") === 1, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(asc("lang"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val toks = tokensDuck("text")
+    Map(
+      "rollup_corpus" ->
+        ("SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source, " +
+          "count(*) AS n_docs, sum(n_chars) AS total_chars " +
+          "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source"),
+      "q2_cheapest_per_type" ->
+        ("SELECT p_type, p_partkey, p_brand, p_retailprice FROM part " +
+          "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 " +
+          "WHERE p2.p_type = part.p_type) ORDER BY p_type, p_partkey"),
+      "events_funnel" ->
+        ("WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view FROM events " +
+          "WHERE event_type = 'view' GROUP BY user_id), " +
+          "c AS (SELECT v.user_id, v.first_view, min(epoch_us(e.ts)) AS first_click_after_view " +
+          "FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'click' " +
+          "AND epoch_us(e.ts) > v.first_view GROUP BY v.user_id, v.first_view), " +
+          "p AS (SELECT c.user_id, min(epoch_us(e.ts)) AS first_purchase_after_click " +
+          "FROM c JOIN events e ON e.user_id = c.user_id AND e.event_type = 'purchase' " +
+          "AND epoch_us(e.ts) > c.first_click_after_view GROUP BY c.user_id) " +
+          "SELECT (SELECT count(*) FROM v) AS n_viewed, (SELECT count(*) FROM c) AS n_clicked, " +
+          "(SELECT count(*) FROM p) AS n_purchased"),
+      "orders_status_pivot" ->
+        ("SELECT c_mktsegment, " +
+          "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
+          "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
+          "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p, " +
+          "sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS sum_f " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "corpus_pipeline" ->
+        (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, len($toks) AS n_tokens, " +
+          s"(len(list_filter($toks, t -> t IN ('the','a','of','and','to','is'))) * 10000) " +
+          s"// greatest(len($toks), 1) AS stopword_bp FROM documents), " +
+          "kept AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk FROM scored), " +
+          "gated AS (SELECT lang, n_tokens, " +
+          "CASE WHEN n_tokens >= 20 AND stopword_bp < 2000 THEN 1 ELSE 0 END AS passes " +
+          "FROM kept WHERE rk = 1) " +
+          "SELECT lang, count(*) AS n_docs, sum(passes) AS n_kept, " +
+          "sum(CASE WHEN passes = 1 THEN n_tokens ELSE 0 END) AS kept_tokens " +
+          "FROM gated GROUP BY lang ORDER BY lang")
+    )
+  }
+}
