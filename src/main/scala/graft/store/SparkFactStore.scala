@@ -444,11 +444,20 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   }
 
   // -- finders -----------------------------------------------------------------
+  // Every finder bloom-prunes the file set before Spark lists anything: a
+  // point lookup or tag search touches only files whose bloom admits the
+  // key — the reader-side payoff of the metadata index (SURVEY §2 #24).
   private def collectFacts(df: DataFrame): Seq[Fact] =
     df.collect().toSeq.map(FactRow.toFact)
 
+  private def prunedDf(name: String, keep: FileRef => Boolean): Option[DataFrame] =
+    findStoreByName(name).map { md =>
+      FactLog.read(spark, logFor(md).committedFileRefs().filter(keep).map(_.path))
+    }
+
   override def findById(store: String, factId: String): FindByIdResult =
-    logDataFrame(store) match {
+    prunedDf(store, f => f.bloom.forall(b =>
+        Blooms.deserialize(b).mightContainString(s"i:$factId"))) match {
       case None => FindByIdResult.StoreNotFound
       case Some(df) =>
         collectFacts(FactFinders.byId(df, factId)).headOption
@@ -456,7 +465,8 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     }
 
   override def existsById(store: String, factId: String): ExistsByIdResult =
-    logDataFrame(store) match {
+    prunedDf(store, f => f.bloom.forall(b =>
+        Blooms.deserialize(b).mightContainString(s"i:$factId"))) match {
       case None => ExistsByIdResult.StoreNotFound
       case Some(df) =>
         if (!FactFinders.byId(df, factId).isEmpty) ExistsByIdResult.Exists
@@ -477,20 +487,22 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
 
   override def findBySubject(store: String, subject: String, limit: Limit,
       dir: ReadDirection): FindResult =
-    logDataFrame(store) match {
+    prunedDf(store, f => Blooms.mightContainSubject(f.bloom, subject)) match {
       case None => FindResult.StoreNotFound
       case Some(df) => FindResult.Found(collectFacts(FactFinders.bySubject(df, subject, limit, dir)))
     }
 
   override def findByTags(store: String, tags: Map[String, String], limit: Limit,
-      dir: ReadDirection): FindResult =
-    logDataFrame(store) match {
+      dir: ReadDirection): FindResult = {
+    val asQuery = TagQuery(Seq(TagQueryItem.TagOnly(tags)))
+    prunedDf(store, f => tags.isEmpty || Blooms.mightMatchQuery(f.bloom, asQuery)) match {
       case None => FindResult.StoreNotFound
       case Some(df) => FindResult.Found(collectFacts(FactFinders.byTags(df, tags, limit, dir)))
     }
+  }
 
   override def findByTagQuery(store: String, query: TagQuery): FindResult =
-    logDataFrame(store) match {
+    prunedDf(store, f => Blooms.mightMatchQuery(f.bloom, query)) match {
       case None => FindResult.StoreNotFound
       case Some(df) => FindResult.Found(collectFacts(FactFinders.byTagQuery(df, query)))
     }

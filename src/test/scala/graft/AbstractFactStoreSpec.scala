@@ -566,6 +566,32 @@ abstract class AbstractFactStoreSpec extends AnyFunSuite {
     }
   }
 
+  // --- batching + atomic visibility --------------------------------------------
+  test("subscription batches respect batchSize") {
+    withStore { (fs, s) =>
+      (1 to 7).foreach(i => appendOne(fs, s, input(factType = s"T$i")))
+      val Right(sub) = fs.subscribe(s, StartPosition.Beginning, batchSize = 3): @unchecked
+      val b1 = sub.next(); val b2 = sub.next(); val b3 = sub.next()
+      sub.close()
+      assert(b1.size == 3 && b2.size == 3 && b3.size == 1)
+      assert((b1 ++ b2 ++ b3).map(_.position) == (1L to 7L))
+    }
+  }
+
+  test("batch append is all-or-nothing under a failing condition") {
+    withStore { (fs, s) =>
+      appendOne(fs, s, input(factType = "EXISTING", tags = Map("unique" -> "yes")))
+      val r = fs.append(AppendRequest(s,
+        Seq(input(factType = "N1"), input(factType = "N2")),
+        condition = AppendCondition.TagQueryBased(
+          TagQuery(Seq(TagQueryItem.TagOnly(Map("unique" -> "yes")))))))
+      assert(r == AppendResult.AppendConditionViolated)
+      // neither fact of the rejected batch is visible
+      val all = found(fs.findInTimeRange(s, TimeRange.unbounded))
+      assert(all.map(_.factType) == Seq("EXISTING"))
+    }
+  }
+
   // --- scale probe (reference :1230-1315, shrunk) -------------------------------
   test("scale probe: 2000 facts, tag query returns the matching half") {
     withStore { (fs, s) =>
