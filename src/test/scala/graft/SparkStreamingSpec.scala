@@ -69,6 +69,30 @@ class SparkStreamingSpec extends AnyFunSuite {
     assert(seen.asScala.toSeq.sorted == Seq("T3", "T4"))
   }
 
+  test("checkpointed restart resumes exactly where the last run stopped") {
+    val (fs, s) = newStore()
+    (1 to 3).foreach(i => fs.append(s, in(s"T$i")))
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    def drain(): Seq[String] = {
+      val Right(df) = fs.subscribeStream(s): @unchecked
+      val seen = new ConcurrentLinkedQueue[String]()
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("fact_type").collect().foreach(r => seen.add(r.getString(0)))
+        }
+        .start()
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq.sorted
+    }
+    assert(drain() == Seq("T1", "T2", "T3"))
+    (4 to 5).foreach(i => fs.append(s, in(s"T$i")))
+    // second run from the same checkpoint: ONLY the new facts
+    assert(drain() == Seq("T4", "T5"))
+  }
+
   test("streaming errors surface before any query starts") {
     val (fs, s) = newStore()
     assert(fs.subscribeStream("missing", StartPosition.Beginning) ==
