@@ -94,8 +94,10 @@ class RestServerSpec extends AnyFunSuite {
       val hist = get(c, s"$base/stores/s3/facts?tag=missing%3Dx")
       assert(hist.statusCode() == 200 && hist.body() == "[]")
       val subj = get(c, s"$base/stores/s3/subjects/subj/facts?limit=2&direction=backward")
-      assert(subj.body().indexOf("T3") < subj.body().indexOf("T2"))
-      assert(!subj.body().contains("T1"))
+      // match the typed field — bare "T1" would also match ISO timestamps
+      // like 2026-08-12T10:02 (a real time-of-day flake)
+      assert(subj.body().indexOf("\"type\":\"T3\"") < subj.body().indexOf("\"type\":\"T2\""))
+      assert(!subj.body().contains("\"type\":\"T1\""))
       val rep = get(c, s"$base/stores/s3/facts/replay")
       val lines = rep.body().split('\n').filter(_.nonEmpty)
       assert(lines.length == 3)
@@ -104,8 +106,9 @@ class RestServerSpec extends AnyFunSuite {
       // tag query endpoint: OR of AND items
       val tq = post(c, s"$base/stores/s3/facts/query",
         """{"items":[{"types":["T1","T2"],"tags":{}}]}""")
-      assert(tq.statusCode() == 200 && tq.body().contains("T1") && tq.body().contains("T2") &&
-        !tq.body().contains("T3"))
+      assert(tq.statusCode() == 200 &&
+        tq.body().contains("\"type\":\"T1\"") && tq.body().contains("\"type\":\"T2\"") &&
+        !tq.body().contains("\"type\":\"T3\""))
     }
   }
 }
