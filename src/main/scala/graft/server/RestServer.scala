@@ -40,9 +40,19 @@ final class RestServer(store: FactStore, port: Int = 0) {
 
   def start(): RestServer = {
     server.createContext("/api/v1/stores", (ex: HttpExchange) => safely(ex)(route))
+    server.createContext("/api/v1/info", (ex: HttpExchange) => safely(ex)(info))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     this
+  }
+
+  /** Reference InfoService.GetServerInfo parity (factstore-v1.proto:423-433). */
+  private def info(ex: HttpExchange): Unit = {
+    val o = mapper.createObjectNode()
+    o.put("app", "graft")
+    o.put("version", "0.1.0")
+    o.put("storage_backend", "spark-parquet-log")
+    send(ex, 200, o)
   }
 
   def stop(): Unit = server.stop(0)
@@ -62,6 +72,7 @@ final class RestServer(store: FactStore, port: Int = 0) {
       case ("GET", s :: "facts" :: Nil)           => queryFacts(ex, s)
       case ("POST", s :: "facts" :: "query" :: Nil) => tagQuery(ex, s)
       case ("GET", s :: "facts" :: "replay" :: Nil) => replay(ex, s)
+      case ("GET", s :: "facts" :: "subscribe" :: Nil) => subscribe(ex, s)
       case ("GET", s :: "facts" :: id :: Nil)     => findById(ex, s, id)
       case ("GET", s :: "subjects" :: subject :: "facts" :: Nil) => bySubject(ex, s, subject)
       case _ => sendError(ex, 404, "not_found", path)
@@ -233,6 +244,39 @@ final class RestServer(store: FactStore, port: Int = 0) {
           os.flush()
         }
         os.close()
+    }
+  }
+
+  /** Live tail as chunked NDJSON (the reference's SSE subscribe,
+    * StreamResource.kt:23-63). `?from=beginning|end`, `?after=factId`;
+    * `?max=N` closes after N facts (otherwise streams until the client
+    * disconnects, like the never-completing reference Flow). */
+  private def subscribe(ex: HttpExchange, s: String): Unit = {
+    val q = params(ex)
+    val start = q.get("after").flatMap(_.headOption).map(StartPosition.After(_))
+      .getOrElse(if (q.get("from").flatMap(_.headOption).contains("end")) StartPosition.End
+      else StartPosition.Beginning)
+    val max = q.get("max").flatMap(_.headOption).map(_.toLong).getOrElse(Long.MaxValue)
+    store.subscribe(s, start) match {
+      case Left(StreamError.StoreNotFound) => sendError(ex, 404, "store_not_found", s)
+      case Left(StreamError.FactIdNotFound(id)) => sendError(ex, 404, "after_fact_not_found", id)
+      case Right(sub) =>
+        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        var sent = 0L
+        try {
+          while (sent < max && sub.hasNext) {
+            sub.next().foreach { f =>
+              if (sent < max) {
+                os.write(mapper.writeValueAsBytes(factJson(f))); os.write('\n')
+                sent += 1
+              }
+            }
+            os.flush()
+          }
+        } catch { case _: java.io.IOException => () /* client went away */ }
+        finally { sub.close(); os.close() }
     }
   }
 

@@ -84,6 +84,23 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("info endpoint and live subscribe stream with max-count") {
+    withServer { (base, c) =>
+      val i = get(c, base.stripSuffix("/v1") + "/v1/info")
+      assert(i.statusCode() == 200 && i.body().contains("storage_backend"))
+      post(c, s"$base/stores", """{"name":"s4"}""")
+      (1 to 2).foreach { n =>
+        post(c, s"$base/stores/s4/facts",
+          s"""{"facts":[{"type":"T$n","subject":"x","data":""}]}""")
+      }
+      val sub = get(c, s"$base/stores/s4/facts/subscribe?max=2")
+      val lines = sub.body().split('\n').filter(_.nonEmpty)
+      assert(lines.length == 2)
+      assert(lines(0).contains("\"type\":\"T1\"") && lines(1).contains("\"type\":\"T2\""))
+      assert(get(c, s"$base/stores/s4/facts/subscribe?after=nope").statusCode() == 404)
+    }
+  }
+
   test("subject history and NDJSON replay") {
     withServer { (base, c) =>
       post(c, s"$base/stores", """{"name":"s3"}""")
