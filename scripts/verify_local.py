@@ -33,14 +33,16 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 from decimal import Decimal
 
 def canon(v):
+    # Strict, driver-faithful rendering: Decimal keeps its full declared
+    # scale (NO trailing-zero strip — the driver hashes the materialized
+    # value, so decimal(28,4) vs DECIMAL(38,4) renderings must differ here
+    # exactly when they differ there).
     if v is None: return "NULL"
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
-        s = format(v, "f")
-        if "." in s: s = s.rstrip("0").rstrip(".")
-        return s or "0"
+        return format(v, "f")
     if isinstance(v, bytes): return v.hex()
     return str(v)
 
@@ -70,6 +72,14 @@ for name in names:
         print(f"FAIL  {name}: oracle SQL error: {e}"); fail += 1; continue
     if scols != ocols:
         print(f"FAIL  {name}: columns differ spark={scols} oracle={ocols}"); fail += 1; continue
+    # Declared result types must match too (driver is type-strict: Spark
+    # sum(decimal(18,4)) -> (28,4) vs DuckDB -> (38,4) is a hash mismatch
+    # even when every value compares equal).
+    stypes = {c: str(t) for c, t in zip(sdf.columns, sdf.types)}
+    otypes = {c: str(t) for c, t in zip(odf.columns, odf.types)}
+    tdiff = {c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]}
+    if tdiff:
+        print(f"FAIL  {name}: column types differ {tdiff}"); fail += 1; continue
     sc = [[canon(v) for v in r] for r in spark_rows]
     oc = [[canon(v) for v in r] for r in oracle_rows]
     if sc == oc:

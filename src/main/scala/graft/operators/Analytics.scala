@@ -24,6 +24,13 @@ object Analytics {
   private def epochUs(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
 
   private val dec = "decimal(18,4)"
+  // Output-level aggregate results are pinned to one explicit type on BOTH
+  // the Spark and oracle side: Spark widens sum(decimal(18,4)) to (28,4)
+  // while DuckDB widens to (38,4), and Spark sum(bigint)=bigint while
+  // DuckDB=HUGEINT — the driver hashes the materialized type, so every
+  // emitted sum gets an identical CAST in both engines.
+  private val sumDec = "decimal(38,4)"
+  private val sumDec8 = "decimal(38,8)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single-pass partial-agg-friendly scan.
@@ -35,33 +42,38 @@ object Analytics {
       l.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(qty).as("sum_qty"),
-          sum(price).as("sum_base_price"),
-          sum((price * discFactor).cast("decimal(28,8)")).as("sum_disc_price"),
+          sum(qty).cast(sumDec).as("sum_qty"),
+          sum(price).cast(sumDec).as("sum_base_price"),
+          sum((price * discFactor).cast("decimal(28,8)")).cast(sumDec8).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // TPC-H Q3-style: top-10 orders by discounted revenue for one segment.
-    // customer is the small side -> broadcast; lineitem shuffles once on
-    // the groupBy key.
+    // Scale shape: only the filtered CUSTOMER dim is broadcast (into
+    // orders); lineitem ⨝ orders is fact ⨝ fact and must shuffle on
+    // l_orderkey — broadcasting an orders-derived set would OOM executors
+    // at 100 TB. AQE can still convert to broadcast at tiny SFs.
     "q3_top_revenue" -> ((s, d) => {
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, d, "orders")
       val li = t(s, d, "lineitem")
-      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-            .select("o_orderkey", "o_orderdate")),
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_orderdate_us"))
         .agg(sum((col("l_extendedprice").cast(dec) *
           (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
-          .cast("decimal(28,8)")).as("revenue"))
+          .cast("decimal(28,8)")).cast(sumDec8).as("revenue"))
         .orderBy(desc("revenue"), asc("l_orderkey"))
         .limit(10)
     }),
 
-    // TPC-H Q5-style: revenue per nation through a 5-way join; all dims
-    // broadcast, single shuffle on the final groupBy.
+    // TPC-H Q5-style: revenue per nation through a 5-way join. True dims
+    // (supplier/nation) broadcast; orders and customer are fact-scale at
+    // 100 TB, so lineitem ⨝ orders ⨝ customer are shuffle joins on their
+    // keys (AQE may downgrade to broadcast at small SFs — that's its call,
+    // not a hint that pins fact tables into executor memory).
     "q5_nation_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders")
@@ -69,15 +81,15 @@ object Analytics {
       val sup = t(s, d, "supplier")
       val nat = t(s, d, "nation")
       li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
           sum((col("l_extendedprice").cast(dec) *
             (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
-            .cast("decimal(28,8)")).as("revenue"),
+            .cast("decimal(28,8)")).cast(sumDec8).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(asc("n_name"))
     }),
@@ -91,7 +103,8 @@ object Analytics {
       cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
-        .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .select(col("n_name"), col("rk").cast("bigint").as("rk"),
+          col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy(asc("n_name"), asc("rk"))
     }),
 
@@ -113,8 +126,8 @@ object Analytics {
         .agg(count(lit(1)).as("sess_events"))
         .groupBy(col("user_id"))
         .agg(
-          max(col("sess_id")).as("n_sessions"),
-          sum(col("sess_events")).as("n_events"),
+          max(col("sess_id")).cast("bigint").as("n_sessions"),
+          sum(col("sess_events")).cast("bigint").as("n_events"),
           max(col("sess_events")).as("longest_session"))
         .orderBy(asc("user_id"))
     }),
@@ -128,7 +141,7 @@ object Analytics {
       ev.withColumn("window_start_us",
           expr(s"(ts div 1000) div ${hourUs}L") * hourUs)
         .groupBy(col("window_start_us"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(sumDec).as("sum_value"))
         .orderBy(asc("window_start_us"), asc("event_type"))
     }),
 
@@ -139,7 +152,7 @@ object Analytics {
       ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).as("sum_total"))
+          sum(col("o_totalprice").cast(dec)).cast(sumDec).as("sum_total"))
         .orderBy(asc("c_mktsegment"), asc("o_orderstatus"))
     }),
 
@@ -166,13 +179,15 @@ object Analytics {
   )
 
   private val revenueSql =
-    "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
-      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)))"
+    "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8))) " +
+      "AS DECIMAL(38,8))"
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      ("SELECT l_returnflag, l_linestatus, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, " +
-        "sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price, " +
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price, " +
         s"$revenueSql AS sum_disc_price, " +
         "count(*) AS count_order FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
@@ -205,15 +220,16 @@ object Analytics {
         "sess AS (SELECT user_id, event_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM m), " +
         "per AS (SELECT user_id, sess_id, count(*) AS sess_events FROM sess GROUP BY user_id, sess_id) " +
-        "SELECT user_id, max(sess_id) AS n_sessions, sum(sess_events) AS n_events, " +
+        "SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, " +
+        "CAST(sum(sess_events) AS BIGINT) AS n_events, " +
         "max(sess_events) AS longest_session FROM per GROUP BY user_id ORDER BY user_id"),
     "events_hourly_rollup" ->
       ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type, " +
-        "count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value " +
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value " +
         "FROM events GROUP BY window_start_us, event_type ORDER BY window_start_us, event_type"),
     "orders_segment_status" ->
       ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, " +
-        "sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_total " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_total " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus"),
     "customers_without_orders" ->

@@ -23,7 +23,8 @@ object Analytics2 {
     "rollup_corpus" -> ((s, d) =>
       t(s, d, "documents")
         .rollup(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        // sum output pinned to BIGINT on both engines (DuckDB widens to HUGEINT)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("bigint").as("total_chars"))
         .select(
           coalesce(col("lang"), lit("<all>")).as("lang"),
           coalesce(col("source"), lit("<all>")).as("source"),
@@ -74,7 +75,8 @@ object Analytics2 {
           count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
           count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
           count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
-          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).cast(dec)).as("sum_f"))
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).cast(dec))
+            .cast("decimal(38,4)").as("sum_f"))
         .orderBy(asc("c_mktsegment"))),
 
     // End-to-end training-corpus pipeline: exact-dedup keep-first ->
@@ -93,8 +95,8 @@ object Analytics2 {
         .withColumn("passes", (col("n_tokens") >= 20 && col("stopword_bp") < 2000).cast("int"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("passes")).as("n_kept"),
-          sum(when(col("passes") === 1, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+          sum(col("passes")).cast("bigint").as("n_kept"),
+          sum(when(col("passes") === 1, col("n_tokens")).otherwise(0L)).cast("bigint").as("kept_tokens"))
         .orderBy(asc("lang"))
     })
   )
@@ -104,7 +106,7 @@ object Analytics2 {
     Map(
       "rollup_corpus" ->
         ("SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source, " +
-          "count(*) AS n_docs, sum(n_chars) AS total_chars " +
+          "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
           "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source"),
       "q2_cheapest_per_type" ->
         ("SELECT p_type, p_partkey, p_brand, p_retailprice FROM part " +
@@ -126,7 +128,7 @@ object Analytics2 {
           "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
           "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
           "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p, " +
-          "sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS sum_f " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,4)) AS sum_f " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
       "corpus_pipeline" ->
@@ -137,8 +139,8 @@ object Analytics2 {
           "gated AS (SELECT lang, n_tokens, " +
           "CASE WHEN n_tokens >= 20 AND stopword_bp < 2000 THEN 1 ELSE 0 END AS passes " +
           "FROM kept WHERE rk = 1) " +
-          "SELECT lang, count(*) AS n_docs, sum(passes) AS n_kept, " +
-          "sum(CASE WHEN passes = 1 THEN n_tokens ELSE 0 END) AS kept_tokens " +
+          "SELECT lang, count(*) AS n_docs, CAST(sum(passes) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN passes = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens " +
           "FROM gated GROUP BY lang ORDER BY lang")
     )
   }

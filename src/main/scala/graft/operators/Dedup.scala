@@ -76,8 +76,8 @@ object Dedup {
       cand.join(sh.as("l"), col("da") === col("l.doc_id"))
         .join(sh.as("r"), col("db") === col("r.doc_id"))
         .selectExpr("da AS doc_a", "db AS doc_b",
-          "size(array_intersect(l.sh, r.sh)) AS n_common",
-          "size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS n_union")
+          "CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_common",
+          "CAST(size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_union")
         .selectExpr("doc_a", "doc_b", "n_common", "n_union",
           "(n_common * 10000) div n_union AS jaccard_bp")
         .filter(col("jaccard_bp") >= 7000)
@@ -170,7 +170,7 @@ object Dedup {
           "blocks AS (SELECT doc_id, simhash, r.range AS blk, " +
           "(simhash >> (r.range * 8)::INT) & 255 AS bval FROM sigs CROSS JOIN range(0, 4) r), " +
           "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-          "bit_count(xor(a.simhash, b.simhash)) AS hamming FROM blocks a " +
+          "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming FROM blocks a " +
           "JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id) " +
           "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
       "dedup_ngram_jaccard" ->

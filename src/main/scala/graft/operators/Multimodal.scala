@@ -59,7 +59,8 @@ object Multimodal {
     "media_metadata" -> ((s, d) =>
       docs(s, d).selectExpr(
         "doc_id",
-        "octet_length(encode(text, 'UTF-8')) AS n_bytes",
+        // BIGINT to match DuckDB's octet_length result type
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes",
         "ascii(substring(text, 1, 1)) AS header_code",
         s"${charHashSpark("text")} AS checksum",
         s"CAST(16 + ${charHashSpark("text")} % 64 AS INT) AS width",
@@ -85,7 +86,7 @@ object Multimodal {
           "octet_length(encode(text, 'UTF-8')) AS n_bytes",
           s"CASE ${charHashSpark("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format")
         .groupBy(col("format"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).cast("bigint").as("total_bytes"))
         .orderBy(asc("format"))),
 
     // The mapPartitions decode stub itself (not SQL-expressible -> driver
@@ -116,7 +117,7 @@ object Multimodal {
       (s"WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
         s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
         "FROM documents) " +
-        "SELECT format, count(*) AS n_docs, sum(n_bytes) AS total_bytes " +
+        "SELECT format, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes " +
         "FROM m GROUP BY format ORDER BY format")
     // media_decode_stub: intentionally no oracle (mapPartitions operator)
   )

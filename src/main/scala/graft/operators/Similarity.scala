@@ -76,7 +76,9 @@ object Similarity {
           org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
             .orderBy(desc("cos_ppm"), asc("neighbor_id"))))
         .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        // rank as BIGINT: Spark row_number() is INT, DuckDB's is BIGINT
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cos_ppm"))
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
@@ -133,7 +135,8 @@ object Similarity {
           org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
             .orderBy(desc("cos_ppm"), asc("neighbor_id"))))
         .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_ppm"))
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cos_ppm"))
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
@@ -160,7 +163,7 @@ object Similarity {
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 10 " +
         "ORDER BY query_id, rank"),
     "ann_lsh_buckets" ->
-      (s"WITH b AS (SELECT vec_id, label, ${lshBucketDuck("embedding")} AS bucket FROM embeddings) " +
+      (s"WITH b AS (SELECT vec_id, label, CAST(${lshBucketDuck("embedding")} AS BIGINT) AS bucket FROM embeddings) " +
         "SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id, " +
         "max(vec_id) AS max_vec_id, count(DISTINCT label) AS n_labels " +
         "FROM b GROUP BY bucket ORDER BY bucket"),

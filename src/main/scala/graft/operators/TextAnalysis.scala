@@ -38,9 +38,11 @@ object TextAnalysis {
     "text_token_count" -> ((s, d) =>
       docs(s, d).selectExpr(
         "doc_id",
-        s"size(${tokensSpark("text")}) AS n_tokens",
-        s"size(array_distinct(${tokensSpark("text")})) AS n_uniq_tokens",
-        "length(text) AS n_chars_measured",
+        // BIGINT on both engines: Spark size()/length() return INT where
+        // DuckDB len()/length() return BIGINT
+        s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n_tokens",
+        s"CAST(size(array_distinct(${tokensSpark("text")})) AS BIGINT) AS n_uniq_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars_measured",
         // ceil-division in pure integer math: (len + 3) div 4
         "(length(text) + 3) div 4 AS n_bpe_ish_tokens"
       ).orderBy(asc("doc_id"))),
@@ -49,7 +51,7 @@ object TextAnalysis {
     "text_quality" -> ((s, d) =>
       docs(s, d).selectExpr(
         "doc_id",
-        s"size(${tokensSpark("text")}) AS n_tokens",
+        s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n_tokens",
         // mean token length in basis points
         s"(length(text) * 10000) div greatest(size(${tokensSpark("text")}), 1) AS avg_token_len_bp",
         // type-token ratio (lexical diversity) in bp
@@ -60,16 +62,16 @@ object TextAnalysis {
              t -> t IN (${EnStop.map("'" + _ + "'").mkString(",")}))) * 10000)
             div greatest(size(${tokensSpark("text")}), 1) AS stopword_bp""",
         // punctuation + digit counts via regexp strip
-        "length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS n_punct",
-        "length(text) - length(regexp_replace(text, '[0-9]', '')) AS n_digits"
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS BIGINT) AS n_punct",
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS BIGINT) AS n_digits"
       ).orderBy(asc("doc_id"))),
 
     // Language ID: score per stoplist, argmax with pinned tiebreak order.
     "text_langid" -> ((s, d) => {
       val withScores = StopLists.foldLeft(docs(s, d)) { case (df, (lang, words)) =>
         df.withColumn(s"s_$lang", expr(
-          s"""size(filter(${tokensSpark("text")},
-              t -> t IN (${words.map("'" + _ + "'").mkString(",")})))"""))
+          s"""CAST(size(filter(${tokensSpark("text")},
+              t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"""))
       }
       val langs = StopLists.map(_._1)
       // first maximal score in alphabetical language order wins
@@ -103,9 +105,9 @@ object TextAnalysis {
           s"size(${tokensSpark("text")}) AS n_tokens")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("n_chars")).as("total_chars"),
-          max(col("n_tokens")).as("max_tokens"))
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          max(col("n_tokens")).cast("bigint").as("max_tokens"))
         .orderBy(asc("lang"), asc("source")))
   )
 
@@ -147,8 +149,9 @@ object TextAnalysis {
           s"i -> ${charHashDuck("substring(text, (i - 1) * 4 + 1, 8)")})) AS window_fingerprint " +
           "FROM documents ORDER BY doc_id"),
       "text_corpus_stats" ->
-        (s"SELECT lang, source, count(*) AS n_docs, sum(len($toks)) AS total_tokens, " +
-          "sum(n_chars) AS total_chars, max(len(" + toks + ")) AS max_tokens " +
+        (s"SELECT lang, source, count(*) AS n_docs, " +
+          s"CAST(sum(len($toks)) AS BIGINT) AS total_tokens, " +
+          "CAST(sum(n_chars) AS BIGINT) AS total_chars, max(len(" + toks + ")) AS max_tokens " +
           "FROM documents GROUP BY lang, source ORDER BY lang, source")
     )
   }
