@@ -56,6 +56,9 @@ object Validation {
     name.length >= 1 && name.length <= 255 && StoreNameRe.matches(name)
   /** Reference Fact.kt:147-154: non-blank, no leading/trailing whitespace. */
   def validSubject(s: String): Boolean = s.nonEmpty && s.trim == s
+  /** Keys are serialized into tab-delimited commit records — \t/\n forbidden. */
+  def validIdempotencyKey(k: String): Boolean =
+    k.nonEmpty && !k.exists(c => c == '\t' || c == '\n' || c == '\r')
 }
 
 // ---------------------------------------------------------------------------
@@ -132,7 +135,16 @@ final case class AppendRequest(
     facts: Seq[FactInput],
     idempotencyKey: String = UUID.randomUUID().toString,
     condition: AppendCondition = AppendCondition.None
-) { require(facts.nonEmpty, "append requires at least one fact") }
+) {
+  require(facts.nonEmpty, "append requires at least one fact")
+  // The reference types idempotency keys as UUIDs; we accept any token but
+  // reject whitespace control chars — the commit log serializes the key into
+  // tab-delimited records, and an embedded \t or \n would shift fields on
+  // parse and corrupt the store's file references. (REST maps this
+  // IllegalArgumentException to a 400.)
+  require(Validation.validIdempotencyKey(idempotencyKey),
+    "idempotency key must be non-empty and must not contain tab or newline characters")
+}
 
 /** Stream start cursors (reference FactSubscriber.kt:18-59). */
 sealed trait StartPosition

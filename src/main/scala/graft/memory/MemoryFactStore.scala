@@ -66,11 +66,13 @@ final class MemoryFactStore extends FactStore {
       st.facts.reverseIterator.find(_.subject == subject).map(_.id) == expected
     case AppendCondition.All(cs) => cs.forall(conditionHolds(st, _))
     case AppendCondition.TagQueryBased(query, after) =>
-      val afterPos = after match {
-        case Some(id) => st.facts.find(_.id == id).map(_.position).getOrElse(Long.MaxValue)
-        case None     => 0L
+      // nonexistent `after` fact id -> condition violated (reference
+      // MemoryFactStore.kt:249), NOT trivially satisfied
+      val afterPos: Option[Long] = after match {
+        case Some(id) => st.facts.find(_.id == id).map(_.position)
+        case None     => Some(0L)
       }
-      !st.facts.exists(f => f.position > afterPos && matchesQuery(f, query))
+      afterPos.exists(p => !st.facts.exists(f => f.position > p && matchesQuery(f, query)))
   }
 
   private def matchesItem(f: Fact, item: TagQueryItem): Boolean = item match {

@@ -26,9 +26,11 @@ object FactFinders {
       if (tags.isEmpty) typeP else typeP && tagsPredicate(tags)
   }
 
-  /** AND over `tags(k) === v` map lookups. */
+  /** AND over `tags(k) === v` map lookups; the empty map matches everything
+    * (reference findByTags with no tags returns all facts). */
   def tagsPredicate(tags: Map[String, String]): Column =
-    tags.map { case (k, v) => col("tags").getItem(k) === lit(v) }.reduce(_ && _)
+    tags.map { case (k, v) => col("tags").getItem(k) === lit(v) }
+      .reduceOption(_ && _).getOrElse(lit(true))
 
   private def orderAndLimit(df: DataFrame, limit: Limit, dir: ReadDirection): DataFrame = {
     val ordered = dir match {

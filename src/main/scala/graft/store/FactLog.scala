@@ -4,6 +4,27 @@ import java.nio.file.{Files, Path}
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.jdk.CollectionConverters._
 import scala.collection.mutable
+import scala.util.Using
+
+/** Directory-stream helpers that always close the underlying JDK stream
+  * (Files.list/walk leak a file descriptor per call otherwise — fatal in a
+  * long-running server process). */
+private[store] object DirStreams {
+  def listNames[A](dir: Path)(f: Iterator[String] => A): A =
+    Using.resource(Files.list(dir))(s => f(s.iterator().asScala.map(_.getFileName.toString)))
+  def listPaths[A](dir: Path)(f: Iterator[Path] => A): A =
+    Using.resource(Files.list(dir))(s => f(s.iterator().asScala))
+  /** Depth-first delete of a file or directory tree. */
+  def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Using.resource(Files.walk(p)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      else Files.deleteIfExists(p)
+    }
+}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
@@ -173,9 +194,8 @@ final class FactLog(val storeDir: Path) {
 
   def latestCheckpoint(): Option[Checkpoint] = {
     if (!Files.exists(checkpointsDir)) return None
-    val seqs = Files.list(checkpointsDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong).toSeq
+    val seqs = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).toSeq)
     seqs.sorted.lastOption.map(sq =>
       synchronized(ckptCache.getOrElseUpdate(sq, readCheckpoint(sq))))
   }
@@ -215,13 +235,7 @@ final class FactLog(val storeDir: Path) {
     * survive (same inodes), so live subscribers are unaffected. */
   def vacuum(seq: Long): Unit = {
     commitsAfter(0L).takeWhile(_.seq <= seq).foreach { c =>
-      c.files.foreach { rel =>
-        val p = storeDir.resolve(rel)
-        if (Files.isDirectory(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
-        else Files.deleteIfExists(p)
-      }
+      c.files.foreach(rel => DirStreams.deleteTree(storeDir.resolve(rel)))
       Files.deleteIfExists(commitPath(c.seq))
     }
   }
@@ -232,19 +246,12 @@ final class FactLog(val storeDir: Path) {
     * checkpoint still references the old buckets). */
   def vacuumCheckpoints(keepSeq: Long, deleteFiles: Boolean): Unit = {
     if (!Files.exists(checkpointsDir)) return
-    val old = Files.list(checkpointsDir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong).filter(_ < keepSeq).toSeq
+    val old = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).filter(_ < keepSeq).toSeq)
     old.foreach { seq =>
       if (deleteFiles) {
         val c = readCheckpoint(seq)
-        c.files.foreach { f =>
-          val p = storeDir.resolve(f.path)
-          if (Files.isDirectory(p))
-            Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-              .forEach(x => Files.deleteIfExists(x))
-          else Files.deleteIfExists(p)
-        }
+        c.files.foreach(f => DirStreams.deleteTree(storeDir.resolve(f.path)))
       }
       Files.deleteIfExists(checkpointPath(seq))
     }
@@ -267,8 +274,8 @@ final class FactLog(val storeDir: Path) {
       val src = storeDir.resolve(rel)
       val parts: Seq[Path] =
         if (Files.isDirectory(src))
-          Files.list(src).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+          DirStreams.listPaths(src)(
+            _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString))
         else Seq(src)
       parts.zipWithIndex.foreach { case (p, j) =>
         val target = streamDir.resolve(f"${rec.seq}%020d-$i-$j.parquet")

@@ -31,6 +31,11 @@ import graft.core.{Fact, TagQuery, TagQueryItem}
   */
 object LocalParquet {
 
+  /** Local scans performed (test observability: lets the contract suite
+    * assert that replay/subscribe page incrementally — one scan per window —
+    * instead of materializing a whole range in one read). */
+  private[graft] val scanCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** parquet-mr rendering of FactLog.schema (STRING = UTF8 annotation;
     * appended_at is INT64 TIMESTAMP micros, UTC-adjusted, matching what
     * Spark writes for TimestampType with outputTimestampType=MICROS).
@@ -158,11 +163,10 @@ object LocalParquet {
 
   /** A file path or a directory of part files — expand to parquet parts. */
   private def parts(p: JPath): Seq[JPath] =
-    if (JFiles.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      JFiles.list(p).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-    } else Seq(p)
+    if (JFiles.isDirectory(p))
+      DirStreams.listPaths(p)(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString))
+    else Seq(p)
 
   /** Total bytes of the given files/dirs — the local-vs-Spark switch. */
   def totalBytes(files: Seq[String]): Long =
@@ -170,6 +174,7 @@ object LocalParquet {
 
   private def scan[A](files: Seq[String], projection: String)(
       consume: Iterator[Group] => A): A = {
+    scanCount.incrementAndGet()
     val conf = confFor(projection)
     val it = files.iterator.flatMap(f => parts(JPath.of(f))).flatMap { p =>
       val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p.toUri))

@@ -98,9 +98,9 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   }
 
   override def listStores(): Seq[StoreMetadata] =
-    Files.list(catalogDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".store"))
-      .map(parseMeta).toSeq.sortBy(_.createdAt)
+    DirStreams.listPaths(catalogDir)(
+      _.filter(_.getFileName.toString.endsWith(".store"))
+        .map(parseMeta).toSeq.sortBy(_.createdAt))
 
   override def storeExists(name: String): Boolean = Files.exists(catalogPath(name))
 
@@ -121,10 +121,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
+  private def deleteRecursively(p: Path): Unit = DirStreams.deleteTree(p)
 
   // FactLog instances cached per store: the parsed-commit cache makes
   // repeated metadata reads O(new commits), not O(all commits).
@@ -201,6 +198,8 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     * shuffle, so it scales to arbitrarily large loads. */
   def bulkAppend(storeName: String, facts: DataFrame,
       idempotencyKey: String = UUID.randomUUID().toString): AppendResult = {
+    require(Validation.validIdempotencyKey(idempotencyKey),
+      "idempotency key must be non-empty and must not contain tab or newline characters")
     findStoreByName(storeName) match {
       case None => AppendResult.StoreNotFound
       case Some(md) =>
@@ -281,8 +280,8 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   private def writeParquetSingleFile(df: DataFrame, target: Path): Unit = {
     val tmpDir = target.getParent.resolve(s".stage-${UUID.randomUUID()}")
     df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = Files.list(tmpDir).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
+    val part = DirStreams.listPaths(tmpDir)(
+        _.find(_.getFileName.toString.endsWith(".parquet")))
       .getOrElse(throw new IllegalStateException(s"no parquet part in $tmpDir"))
     Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(tmpDir)
@@ -336,10 +335,20 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
           val log = logFor(md)
           val (prevCkpt, recs) = log.snapshot()
           if (recs.isEmpty && !(full && prevCkpt.isDefined)) return 0
-          val state = log.headState()
-          val keys = log.idempotencyKeys()
+          // Head state, key set, and input files are ALL derived from the one
+          // snapshot() above — never re-read the log here. Auto-compact runs
+          // without the append lock, so a commit landing between two reads
+          // would otherwise get a checkpoint published at its seq without its
+          // data files (readers at checkpoint+commitsAfter(seq) would lose it).
+          val state = recs.lastOption
+            .map(r => HeadState(r.seq, r.lastPosition, r.appendedAtNanos))
+            .orElse(prevCkpt.map(c => HeadState(c.seq, c.lastPosition, c.appendedAtNanos)))
+            .getOrElse(HeadState(0L, 0L, Long.MinValue))
+          val keys = prevCkpt.map(_.idempotencyKeys).getOrElse(Set.empty[String]) ++
+            recs.iterator.map(_.idempotencyKey)
           val input =
-            if (full) log.committedFiles()
+            if (full) (prevCkpt.toSeq.flatMap(_.files.map(_.path)) ++ recs.flatMap(_.files))
+              .map(f => log.resolve(f).toString)
             else recs.flatMap(_.files).map(f => log.resolve(f).toString)
           val df = FactLog.read(spark, input)
             .withColumn("bucket", expr(s"(position - 1) div ${rowsPerBucket}L"))
@@ -418,19 +427,23 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
       last == expected
     case AppendCondition.All(cs) => cs.forall(conditionHolds(log, _))
     case AppendCondition.TagQueryBased(query, after) =>
-      val afterPos = after match {
-        case Some(id) => resolvePosition(log, id).getOrElse(Long.MaxValue)
-        case None => 0L
+      // A nonexistent `after` cursor is a violated condition, not a trivially
+      // satisfied one (reference MemoryFactStore.kt:249 rejects it).
+      val afterPos: Option[Long] = after match {
+        case Some(id) => resolvePosition(log, id)
+        case None => Some(0L)
       }
-      // limit-1 existence probe over files pruned to positions > afterPos,
-      // then bloom-pruned to files that might match the query at all
-      val pruned = log.committedFileRefs(minPos = afterPos + 1)
-        .filter(f => Blooms.mightMatchQuery(f.bloom, query)).map(_.path)
-      if (localOk(pruned)) !LocalParquet.existsMatching(pruned, afterPos, query)
-      else FactLog.read(spark, pruned)
-        .filter(col("position") > lit(afterPos) &&
-          FactFinders.tagQueryPredicate(query))
-        .limit(1).isEmpty
+      afterPos.exists { pos =>
+        // limit-1 existence probe over files pruned to positions > pos,
+        // then bloom-pruned to files that might match the query at all
+        val pruned = log.committedFileRefs(minPos = pos + 1)
+          .filter(f => Blooms.mightMatchQuery(f.bloom, query)).map(_.path)
+        if (localOk(pruned)) !LocalParquet.existsMatching(pruned, pos, query)
+        else FactLog.read(spark, pruned)
+          .filter(col("position") > lit(pos) &&
+            FactFinders.tagQueryPredicate(query))
+          .limit(1).isEmpty
+      }
   }
 
   /** Position of a fact id, via local probe or Spark depending on volume. */
@@ -494,8 +507,15 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
 
   override def findByTags(store: String, tags: Map[String, String], limit: Limit,
       dir: ReadDirection): FindResult = {
-    val asQuery = TagQuery(Seq(TagQueryItem.TagOnly(tags)))
-    prunedDf(store, f => tags.isEmpty || Blooms.mightMatchQuery(f.bloom, asQuery)) match {
+    // Empty tags = match all facts (reference behavior): no TagQuery wrapper
+    // (TagOnly requires non-empty) and no bloom pruning.
+    val keep: FileRef => Boolean =
+      if (tags.isEmpty) _ => true
+      else {
+        val asQuery = TagQuery(Seq(TagQueryItem.TagOnly(tags)))
+        f => Blooms.mightMatchQuery(f.bloom, asQuery)
+      }
+    prunedDf(store, keep) match {
       case None => FindResult.StoreNotFound
       case Some(df) => FindResult.Found(collectFacts(FactFinders.byTags(df, tags, limit, dir)))
     }
@@ -537,15 +557,12 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
                   case Nil =>
                     val head = log.headPosition() // cheap: commit-log metadata only
                     if (head > cursor) {
-                      val files = log.committedFiles(minPos = cursor + 1, maxPos = head)
-                      // live-tail deltas are typically small: local read keeps
-                      // tail latency in single-digit ms; Spark handles big gaps
-                      val facts =
-                        if (localOk(files))
-                          LocalParquet.readFacts(files, cursor + 1, head)
-                        else collectFacts(FactFinders.positionWindow(
-                          FactLog.read(spark, files), cursor, head))
-                      pending = facts.grouped(batchSize).toList
+                      // catch up ONE batch-sized position window at a time:
+                      // a subscriber attaching at Beginning on a huge store
+                      // never materializes more than batchSize facts on the
+                      // driver (files are pruned to the window via commit
+                      // metadata, so each read touches O(overlap) files).
+                      pending = List(readWindow(log, cursor, math.min(cursor + batchSize, head)))
                     } else Thread.sleep(50) // poll tail (reference memory backend: 100 ms)
                 }
               }
@@ -609,12 +626,29 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
               .getOrElse(Left(StreamError.FactIdNotFound(id)))
         }
         afterPos.map { pos =>
-          if (pos >= pinnedHead) Iterator.empty
-          else {
-            val df = FactLog.read(spark, log.committedFiles(minPos = pos + 1, maxPos = pinnedHead))
-            val facts = collectFacts(FactFinders.positionWindow(df, pos, pinnedHead))
-            facts.grouped(batchSize)
+          // Page by position windows against the pinned head: each next()
+          // reads exactly one batchSize-sized window (file set pruned via
+          // commit metadata), so replaying a 100 TB store from Beginning
+          // holds at most one batch in driver memory — never the full range.
+          new Iterator[Seq[Fact]] {
+            private var cursor = pos
+            override def hasNext: Boolean = cursor < pinnedHead
+            override def next(): Seq[Fact] = {
+              if (!hasNext) throw new NoSuchElementException("replay drained")
+              val hi = math.min(cursor + batchSize, pinnedHead)
+              val batch = readWindow(log, cursor, hi)
+              cursor = hi
+              batch
+            }
           }
         }
     }
+
+  /** One bounded position window (afterPos, hi], smallest-footprint path:
+    * local parquet-mr read when the pruned file set is small, Spark when not. */
+  private def readWindow(log: FactLog, afterPos: Long, hi: Long): Seq[Fact] = {
+    val files = log.committedFiles(minPos = afterPos + 1, maxPos = hi)
+    if (localOk(files)) LocalParquet.readFacts(files, afterPos + 1, hi)
+    else collectFacts(FactFinders.positionWindow(FactLog.read(spark, files), afterPos, hi))
+  }
 }

@@ -251,6 +251,43 @@ abstract class AbstractFactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("TagQueryBased with a nonexistent after-cursor is a violated condition") {
+    withStore { (fs, s) =>
+      appendOne(fs, s, input(tags = Map("username" -> "alice")))
+      val q = TagQuery(Seq(TagQueryItem.TagType(Set("USER_CREATED"), Map("username" -> "alice"))))
+      // reference MemoryFactStore rejects an unknown cursor fact id instead
+      // of treating the condition as trivially satisfied
+      assert(fs.append(AppendRequest(s, Seq(input(subject = "USER:BOB")),
+        condition = AppendCondition.TagQueryBased(q, Some("no-such-fact-id"))))
+        == AppendResult.AppendConditionViolated)
+    }
+  }
+
+  test("idempotency keys with tab/newline are rejected at request construction") {
+    intercept[IllegalArgumentException] {
+      AppendRequest("s", Seq(input()), idempotencyKey = "bad\tkey")
+    }
+    intercept[IllegalArgumentException] {
+      AppendRequest("s", Seq(input()), idempotencyKey = "bad\nkey")
+    }
+    intercept[IllegalArgumentException] {
+      AppendRequest("s", Seq(input()), idempotencyKey = "")
+    }
+  }
+
+  test("findByTags with an empty tag map returns all facts") {
+    withStore { (fs, s) =>
+      appendOne(fs, s, input(subject = "USER:ALICE", tags = Map("region" -> "eu")))
+      appendOne(fs, s, input(subject = "USER:BOB")) // no tags at all
+      val all = found(fs.findByTags(s, Map.empty))
+      assert(all.size == 2)
+      assert(all.map(_.position) == Seq(1L, 2L))
+      // limit + direction still apply
+      val last = found(fs.findByTags(s, Map.empty, Limit.Of(1), ReadDirection.Backward))
+      assert(last.map(_.subject) == Seq("USER:BOB"))
+    }
+  }
+
   // --- finders (reference :175-335, 473-773) -----------------------------------
   test("findById / existsById outcomes") {
     withStore { (fs, s) =>
