@@ -32,10 +32,18 @@ object CrossHash {
   val Bands = 4
   val BandRows = 4
 
-  /** SimHash width: features are shingle hashes, which are ~uniform on
-    * [0, P) ≈ 30 bits (the mod-P wrap mixes them); bits above 30 would be
-    * constant, so the signature stops there. */
-  val SimhashBits = 30
+  /** SimHash width: shingle hashes are ~uniform on [0, P) ≈ 30 bits, so one
+    * hash yields 30 usable bits. A second independent permutation
+    * g = (A2·h + B2) mod P contributes bits 30..59 — a 60-bit signature,
+    * which LSH splits into 4 blocks of 15 bits (4 × 32768 = 131072 buckets;
+    * the round-1 30-bit/8-bit-block variant had 1024 buckets total and went
+    * quadratic within buckets as the corpus grew). */
+  val SimhashBits = 60
+  val SimhashBlockBits = 15
+  val SimhashBlocks = 4
+  /** Second-feature permutation constants (pinned forever once committed). */
+  val Simhash2A = 982451653L
+  val Simhash2B = 541L
 
   // -------------------------------------------------------------------------
   // Spark SQL expression builders (strings for functions.expr)
@@ -69,13 +77,13 @@ object CrossHash {
     s"array(${mins.mkString(", ")})"
   }
 
-  /** SimHash over a feature-hash array (use shingle hashes: uniform bit
-    * spread; short-word hashes would leave high bits constant). */
-  def simhashSpark(wh: String): String =
-    s"""aggregate(sequence(0, ${SimhashBits - 1}), 0L,
-        (acc, i) -> acc + if(
-          aggregate($wh, 0L, (a, h) -> a + 2 * (shiftright(h, i) & 1) - 1) > 0,
-          shiftleft(1L, i), 0L))"""
+  /** 60-bit SimHash feature per shingle hash `h` (< 2^30): low 30 bits are
+    * `h` itself, high 30 an independent permutation — uniform across all
+    * SimhashBits positions. The bit-majority itself is computed
+    * relationally (explode + conditional sums — codegen'd), not as a HOF
+    * fold: see Dedup.dedup_simhash. */
+  def simhashFeatureSpark(h: String): String =
+    s"(($h) + shiftleft(($Simhash2A * ($h) + $Simhash2B) % $P, 30))"
 
   /** Dot product of two float-array exprs in double precision, strict
     * left-to-right index order (identical IEEE result on both engines). */
@@ -116,10 +124,8 @@ object CrossHash {
     s"[${mins.mkString(", ")}]"
   }
 
-  def simhashDuck(wh: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, range(0, $SimhashBits)), (acc, i) -> acc + CASE WHEN " +
-      s"list_reduce(list_prepend(0::BIGINT, $wh), (a, h) -> a + 2 * ((h >> i) & 1) - 1) > 0 " +
-      s"THEN (1::BIGINT << i) ELSE 0 END)"
+  def simhashFeatureDuck(h: String): String =
+    s"(($h) + ((($Simhash2A * ($h) + $Simhash2B) % $P) << 30))"
 
   def dotDuck(a: String, b: String, dim: Int): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), " +

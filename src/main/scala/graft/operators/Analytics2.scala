@@ -44,25 +44,28 @@ object Analytics2 {
     }),
 
     // Funnel: users who view, then click after the view, then purchase
-    // after the click (strict temporal order via per-user min-times).
+    // after the click (strict temporal order). Single scan of events:
+    // three chained per-user window aggregates share one partitioning on
+    // user_id (one Exchange, no self-joins — the round-1 variant scanned
+    // events three times and joined the branches).
     "events_funnel" -> ((s, d) => {
-      val ev = EventFinders.events(s, d).withColumn("ts_us", expr("ts div 1000"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view"))
-      val c = ev.filter(col("event_type") === "click")
-      val p = ev.filter(col("event_type") === "purchase")
-      val clicked = v.join(c, Seq("user_id"))
-        .filter(col("ts_us") > col("first_view"))
-        .groupBy(col("user_id"), col("first_view"))
-        .agg(min(col("ts_us")).as("first_click_after_view"))
-      val purchased = clicked.join(p, Seq("user_id"))
-        .filter(col("ts_us") > col("first_click_after_view"))
-        .groupBy(col("user_id"))
-        .agg(min(col("ts_us")).as("first_purchase_after_click"))
-      v.select(count(lit(1)).as("n")).crossJoin(
-          clicked.select(count(lit(1)).as("m")).select(col("m").as("n_clicked")))
-        .crossJoin(purchased.select(count(lit(1)).as("n_purchased")))
-        .select(col("n").as("n_viewed"), col("n_clicked"), col("n_purchased"))
+      val w = Window.partitionBy(col("user_id"))
+      val e = EventFinders.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("mv",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("mc",
+          min(when(col("event_type") === "click" && col("ts_us") > col("mv"),
+            col("ts_us"))).over(w))
+        .withColumn("mp",
+          min(when(col("event_type") === "purchase" && col("ts_us") > col("mc"),
+            col("ts_us"))).over(w))
+      e.groupBy(col("user_id"))
+        .agg(max(col("mv")).as("mv"), max(col("mc")).as("mc"), max(col("mp")).as("mp"))
+        .agg(
+          count(col("mv")).as("n_viewed"),
+          count(col("mc")).as("n_clicked"),
+          count(col("mp")).as("n_purchased"))
     }),
 
     // Pivot-style conditional aggregation: order-status counts as columns

@@ -20,6 +20,11 @@ import graft.functions.CrossHash._
   */
 object Dedup {
 
+  /** Shingle document-frequency cap for dedup_ngram_jaccard: shingles shared
+    * by more docs than this (per language) are boilerplate and are dropped
+    * before the inverted-index self-join (de-skews the hot keys). */
+  val NgramDfCap = 64L
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def embeddings(spark: SparkSession, dir: String): DataFrame = {
@@ -84,16 +89,31 @@ object Dedup {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
-    // SimHash over shingle features: 30-bit signature, 4 x 8-bit blocks as
+    // SimHash over shingle features: 60-bit signature, 4 x 15-bit blocks as
     // LSH (pigeonhole: hamming <= 3 pairs agree on >= 1 block); verify
-    // popcount <= 3.
+    // popcount <= 3. 4 x 32768 = 131072 buckets keeps within-bucket pair
+    // counts near-linear at corpus scale (the old 30-bit/8-bit-block layout
+    // had 1024 buckets total => ~n^2/1024 candidate pairs).
+    //
+    // Bit majorities are computed relationally — explode the feature array
+    // and take 60 conditional sums per doc (whole-stage codegen) — instead
+    // of a HOF fold, which runs interpreted and rescans the array per bit.
     "dedup_simhash" -> ((s, d) => {
-      val sig = shingled(s, d).selectExpr("doc_id",
-        s"${simhashSpark("sh")} AS simhash")
+      val feats = shingled(s, d).selectExpr("doc_id", "explode(sh) AS h")
+        .selectExpr("doc_id", s"${simhashFeatureSpark("h")} AS f")
+      val bitCols = (0 until SimhashBits).map(i =>
+        sum(expr(s"shiftright(f, $i) & 1")).as(s"c$i"))
+      // strict majority: 2*ones > n  (ties -> 0, matching sum(2b-1) > 0)
+      val sigExpr = (0 until SimhashBits).map(i =>
+        s"if(2 * c$i > n, shiftleft(1L, $i), 0L)").mkString(" + ")
+      val sig = feats.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), bitCols: _*)
+        .selectExpr("doc_id", s"$sigExpr AS simhash")
         .persist()
+      val mask = (1 << SimhashBlockBits) - 1
       val blocks = sig.selectExpr("doc_id", "simhash",
-        """explode(transform(sequence(0, 3),
-           b -> struct(b AS blk, shiftright(simhash, b * 8) & 255 AS bval))) AS e""")
+        s"""explode(transform(sequence(0, ${SimhashBlocks - 1}),
+           b -> struct(b AS blk, shiftright(simhash, b * $SimhashBlockBits) & $mask AS bval))) AS e""")
         .selectExpr("doc_id", "simhash", "e.blk AS blk", "e.bval AS bval")
       blocks.as("a").join(blocks.as("b"),
           col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
@@ -107,11 +127,23 @@ object Dedup {
 
     // N-gram Jaccard via inverted shingle index: common-shingle counts come
     // from a (lang, shingle) equi-join + groupBy — no per-pair array math,
-    // and pairs with zero overlap never materialize.
+    // and pairs with zero overlap never materialize. A document-frequency
+    // cap drops boilerplate shingles BEFORE the self-join: a shingle shared
+    // by k docs contributes k^2 join rows on ONE key, so without the cap a
+    // single stopword-like shingle becomes a skewed-key full shuffle at
+    // corpus scale. Jaccard is computed over the capped shingle sets on
+    // both engines (recall for real near-dups is unaffected — their
+    // overlap is dominated by low-DF shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d).selectExpr("doc_id", "lang", "sh", "size(sh) AS sz")
-      val inv = sh.selectExpr("lang", "doc_id", "sz", "explode(sh) AS shv")
-      inv.as("l").join(inv.as("r"),
+      val inv0 = shingled(s, d).selectExpr("lang", "doc_id", "explode(sh) AS shv")
+      val kept = inv0.groupBy(col("lang"), col("shv"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= NgramDfCap)
+        .select("lang", "shv")
+      val inv = inv0.join(kept, Seq("lang", "shv"))
+      val sz = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val invSz = inv.join(sz, Seq("doc_id")).persist()
+      invSz.as("l").join(invSz.as("r"),
           col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
             col("l.doc_id") < col("r.doc_id"))
         .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
@@ -164,24 +196,39 @@ object Dedup {
           "FROM cand JOIN sigs l ON da = l.doc_id JOIN sigs r ON db = r.doc_id) " +
           "SELECT doc_a, doc_b, n_common, n_union, (n_common * 10000) // n_union AS jaccard_bp " +
           "FROM verified WHERE (n_common * 10000) // n_union >= 7000 ORDER BY doc_a, doc_b"),
-      "dedup_simhash" ->
-        (s"WITH shingled AS ($shingledSql), " +
-          s"sigs AS (SELECT doc_id, ${simhashDuck("sh")} AS simhash FROM shingled), " +
+      "dedup_simhash" -> {
+        val sumCols = (0 until SimhashBits).map(i => s"sum((f >> $i) & 1) AS c$i").mkString(", ")
+        val sigSql = (0 until SimhashBits).map(i =>
+          s"CASE WHEN 2 * c$i > n THEN (1::BIGINT << $i) ELSE 0::BIGINT END").mkString(" + ")
+        val mask = (1 << SimhashBlockBits) - 1
+        s"WITH shingled AS ($shingledSql), " +
+          s"feats AS (SELECT doc_id, ${simhashFeatureDuck("shv")} AS f FROM " +
+          "(SELECT doc_id, unnest(sh) AS shv FROM shingled)), " +
+          s"sums AS (SELECT doc_id, count(*) AS n, $sumCols FROM feats GROUP BY doc_id), " +
+          s"sigs AS (SELECT doc_id, ($sigSql) AS simhash FROM sums), " +
           "blocks AS (SELECT doc_id, simhash, r.range AS blk, " +
-          "(simhash >> (r.range * 8)::INT) & 255 AS bval FROM sigs CROSS JOIN range(0, 4) r), " +
+          s"(simhash >> (r.range * $SimhashBlockBits)::INT) & $mask AS bval " +
+          s"FROM sigs CROSS JOIN range(0, $SimhashBlocks) r), " +
           "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
           "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming FROM blocks a " +
           "JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id) " +
-          "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b"),
+          "SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b"
+      },
       "dedup_ngram_jaccard" ->
-        (s"WITH shingled AS (SELECT doc_id, lang, sh, len(sh) AS sz FROM ($shingledSql)), " +
-          "inv AS (SELECT lang, doc_id, sz, unnest(sh) AS shv FROM shingled), " +
-          "common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sz AS sz_a, r.sz AS sz_b, " +
+        (s"WITH shingled AS ($shingledSql), " +
+          "inv0 AS (SELECT lang, doc_id, unnest(sh) AS shv FROM shingled), " +
+          "kept AS (SELECT lang, shv FROM (SELECT lang, shv, count(*) AS df " +
+          s"FROM inv0 GROUP BY lang, shv) WHERE df <= $NgramDfCap), " +
+          "inv AS (SELECT i.lang, i.doc_id, i.shv FROM inv0 i " +
+          "JOIN kept k ON i.lang = k.lang AND i.shv = k.shv), " +
+          "szs AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id), " +
+          "common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, " +
           "count(*) AS n_common FROM inv l JOIN inv r ON l.lang = r.lang AND l.shv = r.shv " +
-          "AND l.doc_id < r.doc_id GROUP BY 1, 2, 3, 4) " +
-          "SELECT doc_a, doc_b, n_common, sz_a + sz_b - n_common AS n_union, " +
-          "(n_common * 10000) // (sz_a + sz_b - n_common) AS jaccard_bp FROM common " +
-          "WHERE (n_common * 10000) // (sz_a + sz_b - n_common) >= 5000 ORDER BY doc_a, doc_b"),
+          "AND l.doc_id < r.doc_id GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, n_common, sa.sz + sb.sz - n_common AS n_union, " +
+          "(n_common * 10000) // (sa.sz + sb.sz - n_common) AS jaccard_bp FROM common " +
+          "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
+          "WHERE (n_common * 10000) // (sa.sz + sb.sz - n_common) >= 5000 ORDER BY doc_a, doc_b"),
       "dedup_embedding_cosine" ->
         (s"WITH e AS (SELECT vec_id, label, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
           "FROM embeddings) " +

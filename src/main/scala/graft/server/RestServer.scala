@@ -225,6 +225,32 @@ final class RestServer(store: FactStore, port: Int = 0) {
     sendFind(ex, s, store.findBySubject(s, subject, limit, dir))
   }
 
+  /** Streamed-fact framing: NDJSON by default; Server-Sent Events when the
+    * client asks for `text/event-stream` (the reference streams SSE with
+    * JSON elements, StreamResource.kt:7-8,25,43 — an `EventSource` client
+    * can point here unchanged). */
+  private sealed trait Framing {
+    def contentType: String
+    def write(os: java.io.OutputStream, json: Array[Byte]): Unit
+  }
+  private object NdjsonFraming extends Framing {
+    val contentType = "application/x-ndjson"
+    def write(os: java.io.OutputStream, json: Array[Byte]): Unit = {
+      os.write(json); os.write('\n')
+    }
+  }
+  private object SseFraming extends Framing {
+    val contentType = "text/event-stream"
+    def write(os: java.io.OutputStream, json: Array[Byte]): Unit = {
+      os.write("data: ".getBytes(UTF_8)); os.write(json)
+      os.write('\n'); os.write('\n')
+    }
+  }
+  private def framingFor(ex: HttpExchange): Framing = {
+    val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+    if (accept.contains("text/event-stream")) SseFraming else NdjsonFraming
+  }
+
   private def replay(ex: HttpExchange, s: String): Unit = {
     val after = params(ex).get("after").flatMap(_.headOption)
     val start = after.fold(ReplayStart.Beginning: ReplayStart)(ReplayStart.After(_))
@@ -232,15 +258,12 @@ final class RestServer(store: FactStore, port: Int = 0) {
       case Left(StreamError.StoreNotFound) => sendError(ex, 404, "store_not_found", s)
       case Left(StreamError.FactIdNotFound(id)) => sendError(ex, 404, "after_fact_not_found", id)
       case Right(batches) =>
-        // NDJSON stream, one fact per line (the batch envelope of the
-        // reference's SSE/gRPC streams collapses to chunked lines here)
-        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        val framing = framingFor(ex)
+        ex.getResponseHeaders.set("Content-Type", framing.contentType)
         ex.sendResponseHeaders(200, 0)
         val os = ex.getResponseBody
         batches.foreach { batch =>
-          batch.foreach { f =>
-            os.write(mapper.writeValueAsBytes(factJson(f))); os.write('\n')
-          }
+          batch.foreach(f => framing.write(os, mapper.writeValueAsBytes(factJson(f))))
           os.flush()
         }
         os.close()
@@ -261,7 +284,8 @@ final class RestServer(store: FactStore, port: Int = 0) {
       case Left(StreamError.StoreNotFound) => sendError(ex, 404, "store_not_found", s)
       case Left(StreamError.FactIdNotFound(id)) => sendError(ex, 404, "after_fact_not_found", id)
       case Right(sub) =>
-        ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+        val framing = framingFor(ex)
+        ex.getResponseHeaders.set("Content-Type", framing.contentType)
         ex.sendResponseHeaders(200, 0)
         val os = ex.getResponseBody
         var sent = 0L
@@ -269,7 +293,7 @@ final class RestServer(store: FactStore, port: Int = 0) {
           while (sent < max && sub.hasNext) {
             sub.next().foreach { f =>
               if (sent < max) {
-                os.write(mapper.writeValueAsBytes(factJson(f))); os.write('\n')
+                framing.write(os, mapper.writeValueAsBytes(factJson(f)))
                 sent += 1
               }
             }

@@ -31,6 +31,10 @@ class RestServerSpec extends AnyFunSuite {
   private def delete(c: HttpClient, url: String): HttpResponse[String] =
     c.send(HttpRequest.newBuilder(URI.create(url)).DELETE().build(),
       HttpResponse.BodyHandlers.ofString())
+  private def getSse(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+      .header("Accept", "text/event-stream").GET().build(),
+      HttpResponse.BodyHandlers.ofString())
 
   private def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
 
@@ -126,6 +130,32 @@ class RestServerSpec extends AnyFunSuite {
       assert(tq.statusCode() == 200 &&
         tq.body().contains("\"type\":\"T1\"") && tq.body().contains("\"type\":\"T2\"") &&
         !tq.body().contains("\"type\":\"T3\""))
+    }
+  }
+
+  test("SSE framing on replay and subscribe (Accept: text/event-stream)") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"s5"}""")
+      (1 to 2).foreach { i =>
+        post(c, s"$base/stores/s5/facts",
+          s"""{"facts":[{"type":"T$i","subject":"x","data":""}]}""")
+      }
+      // replay as SSE: data:-prefixed JSON events, blank-line separated
+      val rep = getSse(c, s"$base/stores/s5/facts/replay")
+      assert(rep.statusCode() == 200)
+      assert(rep.headers().firstValue("Content-Type").orElse("").startsWith("text/event-stream"))
+      val events = rep.body().split("\n\n").filter(_.nonEmpty)
+      assert(events.length == 2)
+      assert(events.forall(_.startsWith("data: ")))
+      assert(events(0).contains("\"type\":\"T1\"") && events(1).contains("\"type\":\"T2\""))
+      // live subscribe as SSE
+      val sub = getSse(c, s"$base/stores/s5/facts/subscribe?max=2")
+      assert(sub.headers().firstValue("Content-Type").orElse("").startsWith("text/event-stream"))
+      val subEvents = sub.body().split("\n\n").filter(_.nonEmpty)
+      assert(subEvents.length == 2 && subEvents.forall(_.startsWith("data: ")))
+      // default stays NDJSON
+      val nd = get(c, s"$base/stores/s5/facts/replay")
+      assert(nd.headers().firstValue("Content-Type").orElse("").startsWith("application/x-ndjson"))
     }
   }
 }
