@@ -23,6 +23,7 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR fact find-in-time-range STORE [--from ISO] [--to ISO] [--limit N] [--direction d]
   *   graft.Cli --root DIR fact replay STORE [--after ID]
   *   graft.Cli --root DIR fact subscribe STORE [--from beginning|end] [--after ID] [--max N]
+  *   graft.Cli --root DIR serve [--http-port N] [--grpc-port N]
   * }}}
   */
 object Cli {
@@ -96,6 +97,15 @@ object Cli {
             }
             sub.close()
         }
+      case "serve" :: Nil =>
+        // run both wire surfaces against one engine (reference server boots
+        // HTTP + gRPC side by side)
+        val rest = new graft.server.RestServer(fs,
+          flags.get("http-port").map(_.toInt).getOrElse(8080)).start()
+        val grpc = new graft.server.grpc.GrpcServer(fs,
+          flags.get("grpc-port").map(_.toInt).getOrElse(9000)).start()
+        println(s"graft serving REST on :${rest.boundPort} and gRPC on :${grpc.boundPort}")
+        Thread.currentThread().join() // serve until interrupted
       case other => fail(s"unknown command: ${other.mkString(" ")}")
     }
   }
