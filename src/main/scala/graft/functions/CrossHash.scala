@@ -49,25 +49,25 @@ object CrossHash {
   // Spark SQL expression builders (strings for functions.expr)
   // -------------------------------------------------------------------------
 
-  /** Polynomial char-fold hash of a string expr → [0, P). */
-  def charHashSpark(in: String): String =
-    s"aggregate(split($in, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % $P)"
+  /** Polynomial char-fold hash of a string expr → [0, P). Emits the native
+    * codegen'd expression (graft/functions/TextHashExpressions.scala) —
+    * call [[graft.functions.TextHashFunctions.register]] on the session
+    * first. The SQL-HOF rendering (`aggregate(split(in,''), ...)`) computes
+    * the same value but runs interpreted per character. */
+  def charHashSpark(in: String): String = s"char_hash($in)"
 
   /** Whitespace tokens with empties dropped (cross-engine safe on any
     * spacing). */
   def tokensSpark(in: String): String =
     s"filter(split($in, ' '), t -> t != '')"
 
-  /** Array of per-token polynomial hashes. */
-  def wordHashesSpark(tokens: String): String =
-    s"transform($tokens, w -> ${charHashSpark("w")})"
+  /** Per-token polynomial hashes straight from the string (native codegen;
+    * tokenization + hashing in one pass, matching tokensSpark semantics). */
+  def wordHashesSpark(text: String): String = s"word_hashes($text)"
 
   /** Word 3-gram shingle hashes combined arithmetically from word hashes
-    * (1-based element_at matches DuckDB list indexing). */
-  def shingleHashesSpark(wh: String): String =
-    s"""transform(sequence(1, greatest(size($wh) - 2, 0)),
-        i -> ((element_at($wh, i) * 31 + element_at($wh, i + 1)) * 31
-               + element_at($wh, i + 2)) % $P)"""
+    * (native codegen; same ((a*31+b)*31+c) % P combine as the oracle). */
+  def shingleHashesSpark(wh: String): String = s"shingle_hashes($wh)"
 
   /** MinHash signature: array of 16 mins over the shingle set. */
   def minhashSigSpark(sh: String): String = {

@@ -25,30 +25,30 @@ object Dedup {
     * before the inverted-index self-join (de-skews the hot keys). */
   val NgramDfCap = 64L
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark) // codegen'd hash kernels
     spark.read.parquet(s"$dir/documents.parquet")
+  }
   private def embeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark) // codegen'd vec_dot/vec_norm2
     spark.read.parquet(s"$dir/embeddings.parquet")
   }
 
-  /** doc_id + distinct word-3gram shingle hashes, staged and persisted.
+  /** doc_id + distinct word-3gram shingle hashes, persisted.
     *
-    * Two deliberate materialization barriers: higher-order functions run
-    * interpreted (CodegenFallback) with NO common-subexpression
-    * elimination, so a single collapsed projection would re-evaluate the
-    * word-hash array once per `element_at` reference (~450x per doc).
-    * Staging makes each hash a plain column read. The repartition spreads
+    * The tokenize→word-hash→shingle-hash pipeline is native codegen'd
+    * expressions (TextHashExpressions.scala), so the whole chain collapses
+    * into ONE whole-stage-codegen projection — the round-1 HOF rendering
+    * was interpreted with no CSE and needed persist barriers between
+    * stages to avoid ~450x re-evaluation. The repartition still spreads
     * the CPU-heavy hashing across all cores (the source is one small
-    * parquet file = one input split). */
+    * parquet file = one input split); the persist shares the shingle
+    * relation across the dedup queries' candidate and verify branches. */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     val par = spark.sparkContext.defaultParallelism
-    val wh = docs(spark, dir).repartition(par)
+    docs(spark, dir).repartition(par)
       .selectExpr("doc_id", "lang",
-        s"${wordHashesSpark(tokensSpark("text"))} AS wh")
-      .persist()
-    wh.selectExpr("doc_id", "lang",
-        s"array_distinct(${shingleHashesSpark("wh")}) AS sh")
+        s"array_distinct(${shingleHashesSpark(wordHashesSpark("text"))}) AS sh")
       .persist()
   }
 

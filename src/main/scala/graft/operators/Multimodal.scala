@@ -20,8 +20,10 @@ import graft.functions.CrossHash._
   */
 object Multimodal {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark) // codegen'd char_hash
     spark.read.parquet(s"$dir/documents.parquet")
+  }
 
   /** Typed result of the (stubbed) decode step. */
   final case class MediaMeta(

@@ -17,8 +17,10 @@ import graft.functions.CrossHash._
   */
 object TextAnalysis {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark) // codegen'd char_hash
     spark.read.parquet(s"$dir/documents.parquet")
+  }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (shared literal lists with the oracle SQL). */
