@@ -16,6 +16,7 @@ object SparkEntry {
       (Analytics2.queries, Analytics2.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Dedup.queries, Dedup.oracles),
+      (TrainingPipeline.queries, TrainingPipeline.oracles),
       (Similarity.queries, Similarity.oracles),
       (Multimodal.queries, Multimodal.oracles)
     )

@@ -69,13 +69,10 @@ object CrossHash {
     * (native codegen; same ((a*31+b)*31+c) % P combine as the oracle). */
   def shingleHashesSpark(wh: String): String = s"shingle_hashes($wh)"
 
-  /** MinHash signature: array of 16 mins over the shingle set. */
-  def minhashSigSpark(sh: String): String = {
-    val mins = MinhashPerms.map { case (a, b) =>
-      s"array_min(transform($sh, x -> ($a * x + $b) % $P))"
-    }
-    s"array(${mins.mkString(", ")})"
-  }
+  /** MinHash signature: 16 permutation-mins over the shingle set (native
+    * codegen single pass — the SQL array_min/transform rendering scans the
+    * array 16 times, interpreted). */
+  def minhashSigSpark(sh: String): String = s"minhash_sig($sh)"
 
   /** 60-bit SimHash feature per shingle hash `h` (< 2^30): low 30 bits are
     * `h` itself, high 30 an independent permutation — uniform across all

@@ -77,6 +77,85 @@ object TextHash {
   }
 }
 
+object TextHash60 {
+  /** 60-bit SimHash signature straight from the shingle-hash array: per
+    * feature f = h + (((A2*h + B2) mod P) << 30), count ones per bit,
+    * strict majority (2*ones > n) sets the bit. One pass per doc — the
+    * relational rendering (explode + 60 conditional sums) shuffles 60
+    * aggregate columns; this stays inside one codegen'd projection. */
+  def simhash60(sh: ArrayData): Long = {
+    val n = sh.numElements()
+    val counts = new Array[Int](CrossHash.SimhashBits)
+    var i = 0
+    while (i < n) {
+      val h = sh.getLong(i)
+      val f = h + (((CrossHash.Simhash2A * h + CrossHash.Simhash2B) % CrossHash.P) << 30)
+      var b = 0
+      while (b < CrossHash.SimhashBits) {
+        counts(b) += ((f >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < CrossHash.SimhashBits) {
+      if (2 * counts(b) > n) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+case class Simhash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash60.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash60.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+    copy(child = newChild)
+}
+
+object TextHashMinhash {
+  private val as: Array[Long] = CrossHash.MinhashPerms.map(_._1).toArray
+  private val bs: Array[Long] = CrossHash.MinhashPerms.map(_._2).toArray
+
+  /** 16-permutation MinHash signature in ONE pass over the shingle set.
+    * The SQL rendering is 16 separate `array_min(transform(sh, ...))`
+    * lambdas — 16 interpreted scans of the array with no CSE. Same pinned
+    * (a*x + b) mod P permutations, so values match the oracle exactly. */
+  def minhashSig(sh: ArrayData): ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * x + bs(j)) % CrossHash.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashMinhash.minhashSig(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashMinhash.minhashSig($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
 case class CharHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "char_hash"
@@ -121,5 +200,9 @@ object TextHashFunctions {
       exprs => WordHashes(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
       exprs => ShingleHashes(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash60",
+      exprs => Simhash60(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinhashSig(exprs.head), "scala_udf")
   }
 }

@@ -95,20 +95,14 @@ object Dedup {
     // counts near-linear at corpus scale (the old 30-bit/8-bit-block layout
     // had 1024 buckets total => ~n^2/1024 candidate pairs).
     //
-    // Bit majorities are computed relationally — explode the feature array
-    // and take 60 conditional sums per doc (whole-stage codegen) — instead
-    // of a HOF fold, which runs interpreted and rescans the array per bit.
+    // The signature is one native codegen'd pass per doc (Simhash60 in
+    // TextHashExpressions.scala): per-bit feature majorities without
+    // exploding features or shuffling 60 aggregate columns. Docs with no
+    // shingles are excluded (matches the oracle's unnest semantics).
     "dedup_simhash" -> ((s, d) => {
-      val feats = shingled(s, d).selectExpr("doc_id", "explode(sh) AS h")
-        .selectExpr("doc_id", s"${simhashFeatureSpark("h")} AS f")
-      val bitCols = (0 until SimhashBits).map(i =>
-        sum(expr(s"shiftright(f, $i) & 1")).as(s"c$i"))
-      // strict majority: 2*ones > n  (ties -> 0, matching sum(2b-1) > 0)
-      val sigExpr = (0 until SimhashBits).map(i =>
-        s"if(2 * c$i > n, shiftleft(1L, $i), 0L)").mkString(" + ")
-      val sig = feats.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n"), bitCols: _*)
-        .selectExpr("doc_id", s"$sigExpr AS simhash")
+      val sig = shingled(s, d)
+        .filter(expr("size(sh) > 0"))
+        .selectExpr("doc_id", "simhash60(sh) AS simhash")
         .persist()
       val mask = (1 << SimhashBlockBits) - 1
       val blocks = sig.selectExpr("doc_id", "simhash",

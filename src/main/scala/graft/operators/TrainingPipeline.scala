@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.CrossHash._
+
+/** Training-data pipeline operators beyond the dedup/quality wave: the
+  * dataset-engineering steps between a cleaned corpus and a training run.
+  *
+  *  - `pack_sequences`: contiguous token-budget packing — the "sequence
+  *    packing" step that turns documents into fixed-size context windows.
+  *  - `decontaminate`: n-gram overlap against a benchmark set (eval
+  *    contamination scan) reusing the dedup shingle machinery.
+  *  - `sample_split`: deterministic hash-based train/val/test assignment
+  *    (split decisions must be reproducible across engines and runs — no
+  *    rand()).
+  *  - `shard_stats`: hash-sharding for distributed training + balance
+  *    report.
+  *
+  * Scale notes: packing is one window cumsum per language partition
+  * (single shuffle on lang); decontamination joins the exploded corpus
+  * index against a benchmark shingle set (broadcast when small, shuffle
+  * otherwise); split/shard are pure map-side hash projections + one
+  * aggregation.
+  */
+object TrainingPipeline {
+
+  /** Token budget per packed context window. */
+  val PackBudget = 2048L
+  /** Minimum shared distinct shingles to flag contamination. */
+  val ContaminationMinOverlap = 3L
+  /** Training shard count. */
+  val NShards = 32L
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** doc_id, lang, n_tokens (whitespace tokens, BIGINT on both engines). */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr("doc_id", "lang",
+      s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n_tokens")
+
+  /** Shingle relation — the same logical plan as Dedup's persisted one, so
+    * the cache manager reuses its materialization when both run in one
+    * session. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    docs(spark, dir).repartition(par)
+      .selectExpr("doc_id", "lang",
+        s"array_distinct(${shingleHashesSpark(wordHashesSpark("text"))}) AS sh")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Contiguous sequence packing: docs in doc_id order fill fixed
+    // token-budget bins per language; bin id = exclusive-prefix-sum div
+    // budget. One window cumsum per lang partition, then one groupBy.
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokenized(s, d)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .selectExpr("lang", "doc_id", "n_tokens",
+          s"(cum - n_tokens) div ${PackBudget}L AS bin")
+        .groupBy(col("lang"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("bin_tokens"))
+        .selectExpr("lang", "bin", "n_docs", "bin_tokens",
+          s"(bin_tokens * 10000) div ${PackBudget}L AS fill_bp")
+        .orderBy(asc("lang"), asc("bin"))
+    }),
+
+    // Eval-set contamination scan: corpus docs sharing >= K distinct
+    // shingles with the benchmark set (doc_id % 97 == 0 stands in for the
+    // benchmark). The benchmark shingle set is small -> broadcast side of
+    // an equi-join on (lang, shingle); overlap counted by shuffle.
+    "decontaminate" -> ((s, d) => {
+      val sh = shingled(s, d).persist()
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .selectExpr("lang", "explode(sh) AS shv").distinct()
+      val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+        .selectExpr("doc_id", "lang", "explode(sh) AS shv")
+      corpus.join(broadcast(bench), Seq("lang", "shv"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap")) // shv distinct per doc already
+        .filter(col("n_overlap") >= ContaminationMinOverlap)
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Deterministic train/val/test split: bucket = content-independent
+    // doc_id hash mod 100 -> 90/5/5. Pure projection + one aggregation;
+    // identical assignment on any engine (no rand()).
+    "sample_split" -> ((s, d) =>
+      tokenized(s, d)
+        .selectExpr("n_tokens",
+          s"${charHashSpark("CAST(doc_id AS STRING)")} % 100 AS bucket")
+        .selectExpr("n_tokens",
+          "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split")
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+        .orderBy(asc("split"))),
+
+    // Hash-sharding for distributed training + balance report: per-shard
+    // doc/token volume. The shard key is the same deterministic hash, so
+    // re-running assignment is stable across engines and cluster sizes.
+    "shard_stats" -> ((s, d) =>
+      tokenized(s, d)
+        .selectExpr("n_tokens",
+          s"${charHashSpark("CAST(doc_id AS STRING)")} % $NShards AS shard")
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("shard_tokens"))
+        .orderBy(asc("shard")))
+  )
+
+  def oracles: Map[String, String] = {
+    val toks = tokensDuck("text")
+    val sh = s"list_distinct(${shingleHashesDuck(wordHashesDuck(toks))})"
+    val docHash = charHashDuck("CAST(doc_id AS VARCHAR)")
+    Map(
+      "pack_sequences" ->
+        (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents), " +
+          "c AS (SELECT lang, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), " +
+          s"b AS (SELECT lang, doc_id, n_tokens, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin FROM c), " +
+          "g AS (SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens " +
+          "FROM b GROUP BY lang, bin) " +
+          s"SELECT lang, bin, n_docs, bin_tokens, (bin_tokens * 10000) // $PackBudget AS fill_bp " +
+          "FROM g ORDER BY lang, bin"),
+      "decontaminate" ->
+        (s"WITH sh AS (SELECT doc_id, lang, $sh AS sh FROM documents), " +
+          "bench AS (SELECT DISTINCT lang, unnest(sh) AS shv FROM sh WHERE doc_id % 97 = 0), " +
+          "corpus AS (SELECT doc_id, lang, unnest(sh) AS shv FROM sh WHERE doc_id % 97 <> 0) " +
+          "SELECT c.doc_id AS doc_id, count(*) AS n_overlap " +
+          "FROM corpus c JOIN bench b ON c.lang = b.lang AND c.shv = b.shv " +
+          s"GROUP BY c.doc_id HAVING count(*) >= $ContaminationMinOverlap ORDER BY doc_id"),
+      "sample_split" ->
+        (s"WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"$docHash % 100 AS bucket FROM documents), " +
+          "s AS (SELECT n_tokens, CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' " +
+          "ELSE 'test' END AS split FROM t) " +
+          "SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
+          "FROM s GROUP BY split ORDER BY split"),
+      "shard_stats" ->
+        (s"WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"$docHash % $NShards AS shard FROM documents) " +
+          "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens " +
+          "FROM t GROUP BY shard ORDER BY shard")
+    )
+  }
+}
