@@ -33,7 +33,14 @@ object Similarity {
   private def hyper(j: Int, i: Int): Double =
     (((j * 1009L + i) * 2654435761L % 1048576L + 1048576L) % 1048576L) / 1048576.0 - 0.5
 
-  private val NPlanes = 8
+  /** Hyperplane count — the bucket-granularity knob. 2^NPlanes buckets:
+    * 8 planes = 256 buckets fits the test corpus (~5k vectors at sf0.1 →
+    * ~20/bucket); a production corpus sizes this as
+    * ceil(log2(n / targetBucketSize)) — e.g. 1B vectors at ~1k/bucket →
+    * 20 planes. Everything downstream (bucket id, pair join, oracle SQL)
+    * derives from this one constant; the hyperplanes themselves are pinned
+    * integer-LCG literals, so any two engines agree for any NPlanes. */
+  private val NPlanes = sys.env.get("SPARK_GRAFT_ANN_PLANES").map(_.toInt).getOrElse(8)
 
   /** Sign-bit bucket id for `v` under the 8 pinned hyperplanes (Spark). */
   private def lshBucketSpark(v: String): String =

@@ -16,6 +16,31 @@ object FactStateStreams {
   final case class SubjectState(
       subject: String, nFacts: Long, lastPosition: Long, lastType: String)
 
+  /** First occurrence of each payload content hash on a live fact stream —
+    * streaming exact dedup for an ingest pipeline. State is one boolean per
+    * content hash in the state store, sharded by hash across executors;
+    * re-deliveries and duplicate appends are dropped across micro-batches
+    * (and across restarts, via checkpointing). */
+  final case class FirstSeen(id: String, subject: String, position: Long, contentHash: String)
+
+  def firstSeenByContent(spark: SparkSession, factStream: DataFrame): Dataset[FirstSeen] = {
+    import spark.implicits._
+    factStream
+      .selectExpr("id", "subject", "position", "md5(payload_data) AS h")
+      .as[(String, String, Long, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (h, rows, state) =>
+        if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          val first = rows.minBy(_._3) // lowest position wins within a batch
+          Iterator.single(FirstSeen(first._1, first._2, first._3, h))
+        }
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */

@@ -121,6 +121,33 @@ class SparkStreamingSpec extends AnyFunSuite {
     assert(last("y") == ("y", 1L, "C"))
   }
 
+  test("streaming exact dedup: only the first occurrence per content hash is emitted") {
+    val (fs, s) = newStore()
+    fs.append(s, FactInput("A", "x", "p1".getBytes("UTF-8")))
+    fs.append(s, FactInput("B", "x", "p2".getBytes("UTF-8")))
+    fs.append(s, FactInput("C", "x", "p1".getBytes("UTF-8"))) // dup of p1
+    val Right(df) = fs.subscribeStream(s): @unchecked
+    val deduped = graft.streaming.FactStateStreams.firstSeenByContent(spark, df)
+    val seen = new ConcurrentLinkedQueue[Long]()
+    val q = deduped.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.FactStateStreams.FirstSeen], _: Long) =>
+        batch.collect().foreach(r => seen.add(r.position))
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // live phase: another p2 duplicate is dropped, fresh p3 is emitted
+      fs.append(s, FactInput("D", "y", "p2".getBytes("UTF-8")))
+      fs.append(s, FactInput("E", "y", "p3".getBytes("UTF-8")))
+      while (seen.size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == Seq(1L, 2L, 5L)) // first p1, first p2, p3
+  }
+
   test("watermarked tumbling-window aggregation over a live subscription") {
     val (fs, s) = newStore()
     (1 to 6).foreach(i => fs.append(s, in(if (i % 2 == 0) "EVEN" else "ODD")))
