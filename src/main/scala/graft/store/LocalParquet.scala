@@ -172,13 +172,86 @@ object LocalParquet {
   def totalBytes(files: Seq[String]): Long =
     files.iterator.flatMap(f => parts(JPath.of(f))).map(JFiles.size).sum
 
-  private def scan[A](files: Seq[String], projection: String)(
+  // Committed files are immutable, so the per-file pruned read schema can be
+  // cached forever (footer read once per file per process).
+  private val fileProjectionCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  // Per-part position min/max from footer row-group statistics, cached
+  // forever (immutable files): lets a windowed replay open only the 1-2
+  // parts overlapping each window instead of every part of the commit.
+  private val partPosRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def partPosRange(p: JPath): (Long, Long) =
+    partPosRangeCache.computeIfAbsent(p.toString, { _ =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), new Configuration()))
+      try {
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        reader.getFooter.getBlocks.forEach { block =>
+          block.getColumns.forEach { c =>
+            if (c.getPath.toDotString == "position") {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long])
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long])
+              }
+            }
+          }
+        }
+        if (mn == Long.MaxValue) (Long.MinValue, Long.MaxValue) else (mn, mx)
+      } finally reader.close()
+    })
+
+  /** Projection pruned AGAINST THE FILE'S OWN SCHEMA: parquet-mr's
+    * projection check requires repetition levels (required vs optional) to
+    * match the file, and store files come from two writers — this writer
+    * (all-optional) and Spark (non-nullable columns become `required`,
+    * e.g. bulkAppend's generated ids). Copying the file's own field types
+    * keeps both readable with one code path. */
+  private def projectionForFile(p: JPath, projectionKey: String, wanted: MessageType): String =
+    fileProjectionCache.computeIfAbsent((p.toString, projectionKey), { _ =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), new Configuration()))
+      try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
+        wanted.getFields.forEach { f =>
+          if (fileSchema.containsField(f.getName))
+            kept.add(fileSchema.getFields.get(fileSchema.getFieldIndex(f.getName)))
+        }
+        new MessageType("fact", kept).toString
+      } finally reader.close()
+    })
+
+  private def scan[A](files: Seq[String], projection: String,
+      posRange: Option[(Long, Long)] = None)(
       consume: Iterator[Group] => A): A = {
     scanCount.incrementAndGet()
-    val conf = confFor(projection)
-    val it = files.iterator.flatMap(f => parts(JPath.of(f))).flatMap { p =>
-      val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p.toUri))
-        .withConf(conf).build()
+    val wanted = MessageTypeParser.parseMessageType(projection)
+    // Position-window pushdown: a real parquet filter lets the reader skip
+    // whole row groups via column statistics, so a batch-sized replay
+    // window over a large multi-row-group commit reads O(window) — not
+    // O(commit) — bytes. (Files are written in position order, so row-group
+    // min/max stats cut precisely.)
+    val filter = posRange.map { case (lo, hi) =>
+      import org.apache.parquet.filter2.predicate.FilterApi._
+      org.apache.parquet.filter2.compat.FilterCompat.get(
+        and(gtEq(longColumn("position"), java.lang.Long.valueOf(lo)),
+          ltEq(longColumn("position"), java.lang.Long.valueOf(hi))))
+    }
+    val it = files.iterator.flatMap(f => parts(JPath.of(f)))
+      .filter(p => posRange.forall { case (lo, hi) =>
+        val (mn, mx) = partPosRange(p)
+        mx >= lo && mn <= hi // skip parts wholly outside the window
+      })
+      .flatMap { p =>
+      val conf = confFor(projectionForFile(p, projection, wanted))
+      val builder = ParquetReader.builder(new GroupReadSupport(), new HPath(p.toUri))
+        .withConf(conf)
+      val reader = filter.fold(builder)(builder.withFilter).build()
       new Iterator[Group] {
         private var nextG = reader.read()
         override def hasNext: Boolean = {
@@ -209,10 +282,12 @@ object LocalParquet {
   private def optString(g: Group, field: String): Option[String] =
     if (g.getFieldRepetitionCount(field) > 0) Some(g.getString(field, 0)) else None
 
-  /** Full facts in (afterPos, maxPos], sorted by position. */
+  /** Full facts in [minPos, maxPos], sorted by position. */
   def readFacts(files: Seq[String], minPos: Long = Long.MinValue,
       maxPos: Long = Long.MaxValue): Seq[Fact] =
-    scan(files, FullProjection) { it =>
+    scan(files, FullProjection,
+      posRange = if (minPos != Long.MinValue || maxPos != Long.MaxValue)
+        Some((minPos, maxPos)) else None) { it =>
       it.flatMap { g =>
         val pos = g.getLong("position", 0)
         if (pos < minPos || pos > maxPos) None

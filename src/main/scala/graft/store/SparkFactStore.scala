@@ -626,29 +626,52 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
               .getOrElse(Left(StreamError.FactIdNotFound(id)))
         }
         afterPos.map { pos =>
-          // Page by position windows against the pinned head: each next()
-          // reads exactly one batchSize-sized window (file set pruned via
-          // commit metadata), so replaying a 100 TB store from Beginning
-          // holds at most one batch in driver memory — never the full range.
+          // Page by position windows against the pinned head: the driver
+          // holds at most one read-window (<= max(batchSize, ReplayWindowRows)
+          // facts) regardless of store size — never the full range. The
+          // read window is larger than one batch so sequential drains
+          // amortize reader setup; each window's file set is pruned via
+          // commit metadata + parquet footer stats before any bytes move.
           new Iterator[Seq[Fact]] {
             private var cursor = pos
-            override def hasNext: Boolean = cursor < pinnedHead
+            private var pending: List[Seq[Fact]] = Nil
+            override def hasNext: Boolean = pending.nonEmpty || cursor < pinnedHead
             override def next(): Seq[Fact] = {
               if (!hasNext) throw new NoSuchElementException("replay drained")
-              val hi = math.min(cursor + batchSize, pinnedHead)
-              val batch = readWindow(log, cursor, hi)
-              cursor = hi
-              batch
+              if (pending.isEmpty) {
+                val window = math.max(batchSize.toLong, ReplayWindowRows.toLong)
+                val hi = math.min(cursor + window, pinnedHead)
+                pending = readWindow(log, cursor, hi, ReplayLocalMaxBytes)
+                  .grouped(batchSize).toList
+                cursor = hi
+              }
+              val b = pending.head
+              pending = pending.tail
+              b
             }
           }
         }
     }
 
-  /** One bounded position window (afterPos, hi], smallest-footprint path:
-    * local parquet-mr read when the pruned file set is small, Spark when not. */
-  private def readWindow(log: FactLog, afterPos: Long, hi: Long): Seq[Fact] = {
+  /** Rows fetched per replay read-window (>= one batch; bounds driver
+    * memory while amortizing per-window reader setup over many batches). */
+  private val ReplayWindowRows = 1 << 16
+
+  /** One bounded position window (afterPos, hi]. Path choice is the
+    * latency/throughput split: small pruned sets read locally via
+    * parquet-mr (no Spark job — single-digit-ms tail latency for
+    * subscribe); larger windows go through Spark's vectorized reader,
+    * which decodes an order of magnitude faster than row-at-a-time
+    * parquet-mr once job overhead is amortized. */
+  private def readWindow(log: FactLog, afterPos: Long, hi: Long,
+      maxLocalBytes: Long = LocalScanMaxBytes): Seq[Fact] = {
     val files = log.committedFiles(minPos = afterPos + 1, maxPos = hi)
-    if (localOk(files)) LocalParquet.readFacts(files, afterPos + 1, hi)
+    if (LocalParquet.totalBytes(files) <= maxLocalBytes)
+      LocalParquet.readFacts(files, afterPos + 1, hi)
     else collectFacts(FactFinders.positionWindow(FactLog.read(spark, files), afterPos, hi))
   }
+
+  /** Local-read cutoff for bulk replay windows: above this, Spark's
+    * vectorized scan wins on throughput despite per-job overhead. */
+  private val ReplayLocalMaxBytes = 2L << 20
 }

@@ -25,7 +25,7 @@ class ReplayPagingSpec extends AnyFunSuite {
     }
   }
 
-  test("replay pages one batch-sized window per next(), lazily") {
+  test("replay pages by bounded read-windows, lazily (batches served from the window buffer)") {
     val fs = newStore()
     seed(fs, "paged", 25)
     val Right(it) = fs.replay("paged", ReplayStart.Beginning, batchSize = 10): @unchecked
@@ -39,12 +39,13 @@ class ReplayPagingSpec extends AnyFunSuite {
     assert(b1.map(_.position) == (1L to 10L))
     assert(afterFirst == before + 1, "first next() = exactly one window scan")
 
+    // 25 facts fit one read-window: later batches come from the buffer
+    // (bounded by the window size), with NO further scans
     val b2 = it.next()
     assert(b2.map(_.position) == (11L to 20L))
-    assert(LocalParquet.scanCount.get() == afterFirst + 1, "second window scanned on demand")
-
     val b3 = it.next()
-    assert(b3.map(_.position) == (21L to 25L)) // short tail window
+    assert(b3.map(_.position) == (21L to 25L))
+    assert(LocalParquet.scanCount.get() == afterFirst, "in-window batches re-scan nothing")
     assert(!it.hasNext)
   }
 
