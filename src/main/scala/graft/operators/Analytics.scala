@@ -145,11 +145,13 @@ object Analytics {
         .orderBy(asc("window_start_us"), asc("event_type"))
     }),
 
-    // Join + rollup on orders: segment x status matrix.
+    // Join + rollup on orders: segment x status matrix. customer scales
+    // with SF (fact-adjacent), so no broadcast hint — size estimation/AQE
+    // broadcasts at small SFs and shuffles at 100 TB.
     "orders_segment_status" -> ((s, d) => {
       val ord = t(s, d, "orders")
       val cust = t(s, d, "customer")
-      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(dec)).cast(sumDec).as("sum_total"))

@@ -70,8 +70,9 @@ object Analytics2 {
 
     // Pivot-style conditional aggregation: order-status counts as columns
     // per market segment (portable across engines, no PIVOT syntax).
+    // (no broadcast hint: customer scales with SF — AQE decides)
     "orders_status_pivot" -> ((s, d) =>
-      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+      t(s, d, "orders").join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
