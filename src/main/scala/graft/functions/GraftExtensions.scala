@@ -25,5 +25,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm2"),
       new ExpressionInfo(classOf[VecNorm2].getName, "vec_norm2"),
       (exprs: Seq[Expression]) => VecNorm2(exprs.head)))
+    // text-hash kernels (round 2): same codegen'd expressions the operator
+    // modules register imperatively
+    ext.injectFunction((
+      FunctionIdentifier("char_hash"),
+      new ExpressionInfo(classOf[CharHash].getName, "char_hash"),
+      (exprs: Seq[Expression]) => CharHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
+      (exprs: Seq[Expression]) => WordHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => Simhash60(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head)))
   }
 }

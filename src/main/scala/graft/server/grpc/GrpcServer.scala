@@ -170,9 +170,14 @@ final class GrpcServer(store: FactStore, port: Int = 0,
                 writeHeaders(ctx)
                 try {
                   // never completes on its own (reference FactService
-                  // SubscribeFacts contract); ends when the client cancels
+                  // SubscribeFacts contract); ends when the client cancels.
+                  // Flow control: block this worker while the stream channel
+                  // is unwritable (slow consumer) instead of buffering the
+                  // tail unboundedly in netty's outbound queue.
                   while (!clientGone && sub.hasNext) {
                     val batch = sub.next()
+                    while (!clientGone && !ctx.channel().isWritable)
+                      Thread.sleep(5)
                     if (!clientGone) writeMessage(ctx, GrpcCodec.streamBatch(batch))
                   }
                 } catch { case _: NoSuchElementException => () /* closed */ }

@@ -28,6 +28,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "vec_norm2(array(3.0D, 4.0D)) AS n").collect().head
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 25.0)
+      // text-hash kernels resolve in plain SQL too
+      val t = withExt.sql(
+        "SELECT char_hash('ab') AS h, size(word_hashes('a b c')) AS nw, " +
+          "size(shingle_hashes(word_hashes('a b c d'))) AS ns, " +
+          "simhash60(array(1L, 2L, 3L)) AS sh, size(minhash_sig(array(1L))) AS nm")
+        .collect().head
+      assert(t.getLong(0) == (('a'.toLong * 31 + 'b') % 1000000007L))
+      assert(t.getInt(1) == 3 && t.getInt(2) == 2 && t.getInt(4) == 16)
     } finally {
       // do NOT stop the sibling (it shares the context); restore sessions
       prevDefault.fold(SparkSession.clearDefaultSession())(SparkSession.setDefaultSession)
