@@ -59,6 +59,28 @@ class ReplayPagingSpec extends AnyFunSuite {
     assert(it.toSeq.flatten.map(_.position) == (6L to 12L))
   }
 
+  test("replay and subscribe read Spark-written (required-schema) bulk files locally") {
+    // bulkAppend writes through Spark: non-nullable columns become
+    // `required` in parquet — the local parquet-mr path must read them
+    // (projection is derived from each file's own footer schema).
+    val spark = SparkTestSession.spark
+    val fs = newStore()
+    fs.createStore("bulk")
+    val df = spark.range(50).selectExpr(
+      "'B' AS fact_type", "concat('s-', id % 5) AS subject",
+      "cast(null as binary) AS payload_data", "cast(null as string) AS payload_format",
+      "cast(null as string) AS payload_schema",
+      "map('k', cast(id as string)) AS metadata", "map('m', 'v') AS tags")
+    fs.bulkAppend("bulk", df)
+    val Right(it) = fs.replay("bulk", ReplayStart.Beginning, batchSize = 20): @unchecked
+    val all = it.toSeq.flatten
+    assert(all.map(_.position) == (1L to 50L))
+    assert(all.forall(_.factType == "B"))
+    val Right(sub) = fs.subscribe("bulk", StartPosition.Beginning, batchSize = 20): @unchecked
+    try assert(sub.next().map(_.position) == (1L to 20L))
+    finally sub.close()
+  }
+
   test("subscribe catch-up reads one window per batch, not the whole gap") {
     val fs = newStore()
     seed(fs, "gap", 30)
