@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.CrossHash._
 
@@ -130,13 +131,16 @@ object Dedup {
     // overlap is dominated by low-DF shingles).
     "dedup_ngram_jaccard" -> ((s, d) => {
       val inv0 = shingled(s, d).selectExpr("lang", "doc_id", "explode(sh) AS shv")
-      val kept = inv0.groupBy(col("lang"), col("shv"))
-        .agg(count(lit(1)).as("df"))
+      // DF cap and post-cap set sizes as two window counts (one shuffle
+      // each) instead of aggregate+join-back pairs
+      val byShingle = Window.partitionBy(col("lang"), col("shv"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val invSz = inv0
+        .withColumn("df", count(lit(1)).over(byShingle))
         .filter(col("df") <= NgramDfCap)
-        .select("lang", "shv")
-      val inv = inv0.join(kept, Seq("lang", "shv"))
-      val sz = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val invSz = inv.join(sz, Seq("doc_id")).persist()
+        .withColumn("sz", count(lit(1)).over(byDoc))
+        .select("lang", "doc_id", "shv", "sz")
+        .persist()
       invSz.as("l").join(invSz.as("r"),
           col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
             col("l.doc_id") < col("r.doc_id"))
