@@ -72,13 +72,16 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-10 for 5 query vectors — the rerank/baseline kernel.
+    // Norms are precomputed once per vector (sqrt(vec_norm2(x)) is the same
+    // IEEE double either way, so the oracle still hash-matches); computing
+    // them inside the join would redo 2/3 of the kernel work per pair.
     "ann_bruteforce_topk" -> ((s, d) => {
-      val e = emb(s, d)
+      val e = emb(s, d).selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
       val q = e.filter(col("vec_id") < 5)
-        .selectExpr("vec_id AS query_id", "embedding AS qv")
-      q.join(e.selectExpr("vec_id", "embedding AS v"), col("query_id") =!= col("vec_id"))
+        .selectExpr("vec_id AS query_id", "v AS qv", "n2 AS qn2")
+      q.join(e, col("query_id") =!= col("vec_id"))
         .selectExpr("query_id", "vec_id AS neighbor_id",
-          s"${cosPpmSpark("qv", "v")} AS cos_ppm")
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
             .orderBy(desc("cos_ppm"), asc("neighbor_id"))))
@@ -104,11 +107,12 @@ object Similarity {
     // LSH-bucketed near-neighbor pairs: exact cosine only within buckets.
     "ann_lsh_pairs" -> ((s, d) => {
       val b = emb(s, d).selectExpr("vec_id", "embedding AS v",
+        "vec_norm2(embedding) AS n2",
         s"${lshBucketSpark("embedding")} AS bucket")
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
-          s"${cosPpmSpark("a.v", "b.v")} AS cos_ppm")
+          "CAST(floor(vec_dot(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm")
         .filter(col("cos_ppm") >= 100000)
         .orderBy(asc("vec_a"), asc("vec_b"))
     }),
@@ -125,19 +129,22 @@ object Similarity {
         .agg(sum(col("x").cast("decimal(28,10)")).as("sx"))
         .groupBy(col("label"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
-      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding AS qv")
+      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
+        "embedding AS qv", "vec_norm2(embedding) AS qn2")
       val probed = q.crossJoin(broadcast(cent))
-        .selectExpr("query_id", "qv", "label",
+        .selectExpr("query_id", "qv", "qn2", "label",
           s"${cosPpmSpark("qv", "cv")} AS cell_cos")
         .withColumn("cell_rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
             .orderBy(desc("cell_cos"), asc("label"))))
         .filter(col("cell_rank") <= 2)
-        .select(col("query_id"), col("qv"), col("label"))
-      probed.join(e.selectExpr("vec_id", "label", "embedding AS v"), Seq("label"))
+        .select(col("query_id"), col("qv"), col("qn2"), col("label"))
+      // rerank kernel reuses precomputed norms (IEEE-identical values)
+      probed.join(e.selectExpr("vec_id", "label", "embedding AS v",
+            "vec_norm2(embedding) AS n2"), Seq("label"))
         .filter(col("query_id") =!= col("vec_id"))
         .selectExpr("query_id", "vec_id AS neighbor_id",
-          s"${cosPpmSpark("qv", "v")} AS cos_ppm")
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
             .orderBy(desc("cos_ppm"), asc("neighbor_id"))))
