@@ -29,6 +29,12 @@ object TrainingPipeline {
 
   /** Token budget per packed context window. */
   val PackBudget = 2048L
+  /** Docs per packing segment: the window cumsum runs per (lang, segment),
+    * so no reducer ever sees more than one segment — partitioning by lang
+    * alone would put an entire language (terabytes) on one task. Packing
+    * restarts at segment boundaries by design (embarrassingly parallel;
+    * at most one under-filled bin per segment). */
+  val PackSegmentDocs = 4096L
   /** Minimum shared distinct shingles to flag contamination. */
   val ContaminationMinOverlap = 3L
   /** Training shard count. */
@@ -56,22 +62,26 @@ object TrainingPipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Contiguous sequence packing: docs in doc_id order fill fixed
-    // token-budget bins per language; bin id = exclusive-prefix-sum div
-    // budget. One window cumsum per lang partition, then one groupBy.
+    // token-budget bins; bin id = exclusive-prefix-sum div budget. The
+    // cumsum window runs per (lang, segment) — bounded partitions, so the
+    // plan parallelizes at any corpus size (per-lang windows would put a
+    // whole language on one reducer).
     "pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("segment")).orderBy(asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tokenized(s, d)
-        .withColumn("cum", sum(col("n_tokens")).over(w))
         .selectExpr("lang", "doc_id", "n_tokens",
+          s"doc_id div ${PackSegmentDocs}L AS segment")
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .selectExpr("lang", "segment", "doc_id", "n_tokens",
           s"(cum - n_tokens) div ${PackBudget}L AS bin")
-        .groupBy(col("lang"), col("bin"))
+        .groupBy(col("lang"), col("segment"), col("bin"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("bin_tokens"))
-        .selectExpr("lang", "bin", "n_docs", "bin_tokens",
+        .selectExpr("lang", "segment", "bin", "n_docs", "bin_tokens",
           s"(bin_tokens * 10000) div ${PackBudget}L AS fill_bp")
-        .orderBy(asc("lang"), asc("bin"))
+        .orderBy(asc("lang"), asc("segment"), asc("bin"))
     }),
 
     // Eval-set contamination scan: corpus docs sharing >= K distinct
@@ -126,14 +136,16 @@ object TrainingPipeline {
     val docHash = charHashDuck("CAST(doc_id AS VARCHAR)")
     Map(
       "pack_sequences" ->
-        (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents), " +
-          "c AS (SELECT lang, doc_id, n_tokens, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+        (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"doc_id // $PackSegmentDocs AS segment FROM documents), " +
+          "c AS (SELECT lang, segment, doc_id, n_tokens, " +
+          "sum(n_tokens) OVER (PARTITION BY lang, segment ORDER BY doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), " +
-          s"b AS (SELECT lang, doc_id, n_tokens, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin FROM c), " +
-          "g AS (SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens " +
-          "FROM b GROUP BY lang, bin) " +
-          s"SELECT lang, bin, n_docs, bin_tokens, (bin_tokens * 10000) // $PackBudget AS fill_bp " +
-          "FROM g ORDER BY lang, bin"),
+          s"b AS (SELECT lang, segment, doc_id, n_tokens, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin FROM c), " +
+          "g AS (SELECT lang, segment, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens " +
+          "FROM b GROUP BY lang, segment, bin) " +
+          s"SELECT lang, segment, bin, n_docs, bin_tokens, (bin_tokens * 10000) // $PackBudget AS fill_bp " +
+          "FROM g ORDER BY lang, segment, bin"),
       "decontaminate" ->
         (s"WITH sh AS (SELECT doc_id, lang, $sh AS sh FROM documents), " +
           "bench AS (SELECT DISTINCT lang, unnest(sh) AS shv FROM sh WHERE doc_id % 97 = 0), " +
