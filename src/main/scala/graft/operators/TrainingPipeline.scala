@@ -116,6 +116,44 @@ object TrainingPipeline {
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
         .orderBy(asc("split"))),
 
+    // Quality-aware dedup: within each exact-duplicate group keep the doc
+    // with the best lexical-diversity score (ties: lowest doc_id) — the
+    // "keep best, not first" variant of keep-one-per-group. One groupBy-
+    // free window per content hash; per-lang kept/dropped yield report.
+    "dedup_keep_best" -> ((s, d) => {
+      val scored = docs(s, d).selectExpr(
+        "doc_id", "lang", "md5(text) AS h",
+        s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
+            div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""")
+      val ranked = scored.withColumn("rk",
+        row_number().over(Window.partitionBy(col("h"))
+          .orderBy(desc("ttr_bp"), asc("doc_id"))))
+      ranked.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          sum(when(col("rk") =!= 1, 1L).otherwise(0L)).cast("bigint").as("n_dropped"))
+        .orderBy(asc("lang"))
+    }),
+
+    // Per-dimension int8-quantization calibration over the embedding
+    // corpus: min/max (exact — no float summation) and the resulting scale
+    // per dimension. One explode + one aggregation; the standard
+    // calibration pass before quantized ANN serving.
+    "embedding_quant_stats" -> ((s, d) => {
+      graft.functions.VectorFunctions.register(s)
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(posexplode(col("embedding")))
+        .selectExpr("CAST(pos + 1 AS BIGINT) AS dim", "CAST(col AS DOUBLE) AS x")
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .selectExpr("dim",
+          "CAST(floor(mn * 1000000) AS BIGINT) AS min_ppm",
+          "CAST(floor(mx * 1000000) AS BIGINT) AS max_ppm",
+          "CAST(floor((mx - mn) / 255 * 1000000000) AS BIGINT) AS scale_ppb")
+        .orderBy(asc("dim"))
+    }),
+
     // Hash-sharding for distributed training + balance report: per-shard
     // doc/token volume. The shard key is the same deterministic hash, so
     // re-running assignment is stable across engines and cluster sizes.
@@ -160,6 +198,24 @@ object TrainingPipeline {
           "ELSE 'test' END AS split FROM t) " +
           "SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
           "FROM s GROUP BY split ORDER BY split"),
+      "dedup_keep_best" ->
+        (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, " +
+          s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp " +
+          "FROM documents), " +
+          "ranked AS (SELECT lang, row_number() OVER (PARTITION BY h " +
+          "ORDER BY ttr_bp DESC, doc_id) AS rk FROM scored) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN rk <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped " +
+          "FROM ranked GROUP BY lang ORDER BY lang"),
+      "embedding_quant_stats" ->
+        ("WITH x AS (SELECT r.range AS dim, list_extract(embedding, r.range)::DOUBLE AS x " +
+          "FROM embeddings CROSS JOIN range(1, 65) r), " +
+          "g AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim) " +
+          "SELECT dim, CAST(floor(mn * 1000000) AS BIGINT) AS min_ppm, " +
+          "CAST(floor(mx * 1000000) AS BIGINT) AS max_ppm, " +
+          "CAST(floor((mx - mn) / 255 * 1000000000) AS BIGINT) AS scale_ppb " +
+          "FROM g ORDER BY dim"),
       "shard_stats" ->
         (s"WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tokens, " +
           s"$docHash % $NShards AS shard FROM documents) " +
