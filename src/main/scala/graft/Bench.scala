@@ -25,6 +25,9 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // drop this query's persisted intermediates before the next one —
+      // a long-lived session must not accumulate cached partitions
+      graft.operators.CacheScope.releaseAll()
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt

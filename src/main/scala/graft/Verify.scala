@@ -24,6 +24,7 @@ object Verify {
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists) { dir.listFiles.foreach(_.delete()); dir.delete() }
       }
+      finally graft.operators.CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,13 +24,20 @@ object Analytics {
   private def epochUs(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
 
   private val dec = "decimal(18,4)"
-  // Output-level aggregate results are pinned to one explicit type on BOTH
-  // the Spark and oracle side: Spark widens sum(decimal(18,4)) to (28,4)
-  // while DuckDB widens to (38,4), and Spark sum(bigint)=bigint while
-  // DuckDB=HUGEINT — the driver hashes the materialized type, so every
-  // emitted sum gets an identical CAST in both engines.
-  private val sumDec = "decimal(38,4)"
-  private val sumDec8 = "decimal(38,8)"
+  // Output contract: no DECIMAL-typed column ever leaves a query. Decimal
+  // arithmetic stays internal (exactness), but every money/measure sum is
+  // emitted as a scaled integer — per-row the decimal is shifted to an
+  // exactly-integral value (×10⁴ for scale-4 money, ×10⁸ for scale-8
+  // revenue), cast to BIGINT, summed, and the sum cast to BIGINT again on
+  // BOTH engines (Spark sum(bigint)=bigint, DuckDB=HUGEINT). Decimal
+  // renderings diverge between hashers; scaled BIGINTs cannot. The `_e4` /
+  // `_e8` suffix documents the scale. (The scaling is part of the
+  // oracle-rendering contract only; a production caller gets the decimal
+  // by dividing, and internal aggregation never narrows.)
+  private def e4(c: org.apache.spark.sql.Column) =
+    (c * lit(10000).cast("decimal(5,0)")).cast("bigint")
+  private def e8row(c: org.apache.spark.sql.Column) =
+    (c * lit(100000000).cast("decimal(9,0)")).cast("bigint")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: single-pass partial-agg-friendly scan.
@@ -42,9 +49,9 @@ object Analytics {
       l.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(qty).cast(sumDec).as("sum_qty"),
-          sum(price).cast(sumDec).as("sum_base_price"),
-          sum((price * discFactor).cast("decimal(28,8)")).cast(sumDec8).as("sum_disc_price"),
+          sum(e4(qty)).cast("bigint").as("sum_qty_e4"),
+          sum(e4(price)).cast("bigint").as("sum_base_price_e4"),
+          sum(e8row((price * discFactor).cast("decimal(28,8)"))).cast("bigint").as("sum_disc_price_e8"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -62,10 +69,10 @@ object Analytics {
             .select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), epochUs(col("o_orderdate")).as("o_orderdate_us"))
-        .agg(sum((col("l_extendedprice").cast(dec) *
+        .agg(sum(e8row((col("l_extendedprice").cast(dec) *
           (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
-          .cast("decimal(28,8)")).cast(sumDec8).as("revenue"))
-        .orderBy(desc("revenue"), asc("l_orderkey"))
+          .cast("decimal(28,8)"))).cast("bigint").as("revenue_e8"))
+        .orderBy(desc("revenue_e8"), asc("l_orderkey"))
         .limit(10)
     }),
 
@@ -87,9 +94,9 @@ object Analytics {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum((col("l_extendedprice").cast(dec) *
+          sum(e8row((col("l_extendedprice").cast(dec) *
             (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
-            .cast("decimal(28,8)")).cast(sumDec8).as("revenue"),
+            .cast("decimal(28,8)"))).cast("bigint").as("revenue_e8"),
           count(lit(1)).as("n_items"))
         .orderBy(asc("n_name"))
     }),
@@ -141,7 +148,7 @@ object Analytics {
       ev.withColumn("window_start_us",
           expr(s"(ts div 1000) div ${hourUs}L") * hourUs)
         .groupBy(col("window_start_us"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).cast(sumDec).as("sum_value"))
+        .agg(count(lit(1)).as("n"), sum(e4(col("value").cast(dec))).cast("bigint").as("sum_value_e4"))
         .orderBy(asc("window_start_us"), asc("event_type"))
     }),
 
@@ -154,7 +161,7 @@ object Analytics {
       ord.join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).cast(sumDec).as("sum_total"))
+          sum(e4(col("o_totalprice").cast(dec))).cast("bigint").as("sum_total_e4"))
         .orderBy(asc("c_mktsegment"), asc("o_orderstatus"))
     }),
 
@@ -180,29 +187,33 @@ object Analytics {
     })
   )
 
-  private val revenueSql =
-    "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
-      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8))) " +
-      "AS DECIMAL(38,8))"
+  // Per-row scaled-BIGINT renderings mirroring e4/e8row exactly: shift the
+  // decimal to an integral value, cast BIGINT per row, sum, cast the sum.
+  private def e4Sql(inner: String) =
+    s"CAST(CAST($inner AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+  private val revenueE8Sql =
+    "CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+      "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)) AS BIGINT)"
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty, " +
-        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price, " +
-        s"$revenueSql AS sum_disc_price, " +
+        s"CAST(sum(${e4Sql("l_quantity")}) AS BIGINT) AS sum_qty_e4, " +
+        s"CAST(sum(${e4Sql("l_extendedprice")}) AS BIGINT) AS sum_base_price_e4, " +
+        s"$revenueE8Sql AS sum_disc_price_e8, " +
         "count(*) AS count_order FROM lineitem " +
         "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q3_top_revenue" ->
       ("SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, " +
-        s"$revenueSql AS revenue " +
+        s"$revenueE8Sql AS revenue_e8 " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
-        "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+        "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue_e8 DESC, l_orderkey LIMIT 10"),
     "q5_nation_revenue" ->
-      (s"SELECT n_name, $revenueSql AS revenue, count(*) AS n_items " +
+      (s"SELECT n_name, $revenueE8Sql AS revenue_e8, count(*) AS n_items " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey " +
@@ -227,11 +238,11 @@ object Analytics {
         "max(sess_events) AS longest_session FROM per GROUP BY user_id ORDER BY user_id"),
     "events_hourly_rollup" ->
       ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type, " +
-        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value " +
+        s"count(*) AS n, CAST(sum(${e4Sql("value")}) AS BIGINT) AS sum_value_e4 " +
         "FROM events GROUP BY window_start_us, event_type ORDER BY window_start_us, event_type"),
     "orders_segment_status" ->
       ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_total " +
+        s"CAST(sum(${e4Sql("o_totalprice")}) AS BIGINT) AS sum_total_e4 " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus"),
     "customers_without_orders" ->

@@ -79,8 +79,9 @@ object Analytics2 {
           count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
           count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
           count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
-          sum(when(col("o_orderstatus") === "F", col("o_totalprice")).cast(dec))
-            .cast("decimal(38,4)").as("sum_f"))
+          sum((when(col("o_orderstatus") === "F", col("o_totalprice")).cast(dec) *
+            lit(10000).cast("decimal(5,0)")).cast("bigint"))
+            .cast("bigint").as("sum_f_e4"))
         .orderBy(asc("c_mktsegment"))),
 
     // End-to-end training-corpus pipeline: exact-dedup keep-first ->
@@ -132,7 +133,8 @@ object Analytics2 {
           "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +
           "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, " +
           "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p, " +
-          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F') AS DECIMAL(38,4)) AS sum_f " +
+          "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) " +
+          "FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS sum_f_e4 " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
       "corpus_pipeline" ->

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-query cache registry. Operator plans persist intermediates that are
+  * consumed by more than one downstream branch (shingle sets feeding both
+  * the LSH candidate join and the verify join); the action that finally
+  * runs them happens in the CALLER (Bench counts, Verify writes parquet, a
+  * service collects), so the operator function itself has no point at
+  * which the cache can be dropped. Without a release path every query
+  * invocation leaks its cached partitions into the session for good —
+  * benign at sf0.1, eviction churn on a long-lived session at scale.
+  *
+  * Protocol: operators call [[persist]] instead of `df.persist()`; the
+  * caller calls [[releaseAll]] once the query's job has completed (after
+  * the count/write/collect). Thread-safe; releasing is idempotent and
+  * non-blocking, so a release between queries costs nothing.
+  */
+object CacheScope {
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` and track it for the next [[releaseAll]]. */
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    live.add(p)
+    p
+  }
+
+  /** Unpersist every tracked frame (non-blocking eviction). */
+  def releaseAll(): Unit = {
+    var df = live.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = live.poll()
+    }
+  }
+}

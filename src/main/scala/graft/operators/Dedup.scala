@@ -50,7 +50,7 @@ object Dedup {
     docs(spark, dir).repartition(par)
       .selectExpr("doc_id", "lang",
         s"array_distinct(${shingleHashesSpark(wordHashesSpark("text"))}) AS sh")
-      .persist()
+      .transform(CacheScope.persist)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -66,10 +66,15 @@ object Dedup {
     // MinHash + LSH: 16-perm signature, 4 bands x 4 rows; pairs sharing a
     // band bucket are candidates; exact Jaccard >= 0.7 confirms. The sig
     // relation is persisted: it feeds both the band explode and the verify.
+    // Empty-shingle docs are excluded BEFORE signing (like dedup_simhash):
+    // the native kernel's empty-input signature ([MaxValue x16]) and the
+    // SQL rendering's (list_min of [] = NULLs) diverge, so no signature is
+    // ever computed for a doc with < 3 tokens on either engine.
     "dedup_minhash_lsh" -> ((s, d) => {
       val sig = shingled(s, d)
+        .filter(expr("size(sh) > 0"))
         .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
-        .persist()
+        .transform(CacheScope.persist)
       val bands = sig.selectExpr("doc_id",
         s"""explode(transform(sequence(0, ${Bands - 1}),
             b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
@@ -104,7 +109,7 @@ object Dedup {
       val sig = shingled(s, d)
         .filter(expr("size(sh) > 0"))
         .selectExpr("doc_id", "simhash60(sh) AS simhash")
-        .persist()
+        .transform(CacheScope.persist)
       val mask = (1 << SimhashBlockBits) - 1
       val blocks = sig.selectExpr("doc_id", "simhash",
         s"""explode(transform(sequence(0, ${SimhashBlocks - 1}),
@@ -140,7 +145,7 @@ object Dedup {
         .filter(col("df") <= NgramDfCap)
         .withColumn("sz", count(lit(1)).over(byDoc))
         .select("lang", "doc_id", "shv", "sz")
-        .persist()
+        .transform(CacheScope.persist)
       invSz.as("l").join(invSz.as("r"),
           col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
             col("l.doc_id") < col("r.doc_id"))
@@ -162,7 +167,7 @@ object Dedup {
         .repartition(s.sparkContext.defaultParallelism)
         .selectExpr("vec_id", "label", "embedding AS v",
           "vec_norm2(embedding) AS n2")
-        .persist()
+        .transform(CacheScope.persist)
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
@@ -182,7 +187,7 @@ object Dedup {
           "SELECT dup_count, count(*) AS n_groups FROM g GROUP BY dup_count ORDER BY dup_count"),
       "dedup_minhash_lsh" ->
         (s"WITH shingled AS ($shingledSql), " +
-          s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled), " +
+          s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
           s"bands AS (SELECT doc_id, r.range AS band, " +
           s"${bandKeyDuck("sig", "r.range")} AS bkey " +
           s"FROM sigs CROSS JOIN range(0, $Bands) r), " +

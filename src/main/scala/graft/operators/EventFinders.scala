@@ -108,7 +108,8 @@ object EventFinders {
       events(s, d).groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_value"),
+          sum((col("value").cast("decimal(18,4)") *
+            lit(10000).cast("decimal(5,0)")).cast("bigint")).cast("bigint").as("sum_value_e4"),
           min(col("event_id")).as("first_position"),
           max(col("event_id")).as("last_position"))
         .orderBy(asc("event_type")))
@@ -144,7 +145,7 @@ object EventFinders {
       "SELECT max(event_id) AS head_position, count(*) AS n_facts FROM events",
     "fs_type_stats" ->
       ("SELECT event_type, count(*) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS sum_value_e4, " +
         "min(event_id) AS first_position, max(event_id) AS last_position " +
         "FROM events GROUP BY event_type ORDER BY event_type")
   )

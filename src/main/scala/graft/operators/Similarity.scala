@@ -40,7 +40,27 @@ object Similarity {
     * 20 planes. Everything downstream (bucket id, pair join, oracle SQL)
     * derives from this one constant; the hyperplanes themselves are pinned
     * integer-LCG literals, so any two engines agree for any NPlanes. */
-  private val NPlanes = sys.env.get("SPARK_GRAFT_ANN_PLANES").map(_.toInt).getOrElse(8)
+  private val NPlanes: Int = {
+    val raw = sys.env.get("SPARK_GRAFT_ANN_PLANES")
+    val n = raw match {
+      case None => 8
+      case Some(s) =>
+        val p =
+          try s.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_ANN_PLANES must be an integer in [1, 30], got '$s'")
+          }
+        if (p < 1 || p > 30) throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ANN_PLANES must be in [1, 30] (2^planes buckets), got $p")
+        p
+    }
+    // Log the effective knob so bench/correctness runs record which bucket
+    // granularity produced their result shapes.
+    if (raw.isDefined)
+      System.err.println(s"[graft] ann_lsh planes = $n (SPARK_GRAFT_ANN_PLANES)")
+    n
+  }
 
   /** Sign-bit bucket id for `v` under the 8 pinned hyperplanes (Spark). */
   private def lshBucketSpark(v: String): String =

@@ -89,7 +89,7 @@ object TrainingPipeline {
     // benchmark). The benchmark shingle set is small -> broadcast side of
     // an equi-join on (lang, shingle); overlap counted by shuffle.
     "decontaminate" -> ((s, d) => {
-      val sh = shingled(s, d).persist()
+      val sh = CacheScope.persist(shingled(s, d))
       val bench = sh.filter(col("doc_id") % 97 === 0)
         .selectExpr("lang", "explode(sh) AS shv").distinct()
       val corpus = sh.filter(col("doc_id") % 97 =!= 0)

@@ -75,6 +75,7 @@ final class GrpcServer(store: FactStore, port: Int = 0,
     private val body = new ByteArrayOutputStream()
     private var path: String = ""
     @volatile private var clientGone = false
+    @volatile private var headersSent = false
     @volatile private var activeSub: Option[Subscription] = None
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
@@ -104,10 +105,16 @@ final class GrpcServer(store: FactStore, port: Int = 0,
       activeSub.foreach(_.close())
     }
 
-    private def submit(ctx: ChannelHandlerContext): Unit = {
-      val reqBytes = grpcMessages(body.toByteArray).headOption.getOrElse(Array.emptyByteArray)
-      pool.execute(() => run(ctx, path, reqBytes))
-    }
+    private def submit(ctx: ChannelHandlerContext): Unit =
+      grpcMessages(body.toByteArray) match {
+        case Left(err) =>
+          // Framing errors get a proper gRPC status instead of a garbage
+          // parse (zero-padded truncation) or an event-loop throw.
+          trailersOnly(ctx, 3, s"malformed gRPC framing: $err") // INVALID_ARGUMENT
+        case Right(msgs) =>
+          val reqBytes = msgs.headOption.getOrElse(Array.emptyByteArray)
+          pool.execute(() => run(ctx, path, reqBytes))
+      }
 
     private def run(ctx: ChannelHandlerContext, path: String, raw: Array[Byte]): Unit =
       try {
@@ -153,7 +160,13 @@ final class GrpcServer(store: FactStore, port: Int = 0,
                 streamOnce(ctx, GrpcCodec.streamAfterFactNotFound)
               case Right(batches) =>
                 writeHeaders(ctx)
+                // Same flow control as SubscribeFacts: a large replay to a
+                // slow client must not queue every frame in the child
+                // channel's outbound buffer (that would hold the whole store
+                // on the server heap, defeating the paged replay iterator).
                 batches.foreach { b =>
+                  while (!clientGone && !ctx.channel().isWritable)
+                    Thread.sleep(5)
                   if (!clientGone) writeMessage(ctx, GrpcCodec.streamBatch(b))
                 }
                 writeTrailers(ctx, 0)
@@ -193,11 +206,19 @@ final class GrpcServer(store: FactStore, port: Int = 0,
         }
       } catch {
         case e: IllegalArgumentException =>
-          trailersOnly(ctx, 3, String.valueOf(e.getMessage)) // INVALID_ARGUMENT
+          failStream(ctx, 3, String.valueOf(e.getMessage)) // INVALID_ARGUMENT
         case _: InterruptedException => ()
         case e: Throwable =>
-          trailersOnly(ctx, 13, String.valueOf(e.getMessage)) // INTERNAL
+          failStream(ctx, 13, String.valueOf(e.getMessage)) // INTERNAL
       }
+
+    /** Error path that respects HTTP/2 framing: before any response HEADERS
+      * have gone out, a trailers-only response is legal; after them, a
+      * second `:status` pseudo-header would be a protocol violation, so the
+      * stream must end with plain trailers carrying the grpc-status. */
+    private def failStream(ctx: ChannelHandlerContext, status: Int, msg: String): Unit =
+      if (headersSent) writeTrailers(ctx, status, msg)
+      else trailersOnly(ctx, status, msg)
 
     private def unary(ctx: ChannelHandlerContext, response: Array[Byte]): Unit = {
       writeHeaders(ctx)
@@ -215,6 +236,7 @@ final class GrpcServer(store: FactStore, port: Int = 0,
     private def writeHeaders(ctx: ChannelHandlerContext): Unit = {
       val h = new DefaultHttp2Headers().status("200")
       h.set("content-type", "application/grpc")
+      headersSent = true
       ctx.channel().writeAndFlush(new DefaultHttp2HeadersFrame(h))
     }
 
@@ -248,15 +270,25 @@ final class GrpcServer(store: FactStore, port: Int = 0,
     b
   }
 
-  private def grpcMessages(b: Array[Byte]): Vector[Array[Byte]] = {
+  /** Strict frame walk: every declared length must lie fully inside the
+    * body. Truncated or negative-length frames are rejected (Left) rather
+    * than zero-padded into a garbage-but-parseable request or thrown on
+    * the event loop. */
+  private def grpcMessages(b: Array[Byte]): Either[String, Vector[Array[Byte]]] = {
     val out = Vector.newBuilder[Array[Byte]]
     var i = 0
-    while (i + 5 <= b.length) {
+    while (i < b.length) {
+      if (i + 5 > b.length)
+        return Left(s"truncated frame header at byte $i of ${b.length}")
       val len = ((b(i + 1) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
         ((b(i + 3) & 0xff) << 8) | (b(i + 4) & 0xff)
+      if (len < 0)
+        return Left(s"negative frame length $len at byte $i")
+      if (i + 5 + len > b.length)
+        return Left(s"truncated frame body at byte $i: declared $len, have ${b.length - i - 5}")
       out += java.util.Arrays.copyOfRange(b, i + 5, i + 5 + len)
       i += 5 + len
     }
-    out.result()
+    Right(out.result())
   }
 }

@@ -31,6 +31,20 @@ class QueryInventorySpec extends AnyFunSuite {
       val n = df.count()
       assert(n >= 0)
       assert(df.schema.fieldNames.nonEmpty)
+      graft.operators.CacheScope.releaseAll()
     }
+  }
+
+  test("operator caches are released: cache manager empty after a full sweep") {
+    val spark = SparkTestSession.spark
+    // run the heaviest persisting queries, release after each (the Bench /
+    // Verify protocol), then assert nothing is left cached in the session
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+        "dedup_embedding_cosine", "decontaminate")) {
+      SparkEntry.queries(name)(spark, sf).count()
+      graft.operators.CacheScope.releaseAll()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "persisted intermediates leaked past CacheScope.releaseAll()")
   }
 }
