@@ -25,6 +25,12 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR fact subscribe STORE [--from beginning|end] [--after ID] [--max N]
   *   graft.Cli --root DIR serve [--http-port N] [--grpc-port N]
   * }}}
+  *
+  * Every data command also runs in WIRE MODE against a remote server:
+  * `--server host:port` replaces `--root DIR` and routes the same commands
+  * over gRPC via [[graft.client.GrpcClient]] — no Spark on the client
+  * (reference capability: factstore-cli over factstore-client-kotlin).
+  * Positions print as 0 in wire mode (the proto Fact carries none).
   */
 object Cli {
 
@@ -32,20 +38,35 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = parseArgs(args.toList)
-    val root = flags.getOrElse("root", fail("--root DIR is required"))
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val fs = new SparkFactStore(spark, Paths.get(root))
-    try run(fs, flags, pos)
-    finally spark.stop()
+    flags.get("server") match {
+      case Some(hostPort) =>
+        // wire mode: drive a REMOTE graft (or reference-compatible) server
+        // over gRPC — no Spark on the client side (reference capability:
+        // factstore-cli + factstore-client-kotlin)
+        val (host, port) = hostPort.split(":", 2) match {
+          case Array(h, p) if p.forall(_.isDigit) && p.nonEmpty => (h, p.toInt)
+          case _ => fail(s"--server expects host:port, got '$hostPort'")
+        }
+        val client = new graft.client.GrpcClient(host, port)
+        try run(client, flags, pos)
+        finally client.close()
+      case None =>
+        val root = flags.getOrElse("root",
+          fail("--root DIR (local engine) or --server host:port (wire mode) is required"))
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val fs = new SparkFactStore(spark, Paths.get(root))
+        try run(fs, flags, pos)
+        finally spark.stop()
+    }
   }
 
-  private def run(fs: SparkFactStore, flags: Map[String, String], pos: List[String]): Unit = {
+  private def run(fs: FactStore, flags: Map[String, String], pos: List[String]): Unit = {
     val limit = flags.get("limit").map(_.toInt).filter(_ > 0)
       .map(Limit.Of(_): Limit).getOrElse(Limit.Of(100))
     val dir = flags.get("direction") match {

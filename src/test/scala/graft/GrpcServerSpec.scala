@@ -19,10 +19,10 @@ class GrpcServerSpec extends AnyFunSuite {
 
   private val Svc = "/io.factstore.server.grpc"
 
-  private def withServer(body: (GrpcTestClient, SparkFactStore) => Unit): Unit = {
+  private def withServer(body: (graft.client.GrpcWireClient, SparkFactStore) => Unit): Unit = {
     val fs = new SparkFactStore(SparkTestSession.spark, Files.createTempDirectory("graft-grpc-"))
     val srv = new GrpcServer(fs).start()
-    val client = new GrpcTestClient(srv.boundPort)
+    val client = new graft.client.GrpcWireClient("127.0.0.1", srv.boundPort)
     try body(client, fs)
     finally { client.close(); srv.stop() }
   }
