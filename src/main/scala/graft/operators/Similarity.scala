@@ -62,13 +62,18 @@ object Similarity {
     n
   }
 
-  /** Sign-bit bucket id for `v` under the 8 pinned hyperplanes (Spark). */
-  private def lshBucketSpark(v: String): String =
-    (0 until NPlanes).map { j =>
+  /** Sign-bit bucket id for `v` under `nPlanes` pinned hyperplanes (Spark).
+    * Parameterized (package-visible) so LshRecallSpec can measure recall at
+    * alternative plane counts against the same hyperplane literals without
+    * re-deriving them. */
+  private[graft] def lshBucketSparkExpr(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
       val dot = s"vec_dot($v, array(" +
         (1 to Dim).map(i => s"cast(${hyper(j, i)} as double)").mkString(",") + "))"
       s"if($dot > 0, ${1L << j}L, 0L)"
     }.mkString("(", " + ", ")")
+
+  private def lshBucketSpark(v: String): String = lshBucketSparkExpr(v, NPlanes)
 
   /** Same bucket id on the DuckDB side (identical literals). */
   private def lshBucketDuck(v: String): String =

@@ -226,11 +226,15 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
               if (n == 0L) { result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos)) }
               else {
                 // distributed bloom over the bulk batch so probes can prune
-                // this commit like any other (one mergeable-aggregate pass)
+                // this commit like any other (one mergeable-aggregate pass).
+                // Sized to the batch (~4 entries/row: id, type, subject,
+                // tags) — a fixed-capacity bloom saturates on a multi-M-row
+                // bulk load and every later probe degrades to a full scan.
                 val bloom = spark.read.schema(FactLog.schema).parquet(target.toString)
                   .select("id", "fact_type", "subject", "tags").rdd
                   .treeAggregate(
-                    org.apache.spark.util.sketch.BloomFilter.create(500000, 0.03))(
+                    org.apache.spark.util.sketch.BloomFilter.create(
+                      Blooms.capacityFor(n * 4), 0.03))(
                     (bf, r) => {
                       bf.putString(s"i:${r.getAs[String]("id")}")
                       Blooms.entriesOf(r.getAs[String]("fact_type"),
@@ -373,7 +377,10 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
                     r.getAs[String]("subject"), tags))
             }
             .aggregateByKey(
-              org.apache.spark.util.sketch.BloomFilter.create(500000, 0.03))(
+              // sized to the bucket (~4 entries/row); bucket row counts are
+              // uniform (rowsPerBucket), so one zero-value capacity fits all
+              org.apache.spark.util.sketch.BloomFilter.create(
+                Blooms.capacityFor(rowsPerBucket * 4), 0.03))(
               (bf, es) => { es.foreach(bf.putString); bf },
               (a, b) => { a.mergeInPlace(b); a })
             .mapValues(Blooms.serialize).collect().toMap
