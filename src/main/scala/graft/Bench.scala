@@ -3,11 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-contract benchmark main: runs the declared queries on
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * MINIMUM per-query time is recorded — the minimum measures the plan,
+  * not the neighbors, on a machine whose load we don't control. The JSON
+  * also carries the 1-minute system load average at start and end so a
+  * noisy run is diagnosable from the artifact alone.
+  *
   * SPARK_GRAFT_ONLY=name1,name2 restricts the set (local iteration). */
 object Bench {
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,6 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val load0 = loadAvg
     // warm the engine once (codegen infra, vectorized reader, broadcast
     // machinery) so per-query timings measure the queries
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -23,19 +35,24 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // drop this query's persisted intermediates before the next one —
-      // a long-lived session must not accumulate cached partitions
-      graft.operators.CacheScope.releaseAll()
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // drop this query's persisted intermediates before the next rep —
+        // a long-lived session must not accumulate cached partitions, and
+        // each rep must pay its own materialization cost
+        graft.operators.CacheScope.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val dt = times.min
+      System.err.println(
+        f"[bench] $name%-28s min $dt%8.2f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg}""")
     spark.stop()
   }
 }

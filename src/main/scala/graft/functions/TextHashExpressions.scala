@@ -125,11 +125,17 @@ object TextHashMinhash {
   /** 16-permutation MinHash signature in ONE pass over the shingle set.
     * The SQL rendering is 16 separate `array_min(transform(sh, ...))`
     * lambdas — 16 interpreted scans of the array with no CSE. Same pinned
-    * (a*x + b) mod P permutations, so values match the oracle exactly. */
+    * (a*x + b) mod P permutations, so values match the oracle exactly.
+    *
+    * An empty shingle set has no MinHash signature — returns null rather
+    * than `[Long.MaxValue × 16]`, which would silently band-match every
+    * other empty document. Call sites additionally filter empty docs
+    * before signing (belt and braces). */
   def minhashSig(sh: ArrayData): ArrayData = {
+    val n = sh.numElements()
+    if (n == 0) return null
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
-    val n = sh.numElements()
     var i = 0
     while (i < n) {
       val x = sh.getLong(i)
@@ -147,11 +153,16 @@ object TextHashMinhash {
 
 case class MinhashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null for empty input, regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
   override protected def nullSafeEval(input: Any): Any =
     TextHashMinhash.minhashSig(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashMinhash.minhashSig($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextHashMinhash.minhashSig($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   override protected def withNewChildInternal(newChild: Expression): MinhashSig =
     copy(child = newChild)
 }

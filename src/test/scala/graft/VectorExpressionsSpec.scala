@@ -37,6 +37,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("minhash_sig on empty input is null, not [Long.MaxValue x 16] (codegen path)") {
+    graft.functions.TextHashFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(array()) AS empty, " +
+        "minhash_sig(cast(null as array<bigint>)) AS nul, " +
+        "size(minhash_sig(array(7L))) AS k").collect().head
+    assert(r.isNullAt(0), "empty shingle set must have no signature")
+    assert(r.isNullAt(1), "null input must propagate null")
+    assert(r.getInt(2) == 16)
+  }
+
+  test("minhash_sig on empty input is null (interpreted eval path)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val expr = graft.functions.MinhashSig(
+      BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true))
+    assert(expr.nullable, "expression must declare nullability for the empty case")
+    assert(expr.eval(InternalRow(new GenericArrayData(Array.empty[Long]))) == null)
+    assert(expr.eval(InternalRow(null)) == null)
+    val sig = expr.eval(InternalRow(new GenericArrayData(Array(7L))))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(sig.numElements() == 16)
+    assert(sig.toLongArray().forall(_ != Long.MaxValue))
+  }
+
   test("interpreted eval matches codegen (forced via aggregation buffer path)") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
