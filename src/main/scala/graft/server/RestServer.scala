@@ -231,17 +231,22 @@ final class RestServer(store: FactStore, port: Int = 0) {
     * can point here unchanged). */
   private sealed trait Framing {
     def contentType: String
-    def write(os: java.io.OutputStream, json: Array[Byte]): Unit
+    def write(os: java.io.OutputStream, id: String, json: Array[Byte]): Unit
   }
   private object NdjsonFraming extends Framing {
     val contentType = "application/x-ndjson"
-    def write(os: java.io.OutputStream, json: Array[Byte]): Unit = {
+    def write(os: java.io.OutputStream, id: String, json: Array[Byte]): Unit = {
       os.write(json); os.write('\n')
     }
   }
   private object SseFraming extends Framing {
     val contentType = "text/event-stream"
-    def write(os: java.io.OutputStream, json: Array[Byte]): Unit = {
+    /** Each event carries `id: <factId>` so an auto-reconnecting
+      * EventSource client resends it as `Last-Event-ID` and resumes
+      * exactly after the last fact it saw (reference SSE surface:
+      * StreamResource.kt:23-63). */
+    def write(os: java.io.OutputStream, id: String, json: Array[Byte]): Unit = {
+      os.write("id: ".getBytes(UTF_8)); os.write(id.getBytes(UTF_8)); os.write('\n')
       os.write("data: ".getBytes(UTF_8)); os.write(json)
       os.write('\n'); os.write('\n')
     }
@@ -263,7 +268,7 @@ final class RestServer(store: FactStore, port: Int = 0) {
         ex.sendResponseHeaders(200, 0)
         val os = ex.getResponseBody
         batches.foreach { batch =>
-          batch.foreach(f => framing.write(os, mapper.writeValueAsBytes(factJson(f))))
+          batch.foreach(f => framing.write(os, f.id, mapper.writeValueAsBytes(factJson(f))))
           os.flush()
         }
         os.close()
@@ -276,7 +281,13 @@ final class RestServer(store: FactStore, port: Int = 0) {
     * disconnects, like the never-completing reference Flow). */
   private def subscribe(ex: HttpExchange, s: String): Unit = {
     val q = params(ex)
-    val start = q.get("after").flatMap(_.headOption).map(StartPosition.After(_))
+    // EventSource auto-reconnect resends the last seen `id:` as the
+    // Last-Event-ID header; it wins over the original query params so a
+    // reconnecting client receives exactly the delta, not a replay.
+    val lastEventId = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+      .map(_.trim).filter(_.nonEmpty)
+    val start = lastEventId.map(StartPosition.After(_))
+      .orElse(q.get("after").flatMap(_.headOption).map(StartPosition.After(_)))
       .getOrElse(if (q.get("from").flatMap(_.headOption).contains("end")) StartPosition.End
       else StartPosition.Beginning)
     val max = q.get("max").flatMap(_.headOption).map(_.toLong).getOrElse(Long.MaxValue)
@@ -293,7 +304,7 @@ final class RestServer(store: FactStore, port: Int = 0) {
           while (sent < max && sub.hasNext) {
             sub.next().foreach { f =>
               if (sent < max) {
-                framing.write(os, mapper.writeValueAsBytes(factJson(f)))
+                framing.write(os, f.id, mapper.writeValueAsBytes(factJson(f)))
                 sent += 1
               }
             }

@@ -140,22 +140,60 @@ class RestServerSpec extends AnyFunSuite {
         post(c, s"$base/stores/s5/facts",
           s"""{"facts":[{"type":"T$i","subject":"x","data":""}]}""")
       }
-      // replay as SSE: data:-prefixed JSON events, blank-line separated
+      // replay as SSE: id: + data:-prefixed JSON events, blank-line separated
       val rep = getSse(c, s"$base/stores/s5/facts/replay")
       assert(rep.statusCode() == 200)
       assert(rep.headers().firstValue("Content-Type").orElse("").startsWith("text/event-stream"))
       val events = rep.body().split("\n\n").filter(_.nonEmpty)
       assert(events.length == 2)
-      assert(events.forall(_.startsWith("data: ")))
+      assert(events.forall(e => e.startsWith("id: ") && e.contains("\ndata: ")))
       assert(events(0).contains("\"type\":\"T1\"") && events(1).contains("\"type\":\"T2\""))
       // live subscribe as SSE
       val sub = getSse(c, s"$base/stores/s5/facts/subscribe?max=2")
       assert(sub.headers().firstValue("Content-Type").orElse("").startsWith("text/event-stream"))
       val subEvents = sub.body().split("\n\n").filter(_.nonEmpty)
-      assert(subEvents.length == 2 && subEvents.forall(_.startsWith("data: ")))
+      assert(subEvents.length == 2 &&
+        subEvents.forall(e => e.startsWith("id: ") && e.contains("\ndata: ")))
       // default stays NDJSON
       val nd = get(c, s"$base/stores/s5/facts/replay")
       assert(nd.headers().firstValue("Content-Type").orElse("").startsWith("application/x-ndjson"))
+    }
+  }
+
+  test("SSE reconnect with Last-Event-ID resumes exactly after the last seen fact") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"s6"}""")
+      (1 to 4).foreach { i =>
+        post(c, s"$base/stores/s6/facts",
+          s"""{"facts":[{"type":"T$i","subject":"x","data":""}]}""")
+      }
+      // first connection sees the first two events, then "dies" (max=2
+      // closes the stream server-side, like a network blip mid-tail)
+      val first = getSse(c, s"$base/stores/s6/facts/subscribe?max=2")
+      val firstEvents = first.body().split("\n\n").filter(_.nonEmpty)
+      assert(firstEvents.length == 2 && firstEvents(1).contains("\"type\":\"T2\""))
+      val lastSeenId = firstEvents(1).linesIterator
+        .find(_.startsWith("id: ")).get.stripPrefix("id: ")
+      // EventSource auto-reconnect: same URL, Last-Event-ID header set.
+      // The header beats ?from=beginning — the client receives exactly the
+      // delta (T3, T4), no replay of T1/T2.
+      val second = c.send(HttpRequest.newBuilder(
+          URI.create(s"$base/stores/s6/facts/subscribe?from=beginning&max=2"))
+        .header("Accept", "text/event-stream")
+        .header("Last-Event-ID", lastSeenId).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(second.statusCode() == 200)
+      val delta = second.body().split("\n\n").filter(_.nonEmpty)
+      assert(delta.length == 2)
+      assert(delta(0).contains("\"type\":\"T3\"") && delta(1).contains("\"type\":\"T4\""))
+      assert(!second.body().contains("\"type\":\"T1\"") &&
+        !second.body().contains("\"type\":\"T2\""))
+      // an unknown Last-Event-ID is a 404, same as ?after=nope
+      val bad = c.send(HttpRequest.newBuilder(
+          URI.create(s"$base/stores/s6/facts/subscribe"))
+        .header("Last-Event-ID", "nope").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 404 && bad.body().contains("after_fact_not_found"))
     }
   }
 }
