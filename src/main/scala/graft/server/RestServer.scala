@@ -41,9 +41,35 @@ final class RestServer(store: FactStore, port: Int = 0) {
   def start(): RestServer = {
     server.createContext("/api/v1/stores", (ex: HttpExchange) => safely(ex)(route))
     server.createContext("/api/v1/info", (ex: HttpExchange) => safely(ex)(info))
+    server.createContext("/", (ex: HttpExchange) => safely(ex)(explorer))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     this
+  }
+
+  /** Read-only web explorer — the analogue of the reference's
+    * factstore-explorer SPA (factstore-explorer/README.md: store browsing,
+    * tag/subject/time queries, SSE live streaming, dark mode), served as a
+    * single static asset from the jar over the same public REST API. The
+    * bare "/" context only matches paths no API context claims. */
+  private def explorer(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    (ex.getRequestMethod, path) match {
+      case ("GET", "/") =>
+        ex.getResponseHeaders.set("Location", "/explorer/")
+        ex.sendResponseHeaders(302, -1)
+      case ("GET", "/explorer" | "/explorer/" | "/explorer/index.html") =>
+        val in = getClass.getResourceAsStream("/explorer/index.html")
+        if (in == null) sendError(ex, 404, "not_found", path)
+        else {
+          val bytes = try in.readAllBytes() finally in.close()
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          val os = ex.getResponseBody
+          os.write(bytes); os.close()
+        }
+      case _ => sendError(ex, 404, "not_found", path)
+    }
   }
 
   /** Reference InfoService.GetServerInfo parity (factstore-v1.proto:423-433). */
@@ -74,7 +100,11 @@ final class RestServer(store: FactStore, port: Int = 0) {
       case ("GET", s :: "facts" :: "replay" :: Nil) => replay(ex, s)
       case ("GET", s :: "facts" :: "subscribe" :: Nil) => subscribe(ex, s)
       case ("GET", s :: "facts" :: id :: Nil)     => findById(ex, s, id)
-      case ("GET", s :: "subjects" :: subject :: "facts" :: Nil) => bySubject(ex, s, subject)
+      // subjects are routinely URI-shaped ("order/1", reference README
+      // quick-start) and the JDK server decodes %2F before we split — so
+      // the subject is everything between /subjects/ and the trailing /facts
+      case ("GET", s :: "subjects" :: rest) if rest.length >= 2 && rest.last == "facts" =>
+        bySubject(ex, s, rest.dropRight(1).mkString("/"))
       case _ => sendError(ex, 404, "not_found", path)
     }
   }

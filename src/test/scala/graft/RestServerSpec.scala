@@ -160,6 +160,39 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("URI-shaped subjects (order/1) resolve through the subjects route") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"s7"}""")
+      post(c, s"$base/stores/s7/facts",
+        s"""{"facts":[{"type":"OP","subject":"order/1","data":""},
+                      {"type":"OP","subject":"order/2","data":""}]}""")
+      // %2F and a literal slash both reach the same subject — the JDK
+      // server decodes the escape before routing either way
+      for (path <- Seq("order%2F1", "order/1")) {
+        val r = get(c, s"$base/stores/s7/subjects/$path/facts")
+        assert(r.statusCode() == 200, s"$path -> ${r.body()}")
+        assert(r.body().contains("\"subject\":\"order/1\"") &&
+          !r.body().contains("order/2"))
+      }
+    }
+  }
+
+  test("explorer SPA is served at /explorer/ and / redirects to it") {
+    withServer { (base, c) =>
+      val root = base.stripSuffix("/api/v1")
+      val page = get(c, s"$root/explorer/")
+      assert(page.statusCode() == 200)
+      assert(page.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(page.body().contains("graft explorer") && page.body().contains("/api/v1"))
+      val redir = c.send(HttpRequest.newBuilder(URI.create(s"$root/")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      // default HttpClient follows no redirects — see the 302 itself
+      assert(redir.statusCode() == 302 &&
+        redir.headers().firstValue("Location").orElse("") == "/explorer/")
+      assert(get(c, s"$root/elsewhere").statusCode() == 404)
+    }
+  }
+
   test("SSE reconnect with Last-Event-ID resumes exactly after the last seen fact") {
     withServer { (base, c) =>
       post(c, s"$base/stores", """{"name":"s6"}""")
