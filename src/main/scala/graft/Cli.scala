@@ -114,7 +114,9 @@ object Cli {
           case Right(sub) =>
             var n = 0L
             while (n < max && sub.hasNext) {
-              sub.next().foreach { f => println(line(f)); n += 1 }
+              // bound inside the batch too — a 1000-fact catch-up batch
+              // must not blow through --max 5
+              sub.next().foreach { f => if (n < max) { println(line(f)); n += 1 } }
             }
             sub.close()
         }

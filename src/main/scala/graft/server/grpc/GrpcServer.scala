@@ -77,6 +77,27 @@ final class GrpcServer(store: FactStore, port: Int = 0,
     @volatile private var clientGone = false
     @volatile private var headersSent = false
     @volatile private var activeSub: Option[Subscription] = None
+    // Handshake for stream flow control: a worker blocked on an unwritable
+    // channel parks here; the event loop wakes it on writability change or
+    // client cancel. No missed wakeup: the worker holds the monitor from
+    // the isWritable check until wait() releases it, so the event loop's
+    // notifyAll cannot slip in between.
+    private val writable = new Object
+
+    /** Park the worker until the stream channel drains (slow consumer) or
+      * the client goes away — replaces a sleep-poll that held a pool
+      * thread busy-waiting. The bounded wait is a belt-and-braces guard,
+      * not the wakeup mechanism. */
+    private def awaitWritable(ctx: ChannelHandlerContext): Unit =
+      writable.synchronized {
+        while (!clientGone && !ctx.channel().isWritable)
+          writable.wait(500)
+      }
+
+    override def channelWritabilityChanged(ctx: ChannelHandlerContext): Unit = {
+      writable.synchronized { writable.notifyAll() }
+      ctx.fireChannelWritabilityChanged()
+    }
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit = msg match {
       case h: Http2HeadersFrame =>
@@ -103,6 +124,7 @@ final class GrpcServer(store: FactStore, port: Int = 0,
     private def cancel(): Unit = {
       clientGone = true
       activeSub.foreach(_.close())
+      writable.synchronized { writable.notifyAll() }
     }
 
     private def submit(ctx: ChannelHandlerContext): Unit =
@@ -165,8 +187,7 @@ final class GrpcServer(store: FactStore, port: Int = 0,
                 // channel's outbound buffer (that would hold the whole store
                 // on the server heap, defeating the paged replay iterator).
                 batches.foreach { b =>
-                  while (!clientGone && !ctx.channel().isWritable)
-                    Thread.sleep(5)
+                  awaitWritable(ctx)
                   if (!clientGone) writeMessage(ctx, GrpcCodec.streamBatch(b))
                 }
                 writeTrailers(ctx, 0)
@@ -184,13 +205,12 @@ final class GrpcServer(store: FactStore, port: Int = 0,
                 try {
                   // never completes on its own (reference FactService
                   // SubscribeFacts contract); ends when the client cancels.
-                  // Flow control: block this worker while the stream channel
+                  // Flow control: park this worker while the stream channel
                   // is unwritable (slow consumer) instead of buffering the
                   // tail unboundedly in netty's outbound queue.
                   while (!clientGone && sub.hasNext) {
                     val batch = sub.next()
-                    while (!clientGone && !ctx.channel().isWritable)
-                      Thread.sleep(5)
+                    awaitWritable(ctx)
                     if (!clientGone) writeMessage(ctx, GrpcCodec.streamBatch(batch))
                   }
                 } catch { case _: NoSuchElementException => () /* closed */ }

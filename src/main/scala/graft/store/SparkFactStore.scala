@@ -534,6 +534,62 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
       case Some(df) => FindResult.Found(collectFacts(FactFinders.byTagQuery(df, query)))
     }
 
+  // -- Dataset-returning engine API --------------------------------------------
+  // The List-returning finders above mirror the reference API and collect
+  // to the driver — findByTagQuery has no limit parameter (neither does
+  // the reference's), so a query matching 10^8 facts is a driver OOM on
+  // both engines. Engine users get the distributed variants: the result
+  // stays a lazy Dataset to aggregate, join, or write out without ever
+  // landing on the driver.
+
+  private implicit lazy val factEncoder: org.apache.spark.sql.Encoder[Fact] =
+    org.apache.spark.sql.Encoders.product[Fact]
+
+  private def toFactDs(df: DataFrame): org.apache.spark.sql.Dataset[Fact] =
+    df.map(FactRow.toFact(_))
+
+  /** The store's full committed log as a lazy columnar DataFrame (log
+    * schema incl. the nanos-exact `appended_at_nanos` column) — the
+    * scale-first surface: filters and projections push down to the
+    * parquet scan. No order guarantee; `orderBy("position")` if needed. */
+  def factsFrame(store: String): Option[DataFrame] =
+    prunedDf(store, _ => true)
+
+  /** Distributed [[findByTagQuery]] on the columnar log schema: same
+    * bloom pruning and OR-of-AND predicate, position-ordered, nanos-exact. */
+  def findByTagQueryFrame(store: String, query: TagQuery): Option[DataFrame] =
+    prunedDf(store, f => Blooms.mightMatchQuery(f.bloom, query))
+      .map(FactFinders.byTagQuery(_, query))
+
+  /** The store's full committed log as a lazy `Dataset[Fact]`.
+    *
+    * NOTE: Spark's TimestampType is microsecond-precision, so `appendedAt`
+    * is truncated to micros through the encoder; when nano-exactness
+    * matters (time-range semantics are nanos-exact), use [[factsFrame]]'s
+    * `appended_at_nanos` column instead. */
+  def factsDataset(store: String): Option[org.apache.spark.sql.Dataset[Fact]] =
+    factsFrame(store).map(toFactDs)
+
+  /** Distributed [[findByTagQuery]]: same bloom pruning and OR-of-AND
+    * predicate, position-ordered, but returned as a lazy `Dataset[Fact]`
+    * (micros-truncated `appendedAt` — see [[factsDataset]]). */
+  def findByTagQueryDataset(store: String,
+      query: TagQuery): Option[org.apache.spark.sql.Dataset[Fact]] =
+    findByTagQueryFrame(store, query).map(toFactDs)
+
+  /** Distributed [[findByTags]] (AND of tag pairs), position-ordered
+    * (micros-truncated `appendedAt` — see [[factsDataset]]). */
+  def findByTagsDataset(store: String,
+      tags: Map[String, String]): Option[org.apache.spark.sql.Dataset[Fact]] = {
+    val keep: FileRef => Boolean =
+      if (tags.isEmpty) _ => true
+      else {
+        val asQuery = TagQuery(Seq(TagQueryItem.TagOnly(tags)))
+        f => Blooms.mightMatchQuery(f.bloom, asQuery)
+      }
+    prunedDf(store, keep).map(df => toFactDs(FactFinders.byTags(df, tags)))
+  }
+
   // -- live subscription (SURVEY §2 #19, #21) ----------------------------------
   override def subscribe(store: String, start: StartPosition,
       batchSize: Int): Either[StreamError, Subscription] =

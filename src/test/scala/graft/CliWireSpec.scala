@@ -52,6 +52,11 @@ class CliWireSpec extends AnyFunSuite {
       val replayed = cli("--server", s, "fact", "replay", "wired")
       assert(replayed.contains("ORDER_PLACED") && replayed.contains("ORDER_SHIPPED"))
 
+      // --max bounds within a catch-up batch, not just at batch boundaries
+      val capped = cli("--server", s, "fact", "subscribe", "wired", "--max", "1")
+      assert(capped.linesIterator.count(_.nonEmpty) == 1 &&
+        capped.contains("ORDER_PLACED"))
+
       assert(cli("--server", s, "store", "remove", "wired").contains("StoreRemoved"))
       assert(cli("--server", s, "store", "remove", "wired").contains("StoreNotFound"))
     }
