@@ -100,6 +100,58 @@ object TextAnalysis {
            )) AS window_fingerprint"""
       ).orderBy(asc("doc_id"))),
 
+    // Gopher-style repetition signals: top-token share, top-bigram count,
+    // duplicate-token share — the standard "is this doc degenerate
+    // boilerplate" curation filters. Shape: explode -> two-level agg
+    // (inverted-index shuffle on (doc_id, token), bounded by vocab per
+    // doc); a per-doc HOF would be O(tokens^2) and shuffle-free but
+    // quadratic — wrong trade at 100 TB document sizes.
+    "text_repetition" -> ((s, d) => {
+      val base = docs(s, d).selectExpr("doc_id", s"${tokensSpark("text")} AS toks")
+        .selectExpr("doc_id", "toks",
+          // guard: sequence(1, 0) in Spark descends — emit no bigrams
+          // for single-token docs instead
+          """CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+             END AS bigrams""")
+      val tokStats = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_token_count"),
+          count(lit(1)).as("n_distinct_tokens"),
+          sum(col("c")).as("n_tokens"))
+      val biStats = base.select(col("doc_id"), explode(col("bigrams")).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_count"))
+      tokStats.join(biStats, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "CAST(n_tokens AS BIGINT) AS n_tokens",
+          "CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens",
+          "CAST(top_token_count AS BIGINT) AS top_token_count",
+          "(top_token_count * 10000) div greatest(n_tokens, 1) AS top_token_bp",
+          "CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count",
+          "((n_tokens - n_distinct_tokens) * 10000) div greatest(n_tokens, 1) AS dup_token_bp")
+        .orderBy(asc("doc_id"))
+    }),
+
+    // Per-language top-5 vocabulary: count desc, token asc tiebreak. The
+    // token count shuffles on (lang, token) — the inverted-index shape —
+    // and row_number sees only the per-lang aggregate, which is vocab-
+    // sized, not corpus-sized.
+    "text_top_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("tok"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .selectExpr("lang", "tok", "CAST(n AS BIGINT) AS n",
+          "CAST(rank AS BIGINT) AS rank")
+        .orderBy(asc("lang"), asc("rank"))
+    }),
+
     // Corpus rollup: per (lang, source) token totals — the reduce side.
     "text_corpus_stats" -> ((s, d) =>
       docs(s, d)
@@ -150,6 +202,30 @@ object TextAnalysis {
           "list_min(list_transform(range(1, greatest((length(text) - 7 + 3) // 4, 1) + 1), " +
           s"i -> ${charHashDuck("substring(text, (i - 1) * 4 + 1, 8)")})) AS window_fingerprint " +
           "FROM documents ORDER BY doc_id"),
+      "text_repetition" ->
+        (s"WITH base AS (SELECT doc_id, $toks AS toks FROM documents), " +
+          "tok AS (SELECT doc_id, unnest(toks) AS tok FROM base), " +
+          "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), " +
+          "tstats AS (SELECT doc_id, max(c) AS top_token_count, " +
+          "count(*) AS n_distinct_tokens, CAST(sum(c) AS BIGINT) AS n_tokens " +
+          "FROM tc GROUP BY doc_id), " +
+          "bge AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [] " +
+          "ELSE list_transform(range(1, len(toks)), " +
+          "i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)) END) AS bg " +
+          "FROM base), " +
+          "bc AS (SELECT doc_id, bg, count(*) AS c FROM bge GROUP BY doc_id, bg), " +
+          "bstats AS (SELECT doc_id, max(c) AS top_bigram_count FROM bc GROUP BY doc_id) " +
+          "SELECT t.doc_id, t.n_tokens, t.n_distinct_tokens, t.top_token_count, " +
+          "(t.top_token_count * 10000) // greatest(t.n_tokens, 1) AS top_token_bp, " +
+          "coalesce(b.top_bigram_count, 0) AS top_bigram_count, " +
+          "((t.n_tokens - t.n_distinct_tokens) * 10000) // greatest(t.n_tokens, 1) AS dup_token_bp " +
+          "FROM tstats t LEFT JOIN bstats b USING (doc_id) ORDER BY doc_id"),
+      "text_top_tokens" ->
+        (s"WITH tok AS (SELECT lang, unnest($toks) AS tok FROM documents), " +
+          "c AS (SELECT lang, tok, count(*) AS n FROM tok GROUP BY lang, tok), " +
+          "r AS (SELECT lang, tok, n, row_number() OVER " +
+          "(PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank FROM c) " +
+          "SELECT lang, tok, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
       "text_corpus_stats" ->
         (s"SELECT lang, source, count(*) AS n_docs, " +
           s"CAST(sum(len($toks)) AS BIGINT) AS total_tokens, " +

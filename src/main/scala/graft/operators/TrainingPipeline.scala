@@ -116,6 +116,21 @@ object TrainingPipeline {
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
         .orderBy(asc("split"))),
 
+    // Stratified downsampling with per-language keep rates (the standard
+    // "rebalance the language mix" curation step): deterministic keep
+    // decision from the same content-independent doc_id hash as
+    // sample_split — no rand(), identical selection on any engine or
+    // cluster size. Pure map-side filter + projection; returns the kept
+    // rows so downstream stages chain off it directly.
+    "sample_stratified" -> ((s, d) =>
+      tokenized(s, d)
+        .selectExpr("doc_id", "lang", "n_tokens",
+          s"${charHashSpark("CAST(doc_id AS STRING)")} % 100 AS bucket")
+        .filter(
+          "bucket < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END")
+        .selectExpr("doc_id", "lang", "n_tokens", "bucket")
+        .orderBy(asc("doc_id"))),
+
     // Quality-aware dedup: within each exact-duplicate group keep the doc
     // with the best lexical-diversity score (ties: lowest doc_id) — the
     // "keep best, not first" variant of keep-one-per-group. One groupBy-
@@ -198,6 +213,12 @@ object TrainingPipeline {
           "ELSE 'test' END AS split FROM t) " +
           "SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
           "FROM s GROUP BY split ORDER BY split"),
+      "sample_stratified" ->
+        (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"$docHash % 100 AS bucket FROM documents) " +
+          "SELECT doc_id, lang, n_tokens, bucket FROM t " +
+          "WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END " +
+          "ORDER BY doc_id"),
       "dedup_keep_best" ->
         (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, " +
           s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp " +
