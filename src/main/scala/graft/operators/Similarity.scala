@@ -147,11 +147,16 @@ object Similarity {
     // nearest cells and rerank exactly inside them.
     "ann_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
-      // centroid sum-vectors, exactly, via posexplode + decimal sums
+      // centroid sum-vectors via e10-scaled integer sums — not decimals:
+      // Spark FLOAT->DECIMAL rounds the float's shortest decimal repr,
+      // DuckDB rounds the exact binary value, a ~1e-9 divergence that ppm
+      // flooring only mostly masks. Integer sums match by construction;
+      // the e10 scale is irrelevant under cosine (scale-invariant).
       val cent = e.select(col("label"), posexplode(col("embedding")))
-        .withColumnRenamed("col", "x")
+        .selectExpr("label", "pos",
+          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
         .groupBy(col("label"), col("pos"))
-        .agg(sum(col("x").cast("decimal(28,10)")).as("sx"))
+        .agg(sum(col("xe10")).as("sx"))
         .groupBy(col("label"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
       val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
@@ -176,6 +181,66 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("rank").cast("bigint").as("rank"),
           col("neighbor_id"), col("cos_ppm"))
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
+    // Product quantization + asymmetric distance (ADC) — the memory-bound
+    // ANN scale path: vectors compress to M=8 one-byte-ish codes (argmin
+    // centroid per 8-dim subspace), queries score candidates via a
+    // per-query lookup table, never touching the raw vectors. Codebook =
+    // per-(subspace, label) centroids from decimal-exact component sums
+    // (same discipline as ann_ivf_probe, divided by count in double —
+    // deterministic). Distances are L2 via the pinned vec_norm2/vec_dot
+    // kernels, fixed-point-scaled to e10 BIGINTs so the 8-subspace ADC sum
+    // is exact integer math — order-independent on any engine. At 100 TB:
+    // codebook and query tables broadcast, the codes relation is the big
+    // side and never collects, ADC is a map-side join + small aggregation.
+    "ann_pq_adc" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      // per-(subspace m, label) centroid: 8 components, sp-ordered.
+      // Component sums are e10-scaled BIGINTs, not decimals: Spark's
+      // FLOAT->DECIMAL cast rounds the float's shortest decimal repr
+      // where DuckDB rounds the exact binary value — they disagree at
+      // ~1e-9, which the e10 ADC floor would expose. Integer math is
+      // engine-independent by construction.
+      val cent = e.select(col("label"), posexplode(col("embedding")))
+        .selectExpr("label", "pos div 8 AS m", "pos % 8 AS sp",
+          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+        .groupBy(col("m"), col("label"), col("sp"))
+        .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
+        .groupBy(col("m"), col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(sp, sxe10, cnt))), " +
+          "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv"))
+      // encode: per (vector, subspace) the nearest centroid's label
+      val xsub = e.select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(0, 7)")).as("m"))
+        .selectExpr("vec_id", "m", "slice(embedding, m * 8 + 1, 8) AS xs")
+      val codes = xsub.join(broadcast(cent), Seq("m"))
+        .selectExpr("vec_id", "m", "label",
+          "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("label"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("label").as("code"))
+      // per-query ADC lookup table: distance to every centroid, e10 fixed
+      val qtab = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          explode(expr("sequence(0, 7)")).as("m"))
+        .selectExpr("query_id", "m", "slice(embedding, m * 8 + 1, 8) AS qs")
+        .join(broadcast(cent), Seq("m"))
+        .selectExpr("query_id", "m", "label AS code",
+          "CAST(floor((vec_norm2(qs) - 2 * vec_dot(qs, cv) + vec_norm2(cv)) " +
+            "* 10000000000) AS BIGINT) AS qd_e10")
+      codes.join(broadcast(qtab), Seq("m", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd_e10")).as("adc_e10"))
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
+        .filter(col("rank") <= 10)
+        .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank",
+          "vec_id AS neighbor_id", "CAST(adc_e10 AS BIGINT) AS adc_e10")
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
@@ -213,7 +278,7 @@ object Similarity {
         s"WHERE ${cosPpmDuck("a.v", "b2.v")} >= 100000 ORDER BY vec_a, vec_b"),
     "ann_ivf_probe" ->
       ("WITH comp AS (SELECT label, r.range AS pos, " +
-        "sum(list_extract(embedding, r.range)::DECIMAL(28,10)) AS sx " +
+        "CAST(sum(CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sx " +
         "FROM embeddings CROSS JOIN range(1, 65) r GROUP BY label, r.range), " +
         "cent AS (SELECT label, list_transform(list(sx ORDER BY pos), x -> x::DOUBLE) AS cv " +
         "FROM comp GROUP BY label), " +
@@ -228,6 +293,38 @@ object Similarity {
         "FROM probed JOIN embeddings e USING (label) WHERE e.vec_id <> query_id) " +
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
+    "ann_pq_adc" -> {
+      // same pinned L2 kernel as the Spark side: norm2(x) - 2*dot(x,c) + norm2(c)
+      val l2 = s"${norm2Duck("sv", 8)} - 2 * ${dotDuck("sv", "cv", 8)} + ${norm2Duck("cv", 8)}"
+      ("WITH sub AS (SELECT label, (r.range - 1) // 8 AS m, r.range AS pos, " +
+        "CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
+        "FROM embeddings CROSS JOIN range(1, 65) r), " +
+        "cgrp AS (SELECT m, label, pos, CAST(sum(xe10) AS BIGINT) AS sxe10, count(*) AS cnt " +
+        "FROM sub GROUP BY m, label, pos), " +
+        "cent0 AS (SELECT m, label, list_transform(list(sxe10 ORDER BY pos), " +
+        "s -> s::DOUBLE) AS svec, max(cnt) AS cnt FROM cgrp GROUP BY m, label), " +
+        "cent AS (SELECT m, label, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cent0), " +
+        "xsub AS (SELECT vec_id, ms.range AS m, " +
+        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
+        "FROM embeddings CROSS JOIN range(0, 8) ms), " +
+        s"scored AS (SELECT vec_id, x.m AS m, label, $l2 AS dist, " +
+        s"row_number() OVER (PARTITION BY vec_id, x.m ORDER BY $l2 ASC, label) AS rk " +
+        "FROM xsub x JOIN cent c ON c.m = x.m), " +
+        "codes AS (SELECT vec_id, m, label AS code FROM scored WHERE rk = 1), " +
+        "qsub AS (SELECT vec_id AS query_id, ms.range AS m, " +
+        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
+        "FROM embeddings CROSS JOIN range(0, 8) ms WHERE vec_id < 5), " +
+        "qtab AS (SELECT query_id, q.m AS m, label AS code, " +
+        s"CAST(floor(($l2) * 10000000000) AS BIGINT) AS qd_e10 " +
+        "FROM qsub q JOIN cent c ON c.m = q.m), " +
+        "adc AS (SELECT query_id, vec_id, CAST(sum(qd_e10) AS BIGINT) AS adc_e10 " +
+        "FROM codes JOIN qtab USING (m, code) WHERE query_id <> vec_id " +
+        "GROUP BY query_id, vec_id), " +
+        "ranked AS (SELECT query_id, vec_id, adc_e10, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
+        "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
+    },
     "vector_stats" ->
       (s"SELECT label, count(*) AS n, " +
         s"min(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS min_norm_ppm, " +
