@@ -78,4 +78,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*("), "hot projection not inside a WholeStageCodegen stage")
     assert(p.contains("char_hash"), "checksum kernel not the native expression")
   }
+
+  test("ann_pq_adc: codebook and query tables broadcast, codes side never does") {
+    val analyzed = SparkEntry.queries("ann_pq_adc")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator
+      .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
+    assert(hints >= 2, "centroid/query-table broadcasts lost")
+    val p = planOf("ann_pq_adc")
+    assert(p.contains("vec_dot") && p.contains("vec_norm2"),
+      "PQ distance kernel not the native expressions")
+    assert(!p.contains("CartesianProduct"),
+      "PQ encode degenerated to a cartesian product")
+  }
+
+  test("text_repetition/text_top_tokens: no cartesian, aggregate-based counts") {
+    Seq("text_repetition", "text_top_tokens").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in the plan")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$q: token counts not a shuffled aggregate")
+    }
+  }
 }
