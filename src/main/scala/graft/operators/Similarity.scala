@@ -204,14 +204,17 @@ object Similarity {
       // where DuckDB rounds the exact binary value — they disagree at
       // ~1e-9, which the e10 ADC floor would expose. Integer math is
       // engine-independent by construction.
-      val cent = e.select(col("label"), posexplode(col("embedding")))
-        .selectExpr("label", "pos div 8 AS m", "pos % 8 AS sp",
-          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-        .groupBy(col("m"), col("label"), col("sp"))
-        .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
-        .groupBy(col("m"), col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(sp, sxe10, cnt))), " +
-          "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv"))
+      // persisted: it feeds both the encode join and the per-query table —
+      // without the barrier each consumer re-aggregates the full corpus
+      val cent = CacheScope.persist(
+        e.select(col("label"), posexplode(col("embedding")))
+          .selectExpr("label", "pos div 8 AS m", "pos % 8 AS sp",
+            "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+          .groupBy(col("m"), col("label"), col("sp"))
+          .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
+          .groupBy(col("m"), col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(sp, sxe10, cnt))), " +
+            "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv")))
       // encode: per (vector, subspace) the nearest centroid's label
       val xsub = e.select(col("vec_id"), col("embedding"),
           explode(expr("sequence(0, 7)")).as("m"))
