@@ -113,6 +113,9 @@ final class RestServer(store: FactStore, port: Int = 0) {
     try f(ex)
     catch {
       case e: IllegalArgumentException => sendError(ex, 400, "invalid_request", e.getMessage)
+      // an unparseable request body is the caller's error, not ours
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        sendError(ex, 400, "invalid_request", String.valueOf(e.getOriginalMessage))
       case e: Throwable => sendError(ex, 500, "internal", String.valueOf(e.getMessage))
     } finally ex.close()
 

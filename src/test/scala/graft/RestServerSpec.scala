@@ -193,6 +193,51 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("every 4xx/409 path returns a structured {error, detail} body (ApiError.kt shape)") {
+    withServer { (base, c) =>
+      post(c, s"$base/stores", """{"name":"es"}""")
+      val seeded = s"""{"facts":[{"type":"T","subject":"x","data":""}],"idempotencyKey":"k1"}"""
+      assert(post(c, s"$base/stores/es/facts", seeded).statusCode() == 200)
+
+      // (how to fire it, expected status, expected machine-readable error code)
+      val cases: Seq[(String, () => HttpResponse[String], Int, String)] = Seq(
+        ("unknown api path", () => get(c, s"$base/nope"), 404, "not_found"),
+        ("malformed create body", () => post(c, s"$base/stores", "{not json"), 400, "invalid_request"),
+        ("duplicate store name", () => post(c, s"$base/stores", """{"name":"es"}"""), 409, "name_already_exists"),
+        ("invalid store name", () => post(c, s"$base/stores", """{"name":"1bad"}"""), 400, "invalid_store_name"),
+        ("get missing store", () => get(c, s"$base/stores/ghost"), 404, "store_not_found"),
+        ("delete missing store", () => delete(c, s"$base/stores/ghost"), 404, "store_not_found"),
+        ("append to missing store", () => post(c, s"$base/stores/ghost/facts", seeded), 404, "store_not_found"),
+        ("replayed idempotency key", () => post(c, s"$base/stores/es/facts", seeded), 409, "already_applied"),
+        ("violated append condition", () => post(c, s"$base/stores/es/facts",
+          """{"facts":[{"type":"T","subject":"x","data":""}],
+             "condition":{"type":"expectedLastFact","subject":"x","expectedLastFactId":null}}"""),
+          409, "append_condition_violated"),
+        ("tags combined with time range", () =>
+          get(c, s"$base/stores/es/facts?tag=a%3Db&from=2024-01-01T00:00:00Z"), 400, "unsupported_query"),
+        ("fact id not found", () => get(c, s"$base/stores/es/facts/no-such-id"), 404, "fact_not_found"),
+        ("tag query on missing store", () => post(c, s"$base/stores/ghost/facts/query",
+          """{"items":[{"types":["T"],"tags":{}}]}"""), 404, "store_not_found"),
+        ("subscribe on missing store", () => get(c, s"$base/stores/ghost/facts/subscribe"), 404, "store_not_found"),
+        ("replay on missing store", () => get(c, s"$base/stores/ghost/facts/replay"), 404, "store_not_found"),
+        ("subscribe after unknown fact", () => get(c, s"$base/stores/es/facts/subscribe?after=nope"),
+          404, "after_fact_not_found"),
+        ("replay after unknown fact", () => get(c, s"$base/stores/es/facts/replay?after=nope"),
+          404, "after_fact_not_found")
+      )
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      for ((label, fire, status, code) <- cases) {
+        val r = fire()
+        assert(r.statusCode() == status, s"$label: status ${r.statusCode()} body ${r.body()}")
+        val body = om.readTree(r.body())
+        assert(body.hasNonNull("error") && body.has("detail"),
+          s"$label: body not {error, detail}-shaped: ${r.body()}")
+        assert(body.get("error").asText() == code,
+          s"$label: error '${body.get("error").asText()}' != '$code'")
+      }
+    }
+  }
+
   test("SSE reconnect with Last-Event-ID resumes exactly after the last seen fact") {
     withServer { (base, c) =>
       post(c, s"$base/stores", """{"name":"s6"}""")
