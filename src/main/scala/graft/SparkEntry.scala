@@ -18,6 +18,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (TrainingPipeline.queries, TrainingPipeline.oracles),
       (Similarity.queries, Similarity.oracles),
+      (Temporal.queries, Temporal.oracles),
       (Multimodal.queries, Multimodal.oracles)
     )
 

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators — the two classic shapes a Spark user cannot get
+  * as a single built-in operator (the brief's "as-of join, range join"
+  * custom-operator examples), each expressed as a scale-safe composition of
+  * built-ins rather than an inequality join:
+  *
+  *  - '''as-of join''' (`events_asof_join`): attach to every purchase the
+  *    most recent prior-or-same-instant click by the same user. Instead of
+  *    a per-row backward probe (or a `p.ts >= c.ts` theta-join that planners
+  *    execute as a nested loop), both sides are UNIONED and a single
+  *    per-user window carries the last click forward — one shuffle on
+  *    `user_id`, one sort, zero joins. At 100 TB this is the plan you want:
+  *    cost is that of one repartition + sort of the filtered event stream,
+  *    and skew is bounded by the hottest single user.
+  *
+  *  - '''range join''' (`events_range_join`): for every error event, count
+  *    and sum the purchases inside ±15 minutes. A raw
+  *    `abs(p.ts - e.ts) <= 15min` predicate has no equi-key and becomes a
+  *    BroadcastNestedLoopJoin — O(n·m) and a driver OOM at scale. Here both
+  *    sides are bucketed by 15-minute epochs; each error probes its own and
+  *    the two adjacent buckets (`explode` of 3 keys), the join is a plain
+  *    equi-join on the bucket with the exact range predicate as a residual
+  *    filter, and every purchase can match a probe in exactly one bucket so
+  *    nothing double-counts. Cost: a 3× fan-out of the (filtered) error
+  *    side and one shuffled equi-join — linear, skew-bounded by the
+  *    busiest 15-minute window.
+  *
+  * Determinism contract (same as the rest of the inventory): timestamps are
+  * projected to epoch micros, money sums leave as ×10⁴-scaled BIGINTs, row
+  * order is total (unique `event_id`), and window order keys are unique
+  * (`ts_us, event_id`) so the carried row is pinned on both engines.
+  */
+object Temporal {
+
+  private val dec = "decimal(18,4)"
+  private def e4(c: Column) = (c.cast(dec) * lit(10000).cast("decimal(5,0)")).cast("bigint")
+  private val e4Sql =
+    "CAST(CAST(p.value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+
+  private val bucketUs = 900000000L // 15 minutes in epoch micros
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: last click ≤ each purchase, per user. Union + carry-forward
+    // window, no join operator in the plan at all.
+    "events_asof_join" -> ((s, d) => {
+      val base = EventFinders.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      // unique order key (ts_us, event_id): a click sharing a purchase's
+      // exact microsecond matches iff its event_id is smaller — pinned
+      // identically in the oracle's OVER clause
+      val carry = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(carry))
+        .withColumn("click_ts_us",
+          last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(carry))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("click_id"), (col("ts_us") - col("click_ts_us")).as("us_since_click"))
+        .orderBy(asc("event_id"))
+    }),
+
+    // Range join: purchases within ±15 min of each error, bucketed so the
+    // physical join is an equi-join (residual range filter), never a BNLJ.
+    "events_range_join" -> ((s, d) => {
+      val ev = EventFinders.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), expr("ts div 1000").as("err_ts_us"))
+        .withColumn("bucket",
+          explode(array((-1 to 1).map(i =>
+            expr(s"err_ts_us div ${bucketUs}L") + lit(i.toLong)): _*)))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(expr(s"(ts div 1000) div ${bucketUs}L").as("bucket"),
+          expr("ts div 1000").as("p_ts_us"), col("value"))
+      errors
+        .join(purchases,
+          errors("bucket") === purchases("bucket") &&
+            abs(purchases("p_ts_us") - errors("err_ts_us")) <= lit(bucketUs),
+          "left")
+        .groupBy(col("err_id"), col("err_ts_us"))
+        .agg(count(col("p_ts_us")).as("n_nearby"),
+          coalesce(sum(e4(col("value"))), lit(0L)).as("sum_value_e4"))
+        .select(col("err_id").as("event_id"), col("err_ts_us").as("ts_us"),
+          col("n_nearby"), col("sum_value_e4"))
+        .orderBy(asc("event_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_asof_join" ->
+      ("WITH base AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value " +
+        "FROM events WHERE event_type IN ('click','purchase')), " +
+        "c AS (SELECT *, " +
+        "last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id, " +
+        "last_value(CASE WHEN event_type='click' THEN ts_us END IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts_us FROM base) " +
+        "SELECT event_id, user_id, ts_us, value, click_id, " +
+        "ts_us - click_ts_us AS us_since_click " +
+        "FROM c WHERE event_type = 'purchase' ORDER BY event_id"),
+    "events_range_join" ->
+      ("SELECT e.event_id AS event_id, epoch_us(e.ts) AS ts_us, " +
+        "count(p.value) AS n_nearby, " +
+        s"COALESCE(CAST(sum($e4Sql) AS BIGINT), 0) AS sum_value_e4 " +
+        "FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e " +
+        "LEFT JOIN (SELECT ts, value FROM events WHERE event_type = 'purchase') p " +
+        "ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 900000000 " +
+        "GROUP BY e.event_id, epoch_us(e.ts) ORDER BY e.event_id")
+  )
+}

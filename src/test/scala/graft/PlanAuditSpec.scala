@@ -92,6 +92,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "PQ encode degenerated to a cartesian product")
   }
 
+  test("events_asof_join: union+window plan — zero join operators, one user_id shuffle") {
+    val p = planOf("events_asof_join")
+    assert(!p.contains("Join"), "as-of degenerated to a join (union+window lost)")
+    assert(p.contains("Window"), "carry-forward window missing")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      "expected exactly one user_id exchange feeding both windows")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      "event_type filter not pushed to the scan")
+  }
+
+  test("events_range_join: bucketed equi-join with residual range filter, no BNLJ") {
+    val p = planOf("events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join fell back to a nested loop — bucket equi-key lost")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "no equi-join on the time bucket in the plan")
+    assert(p.contains("abs(") && p.contains("900000000"),
+      "exact ±15min predicate not present as a residual join filter")
+    assert(p.contains("partial_count"), "map-side partial aggregation lost")
+  }
+
   test("text_repetition/text_top_tokens: no cartesian, aggregate-based counts") {
     Seq("text_repetition", "text_top_tokens").foreach { q =>
       val p = planOf(q)
