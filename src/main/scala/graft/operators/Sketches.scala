@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+
+/** Count-min sketch over the document token stream — the brief's third
+  * custom-operator example ("a novel sketch"), built as pure relational
+  * algebra so it is oracle-checkable and mergeable:
+  *
+  *  - The sketch is a fixed `Depth × Width` grid of counters. Each token
+  *    occurrence increments one cell per row: `cell_i = ((a_i·h + b_i) mod
+  *    P) mod Width`, with `(a_i, b_i)` the pinned [[CrossHash]] permutation
+  *    constants (exact int64 on both engines — `a·h < 2^60`).
+  *  - As a Spark plan that is `explode(Depth cells) → groupBy(depth, cell)
+  *    → count`: partial aggregation makes every executor's contribution the
+  *    same fixed grid, and merging partials is cell-wise addition — the
+  *    property that lets a 1000-executor cluster summarize an unbounded
+  *    token stream in `Depth × Width` integers of driver memory. No state
+  *    grows with corpus size except the vocab-bounded occupied-cell count.
+  *  - `text_cms_heavy_hitters` closes the loop: the CMS estimate of a
+  *    token's count is `min_i sketch[i][cell_i(h)]`, which can only
+  *    over-count (collisions add, never subtract). The query emits the
+  *    exact top-20 tokens with both exact and estimated counts; the
+  *    `overcount >= 0` invariant and the exact estimate values are pinned
+  *    by the DuckDB oracle hash.
+  *
+  * Output contract: the sketch query emits a 4-row per-depth digest
+  * (occupancy, total mass, hottest cell) rather than all `Depth × Width`
+  * cells — `total_count` must be identical across depths (every token lands
+  * in exactly one cell per row), so the digest pins the grid's mass
+  * distribution without a 32k-row result.
+  */
+object Sketches {
+
+  private val P = CrossHash.P
+  private val Depth = 4
+  private val Width = 8192L
+  /** Row-hash constants: the first `Depth` pinned MinHash permutations. */
+  private val Perms: Seq[(Long, Long)] = CrossHash.MinhashPerms.take(Depth)
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** One row per token occurrence: the pinned polynomial hash in [0, P). */
+  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      explode(expr(CrossHash.wordHashesSpark("text"))).as("h"))
+
+  private def cellCol(i: Int): Column = {
+    val (a, b) = Perms(i)
+    expr(s"((${a}L * h + ${b}L) % ${P}L) % ${Width}L")
+  }
+
+  /** depth×cell → count grid (occupied cells only). */
+  private def sketch(s: SparkSession, d: String): DataFrame =
+    tokenHashes(s, d)
+      .select(explode(array((0 until Depth).map(i =>
+        struct(lit(i.toLong).as("depth"), cellCol(i).as("cell"))): _*)).as("dc"))
+      .select(col("dc.depth").as("depth"), col("dc.cell").as("cell"))
+      .groupBy(col("depth"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cms_sketch" -> ((s, d) =>
+      sketch(s, d)
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("occupied_cells"),
+          sum(col("n")).cast("bigint").as("total_count"),
+          max(col("n")).as("max_cell"))
+        .orderBy(asc("depth"))),
+
+    "text_cms_heavy_hitters" -> ((s, d) => {
+      val top = tokenHashes(s, d)
+        .groupBy(col("h")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("h")).limit(20)
+      val probes = top.select(col("h"), col("n_exact"),
+        explode(array((0 until Depth).map(i =>
+          struct(lit(i.toLong).as("depth"), cellCol(i).as("cell"))): _*)).as("dc"))
+        .select(col("h"), col("n_exact"), col("dc.depth").as("depth"), col("dc.cell").as("cell"))
+      probes.join(sketch(s, d), Seq("depth", "cell"))
+        .groupBy(col("h"), col("n_exact"))
+        .agg(min(col("n")).as("n_est"))
+        .select(col("h").as("token_hash"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy(desc("n_exact"), asc("token_hash"))
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val wh = CrossHash.wordHashesDuck(CrossHash.tokensDuck("text"))
+    val tok = s"SELECT unnest($wh) AS h FROM documents"
+    val cells = (0 until Depth).map { i =>
+      val (a, b) = Perms(i)
+      s"SELECT CAST($i AS BIGINT) AS depth, (($a * h + $b) % $P) % $Width AS cell FROM tok"
+    }.mkString(" UNION ALL ")
+    val probeCells = (0 until Depth).map { i =>
+      val (a, b) = Perms(i)
+      s"SELECT h, n_exact, CAST($i AS BIGINT) AS depth, " +
+        s"(($a * h + $b) % $P) % $Width AS cell FROM top"
+    }.mkString(" UNION ALL ")
+    Map(
+      "text_cms_sketch" ->
+        (s"WITH tok AS ($tok), cells AS ($cells), " +
+          "grid AS (SELECT depth, cell, count(*) AS n FROM cells GROUP BY depth, cell) " +
+          "SELECT depth, count(*) AS occupied_cells, CAST(sum(n) AS BIGINT) AS total_count, " +
+          "max(n) AS max_cell FROM grid GROUP BY depth ORDER BY depth"),
+      "text_cms_heavy_hitters" ->
+        (s"WITH tok AS ($tok), cells AS ($cells), " +
+          "grid AS (SELECT depth, cell, count(*) AS n FROM cells GROUP BY depth, cell), " +
+          "top AS (SELECT h, count(*) AS n_exact FROM tok GROUP BY h " +
+          "ORDER BY n_exact DESC, h LIMIT 20), " +
+          s"probes AS ($probeCells) " +
+          "SELECT p.h AS token_hash, p.n_exact, min(g.n) AS n_est, " +
+          "min(g.n) - p.n_exact AS overcount " +
+          "FROM probes p JOIN grid g USING (depth, cell) " +
+          "GROUP BY p.h, p.n_exact ORDER BY p.n_exact DESC, p.h")
+    )
+  }
+}

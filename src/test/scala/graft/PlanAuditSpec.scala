@@ -113,6 +113,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "map-side partial aggregation lost")
   }
 
+  test("text_cms_heavy_hitters: rank-pruned top-k, broadcast probes, codegen'd hashes") {
+    val p = planOf("text_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-20 lost rank pruning (full sort instead)")
+    assert(p.contains("word_hashes"), "token hashing not the native kernel")
+    assert(p.contains("partial_count"), "sketch grid lost map-side partial aggregation")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "probe-to-grid join lost its (depth, cell) equi-key")
+  }
+
   test("text_repetition/text_top_tokens: no cartesian, aggregate-based counts") {
     Seq("text_repetition", "text_top_tokens").foreach { q =>
       val p = planOf(q)
