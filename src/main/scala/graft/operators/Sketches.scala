@@ -64,7 +64,58 @@ object Sketches {
       .groupBy(col("depth"), col("cell"))
       .agg(count(lit(1)).as("n"))
 
+  // ---- HyperLogLog (raw estimator) --------------------------------------
+  // 256 registers; register = h mod 256, rank = CLZ of (h div 256) in its
+  // 22-bit field + 1 (h < P < 2^30 so h div 256 < 2^22). Every float op is
+  // an IEEE basic op (+,-,*,/ are correctly rounded, so bit-identical on
+  // both engines): ranks come from an integer CASE chain (no log2), the
+  // 2^-M terms are exact power-of-two literals (no libm pow), and their sum
+  // is exact in double (multiples of 2^-23 bounded by 256 need 31 mantissa
+  // bits), hence order-independent across Spark's parallel aggregation.
+  // No small-range correction — it needs ln(), which is not cross-engine
+  // bit-stable; the raw estimator is the oracle-pinned contract.
+  private val HllM = 256
+  private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+
+  /** CLZ-based rank of the 22-bit field, as a CASE chain valid in both
+    * Spark SQL and DuckDB. v in [2^i, 2^(i+1)) has rank 22-i; v=0 → 23. */
+  private def rankCase(v: String): String =
+    (21 to 0 by -1).map(i => s"WHEN $v >= ${1L << i} THEN ${22 - i}")
+      .mkString("CASE ", " ", " ELSE 23 END")
+
+  /** 2^-M as exact literals keyed by the register max-rank (1..23). */
+  private def termCase(m: String): String =
+    (1 to 23).map(r => s"WHEN $r THEN ${java.lang.Double.toString(math.pow(2.0, -r))}")
+      .mkString(s"CASE $m ", " ", " END")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distinct-shingle cardinality per language: the corpus vocabulary is a
+    // fixed 31 tokens at every SF, but 3-gram shingles number in the
+    // thousands per language — real HLL territory (raw estimator needs
+    // n >> 2.5·m). Shingle hashes are already ~uniform on [0, P).
+    "text_hll_distinct" -> ((s, d) => {
+      val tok = docs(s, d).select(col("lang"),
+        explode(expr(CrossHash.shingleHashesSpark(
+          CrossHash.wordHashesSpark("text")))).as("h"))
+      val regs = tok
+        .select(col("lang"), expr(s"h % $HllM").as("j"),
+          expr(rankCase(s"(h div $HllM)")).as("r"))
+        .groupBy(col("lang"), col("j")).agg(max(col("r")).as("m"))
+      val est = regs
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("present"), sum(expr(termCase("m"))).as("s_present"))
+        // absent registers contribute 2^0 = 1 each; all exact in double
+        .withColumn("s_all",
+          col("s_present") + (lit(HllM) - col("present")).cast("double"))
+        .select(col("lang"),
+          expr(s"CAST(floor(($HllAlphaM2 / s_all) * 10000.0) AS BIGINT)").as("hll_est_e4"))
+      val exact = tok.groupBy(col("lang"))
+        .agg(countDistinct(col("h")).as("n_exact"))
+      exact.join(est, Seq("lang"))
+        .select(col("lang"), col("n_exact"), col("hll_est_e4"))
+        .orderBy(asc("lang"))
+    }),
+
     "text_cms_sketch" -> ((s, d) =>
       sketch(s, d)
         .groupBy(col("depth"))
@@ -102,7 +153,20 @@ object Sketches {
       s"SELECT h, n_exact, CAST($i AS BIGINT) AS depth, " +
         s"(($a * h + $b) % $P) % $Width AS cell FROM top"
     }.mkString(" UNION ALL ")
+    val langTok = "SELECT lang, unnest(" +
+      CrossHash.shingleHashesDuck(wh) + ") AS h FROM documents"
     Map(
+      "text_hll_distinct" ->
+        (s"WITH tok AS ($langTok), " +
+          s"regs AS (SELECT lang, h % $HllM AS j, ${rankCase(s"(h // $HllM)")} AS r FROM tok), " +
+          "mx AS (SELECT lang, j, max(r) AS m FROM regs GROUP BY lang, j), " +
+          s"est AS (SELECT lang, count(*) AS present, sum(${termCase("m")}) AS s_present " +
+          "FROM mx GROUP BY lang), " +
+          s"e AS (SELECT lang, CAST(floor(($HllAlphaM2 / " +
+          s"(s_present + CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) " +
+          "AS hll_est_e4 FROM est), " +
+          "x AS (SELECT lang, count(DISTINCT h) AS n_exact FROM tok GROUP BY lang) " +
+          "SELECT x.lang, x.n_exact, e.hll_est_e4 FROM x JOIN e USING (lang) ORDER BY lang"),
       "text_cms_sketch" ->
         (s"WITH tok AS ($tok), cells AS ($cells), " +
           "grid AS (SELECT depth, cell, count(*) AS n FROM cells GROUP BY depth, cell) " +

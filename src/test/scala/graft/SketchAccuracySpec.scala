@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy guards for the sketch operators (the LshRecallSpec pattern:
+  * approximation quality is measured, not assumed). The DuckDB oracle pins
+  * that both engines compute the same values; these tests pin that the
+  * values are USEFUL — an estimator that drifted into a degenerate regime
+  * (e.g. raw HLL under 2.5·m distinct values) would still hash-match. */
+class SketchAccuracySpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def spark = SparkTestSession.spark
+
+  test("HLL distinct-shingle estimate within 20% of exact per language") {
+    val rows = SparkEntry.queries("text_hll_distinct")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Long]("hll_est_e4") / 10000.0
+      assert(exact > 640, // 2.5·m — below this the raw estimator is invalid
+        s"${r.getString(0)}: $exact distinct shingles is inside the " +
+          "small-range regime; the input domain degenerated")
+      val rel = math.abs(est / exact - 1.0)
+      assert(rel < 0.20, s"${r.getString(0)}: |$est/$exact - 1| = $rel >= 0.20")
+    }
+  }
+
+  test("CMS estimates only over-count, and within 2x of exact for the top-20") {
+    val rows = SparkEntry.queries("text_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val over = r.getAs[Long]("overcount")
+      assert(over >= 0, s"token ${r.getLong(0)}: CMS under-counted by ${-over}")
+      // heavy hitters dominate their cells: collisions add only light mass
+      assert(over <= exact, s"token ${r.getLong(0)}: overcount $over > exact $exact")
+    }
+  }
+
+  test("CMS sketch mass is identical across depths (every token lands once per row)") {
+    val rows = SparkEntry.queries("text_cms_sketch")(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Long]("total_count")).distinct.length == 1,
+      "per-depth total mass diverged — a token missed a row of the grid")
+  }
+}
