@@ -84,6 +84,30 @@ object Analytics2 {
             .cast("bigint").as("sum_f_e4"))
         .orderBy(asc("c_mktsegment"))),
 
+    // Exact empirical deciles of line price per return flag. Decimal-exact
+    // values: the quantile VALUE at a fixed rank is deterministic even when
+    // row_number breaks price ties arbitrarily. The per-group total sort is
+    // inherent to exact quantiles (3 reducer partitions here — one per
+    // flag); at petabyte scale the play is two-pass histogram refinement or
+    // percentile_approx, neither of which is oracle-stable, so the exact
+    // operator is the pinned contract.
+    "lineitem_quantiles" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast(dec).as("price"))
+      val ranked = l.withColumn("rn",
+        row_number().over(Window.partitionBy(col("flag")).orderBy(asc("price"))))
+      val targets = l.groupBy(col("flag")).agg(count(lit(1)).as("n"))
+        .select(col("flag"), col("n"), explode(expr("sequence(0, 10)")).as("q"))
+        .selectExpr("flag", "CAST(q AS BIGINT) AS q",
+          "CAST((q * (n - 1)) div 10 + 1 AS BIGINT) AS idx")
+      targets.join(ranked,
+          targets("flag") === ranked("flag") && col("idx") === col("rn"))
+        .select(targets("flag"), col("q"),
+          (col("price") * lit(10000).cast("decimal(5,0)")).cast("bigint").as("price_e4"))
+        .orderBy(asc("flag"), asc("q"))
+    }),
+
     // End-to-end training-corpus pipeline: exact-dedup keep-first ->
     // quality gate (token count + stopword ratio) -> per-lang yield.
     "corpus_pipeline" -> ((s, d) => {
@@ -137,6 +161,18 @@ object Analytics2 {
           "FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS sum_f_e4 " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+      "lineitem_quantiles" ->
+        ("WITH l AS (SELECT l_returnflag AS flag, " +
+          "CAST(l_extendedprice AS DECIMAL(18,4)) AS price FROM lineitem), " +
+          "r AS (SELECT flag, price, row_number() OVER " +
+          "(PARTITION BY flag ORDER BY price) AS rn FROM l), " +
+          "c AS (SELECT flag, count(*) AS n FROM l GROUP BY flag), " +
+          "t AS (SELECT flag, q, (q * (n - 1)) // 10 + 1 AS idx " +
+          "FROM c, (SELECT unnest(range(0, 11)) AS q) qs) " +
+          "SELECT t.flag, t.q, " +
+          "CAST(r.price * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS price_e4 " +
+          "FROM t JOIN r ON r.flag = t.flag AND r.rn = t.idx " +
+          "ORDER BY t.flag, t.q"),
       "corpus_pipeline" ->
         (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, len($toks) AS n_tokens, " +
           s"(len(list_filter($toks, t -> t IN ('the','a','of','and','to','is'))) * 10000) " +

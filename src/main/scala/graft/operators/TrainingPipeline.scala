@@ -169,6 +169,21 @@ object TrainingPipeline {
         .orderBy(asc("dim"))
     }),
 
+    // Quality-weighted deterministic sampling: accept each doc with
+    // probability proportional to its lexical-diversity score — a salted
+    // hash coin (`w|` prefix decorrelates it from sample_stratified's
+    // bucket, which uses the unsalted hash) under the ttr_bp threshold.
+    // rand()-free, so the sample is reproducible across engines, runs,
+    // and cluster sizes; pure map-side projection + filter at any scale.
+    "sample_weighted" -> ((s, d) =>
+      docs(s, d).selectExpr(
+        "doc_id", "lang",
+        s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
+            div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""",
+        s"${charHashSpark("concat('w|', CAST(doc_id AS STRING))")} % 10000 AS coin")
+        .filter("coin < ttr_bp")
+        .orderBy(asc("doc_id"))),
+
     // Hash-sharding for distributed training + balance report: per-shard
     // doc/token volume. The shard key is the same deterministic hash, so
     // re-running assignment is stable across engines and cluster sizes.
@@ -241,7 +256,13 @@ object TrainingPipeline {
         (s"WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tokens, " +
           s"$docHash % $NShards AS shard FROM documents) " +
           "SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens " +
-          "FROM t GROUP BY shard ORDER BY shard")
+          "FROM t GROUP BY shard ORDER BY shard"),
+      "sample_weighted" ->
+        (s"WITH t AS (SELECT doc_id, lang, " +
+          s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp, " +
+          s"${charHashDuck("'w|' || CAST(doc_id AS VARCHAR)")} % 10000 AS coin " +
+          "FROM documents) " +
+          "SELECT doc_id, lang, ttr_bp, coin FROM t WHERE coin < ttr_bp ORDER BY doc_id")
     )
   }
 }

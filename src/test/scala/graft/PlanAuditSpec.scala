@@ -113,6 +113,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "map-side partial aggregation lost")
   }
 
+  test("lineitem_quantiles: 2-column scan, equi-join on (flag, rank), no cartesian") {
+    val p = planOf("lineitem_quantiles")
+    assert(!p.contains("l_comment") && !p.contains("l_quantity"),
+      "quantile scan reads columns beyond (flag, price)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "rank-target join lost its equi-key")
+    assert(p.contains("Window"), "per-group ranking not a window")
+  }
+
   test("text_cms_heavy_hitters: rank-pruned top-k, broadcast probes, codegen'd hashes") {
     val p = planOf("text_cms_heavy_hitters")
     assert(p.contains("TakeOrderedAndProject"),
