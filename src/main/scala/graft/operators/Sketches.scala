@@ -55,14 +55,34 @@ object Sketches {
     expr(s"((${a}L * h + ${b}L) % ${P}L) % ${Width}L")
   }
 
-  /** depth×cell → count grid (occupied cells only). */
-  private def sketch(s: SparkSession, d: String): DataFrame =
-    tokenHashes(s, d)
+  /** depth×cell → count grid over any `h`-column relation (occupied cells
+    * only). Package-visible so the merge law — grid(A ∪ B) = cell-wise
+    * grid(A) + grid(B) — is pinned by a test, not assumed. */
+  private[graft] def sketchOf(hashes: DataFrame): DataFrame =
+    hashes
       .select(explode(array((0 until Depth).map(i =>
         struct(lit(i.toLong).as("depth"), cellCol(i).as("cell"))): _*)).as("dc"))
       .select(col("dc.depth").as("depth"), col("dc.cell").as("cell"))
       .groupBy(col("depth"), col("cell"))
       .agg(count(lit(1)).as("n"))
+
+  private def sketch(s: SparkSession, d: String): DataFrame =
+    sketchOf(tokenHashes(s, d))
+
+  /** Per-(lang, register) max-rank relation for HLL over any (lang, h)
+    * relation. Package-visible for the merge-law test: registers(A ∪ B) =
+    * register-wise max of registers(A), registers(B). */
+  private[graft] def hllRegistersOf(langHashes: DataFrame): DataFrame =
+    langHashes
+      .select(col("lang"), expr(s"h % $HllM").as("j"),
+        expr(rankCase(s"(h div $HllM)")).as("r"))
+      .groupBy(col("lang"), col("j")).agg(max(col("r")).as("m"))
+
+  /** The documents→(lang, shingle-hash) stream the HLL query estimates. */
+  private[graft] def langShingleHashes(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("lang"),
+      explode(expr(CrossHash.shingleHashesSpark(
+        CrossHash.wordHashesSpark("text")))).as("h"))
 
   // ---- HyperLogLog (raw estimator) --------------------------------------
   // 256 registers; register = h mod 256, rank = CLZ of (h div 256) in its
@@ -94,13 +114,8 @@ object Sketches {
     // thousands per language — real HLL territory (raw estimator needs
     // n >> 2.5·m). Shingle hashes are already ~uniform on [0, P).
     "text_hll_distinct" -> ((s, d) => {
-      val tok = docs(s, d).select(col("lang"),
-        explode(expr(CrossHash.shingleHashesSpark(
-          CrossHash.wordHashesSpark("text")))).as("h"))
-      val regs = tok
-        .select(col("lang"), expr(s"h % $HllM").as("j"),
-          expr(rankCase(s"(h div $HllM)")).as("r"))
-        .groupBy(col("lang"), col("j")).agg(max(col("r")).as("m"))
+      val tok = langShingleHashes(s, d)
+      val regs = hllRegistersOf(tok)
       val est = regs
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("present"), sum(expr(termCase("m"))).as("s_present"))

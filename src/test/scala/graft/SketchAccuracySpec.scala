@@ -38,6 +38,36 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("CMS merge law: grid(A) + grid(B) cell-wise equals grid(A ∪ B)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    graft.functions.TextHashFunctions.register(s)
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(expr("word_hashes(text)")).as("h"))
+    // two disjoint "executors": even and odd doc_ids
+    val a = graft.operators.Sketches.sketchOf(hashes(docs.filter("doc_id % 2 = 0")))
+    val b = graft.operators.Sketches.sketchOf(hashes(docs.filter("doc_id % 2 = 1")))
+    val merged = a.unionByName(b)
+      .groupBy("depth", "cell").agg(sum("n").as("n"))
+    val whole = graft.operators.Sketches.sketchOf(hashes(docs))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "cell-wise addition of partial grids diverged from the whole-corpus grid")
+  }
+
+  test("HLL merge law: register-wise max of halves equals whole-corpus registers") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val tok = graft.operators.Sketches.langShingleHashes(s, sf)
+    val a = graft.operators.Sketches.hllRegistersOf(tok.filter("h % 2 = 0"))
+    val b = graft.operators.Sketches.hllRegistersOf(tok.filter("h % 2 = 1"))
+    val merged = a.unionByName(b)
+      .groupBy("lang", "j").agg(max("m").as("m"))
+    val whole = graft.operators.Sketches.hllRegistersOf(tok)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "register-wise max of partial register sets diverged from the whole")
+  }
+
   test("CMS sketch mass is identical across depths (every token lands once per row)") {
     val rows = SparkEntry.queries("text_cms_sketch")(spark, sf).collect()
     assert(rows.length == 4)
