@@ -55,14 +55,27 @@ object Sketches {
     expr(s"((${a}L * h + ${b}L) % ${P}L) % ${Width}L")
   }
 
-  /** depth×cell → count grid over any `h`-column relation (occupied cells
-    * only). Package-visible so the merge law — grid(A ∪ B) = cell-wise
-    * grid(A) + grid(B) — is pinned by a test, not assumed. */
-  private[graft] def sketchOf(hashes: DataFrame): DataFrame =
+  /** One (depth, cell) pair per row of the grid touched by each `h` — the
+    * map side of the sketch, shared with the streaming CMS
+    * (graft.streaming.FactStateStreams.hotSubjectCells). */
+  private[graft] def cellPairs(hashes: DataFrame): DataFrame =
     hashes
       .select(explode(array((0 until Depth).map(i =>
         struct(lit(i.toLong).as("depth"), cellCol(i).as("cell"))): _*)).as("dc"))
       .select(col("dc.depth").as("depth"), col("dc.cell").as("cell"))
+
+  /** Driver-side twin of [[cellCol]] for tests/estimates. */
+  private[graft] def cellOf(i: Int, h: Long): Long = {
+    val (a, b) = Perms(i)
+    ((a * h + b) % P) % Width
+  }
+  private[graft] def depthCount: Int = Depth
+
+  /** depth×cell → count grid over any `h`-column relation (occupied cells
+    * only). Package-visible so the merge law — grid(A ∪ B) = cell-wise
+    * grid(A) + grid(B) — is pinned by a test, not assumed. */
+  private[graft] def sketchOf(hashes: DataFrame): DataFrame =
+    cellPairs(hashes)
       .groupBy(col("depth"), col("cell"))
       .agg(count(lit(1)).as("n"))
 

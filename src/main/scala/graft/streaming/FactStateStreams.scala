@@ -41,6 +41,35 @@ object FactStateStreams {
       }
   }
 
+  /** One live counter cell of a streaming count-min sketch. */
+  final case class CmsCell(depth: Long, cell: Long, n: Long)
+
+  /** Streaming heavy-hitter tracking of subjects over a live fact tail: a
+    * count-min sketch whose cells are managed stream state. Unlike
+    * [[subjectStates]] (one state entry PER SUBJECT), state here is bounded
+    * by the fixed grid — Depth × Width counters regardless of how many
+    * distinct subjects the stream ever sees, which is the point of a sketch
+    * on an unbounded stream. Each micro-batch explodes its facts into
+    * (depth, cell) increments (the same pinned hash constants as the batch
+    * CMS in operators/Sketches.scala, so batch and streaming sketches are
+    * mergeable with each other); a subject's estimated frequency is the min
+    * over its Depth probed cells, and can only over-count. Emits the
+    * updated count for every cell touched by a batch (Update mode). */
+  def hotSubjectCells(spark: SparkSession, factStream: DataFrame): Dataset[CmsCell] = {
+    import spark.implicits._
+    graft.functions.TextHashFunctions.register(spark)
+    graft.operators.Sketches
+      .cellPairs(factStream.selectExpr("char_hash(subject) AS h"))
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout) {
+        (dc, rows, state) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          CmsCell(dc._1, dc._2, next)
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */

@@ -170,4 +170,40 @@ class SparkStreamingSpec extends AnyFunSuite {
     val byType = seen.asScala.groupMapReduce(_._1)(_._2)(math.max)
     assert(byType == Map("EVEN" -> 3L, "ODD" -> 3L))
   }
+
+  test("streaming CMS: bounded cell state tracks a hot subject across batches") {
+    val (fs, s) = newStore()
+    (1 to 6).foreach(_ => fs.append(s, in("T", "hot")))
+    Seq("a", "b", "c").foreach(sub => fs.append(s, in("T", sub)))
+    val Right(df) = fs.subscribeStream(s): @unchecked
+    val cells = graft.streaming.FactStateStreams.hotSubjectCells(spark, df)
+    // latest count per (depth, cell) — Update-mode emissions overwrite
+    val latest = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
+    val q = cells.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(100))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.FactStateStreams.CmsCell], _: Long) =>
+        batch.collect().foreach(c => latest.put((c.depth, c.cell), c.n))
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def massOk = {
+        import scala.jdk.CollectionConverters._
+        val byDepth = latest.asScala.groupBy(_._1._1).view.mapValues(_.values.sum)
+        (0L to 3L).forall(d => byDepth.getOrElse(d, 0L) == 9L)
+      }
+      while (!massOk && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(massOk, s"per-depth mass never reached 9: $latest")
+    } finally q.stop()
+    // the hot subject's probed cells each hold at least its true count
+    val hotHash = spark.sql("SELECT char_hash('hot') AS h").collect()(0).getLong(0)
+    (0 until graft.operators.Sketches.depthCount).foreach { i =>
+      val cell = graft.operators.Sketches.cellOf(i, hotHash)
+      val n = latest.getOrDefault((i.toLong, cell), 0L)
+      assert(n >= 6L, s"depth $i cell $cell holds $n < 6")
+    }
+    // bounded state: never more cells than facts could touch
+    assert(latest.size <= 9 * 4)
+  }
 }
