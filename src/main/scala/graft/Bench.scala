@@ -34,25 +34,38 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a rep that throws contributes NO timing — otherwise a broken
+        // query's fast exception path would enter the min and the artifact
+        // would report it as a fast success
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name, e.toString.take(300))
+            System.err.println(s"[bench] $name FAILED: $e")
+            false
+          }
         // drop this query's persisted intermediates before the next rep —
         // a long-lived session must not accumulate cached partitions, and
         // each rep must pay its own materialization cost
         graft.operators.CacheScope.releaseAll()
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      val dt = times.min
+      val dt = if (times.isEmpty) -1.0 else times.min
       System.err.println(
         f"[bench] $name%-28s min $dt%8.2f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg}""")
+    val errs = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg}""")
     spark.stop()
   }
 }

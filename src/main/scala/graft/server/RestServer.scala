@@ -54,7 +54,11 @@ final class RestServer(store: FactStore, port: Int = 0) {
     * bare "/" context only matches paths no API context claims. */
   private def explorer(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
-    (ex.getRequestMethod, path) match {
+    // HEAD mirrors GET (headers + status, no body) — health checks and load
+    // balancers routinely probe HEAD / and must not see a 404.
+    val head = ex.getRequestMethod == "HEAD"
+    val method = if (head) "GET" else ex.getRequestMethod
+    (method, path) match {
       case ("GET", "/") =>
         ex.getResponseHeaders.set("Location", "/explorer/")
         ex.sendResponseHeaders(302, -1)
@@ -64,9 +68,12 @@ final class RestServer(store: FactStore, port: Int = 0) {
         else {
           val bytes = try in.readAllBytes() finally in.close()
           ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-          ex.sendResponseHeaders(200, bytes.length.toLong)
-          val os = ex.getResponseBody
-          os.write(bytes); os.close()
+          if (head) ex.sendResponseHeaders(200, -1)
+          else {
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            val os = ex.getResponseBody
+            os.write(bytes); os.close()
+          }
         }
       case _ => sendError(ex, 404, "not_found", path)
     }

@@ -193,6 +193,36 @@ class RestServerSpec extends AnyFunSuite {
     }
   }
 
+  test("HEAD mirrors GET on the explorer context (health checks at /)") {
+    withServer { (base, c) =>
+      val root = base.stripSuffix("/api/v1")
+      def head(url: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(URI.create(url))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val h = head(s"$root/")
+      assert(h.statusCode() == 302 &&
+        h.headers().firstValue("Location").orElse("") == "/explorer/")
+      val hp = head(s"$root/explorer/")
+      assert(hp.statusCode() == 200 && hp.body().isEmpty)
+      assert(hp.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(head(s"$root/elsewhere").statusCode() == 404)
+    }
+  }
+
+  test("explorer page builds fact rows without innerHTML interpolation (stored-XSS guard)") {
+    withServer { (base, c) =>
+      val root = base.stripSuffix("/api/v1")
+      val body = get(c, s"$root/explorer/").body()
+      // the factRow builder must not template fact fields into markup —
+      // textContent-only construction is the XSS containment line
+      val factRowSrc = body.substring(body.indexOf("function factRow"),
+        body.indexOf("function render"))
+      assert(!factRowSrc.contains("innerHTML"))
+      assert(factRowSrc.contains("textContent"))
+    }
+  }
+
   test("every 4xx/409 path returns a structured {error, detail} body (ApiError.kt shape)") {
     withServer { (base, c) =>
       post(c, s"$base/stores", """{"name":"es"}""")
