@@ -53,6 +53,90 @@ object Dedup {
       .transform(CacheScope.persist)
   }
 
+  /** Verified MinHash near-dup pairs (doc_a < doc_b, Jaccard >= 0.7) —
+    * shared by dedup_minhash_lsh (which just orders it) and dedup_clusters
+    * (which closes it transitively). */
+  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+    val sig = shingled(s, d)
+      .filter(expr("size(sh) > 0"))
+      .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
+      .transform(CacheScope.persist)
+    val bands = sig.selectExpr("doc_id",
+      s"""explode(transform(sequence(0, ${Bands - 1}),
+          b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
+      .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    cand.join(sh.as("l"), col("da") === col("l.doc_id"))
+      .join(sh.as("r"), col("db") === col("r.doc_id"))
+      .selectExpr("da AS doc_a", "db AS doc_b",
+        "CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_common",
+        "CAST(size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_union")
+      .selectExpr("doc_a", "doc_b", "n_common", "n_union",
+        "(n_common * 10000) div n_union AS jaccard_bp")
+      .filter(col("jaccard_bp") >= 7000)
+  }
+
+  /** Connected components over an undirected edge list (`doc_a`, `doc_b`) →
+    * (`doc_id`, `cluster_id` = min doc_id in the component), for every
+    * vertex that appears in at least one edge.
+    *
+    * Algorithm: min-label propagation fused with pointer jumping. Each
+    * round every vertex takes the minimum label over {itself} ∪ neighbors
+    * (one shuffle join + agg on the edge list), then compresses one level
+    * of indirection via label(v) ← label(label(v)) (one join on the label
+    * table). Plain propagation needs O(diameter) rounds; the jumping step
+    * halves chain height per round, so convergence is O(log d) — the same
+    * round complexity class as large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) while staying
+    * pure DataFrame joins. Per-round state is cut with an eager
+    * localCheckpoint — persist alone caches data but leaves the logical
+    * plan growing (the self-join doubles the tree every round → 2^rounds
+    * plan nodes), so the checkpoint is what keeps the plan O(1) deep.
+    * Superseded round checkpoints are reclaimed by the ContextCleaner once
+    * unreferenced (label tables are vertex-sized, tiny next to the corpus).
+    *
+    * Scale: the input is the near-duplicate pair graph — orders of
+    * magnitude smaller than the corpus (it only contains docs with a
+    * verified near-dup), and real dup components are near-cliques (LSH
+    * finds most pairs directly), so the expected round count is 1-2 plus
+    * the convergence check. The 64-round cap is a safety bound (2^64 chain
+    * length), not a tuning knob. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .transform(CacheScope.persist)
+    var labels = edges.select(col("u").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nbrMin = edges.join(labels, edges("v") === labels("vertex"))
+        .groupBy(col("u")).agg(min(col("label")).as("nl"))
+      val stepped = labels.as("cur")
+        .join(nbrMin, col("cur.vertex") === nbrMin("u"), "left")
+        .select(col("cur.vertex").as("vertex"),
+          least(col("cur.label"), coalesce(col("nl"), col("cur.label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer jumping: labels are always vertex ids (mins of vertex ids),
+      // so label(label) is total on the label table itself
+      val jumped = stepped.as("x").join(stepped.as("p"),
+          col("x.label") === col("p.vertex"))
+        .select(col("x.vertex").as("vertex"), col("p.label").as("label"))
+        .localCheckpoint(true)
+      changed = jumped.as("n").join(labels.as("o"),
+          col("n.vertex") === col("o.vertex"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = jumped
+      rounds += 1
+    }
+    labels.select(col("vertex").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groupBy; histogram of group sizes is the
     // dedup report (keep-one-per-group is a trivial min(doc_id) on top).
@@ -70,29 +154,23 @@ object Dedup {
     // the native kernel's empty-input signature ([MaxValue x16]) and the
     // SQL rendering's (list_min of [] = NULLs) diverge, so no signature is
     // ever computed for a doc with < 3 tokens on either engine.
-    "dedup_minhash_lsh" -> ((s, d) => {
-      val sig = shingled(s, d)
-        .filter(expr("size(sh) > 0"))
-        .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
-        .transform(CacheScope.persist)
-      val bands = sig.selectExpr("doc_id",
-        s"""explode(transform(sequence(0, ${Bands - 1}),
-            b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
-        .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-      val sh = sig.select(col("doc_id"), col("sh"))
-      cand.join(sh.as("l"), col("da") === col("l.doc_id"))
-        .join(sh.as("r"), col("db") === col("r.doc_id"))
-        .selectExpr("da AS doc_a", "db AS doc_b",
-          "CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_common",
-          "CAST(size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_union")
-        .selectExpr("doc_a", "doc_b", "n_common", "n_union",
-          "(n_common * 10000) div n_union AS jaccard_bp")
-        .filter(col("jaccard_bp") >= 7000)
-        .orderBy(asc("doc_a"), asc("doc_b"))
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashVerified(s, d).orderBy(asc("doc_a"), asc("doc_b"))),
+
+    // Connected components over the verified duplicate pairs: the step LSH
+    // pair-finding stops short of — "A~B and B~C" must become ONE keep-group
+    // {A,B,C} before keep-best selection, or a pipeline drops B twice and
+    // keeps both A and C. Iterative min-label propagation with pointer
+    // jumping; each round is two shuffles on the (small) duplicate-pair
+    // graph, and convergence takes O(log diameter) rounds — see
+    // connectedComponents below for the 100 TB analysis.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = minhashVerified(s, d).select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(pairs)
+      val bySize = Window.partitionBy(col("cluster_id"))
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(bySize))
+        .orderBy(asc("doc_id"))
     }),
 
     // SimHash over shingle features: 60-bit signature, 4 x 15-bit blocks as
@@ -181,24 +259,45 @@ object Dedup {
   def oracles: Map[String, String] = {
     val sh = s"list_distinct(${shingleHashesDuck(wordHashesDuck(tokensDuck("text")))})"
     val shingledSql = s"SELECT doc_id, lang, $sh AS sh FROM documents"
+    // CTE chain ending in `pairs` = the verified minhash near-dup pairs —
+    // the oracle-side twin of minhashVerified above
+    val minhashVerifiedCtes =
+      s"shingled AS ($shingledSql), " +
+        s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
+        s"bands AS (SELECT doc_id, r.range AS band, " +
+        s"${bandKeyDuck("sig", "r.range")} AS bkey " +
+        s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+        "verified AS (SELECT da AS doc_a, db AS doc_b, " +
+        "len(list_intersect(l.sh, r.sh)) AS n_common, " +
+        "len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS n_union " +
+        "FROM cand JOIN sigs l ON da = l.doc_id JOIN sigs r ON db = r.doc_id), " +
+        "pairs AS (SELECT doc_a, doc_b, n_common, n_union, " +
+        "(n_common * 10000) // n_union AS jaccard_bp " +
+        "FROM verified WHERE (n_common * 10000) // n_union >= 7000)"
     Map(
       "dedup_exact" ->
         ("WITH g AS (SELECT md5(text) AS h, count(*) AS dup_count FROM documents GROUP BY h) " +
           "SELECT dup_count, count(*) AS n_groups FROM g GROUP BY dup_count ORDER BY dup_count"),
       "dedup_minhash_lsh" ->
-        (s"WITH shingled AS ($shingledSql), " +
-          s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
-          s"bands AS (SELECT doc_id, r.range AS band, " +
-          s"${bandKeyDuck("sig", "r.range")} AS bkey " +
-          s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
-          "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
-          "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
-          "verified AS (SELECT da AS doc_a, db AS doc_b, " +
-          "len(list_intersect(l.sh, r.sh)) AS n_common, " +
-          "len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS n_union " +
-          "FROM cand JOIN sigs l ON da = l.doc_id JOIN sigs r ON db = r.doc_id) " +
-          "SELECT doc_a, doc_b, n_common, n_union, (n_common * 10000) // n_union AS jaccard_bp " +
-          "FROM verified WHERE (n_common * 10000) // n_union >= 7000 ORDER BY doc_a, doc_b"),
+        (s"WITH $minhashVerifiedCtes " +
+          "SELECT doc_a, doc_b, n_common, n_union, jaccard_bp " +
+          "FROM pairs ORDER BY doc_a, doc_b"),
+      // transitive closure of the verified pairs: min reachable doc_id is
+      // the cluster id (recursive CTE; UNION dedups, so it terminates)
+      "dedup_clusters" ->
+        (s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v), " +
+          "lab AS (SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY u) " +
+          "SELECT doc_id, cluster_id, " +
+          "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
+          "FROM lab ORDER BY doc_id"),
       "dedup_simhash" -> {
         val sumCols = (0 until SimhashBits).map(i => s"sum((f >> $i) & 1) AS c$i").mkString(", ")
         val sigSql = (0 until SimhashBits).map(i =>
