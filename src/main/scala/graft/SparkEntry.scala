@@ -19,6 +19,7 @@ object SparkEntry {
       (TrainingPipeline.queries, TrainingPipeline.oracles),
       (Similarity.queries, Similarity.oracles),
       (Temporal.queries, Temporal.oracles),
+      (Pii.queries, Pii.oracles),
       (Sketches.queries, Sketches.oracles),
       (Multimodal.queries, Multimodal.oracles)
     )

@@ -152,6 +152,44 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("rank"))
     }),
 
+    // Collocation mining: per-language top-20 bigrams by lift — the
+    // association score kept integer-exact as basis points
+    // (n_ab·N·10⁴ ÷ (n_a·n_b), all counts, no logs — PMI's log only
+    // reorders monotonically at fixed N so lift ranks identically), with
+    // min support n_ab ≥ 5. Two-level shape: one groupBy builds the bigram
+    // counts, unigram margins re-aggregate FROM those counts (never from
+    // the raw token stream), so the expensive pass over the corpus happens
+    // exactly once. Magnitude bound: n_ab·N·10⁴ needs int64 headroom —
+    // fine to ~10⁷ bigrams per language partition; shard the lang key
+    // before that (the scores are per-partition exact either way).
+    "text_bigram_lift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ab = docs(s, d)
+        .selectExpr("lang", s"${tokensSpark("text")} AS toks")
+        .filter(expr("size(toks) >= 2"))
+        .selectExpr("lang",
+          """explode(transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))) AS e""")
+        .selectExpr("lang", "e.w1 AS w1", "e.w2 AS w2")
+        .groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+        .transform(CacheScope.persist)
+      val wa = ab.groupBy(col("lang"), col("w1")).agg(sum("n_ab").as("n_a"))
+      val wb = ab.groupBy(col("lang"), col("w2")).agg(sum("n_ab").as("n_b"))
+      ab.withColumn("n_total",
+          sum(col("n_ab")).over(Window.partitionBy(col("lang"))))
+        .join(wa, Seq("lang", "w1"))
+        .join(wb, Seq("lang", "w2"))
+        .filter(col("n_ab") >= 5)
+        .selectExpr("lang", "w1", "w2", "n_ab",
+          "(n_ab * n_total * 10000) div (n_a * n_b) AS lift_bp")
+        .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(desc("lift_bp"), desc("n_ab"), asc("w1"), asc("w2"))))
+        .filter(col("rank") <= 20)
+        .selectExpr("lang", "w1", "w2", "n_ab", "lift_bp",
+          "CAST(rank AS BIGINT) AS rank")
+        .orderBy(asc("lang"), asc("rank"))
+    }),
+
     // Corpus rollup: per (lang, source) token totals — the reduce side.
     "text_corpus_stats" -> ((s, d) =>
       docs(s, d)
@@ -226,6 +264,25 @@ object TextAnalysis {
           "r AS (SELECT lang, tok, n, row_number() OVER " +
           "(PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank FROM c) " +
           "SELECT lang, tok, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+      "text_bigram_lift" ->
+        (s"WITH base AS (SELECT lang, $toks AS toks FROM documents), " +
+          "bge AS (SELECT lang, list_extract(toks, t.i) AS w1, " +
+          "list_extract(toks, t.i + 1) AS w2 " +
+          "FROM base, unnest(range(1, len(toks))) AS t(i)), " +
+          "ab AS (SELECT lang, w1, w2, count(*) AS n_ab FROM bge GROUP BY lang, w1, w2), " +
+          "tot AS (SELECT lang, CAST(sum(n_ab) AS BIGINT) AS n_total FROM ab GROUP BY lang), " +
+          "wa AS (SELECT lang, w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM ab GROUP BY lang, w1), " +
+          "wb AS (SELECT lang, w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM ab GROUP BY lang, w2), " +
+          "sc AS (SELECT ab.lang, ab.w1, ab.w2, ab.n_ab, " +
+          "(ab.n_ab * t.n_total * 10000) // (wa.n_a * wb.n_b) AS lift_bp " +
+          "FROM ab JOIN tot t ON ab.lang = t.lang " +
+          "JOIN wa ON ab.lang = wa.lang AND ab.w1 = wa.w1 " +
+          "JOIN wb ON ab.lang = wb.lang AND ab.w2 = wb.w2 " +
+          "WHERE ab.n_ab >= 5), " +
+          "r AS (SELECT lang, w1, w2, n_ab, lift_bp, row_number() OVER " +
+          "(PARTITION BY lang ORDER BY lift_bp DESC, n_ab DESC, w1, w2) AS rank FROM sc) " +
+          "SELECT lang, w1, w2, n_ab, lift_bp, rank FROM r WHERE rank <= 20 " +
+          "ORDER BY lang, rank"),
       "text_corpus_stats" ->
         (s"SELECT lang, source, count(*) AS n_docs, " +
           s"CAST(sum(len($toks)) AS BIGINT) AS total_tokens, " +
