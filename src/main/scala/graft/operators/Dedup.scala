@@ -240,21 +240,39 @@ object Dedup {
     // Embedding-cosine near-dup within label partitions (cluster-blocked:
     // at corpus scale the block key is the ANN bucket — see Similarity's
     // ann_lsh_pairs for the unpartitioned path).
-    "dedup_embedding_cosine" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .selectExpr("vec_id", "label", "embedding AS v",
-          "vec_norm2(embedding) AS n2")
-        .transform(CacheScope.persist)
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
-          """CAST(floor(vec_dot(a.v, b.v)
-              / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
-        .filter(col("cos_ppm") >= 400000)
-        .orderBy(asc("vec_a"), asc("vec_b"))
+    "dedup_embedding_cosine" -> ((s, d) =>
+      cosineVerified(s, d).orderBy(asc("vec_a"), asc("vec_b"))),
+
+    // Semantic dedup (SemDeDup shape): transitive closure of the cosine
+    // near-dup pairs — same component kernel as dedup_clusters, so a
+    // pipeline can keep one representative per MEANING cluster rather than
+    // per pairwise match.
+    "dedup_embedding_clusters" -> ((s, d) => {
+      val pairs = cosineVerified(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(asc("vec_id"))
     })
   )
+
+  /** Verified cosine near-dup pairs (vec_a < vec_b, cosine >= 0.4), label-
+    * blocked — shared by dedup_embedding_cosine and its cluster closure. */
+  private def cosineVerified(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .selectExpr("vec_id", "label", "embedding AS v",
+        "vec_norm2(embedding) AS n2")
+      .transform(CacheScope.persist)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
+        """CAST(floor(vec_dot(a.v, b.v)
+            / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
+      .filter(col("cos_ppm") >= 400000)
+  }
 
   def oracles: Map[String, String] = {
     val sh = s"list_distinct(${shingleHashesDuck(wordHashesDuck(tokensDuck("text")))})"
@@ -276,6 +294,14 @@ object Dedup {
         "pairs AS (SELECT doc_a, doc_b, n_common, n_union, " +
         "(n_common * 10000) // n_union AS jaccard_bp " +
         "FROM verified WHERE (n_common * 10000) // n_union >= 7000)"
+    // CTE chain ending in `cpairs` = the verified cosine near-dup pairs
+    val cosineVerifiedCtes =
+      s"e AS (SELECT vec_id, label, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
+        "FROM embeddings), " +
+        "cpairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        s"CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        s"WHERE CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) >= 400000)"
     Map(
       "dedup_exact" ->
         ("WITH g AS (SELECT md5(text) AS h, count(*) AS dup_count FROM documents GROUP BY h) " +
@@ -332,13 +358,20 @@ object Dedup {
           "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
           "WHERE (n_common * 10000) // (sa.sz + sb.sz - n_common) >= 5000 ORDER BY doc_a, doc_b"),
       "dedup_embedding_cosine" ->
-        (s"WITH e AS (SELECT vec_id, label, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
-          "FROM embeddings) " +
-          "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-          s"CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
-          "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
-          s"WHERE CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) >= 400000 " +
-          "ORDER BY vec_a, vec_b")
+        (s"WITH $cosineVerifiedCtes " +
+          "SELECT vec_a, vec_b, cos_ppm FROM cpairs ORDER BY vec_a, vec_b"),
+      "dedup_embedding_clusters" ->
+        (s"WITH RECURSIVE $cosineVerifiedCtes, " +
+          "edges AS (SELECT vec_a AS u, vec_b AS v FROM cpairs " +
+          "UNION SELECT vec_b AS u, vec_a AS v FROM cpairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.v), " +
+          "lab AS (SELECT u AS vec_id, min(m) AS cluster_id FROM reach GROUP BY u) " +
+          "SELECT vec_id, cluster_id, " +
+          "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
+          "FROM lab ORDER BY vec_id")
     )
   }
 }

@@ -171,6 +171,37 @@ class SparkStreamingSpec extends AnyFunSuite {
     assert(byType == Map("EVEN" -> 3L, "ODD" -> 3L))
   }
 
+  test("stream-stream join: two stores' subscriptions correlate by subject within a time bound") {
+    // the remaining Structured Streaming operator class: watermarked
+    // stream-stream inner join — e.g. correlating an order stream with a
+    // shipment stream per subject; state on both sides is bounded by the
+    // watermark + time-range condition
+    val fs = new SparkFactStore(spark, Files.createTempDirectory("graft-ssj-"))
+    fs.createStore("orders")
+    fs.createStore("ships")
+    Seq("s1", "s2", "s3").foreach(sub => fs.append("orders", in("ORDER_PLACED", sub)))
+    Seq("s2", "s3", "s4").foreach(sub => fs.append("ships", in("ORDER_SHIPPED", sub)))
+    val Right(orders) = fs.subscribeStream("orders"): @unchecked
+    val Right(ships) = fs.subscribeStream("ships"): @unchecked
+    val left = orders.withWatermark("appended_at", "10 seconds")
+      .selectExpr("subject", "appended_at AS ts_o")
+    val right = ships.withWatermark("appended_at", "10 seconds")
+      .selectExpr("subject AS subject_s", "appended_at AS ts_s")
+    val joined = left.join(right,
+      expr("""subject = subject_s AND
+              ts_s BETWEEN ts_o - INTERVAL 1 MINUTE AND ts_o + INTERVAL 1 MINUTE"""))
+    val seen = new ConcurrentLinkedQueue[String]()
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("subject").collect().foreach(r => seen.add(r.getString(0)))
+      }
+      .start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == Seq("s2", "s3")) // intersection only
+  }
+
   test("streaming CMS: bounded cell state tracks a hot subject across batches") {
     val (fs, s) = newStore()
     (1 to 6).foreach(_ => fs.append(s, in("T", "hot")))
