@@ -140,4 +140,38 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q: token counts not a shuffled aggregate")
     }
   }
+
+  test("pii: row-local regex pass, single exchange for the lang census") {
+    val p = planOf("pii_stats")
+    // one shuffle for the groupBy(lang) (+ its map-side partial), one for
+    // the oracle ORDER BY — a third exchange means the regex pass stopped
+    // being row-local
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"pii_stats: expected <=2 exchanges, got $exchanges")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "lang census lost map-side partial aggregation")
+    val pr = planOf("pii_redact")
+    assert(!pr.contains("Join"), "pii_redact: redaction must be a pure projection")
+    assert(pr.contains("char_hash"), "redaction fingerprint not the native kernel")
+  }
+
+  test("text_bigram_lift: margins reuse bigram counts; no cartesian") {
+    val p = planOf("text_bigram_lift")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "margin joins lost their (lang, word) equi-keys")
+    // the raw token stream must be aggregated exactly once: the w1/w2
+    // margins re-aggregate from the CACHED bigram counts (InMemoryTableScan
+    // reprints its child subtree per consumer, so count cache scans, not
+    // explode occurrences)
+    assert(p.contains("InMemoryTableScan"),
+      "margins recompute the bigram counts instead of reusing the cached relation")
+  }
+
+  test("dedup_clusters: candidate pairs come from equi-joins, not cross products") {
+    // the component loop runs at build time; audit the pair-graph plan it
+    // consumes (same subtree as dedup_minhash_lsh)
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH candidate join lost its (band, bkey) equi-key")
+  }
 }
