@@ -152,6 +152,23 @@ object Analytics {
         .orderBy(asc("window_start_us"), asc("event_type"))
     }),
 
+    // Cohort retention: users grouped by first-activity day, distinct
+    // actives at each day offset — the product-analytics staple. One
+    // user_id shuffle (window min computes the cohort inline; no
+    // aggregate-and-join-back), then the (cohort, offset) rollup.
+    "events_cohort_retention" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val ev = EventFinders.events(s, d)
+        .selectExpr("user_id", s"(ts div 1000) div ${dayUs}L AS day")
+      ev.withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
+        .selectExpr("cohort_day", "day - cohort_day AS offset_days", "user_id")
+        .filter(col("offset_days") <= 7)
+        .groupBy(col("cohort_day"), col("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(asc("cohort_day"), asc("offset_days"))
+    }),
+
     // Join + rollup on orders: segment x status matrix. customer scales
     // with SF (fact-adjacent), so no broadcast hint — size estimation/AQE
     // broadcasts at small SFs and shuffles at 100 TB.
@@ -240,6 +257,12 @@ object Analytics {
       ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type, " +
         s"count(*) AS n, CAST(sum(${e4Sql("value")}) AS BIGINT) AS sum_value_e4 " +
         "FROM events GROUP BY window_start_us, event_type ORDER BY window_start_us, event_type"),
+    "events_cohort_retention" ->
+      ("WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "w AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ev) " +
+        "SELECT cohort_day, day - cohort_day AS offset_days, " +
+        "count(DISTINCT user_id) AS n_users FROM w WHERE day - cohort_day <= 7 " +
+        "GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days"),
     "orders_segment_status" ->
       ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, " +
         s"CAST(sum(${e4Sql("o_totalprice")}) AS BIGINT) AS sum_total_e4 " +
