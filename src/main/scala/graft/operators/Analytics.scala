@@ -152,6 +152,27 @@ object Analytics {
         .orderBy(asc("window_start_us"), asc("event_type"))
     }),
 
+    // Trailing 7-day activity: per-day totals then a RANGE frame over the
+    // integer day index — the two-level shape (pre-aggregate to one row
+    // per day, THEN the sliding window) keeps the window input tiny; a
+    // row-level 7-day frame would sort the whole event log inside every
+    // frame at corpus scale.
+    "events_trailing_7d" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val daily = EventFinders.events(s, d)
+        .selectExpr(s"(ts div 1000) div ${dayUs}L AS day",
+          "user_id", "value")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(e4(col("value").cast(dec))).cast("bigint").as("sum_value_e4"))
+      val trailing = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("n_events_7d", sum(col("n_events")).over(trailing))
+        .withColumn("sum_value_e4_7d", sum(col("sum_value_e4")).over(trailing))
+        .orderBy(asc("day"))
+    }),
+
     // Cohort retention: users grouped by first-activity day, distinct
     // actives at each day offset — the product-analytics staple. One
     // user_id shuffle (window min computes the cohort inline; no
@@ -257,6 +278,15 @@ object Analytics {
       ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type, " +
         s"count(*) AS n, CAST(sum(${e4Sql("value")}) AS BIGINT) AS sum_value_e4 " +
         "FROM events GROUP BY window_start_us, event_type ORDER BY window_start_us, event_type"),
+    "events_trailing_7d" ->
+      ("WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        s"CAST(sum(${e4Sql("value")}) AS BIGINT) AS sum_value_e4 FROM events GROUP BY day) " +
+        "SELECT day, n_events, n_users, sum_value_e4, " +
+        "CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d, " +
+        "CAST(sum(sum_value_e4) OVER w AS BIGINT) AS sum_value_e4_7d " +
+        "FROM daily WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY day"),
     "events_cohort_retention" ->
       ("WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
         "w AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ev) " +
