@@ -105,7 +105,7 @@ object Dedup {
     * finds most pairs directly), so the expected round count is 1-2 plus
     * the convergence check. The 64-round cap is a safety bound (2^64 chain
     * length), not a tuning knob. */
-  private[graft] def connectedComponents(pairs0: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
     // the pair graph feeds both directions of the edge union (and the
     // upstream verify join is the expensive part) — persist it once
     val pairs = CacheScope.persist(pairs0)
