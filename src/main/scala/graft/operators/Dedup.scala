@@ -160,6 +160,31 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashVerified(s, d).orderBy(asc("doc_a"), asc("doc_b"))),
 
+    // Paragraph-level dedup (C4/Gopher line-dedup shape): sub-document
+    // granularity — fixed 16-token windows hashed per doc, windows shared
+    // across >= 2 docs are boilerplate, and each doc reports its duplicate-
+    // window share. Inverted-index shape: one groupBy on the window hash,
+    // one join back — no per-pair work, so it stays near-linear at corpus
+    // scale (the window-hash domain is bounded by total tokens / 16).
+    "dedup_paragraphs" -> ((s, d) => {
+      val win = docs(s, d)
+        .selectExpr("doc_id", s"${tokensSpark("text")} AS toks")
+        .filter(expr("size(toks) >= 16"))
+        .selectExpr("doc_id",
+          """explode(transform(sequence(0, size(toks) div 16 - 1),
+             w -> char_hash(array_join(slice(toks, w * 16 + 1, 16), ' ')))) AS whash""")
+        .transform(CacheScope.persist)
+      val shared = win.groupBy(col("whash"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      win.join(shared, "whash")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        .selectExpr("doc_id", "n_windows", "n_dup_windows",
+          "(n_dup_windows * 10000) div n_windows AS dup_bp")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Connected components over the verified duplicate pairs: the step LSH
     // pair-finding stops short of — "A~B and B~C" must become ONE keep-group
     // {A,B,C} before keep-best selection, or a pipeline drops B twice and
@@ -313,6 +338,16 @@ object Dedup {
         (s"WITH $minhashVerifiedCtes " +
           "SELECT doc_a, doc_b, n_common, n_union, jaccard_bp " +
           "FROM pairs ORDER BY doc_a, doc_b"),
+      "dedup_paragraphs" ->
+        (s"WITH base AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents), " +
+          "win AS (SELECT doc_id, " +
+          charHashDuck("array_to_string(list_slice(toks, w.w * 16 + 1, w.w * 16 + 16), ' ')") +
+          " AS whash FROM base, unnest(range(0, len(toks) // 16)) AS w(w)), " +
+          "shared AS (SELECT whash, count(DISTINCT doc_id) AS nd FROM win GROUP BY whash) " +
+          "SELECT doc_id, count(*) AS n_windows, " +
+          "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows, " +
+          "(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS dup_bp " +
+          "FROM win JOIN shared USING (whash) GROUP BY doc_id ORDER BY doc_id"),
       // transitive closure of the verified pairs: min reachable doc_id is
       // the cluster id (recursive CTE; UNION dedups, so it terminates)
       "dedup_clusters" ->
