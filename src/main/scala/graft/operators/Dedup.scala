@@ -265,6 +265,33 @@ object Dedup {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // Asymmetric containment: |A∩B| / min(|A|,|B|) — catches subset
+    // relationships (quotes, excerpts, one doc embedded in another) that
+    // Jaccard structurally misses when sizes differ (a 10%-of-B excerpt
+    // caps Jaccard at ~0.1 but containment at 1.0). Same inverted-index /
+    // DF-cap machinery as dedup_ngram_jaccard; only the metric differs.
+    "dedup_containment" -> ((s, d) => {
+      val inv0 = shingled(s, d).selectExpr("lang", "doc_id", "explode(sh) AS shv")
+      val byShingle = Window.partitionBy(col("lang"), col("shv"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val invSz = inv0
+        .withColumn("df", count(lit(1)).over(byShingle))
+        .filter(col("df") <= NgramDfCap)
+        .withColumn("sz", count(lit(1)).over(byDoc))
+        .select("lang", "doc_id", "shv", "sz")
+        .transform(CacheScope.persist)
+      invSz.as("l").join(invSz.as("r"),
+          col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .selectExpr("doc_a", "doc_b", "n_common", "sz_a", "sz_b",
+          "(n_common * 10000) div least(sz_a, sz_b) AS containment_bp")
+        .filter(col("containment_bp") >= 8000)
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
     // Embedding-cosine near-dup within label partitions (cluster-blocked:
     // at corpus scale the block key is the ANN bucket — see Similarity's
     // ann_lsh_pairs for the unpartitioned path).
@@ -395,6 +422,21 @@ object Dedup {
           "(n_common * 10000) // (sa.sz + sb.sz - n_common) AS jaccard_bp FROM common " +
           "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
           "WHERE (n_common * 10000) // (sa.sz + sb.sz - n_common) >= 5000 ORDER BY doc_a, doc_b"),
+      "dedup_containment" ->
+        (s"WITH shingled AS ($shingledSql), " +
+          "inv0 AS (SELECT lang, doc_id, unnest(sh) AS shv FROM shingled), " +
+          "kept AS (SELECT lang, shv FROM (SELECT lang, shv, count(*) AS df " +
+          s"FROM inv0 GROUP BY lang, shv) WHERE df <= $NgramDfCap), " +
+          "inv AS (SELECT i.lang, i.doc_id, i.shv FROM inv0 i " +
+          "JOIN kept k ON i.lang = k.lang AND i.shv = k.shv), " +
+          "szs AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id), " +
+          "common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, " +
+          "count(*) AS n_common FROM inv l JOIN inv r ON l.lang = r.lang AND l.shv = r.shv " +
+          "AND l.doc_id < r.doc_id GROUP BY 1, 2) " +
+          "SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b, " +
+          "(n_common * 10000) // least(sa.sz, sb.sz) AS containment_bp FROM common " +
+          "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
+          "WHERE (n_common * 10000) // least(sa.sz, sb.sz) >= 8000 ORDER BY doc_a, doc_b"),
       "dedup_embedding_cosine" ->
         (s"WITH $cosineVerifiedCtes " +
           "SELECT vec_a, vec_b, cos_ppm FROM cpairs ORDER BY vec_a, vec_b"),
