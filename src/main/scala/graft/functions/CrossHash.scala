@@ -17,6 +17,15 @@ object CrossHash {
   /** Modulus for all polynomial hashes. */
   val P = 1000000007L
 
+  /** Multiplicative scramble for sampling coins: the raw char-fold of a
+    * SHORT id string (a handful of chars) never wraps P, so its low-order
+    * residues inherit the string's structure — measured: `hash('m|'||id)
+    * % 10000` spans only [6498, 9669] over 500 ids, which silently zeroes
+    * a 30% acceptance rate. One multiply mod P restores uniformity
+    * (measured span [14, 9979], mean ≈ 5030). Exact in int64: h < 2^30,
+    * h·scramble < 2^62. */
+  val CoinScramble = 2654435761L
+
   /** MinHash permutation constants (a_j, b_j), pinned. */
   val MinhashPerms: Seq[(Long, Long)] = (0 until 16).map { j =>
     // simple fixed LCG over j; values pinned forever once committed
@@ -60,6 +69,10 @@ object CrossHash {
     * spacing). */
   def tokensSpark(in: String): String =
     s"filter(split($in, ' '), t -> t != '')"
+
+  /** Uniform [0, 10000) sampling coin from a (salted) id expression. */
+  def coinSpark(in: String): String =
+    s"(${charHashSpark(in)} * $CoinScramble) % $P % 10000"
 
   /** Per-token polynomial hashes straight from the string (native codegen;
     * tokenization + hashing in one pass, matching tokensSpark semantics). */
@@ -105,6 +118,9 @@ object CrossHash {
 
   def tokensDuck(in: String): String =
     s"list_filter(string_split($in, ' '), t -> t != '')"
+
+  def coinDuck(in: String): String =
+    s"(${charHashDuck(in)} * $CoinScramble) % $P % 10000"
 
   def wordHashesDuck(tokens: String): String =
     s"list_transform($tokens, w -> ${charHashDuck("w")})"

@@ -171,18 +171,47 @@ object TrainingPipeline {
 
     // Quality-weighted deterministic sampling: accept each doc with
     // probability proportional to its lexical-diversity score — a salted
-    // hash coin (`w|` prefix decorrelates it from sample_stratified's
-    // bucket, which uses the unsalted hash) under the ttr_bp threshold.
-    // rand()-free, so the sample is reproducible across engines, runs,
-    // and cluster sizes; pure map-side projection + filter at any scale.
+    // uniform hash coin (`w|` prefix decorrelates it from
+    // sample_stratified's bucket; the CoinScramble multiply is what makes
+    // a short-id coin actually uniform — see CrossHash.CoinScramble) under
+    // the ttr_bp threshold. rand()-free, so the sample is reproducible
+    // across engines, runs, and cluster sizes; pure map-side projection +
+    // filter at any scale.
     "sample_weighted" -> ((s, d) =>
       docs(s, d).selectExpr(
         "doc_id", "lang",
         s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
             div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""",
-        s"${charHashSpark("concat('w|', CAST(doc_id AS STRING))")} % 10000 AS coin")
+        s"${coinSpark("concat('w|', CAST(doc_id AS STRING))")} AS coin")
         .filter("coin < ttr_bp")
         .orderBy(asc("doc_id"))),
+
+    // Mixture sampling: hit target per-source token weights by downsampling
+    // over-represented sources — the data-mixing step that sets a training
+    // run's source proportions. K = min_s floor(T_s·10⁴ / w_s) is the max
+    // achievable total under downsampling-only; each source keeps docs at
+    // rate w_s·K / T_s via the salted hash coin (`m|` prefix decorrelates
+    // from the other sampling ops). Integer-exact throughout (w·K needs
+    // int64 headroom — fine to ~10¹⁴ tokens per source; beyond that,
+    // compute K in decimal). Shape: one tiny per-source aggregate, rates
+    // broadcast back, then a map-side filter — one shuffle at any scale.
+    "sample_mixture" -> ((s, d) => {
+      val base = docs(s, d).selectExpr(
+          "doc_id", "source",
+          s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n_tokens",
+          "CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 1 THEN 750L ELSE 250L END AS w_bp",
+          s"${coinSpark("concat('m|', CAST(doc_id AS STRING))")} AS coin")
+        .transform(CacheScope.persist)
+      val rates = base.groupBy(col("source"), col("w_bp"))
+        .agg(sum(col("n_tokens")).as("t_s"))
+        .withColumn("k", min(expr("(t_s * 10000) div w_bp")).over(Window.partitionBy()))
+        .selectExpr("source", "t_s", "least((w_bp * k) div t_s, 10000) AS rate_bp")
+      base.join(broadcast(rates), Seq("source"))
+        .filter(col("coin") < col("rate_bp"))
+        .groupBy(col("source"), col("w_bp"), col("t_s"), col("rate_bp"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(asc("source"))
+    }),
 
     // Hash-sharding for distributed training + balance report: per-shard
     // doc/token volume. The shard key is the same deterministic hash, so
@@ -252,6 +281,19 @@ object TrainingPipeline {
           "CAST(floor(mx * 1000000) AS BIGINT) AS max_ppm, " +
           "CAST(floor((mx - mn) / 255 * 1000000000) AS BIGINT) AS scale_ppb " +
           "FROM g ORDER BY dim"),
+      "sample_mixture" ->
+        (s"WITH base AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          "CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 750 ELSE 250 END AS BIGINT) AS w_bp, " +
+          s"${coinDuck("'m|' || CAST(doc_id AS VARCHAR)")} AS coin FROM documents), " +
+          "tot AS (SELECT source, w_bp, CAST(sum(n_tokens) AS BIGINT) AS t_s " +
+          "FROM base GROUP BY source, w_bp), " +
+          "kk AS (SELECT min((t_s * 10000) // w_bp) AS k FROM tot), " +
+          "rates AS (SELECT source, t_s, least((w_bp * kk.k) // t_s, 10000) AS rate_bp " +
+          "FROM tot, kk) " +
+          "SELECT b.source, b.w_bp, r.t_s, r.rate_bp, count(*) AS n_kept, " +
+          "CAST(sum(b.n_tokens) AS BIGINT) AS tokens_kept " +
+          "FROM base b JOIN rates r ON b.source = r.source WHERE b.coin < r.rate_bp " +
+          "GROUP BY b.source, b.w_bp, r.t_s, r.rate_bp ORDER BY b.source"),
       "shard_stats" ->
         (s"WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tokens, " +
           s"$docHash % $NShards AS shard FROM documents) " +
@@ -260,7 +302,7 @@ object TrainingPipeline {
       "sample_weighted" ->
         (s"WITH t AS (SELECT doc_id, lang, " +
           s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp, " +
-          s"${charHashDuck("'w|' || CAST(doc_id AS VARCHAR)")} % 10000 AS coin " +
+          s"${coinDuck("'w|' || CAST(doc_id AS VARCHAR)")} AS coin " +
           "FROM documents) " +
           "SELECT doc_id, lang, ttr_bp, coin FROM t WHERE coin < ttr_bp ORDER BY doc_id")
     )

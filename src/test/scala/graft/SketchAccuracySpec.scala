@@ -74,4 +74,29 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("total_count")).distinct.length == 1,
       "per-depth total mass diverged — a token missed a row of the grid")
   }
+
+  test("sampling coin is uniform and the mixture sampler hits its target shares") {
+    // the raw short-id char-fold is NOT uniform mod 10000 (measured span
+    // [6498, 9669] — it silently zeroed a 30% acceptance rate before the
+    // CoinScramble multiply); this pins the fix statistically
+    val spark0 = spark
+    import graft.functions.CrossHash
+    graft.functions.TextHashFunctions.register(spark0)
+    val coins = spark0.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .selectExpr(s"${CrossHash.coinSpark("concat('m|', CAST(doc_id AS STRING))")} AS c")
+      .collect().map(_.getLong(0))
+    assert(coins.min < 1000 && coins.max > 9000, "coin span collapsed")
+    val mean = coins.sum.toDouble / coins.length
+    assert(mean > 4000 && mean < 6000, s"coin mean $mean far from 5000")
+
+    val m = SparkEntry.queries("sample_mixture")(spark0, "/root/testdata/sf0.01")
+      .collect()
+    graft.operators.CacheScope.releaseAll()
+    val evenTokens = m.filter(_.getAs[Long]("w_bp") == 250L)
+      .map(_.getAs[Long]("tokens_kept")).sum.toDouble
+    val total = m.map(_.getAs[Long]("tokens_kept")).sum.toDouble
+    // 10 even sources at 2.5% each = 25% target; allow sampling noise
+    assert(math.abs(evenTokens / total - 0.25) < 0.06,
+      s"realized even-source share ${evenTokens / total} far from 0.25")
+  }
 }
