@@ -171,6 +171,32 @@ class SparkStreamingSpec extends AnyFunSuite {
     assert(byType == Map("EVEN" -> 3L, "ODD" -> 3L))
   }
 
+  test("session windows over a live subscription group facts by activity gaps") {
+    // session_window: dynamic-length windows that close after a quiet gap —
+    // the streaming analogue of the batch events_sessionize operator
+    val (fs, s) = newStore()
+    (1 to 4).foreach(i => fs.append(s, in(s"T$i", "sess-subj")))
+    val Right(df) = fs.subscribeStream(s): @unchecked
+    val agg = df
+      .withWatermark("appended_at", "10 seconds")
+      .groupBy(session_window(col("appended_at"), "30 seconds"), col("subject"))
+      .agg(count(lit(1)).as("n"))
+    val seen = new ConcurrentLinkedQueue[(String, Long)]()
+    val q = agg.writeStream
+      .outputMode("complete") // session windows reject update mode
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("subject", "n").collect()
+          .foreach(r => seen.add((r.getString(0), r.getLong(1))))
+      }
+      .start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    // all four facts appended within the 30 s gap -> exactly one session
+    val byKey = seen.asScala.groupMapReduce(_._1)(_._2)(math.max)
+    assert(byKey == Map("sess-subj" -> 4L))
+  }
+
   test("stream-stream join: two stores' subscriptions correlate by subject within a time bound") {
     // the remaining Structured Streaming operator class: watermarked
     // stream-stream inner join — e.g. correlating an order stream with a
