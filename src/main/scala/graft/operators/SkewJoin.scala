@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed equi-joins — the manual complement to AQE's runtime
+  * skew-join split (which only fires on sort-merge joins with statistics;
+  * salting works on any shuffle join and is plannable ahead of time).
+  *
+  * A hot key routes ALL its rows to one reducer: a 10⁹-row key on a
+  * 1000-executor cluster leaves 999 executors idle behind one straggler.
+  * Salting appends a uniform salt ∈ [0, salts) to the big side's key and
+  * replicates the small side once per salt value, so the hot key's rows
+  * spread across `salts` reducers at the cost of `salts`× the small side's
+  * shuffle volume — the right trade when the small side is dim-sized but
+  * above the broadcast threshold.
+  */
+object SkewJoin {
+
+  /** Inner equi-join `big ⨝ small` on `key`, salted `salts` ways.
+    *
+    * The big side's salt is a deterministic hash of the whole row (stable
+    * across runs and retries — no rand(), which would break task-retry
+    * idempotency); the small side explodes one copy per salt value.
+    * Result rows equal the unsalted join exactly (each big row matches the
+    * single small-side copy carrying its salt). */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val bigCols = big.columns.map(col).toIndexedSeq
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(bigCols: _*), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall,
+        saltedBig(key) === saltedSmall(key) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop(saltedSmall(key)).drop(saltedBig("__salt")).drop(saltedSmall("__salt"))
+  }
+
+  /** Per-partition row counts of a frame's current physical distribution —
+    * the observable salting improves. */
+  def partitionSizes(df: DataFrame): Seq[Long] = {
+    val sizes: Column = spark_partition_id()
+    df.groupBy(sizes.as("p")).count().collect()
+      .map(_.getAs[Long]("count")).toIndexedSeq
+  }
+}
