@@ -152,6 +152,25 @@ object Analytics {
         .orderBy(asc("window_start_us"), asc("event_type"))
     }),
 
+    // Latest-state snapshot: one row per user = their most recent event —
+    // the materialized "current state" view every event-sourced system
+    // derives. TakeOrdered-per-key via row_number over (user_id, ts desc,
+    // event_id desc): one shuffle, rank-pruned by WindowGroupLimit.
+    "events_latest_state" -> ((s, d) => {
+      val ev = EventFinders.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+      // rank on the µs projection, not raw nanos: the oracle's timestamp
+      // comparison happens at µs precision, so both engines must break
+      // sub-µs ties the same way (event_id desc)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(desc("ts_us"), desc("event_id"))
+      ev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .selectExpr("user_id", "event_id AS last_event_id",
+          "event_type AS last_type", "ts_us AS last_ts_us")
+        .orderBy(asc("user_id"))
+    }),
+
     // Trailing 7-day activity: per-day totals then a RANGE frame over the
     // integer day index — the two-level shape (pre-aggregate to one row
     // per day, THEN the sliding window) keeps the window input tiny; a
@@ -278,6 +297,12 @@ object Analytics {
       ("SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type, " +
         s"count(*) AS n, CAST(sum(${e4Sql("value")}) AS BIGINT) AS sum_value_e4 " +
         "FROM events GROUP BY window_start_us, event_type ORDER BY window_start_us, event_type"),
+    "events_latest_state" ->
+      ("WITH r AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk " +
+        "FROM events) " +
+        "SELECT user_id, event_id AS last_event_id, event_type AS last_type, " +
+        "ts_us AS last_ts_us FROM r WHERE rk = 1 ORDER BY user_id"),
     "events_trailing_7d" ->
       ("WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events, " +
         "count(DISTINCT user_id) AS n_users, " +
