@@ -265,6 +265,35 @@ object Dedup {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
+    // The modern curation pipeline end-to-end in ONE oracle-checked query:
+    // transitive MinHash-cluster dedup (keep the cluster-min canonical,
+    // not just pairwise keep-first) → lexical-diversity quality gate →
+    // per-language yield accounting. Composes minhashVerified +
+    // connectedComponents + the ttr score; the v1 corpus_pipeline
+    // (Analytics2) uses exact-hash dedup — this is the near-dup upgrade.
+    "corpus_pipeline_v2" -> ((s, d) => {
+      val base = docs(s, d)
+        .selectExpr("doc_id", "lang", s"${tokensSpark("text")} AS toks")
+        .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n_tokens",
+          "(size(array_distinct(toks)) * 10000) div greatest(size(toks), 1) AS ttr_bp")
+        .transform(CacheScope.persist)
+      val clusters = connectedComponents(
+          minhashVerified(s, d).select(col("doc_a"), col("doc_b")))
+        .withColumnRenamed("doc_id", "cdoc")
+      base.join(clusters, base("doc_id") === col("cdoc"), "left")
+        .withColumn("is_dup",
+          col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id"))
+        .withColumn("is_lowq", !col("is_dup") && col("ttr_bp") < 5000)
+        .withColumn("keep", !col("is_dup") && !col("is_lowq"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped_dup"),
+          sum(when(col("is_lowq"), 1L).otherwise(0L)).as("n_dropped_quality"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .orderBy(asc("lang"))
+    }),
+
     // Asymmetric containment: |A∩B| / min(|A|,|B|) — catches subset
     // relationships (quotes, excerpts, one doc embedded in another) that
     // Jaccard structurally misses when sizes differ (a 10%-of-B excerpt
@@ -422,6 +451,28 @@ object Dedup {
           "(n_common * 10000) // (sa.sz + sb.sz - n_common) AS jaccard_bp FROM common " +
           "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
           "WHERE (n_common * 10000) // (sa.sz + sb.sz - n_common) >= 5000 ORDER BY doc_a, doc_b"),
+      "corpus_pipeline_v2" ->
+        (s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.v), " +
+          "lab AS (SELECT u AS cdoc, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          s"base AS (SELECT doc_id, lang, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens, " +
+          s"(len(list_distinct(${tokensDuck("text")})) * 10000) // greatest(len(${tokensDuck("text")}), 1) AS ttr_bp " +
+          "FROM documents), " +
+          "f AS (SELECT b.lang, b.n_tokens, " +
+          "(l.cluster_id IS NOT NULL AND b.doc_id <> l.cluster_id) AS is_dup, " +
+          "(NOT (l.cluster_id IS NOT NULL AND b.doc_id <> l.cluster_id) AND b.ttr_bp < 5000) AS is_lowq " +
+          "FROM base b LEFT JOIN lab l ON b.doc_id = l.cdoc) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_dup, " +
+          "CAST(sum(CASE WHEN is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality, " +
+          "CAST(sum(CASE WHEN NOT is_dup AND NOT is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN NOT is_dup AND NOT is_lowq THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
+          "FROM f GROUP BY lang ORDER BY lang"),
       "dedup_containment" ->
         (s"WITH shingled AS ($shingledSql), " +
           "inv0 AS (SELECT lang, doc_id, unnest(sh) AS shv FROM shingled), " +
