@@ -62,7 +62,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
+      // JSON-safe: escape backslash/quote, then flatten ALL control chars
+      // and any surrogate (take(300) can split a pair, and a lone
+      // surrogate is invalid JSON) to spaces
+      val safe = v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\p{Cc}\\p{Cs}]", " ")
+      "\"" + k + "\":\"" + safe + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg}""")

@@ -53,6 +53,36 @@ object Dedup {
       .transform(CacheScope.persist)
   }
 
+  /** Per-pair common-shingle counts over the DF-capped inverted index —
+    * the shared core of dedup_ngram_jaccard and dedup_containment (only
+    * the metric on top differs). Returns (doc_a < doc_b, sz_a, sz_b,
+    * n_common). The document-frequency cap drops boilerplate shingles
+    * BEFORE the self-join: a shingle shared by k docs contributes k² join
+    * rows on ONE key, so without the cap a single stopword-like shingle
+    * becomes a skewed-key full shuffle at corpus scale. Metrics are
+    * computed over the capped shingle sets on both engines (recall for
+    * real near-dups is unaffected — their overlap is dominated by low-DF
+    * shingles). */
+  private def ngramCommonCounts(s: SparkSession, d: String): DataFrame = {
+    val inv0 = shingled(s, d).selectExpr("lang", "doc_id", "explode(sh) AS shv")
+    // DF cap and post-cap set sizes as two window counts (one shuffle
+    // each) instead of aggregate+join-back pairs
+    val byShingle = Window.partitionBy(col("lang"), col("shv"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val invSz = inv0
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= NgramDfCap)
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .select("lang", "doc_id", "shv", "sz")
+      .transform(CacheScope.persist)
+    invSz.as("l").join(invSz.as("r"),
+        col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   /** Verified MinHash near-dup pairs (doc_a < doc_b, Jaccard >= 0.7) —
     * shared by dedup_minhash_lsh (which just orders it) and dedup_clusters
     * (which closes it transitively). */
@@ -233,37 +263,15 @@ object Dedup {
 
     // N-gram Jaccard via inverted shingle index: common-shingle counts come
     // from a (lang, shingle) equi-join + groupBy — no per-pair array math,
-    // and pairs with zero overlap never materialize. A document-frequency
-    // cap drops boilerplate shingles BEFORE the self-join: a shingle shared
-    // by k docs contributes k^2 join rows on ONE key, so without the cap a
-    // single stopword-like shingle becomes a skewed-key full shuffle at
-    // corpus scale. Jaccard is computed over the capped shingle sets on
-    // both engines (recall for real near-dups is unaffected — their
-    // overlap is dominated by low-DF shingles).
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val inv0 = shingled(s, d).selectExpr("lang", "doc_id", "explode(sh) AS shv")
-      // DF cap and post-cap set sizes as two window counts (one shuffle
-      // each) instead of aggregate+join-back pairs
-      val byShingle = Window.partitionBy(col("lang"), col("shv"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val invSz = inv0
-        .withColumn("df", count(lit(1)).over(byShingle))
-        .filter(col("df") <= NgramDfCap)
-        .withColumn("sz", count(lit(1)).over(byDoc))
-        .select("lang", "doc_id", "shv", "sz")
-        .transform(CacheScope.persist)
-      invSz.as("l").join(invSz.as("r"),
-          col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
-        .agg(count(lit(1)).as("n_common"))
+    // and pairs with zero overlap never materialize (see ngramCommonCounts
+    // for the DF-cap skew defense).
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramCommonCounts(s, d)
         .selectExpr("doc_a", "doc_b", "n_common",
           "sz_a + sz_b - n_common AS n_union",
           "(n_common * 10000) div (sz_a + sz_b - n_common) AS jaccard_bp")
         .filter(col("jaccard_bp") >= 5000)
-        .orderBy(asc("doc_a"), asc("doc_b"))
-    }),
+        .orderBy(asc("doc_a"), asc("doc_b"))),
 
     // The modern curation pipeline end-to-end in ONE oracle-checked query:
     // transitive MinHash-cluster dedup (keep the cluster-min canonical,
@@ -275,7 +283,7 @@ object Dedup {
       val base = docs(s, d)
         .selectExpr("doc_id", "lang", s"${tokensSpark("text")} AS toks")
         .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n_tokens",
-          "(size(array_distinct(toks)) * 10000) div greatest(size(toks), 1) AS ttr_bp")
+          "(CAST(size(array_distinct(toks)) AS BIGINT) * 10000) div greatest(size(toks), 1) AS ttr_bp")
         .transform(CacheScope.persist)
       val clusters = connectedComponents(
           minhashVerified(s, d).select(col("doc_a"), col("doc_b")))
@@ -299,27 +307,12 @@ object Dedup {
     // Jaccard structurally misses when sizes differ (a 10%-of-B excerpt
     // caps Jaccard at ~0.1 but containment at 1.0). Same inverted-index /
     // DF-cap machinery as dedup_ngram_jaccard; only the metric differs.
-    "dedup_containment" -> ((s, d) => {
-      val inv0 = shingled(s, d).selectExpr("lang", "doc_id", "explode(sh) AS shv")
-      val byShingle = Window.partitionBy(col("lang"), col("shv"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-      val invSz = inv0
-        .withColumn("df", count(lit(1)).over(byShingle))
-        .filter(col("df") <= NgramDfCap)
-        .withColumn("sz", count(lit(1)).over(byDoc))
-        .select("lang", "doc_id", "shv", "sz")
-        .transform(CacheScope.persist)
-      invSz.as("l").join(invSz.as("r"),
-          col("l.lang") === col("r.lang") && col("l.shv") === col("r.shv") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
-        .agg(count(lit(1)).as("n_common"))
+    "dedup_containment" -> ((s, d) =>
+      ngramCommonCounts(s, d)
         .selectExpr("doc_a", "doc_b", "n_common", "sz_a", "sz_b",
           "(n_common * 10000) div least(sz_a, sz_b) AS containment_bp")
         .filter(col("containment_bp") >= 8000)
-        .orderBy(asc("doc_a"), asc("doc_b"))
-    }),
+        .orderBy(asc("doc_a"), asc("doc_b"))),
 
     // Embedding-cosine near-dup within label partitions (cluster-blocked:
     // at corpus scale the block key is the ANN bucket — see Similarity's

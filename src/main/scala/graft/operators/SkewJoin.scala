@@ -19,16 +19,21 @@ object SkewJoin {
 
   /** Inner equi-join `big ⨝ small` on `key`, salted `salts` ways.
     *
-    * The big side's salt is a deterministic hash of the whole row (stable
-    * across runs and retries — no rand(), which would break task-retry
-    * idempotency); the small side explodes one copy per salt value.
-    * Result rows equal the unsalted join exactly (each big row matches the
-    * single small-side copy carrying its salt). */
+    * The big side's salt hashes the whole row PLUS its scan position
+    * (monotonically_increasing_id): byte-identical duplicate rows — the
+    * classic hot-key shape in an event log — get different positions and
+    * therefore different salts, which a row-content hash alone would pin
+    * to one reducer. The position is deterministic for a deterministic
+    * scan order (same files, same splits), and correctness never depends
+    * on WHICH salt a row gets — every salt value matches the one
+    * small-side replica carrying it — so even a nondeterministic re-salt
+    * under task retry yields the same join result. The small side
+    * explodes one copy per salt value. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val bigCols = big.columns.map(col).toIndexedSeq
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(bigCols: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(bigCols :+ monotonically_increasing_id(): _*), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall,

@@ -57,7 +57,7 @@ object TextAnalysis {
         // mean token length in basis points
         s"(length(text) * 10000) div greatest(size(${tokensSpark("text")}), 1) AS avg_token_len_bp",
         // type-token ratio (lexical diversity) in bp
-        s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
+        s"""(CAST(size(array_distinct(${tokensSpark("text")})) AS BIGINT) * 10000)
             div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""",
         // stopword ratio in bp
         s"""(size(filter(${tokensSpark("text")},
@@ -175,8 +175,11 @@ object TextAnalysis {
         .transform(CacheScope.persist)
       val wa = ab.groupBy(col("lang"), col("w1")).agg(sum("n_ab").as("n_a"))
       val wb = ab.groupBy(col("lang"), col("w2")).agg(sum("n_ab").as("n_b"))
-      ab.withColumn("n_total",
-          sum(col("n_ab")).over(Window.partitionBy(col("lang"))))
+      // per-lang total as a tiny aggregate broadcast back — a
+      // Window.partitionBy(lang) here would funnel a language's entire
+      // bigram table through one reducer just to attach one scalar
+      val totals = ab.groupBy(col("lang")).agg(sum("n_ab").as("n_total"))
+      ab.join(broadcast(totals), Seq("lang"))
         .join(wa, Seq("lang", "w1"))
         .join(wb, Seq("lang", "w2"))
         .filter(col("n_ab") >= 5)

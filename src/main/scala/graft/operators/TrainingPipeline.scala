@@ -138,7 +138,7 @@ object TrainingPipeline {
     "dedup_keep_best" -> ((s, d) => {
       val scored = docs(s, d).selectExpr(
         "doc_id", "lang", "md5(text) AS h",
-        s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
+        s"""(CAST(size(array_distinct(${tokensSpark("text")})) AS BIGINT) * 10000)
             div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""")
       val ranked = scored.withColumn("rk",
         row_number().over(Window.partitionBy(col("h"))
@@ -180,7 +180,7 @@ object TrainingPipeline {
     "sample_weighted" -> ((s, d) =>
       docs(s, d).selectExpr(
         "doc_id", "lang",
-        s"""(size(array_distinct(${tokensSpark("text")})) * 10000)
+        s"""(CAST(size(array_distinct(${tokensSpark("text")})) AS BIGINT) * 10000)
             div greatest(size(${tokensSpark("text")}), 1) AS ttr_bp""",
         s"${coinSpark("concat('w|', CAST(doc_id AS STRING))")} AS coin")
         .filter("coin < ttr_bp")

@@ -425,8 +425,14 @@ final class RestServer(store: FactStore, port: Int = 0) {
   private def send(ex: HttpExchange, code: Int, node: JsonNode): Unit = {
     val bytes = mapper.writeValueAsBytes(node)
     ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, bytes.length)
-    ex.getResponseBody.write(bytes)
+    // a HEAD exchange must not carry a body: writing one makes the JDK
+    // server log a warning and throw, and the throw would double-fault
+    // through safely's catch into a second sendResponseHeaders
+    if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+    }
   }
 
   private def sendError(ex: HttpExchange, code: Int, error: String, detail: String): Unit = {

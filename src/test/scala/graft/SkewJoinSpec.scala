@@ -20,8 +20,10 @@ class SkewJoinSpec extends AnyFunSuite {
     // tiny test shuffle into one partition and hide the distribution
     s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
-      // 50k rows on ONE key + a uniform tail: the classic straggler shape
-      val big = s.range(0, 50000).selectExpr("CAST(0 AS BIGINT) AS k", "id AS payload")
+      // 50k BYTE-IDENTICAL rows on ONE key + a uniform tail: the classic
+      // straggler shape, in its hardest form — duplicate rows mean a
+      // row-content hash alone would give every hot row the same salt
+      val big = s.range(0, 50000).selectExpr("CAST(0 AS BIGINT) AS k", "CAST(7 AS BIGINT) AS payload")
         .union(s.range(0, 10000).selectExpr("(id % 97) + 1 AS k", "id AS payload"))
       val dim = s.range(0, 98).selectExpr("id AS k", "concat('d', id) AS label")
 
