@@ -228,6 +228,39 @@ class SparkStreamingSpec extends AnyFunSuite {
     assert(seen.asScala.toSeq.sorted == Seq("s2", "s3")) // intersection only
   }
 
+  test("store replication: subscribe -> foreachBatch re-append mirrors one store into another") {
+    // the event-forwarding pattern: a subscription drained into a second
+    // store via idempotent per-batch appends — micro-batch id as the
+    // idempotency key makes foreachBatch's at-least-once delivery
+    // exactly-once at the store boundary
+    val fs = new SparkFactStore(spark, Files.createTempDirectory("graft-repl-"))
+    fs.createStore("primary")
+    fs.createStore("mirror")
+    (1 to 5).foreach(i => fs.append("primary", in(s"T$i", s"subj-$i")))
+    val Right(df) = fs.replayStream("primary"): @unchecked
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val inputs = batch.select("fact_type", "subject", "payload_data")
+          .collect()
+          .map(r => FactInput(r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+        if (inputs.nonEmpty) {
+          val res = fs.append(AppendRequest("mirror", inputs.toIndexedSeq,
+            idempotencyKey = s"repl-batch-$batchId"))
+          assert(res.isInstanceOf[AppendResult.Appended] ||
+            res == AppendResult.AlreadyApplied)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    val mirrored = fs.findInTimeRange("mirror", TimeRange.unbounded) match {
+      case FindResult.Found(facts) => facts
+      case other => fail(s"mirror read failed: $other")
+    }
+    assert(mirrored.map(_.factType).sorted == (1 to 5).map(i => s"T$i"))
+  }
+
   test("streaming CMS: bounded cell state tracks a hot subject across batches") {
     val (fs, s) = newStore()
     (1 to 6).foreach(_ => fs.append(s, in("T", "hot")))
