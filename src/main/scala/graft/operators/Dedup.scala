@@ -314,6 +314,30 @@ object Dedup {
         .filter(col("containment_bp") >= 8000)
         .orderBy(asc("doc_a"), asc("doc_b"))),
 
+    // Edit-distance near-dup: exact Levenshtein as the verifier, with the
+    // SAME inverted-index candidate generation as dedup_ngram_jaccard —
+    // a loose Jaccard prefilter (>= 0.2) prunes the O(len²) DP to a
+    // near-dup-sized candidate set (character-level edits barely move
+    // word-shingle overlap, so recall at 0.2 is near-total for the
+    // >= 0.7-similarity pairs this reports). This is the scale shape for
+    // fuzzy dedup: never levenshtein across the corpus, only inside
+    // shingle-blocked candidates. Similarity is integer basis points of
+    // the longer doc: 10000 - ed*10000/max_len.
+    "dedup_edit_distance" -> ((s, d) => {
+      val cand = ngramCommonCounts(s, d)
+        .filter(expr("(n_common * 10000) div (sz_a + sz_b - n_common) >= 2000"))
+        .select(col("doc_a"), col("doc_b"))
+      val t = docs(s, d).select(col("doc_id"), col("text"))
+      cand.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
+        .selectExpr("doc_a", "doc_b",
+          "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist",
+          "CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len")
+        .withColumn("sim_bp", expr("10000 - (edit_dist * 10000) div max_len"))
+        .filter(col("sim_bp") >= 7000)
+        .orderBy(asc("doc_a"), asc("doc_b"))
+    }),
+
     // Embedding-cosine near-dup within label partitions (cluster-blocked:
     // at corpus scale the block key is the ANN bucket — see Similarity's
     // ann_lsh_pairs for the unpartitioned path).
@@ -481,6 +505,29 @@ object Dedup {
           "(n_common * 10000) // least(sa.sz, sb.sz) AS containment_bp FROM common " +
           "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
           "WHERE (n_common * 10000) // least(sa.sz, sb.sz) >= 8000 ORDER BY doc_a, doc_b"),
+      "dedup_edit_distance" ->
+        (s"WITH shingled AS ($shingledSql), " +
+          "inv0 AS (SELECT lang, doc_id, unnest(sh) AS shv FROM shingled), " +
+          "kept AS (SELECT lang, shv FROM (SELECT lang, shv, count(*) AS df " +
+          s"FROM inv0 GROUP BY lang, shv) WHERE df <= $NgramDfCap), " +
+          "inv AS (SELECT i.lang, i.doc_id, i.shv FROM inv0 i " +
+          "JOIN kept k ON i.lang = k.lang AND i.shv = k.shv), " +
+          "szs AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id), " +
+          "common AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, " +
+          "count(*) AS n_common FROM inv l JOIN inv r ON l.lang = r.lang AND l.shv = r.shv " +
+          "AND l.doc_id < r.doc_id GROUP BY 1, 2), " +
+          "cand AS (SELECT doc_a, doc_b FROM common " +
+          "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
+          "WHERE (n_common * 10000) // (sa.sz + sb.sz - n_common) >= 2000), " +
+          "ed AS (SELECT doc_a, doc_b, " +
+          "CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist, " +
+          "CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS max_len " +
+          "FROM cand JOIN documents ta ON doc_a = ta.doc_id " +
+          "JOIN documents tb ON doc_b = tb.doc_id) " +
+          "SELECT doc_a, doc_b, edit_dist, max_len, " +
+          "10000 - (edit_dist * 10000) // max_len AS sim_bp FROM ed " +
+          "WHERE 10000 - (edit_dist * 10000) // max_len >= 7000 " +
+          "ORDER BY doc_a, doc_b"),
       "dedup_embedding_cosine" ->
         (s"WITH $cosineVerifiedCtes " +
           "SELECT vec_a, vec_b, cos_ppm FROM cpairs ORDER BY vec_a, vec_b"),
