@@ -193,6 +193,65 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("rank"))
     }),
 
+    // Corpus-level TF-IDF: per-language top-5 terms by tf·idf, kept
+    // integer-exact — idf is scaled reciprocal document frequency
+    // ((N·10⁶) div df, monotone in the usual log(N/df) so ranks at fixed N
+    // are idf-faithful for the high-idf terms this surfaces), score =
+    // tf·idf_e6. One corpus pass builds (lang, term) → (tf, df); the
+    // per-lang doc totals are a tiny aggregate broadcast back (same
+    // no-window-scalar discipline as text_bigram_lift). Ties break on
+    // term asc in both engines.
+    "text_tfidf_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val stats = docs(s, d)
+        .select(col("lang"), col("doc_id"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val nd = docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      stats.join(broadcast(nd), Seq("lang"))
+        .selectExpr("lang", "tok", "tf", "df",
+          "tf * ((n_docs * 1000000) div df) AS tfidf_e6")
+        .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(desc("tfidf_e6"), asc("tok"))))
+        .filter(col("rank") <= 5)
+        .selectExpr("lang", "tok", "tf", "df", "tfidf_e6",
+          "CAST(rank AS BIGINT) AS rank")
+        .orderBy(asc("lang"), asc("rank"))
+    }),
+
+    // Gopher-style rule gate: the classic pre-training document filter as
+    // four integer-exact rules — word count in [10, 10⁵], mean word length
+    // in [3.0, 10.0] chars, ≥ 70% of words containing a letter, ≥ 2
+    // stopword hits (union stoplist across languages). One narrow scan,
+    // per-language fail accounting — the map-side decision a 100 TB
+    // curation pass applies before anything expensive runs.
+    "text_quality_gate" -> ((s, d) => {
+      val allStop = StopLists.flatMap(_._2).distinct.sorted
+      docs(s, d)
+        .selectExpr("lang", s"${tokensSpark("text")} AS toks")
+        .selectExpr("lang",
+          "CAST(size(toks) AS BIGINT) AS n_words",
+          // mean word length ×10 in pure integer math
+          """(aggregate(toks, 0L, (a, t) -> a + length(t)) * 10)
+             div greatest(size(toks), 1) AS mean_len_x10""",
+          "(size(filter(toks, t -> t rlike '[a-zA-Z]')) * 10000) div greatest(size(toks), 1) AS alpha_bp",
+          s"CAST(size(filter(toks, t -> t IN (${allStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop")
+        .selectExpr("lang",
+          "CAST(n_words BETWEEN 10 AND 100000 AS INT) AS ok_words",
+          "CAST(mean_len_x10 BETWEEN 30 AND 100 AS INT) AS ok_meanlen",
+          "CAST(alpha_bp >= 7000 AS INT) AS ok_alpha",
+          "CAST(n_stop >= 2 AS INT) AS ok_stop")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("1 - ok_words")).as("n_fail_words"),
+          sum(expr("1 - ok_meanlen")).as("n_fail_meanlen"),
+          sum(expr("1 - ok_alpha")).as("n_fail_alpha"),
+          sum(expr("1 - ok_stop")).as("n_fail_stop"),
+          sum(expr("ok_words * ok_meanlen * ok_alpha * ok_stop")).as("n_kept"))
+        .orderBy(asc("lang"))
+    }),
+
     // Corpus rollup: per (lang, source) token totals — the reduce side.
     "text_corpus_stats" -> ((s, d) =>
       docs(s, d)
@@ -286,6 +345,41 @@ object TextAnalysis {
           "(PARTITION BY lang ORDER BY lift_bp DESC, n_ab DESC, w1, w2) AS rank FROM sc) " +
           "SELECT lang, w1, w2, n_ab, lift_bp, rank FROM r WHERE rank <= 20 " +
           "ORDER BY lang, rank"),
+      "text_tfidf_top_terms" ->
+        (s"WITH tok AS (SELECT lang, doc_id, unnest($toks) AS tok FROM documents), " +
+          "stats AS (SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df " +
+          "FROM tok GROUP BY lang, tok), " +
+          "nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+          "sc AS (SELECT s.lang, s.tok, s.tf, s.df, " +
+          "s.tf * ((nd.n_docs * 1000000) // s.df) AS tfidf_e6 " +
+          "FROM stats s JOIN nd ON s.lang = nd.lang), " +
+          "r AS (SELECT lang, tok, tf, df, tfidf_e6, row_number() OVER " +
+          "(PARTITION BY lang ORDER BY tfidf_e6 DESC, tok ASC) AS rank FROM sc) " +
+          "SELECT lang, tok, tf, df, tfidf_e6, rank FROM r WHERE rank <= 5 " +
+          "ORDER BY lang, rank"),
+      "text_quality_gate" -> {
+        val allStop = StopLists.flatMap(_._2).distinct.sorted
+        s"WITH base AS (SELECT lang, $toks AS toks FROM documents), " +
+          "m AS (SELECT lang, CAST(len(toks) AS BIGINT) AS n_words, " +
+          "(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), " +
+          "(a, x) -> a + x) * 10) // greatest(len(toks), 1) AS mean_len_x10, " +
+          "(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) * 10000) " +
+          "// greatest(len(toks), 1) AS alpha_bp, " +
+          s"CAST(len(list_filter(toks, t -> t IN (${allStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop " +
+          "FROM base), " +
+          "f AS (SELECT lang, " +
+          "CAST(n_words BETWEEN 10 AND 100000 AS INT) AS ok_words, " +
+          "CAST(mean_len_x10 BETWEEN 30 AND 100 AS INT) AS ok_meanlen, " +
+          "CAST(alpha_bp >= 7000 AS INT) AS ok_alpha, " +
+          "CAST(n_stop >= 2 AS INT) AS ok_stop FROM m) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(1 - ok_words) AS BIGINT) AS n_fail_words, " +
+          "CAST(sum(1 - ok_meanlen) AS BIGINT) AS n_fail_meanlen, " +
+          "CAST(sum(1 - ok_alpha) AS BIGINT) AS n_fail_alpha, " +
+          "CAST(sum(1 - ok_stop) AS BIGINT) AS n_fail_stop, " +
+          "CAST(sum(ok_words * ok_meanlen * ok_alpha * ok_stop) AS BIGINT) AS n_kept " +
+          "FROM f GROUP BY lang ORDER BY lang"
+      },
       "text_corpus_stats" ->
         (s"SELECT lang, source, count(*) AS n_docs, " +
           s"CAST(sum(len($toks)) AS BIGINT) AS total_tokens, " +
