@@ -92,6 +92,32 @@ object Temporal {
         .select(col("err_id").as("event_id"), col("err_ts_us").as("ts_us"),
           col("n_nearby"), col("sum_value_e4"))
         .orderBy(asc("event_id"))
+    }),
+
+    // Daily-volume anomaly ranking: each (event_type, day) count against
+    // the type's all-days average, as exact basis points
+    // (n·n_days·10⁴ div total), reporting the top-3 highest-deviation days
+    // per type. Rank-based rather than a fixed spike threshold so the
+    // operator is calibration-free (a 2× cutoff returns nothing on a flat
+    // corpus and everything on a bursty one). Two tiny aggregates; the
+    // per-type totals broadcast back — no window scalar over the daily
+    // table. At 100 TB the daily rollup IS the reduction: everything
+    // downstream is days×types-sized.
+    "events_spike_days" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val daily = EventFinders.events(s, d)
+        .selectExpr("event_type", s"(ts div 1000) div ${dayUs}L AS day")
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val typ = daily.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+      daily.join(broadcast(typ), Seq("event_type"))
+        .selectExpr("event_type", "day", "n", "(n * n_days * 10000) div total AS dev_bp")
+        .withColumn("rank", row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(desc("dev_bp"), asc("day"))))
+        .filter(col("rank") <= 3)
+        .selectExpr("event_type", "day", "n", "dev_bp", "CAST(rank AS BIGINT) AS rank")
+        .orderBy(asc("event_type"), asc("rank"))
     })
   )
 
@@ -116,6 +142,18 @@ object Temporal {
         "FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e " +
         "LEFT JOIN (SELECT ts, value FROM events WHERE event_type = 'purchase') p " +
         "ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 900000000 " +
-        "GROUP BY e.event_id, epoch_us(e.ts) ORDER BY e.event_id")
+        "GROUP BY e.event_id, epoch_us(e.ts) ORDER BY e.event_id"),
+    "events_spike_days" ->
+      ("WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "count(*) AS n FROM events GROUP BY event_type, day), " +
+        "typ AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total, " +
+        "count(*) AS n_days FROM daily GROUP BY event_type), " +
+        "sc AS (SELECT d.event_type, d.day, d.n, " +
+        "(d.n * t.n_days * 10000) // t.total AS dev_bp " +
+        "FROM daily d JOIN typ t ON d.event_type = t.event_type), " +
+        "r AS (SELECT event_type, day, n, dev_bp, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY dev_bp DESC, day ASC) AS rank FROM sc) " +
+        "SELECT event_type, day, n, dev_bp, rank FROM r WHERE rank <= 3 " +
+        "ORDER BY event_type, rank")
   )
 }
