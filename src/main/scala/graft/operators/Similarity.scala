@@ -247,6 +247,79 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // IVF + PQ/ADC composed — the production ANN shape at 100 TB: queries
+    // probe the 2 nearest coarse cells (per-label centroids, the same
+    // integer-e10 discipline as ann_ivf_probe), and candidates inside the
+    // probed cells are scored from their 8-subspace PQ codes via the
+    // per-query ADC table (same codebook/ADC kernel as ann_pq_adc) — the
+    // raw vectors are never touched after encoding. Plan: codes ⨝ probed
+    // cells is the only corpus-sized join and it's an equi-join on the
+    // cell key with the tiny probed/qtab sides broadcast; memory per
+    // executor is codes (M bytes per vector) not vectors (4·dim bytes).
+    "ann_ivf_pq" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      // coarse quantizer: per-label centroid sum-vectors (scale-invariant
+      // under cosine, integer sums so both engines agree exactly)
+      val coarse = e.select(col("label"), posexplode(col("embedding")))
+        .selectExpr("label", "pos",
+          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("xe10")).as("sx"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
+      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
+        "embedding AS qv", "vec_norm2(embedding) AS qn2")
+      val probed = q.crossJoin(broadcast(coarse))
+        .selectExpr("query_id", "label", s"${cosPpmSpark("qv", "cv")} AS cell_cos")
+        .withColumn("cell_rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("cell_cos"), asc("label"))))
+        .filter(col("cell_rank") <= 2)
+        .select(col("query_id"), col("label").as("cell"))
+      // PQ codebook: per-(subspace, code-label) centroids from integer sums
+      val cent = CacheScope.persist(
+        e.select(col("label"), posexplode(col("embedding")))
+          .selectExpr("label", "pos div 8 AS m", "pos % 8 AS sp",
+            "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+          .groupBy(col("m"), col("label"), col("sp"))
+          .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
+          .groupBy(col("m"), col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(sp, sxe10, cnt))), " +
+            "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv")))
+      // encode: nearest codebook entry per (vector, subspace); the vector's
+      // IVF cell rides along so the probe join below is an equi-join
+      val codes = e.select(col("vec_id"), col("label").as("cell"), col("embedding"),
+          explode(expr("sequence(0, 7)")).as("m"))
+        .selectExpr("vec_id", "cell", "m", "slice(embedding, m * 8 + 1, 8) AS xs")
+        .join(broadcast(cent), Seq("m"))
+        .selectExpr("vec_id", "cell", "m", "label",
+          "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("label"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("m"), col("label").as("code"))
+      // per-query ADC lookup table (query × subspace × code), e10 fixed
+      val qtab = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          explode(expr("sequence(0, 7)")).as("m"))
+        .selectExpr("query_id", "m", "slice(embedding, m * 8 + 1, 8) AS qs")
+        .join(broadcast(cent), Seq("m"))
+        .selectExpr("query_id", "m", "label AS code",
+          "CAST(floor((vec_norm2(qs) - 2 * vec_dot(qs, cv) + vec_norm2(cv)) " +
+            "* 10000000000) AS BIGINT) AS qd_e10")
+      codes.join(broadcast(probed), Seq("cell"))
+        .join(broadcast(qtab), Seq("query_id", "m", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd_e10")).as("adc_e10"))
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
+        .filter(col("rank") <= 10)
+        .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank",
+          "vec_id AS neighbor_id", "CAST(adc_e10 AS BIGINT) AS adc_e10")
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
     // Per-vector norms + per-label norm envelope (no float summation —
     // min/max only, deterministic).
     "vector_stats" -> ((s, d) =>
@@ -323,6 +396,48 @@ object Similarity {
         "adc AS (SELECT query_id, vec_id, CAST(sum(qd_e10) AS BIGINT) AS adc_e10 " +
         "FROM codes JOIN qtab USING (m, code) WHERE query_id <> vec_id " +
         "GROUP BY query_id, vec_id), " +
+        "ranked AS (SELECT query_id, vec_id, adc_e10, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
+        "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
+    },
+    "ann_ivf_pq" -> {
+      val l2 = s"${norm2Duck("sv", 8)} - 2 * ${dotDuck("sv", "cv", 8)} + ${norm2Duck("cv", 8)}"
+      ("WITH comp AS (SELECT label, r.range AS pos, " +
+        "CAST(sum(CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sx " +
+        "FROM embeddings CROSS JOIN range(1, 65) r GROUP BY label, r.range), " +
+        "coarse AS (SELECT label, list_transform(list(sx ORDER BY pos), x -> x::DOUBLE) AS ccv " +
+        "FROM comp GROUP BY label), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "cells AS (SELECT query_id, label, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "ccv")} DESC, label) AS cell_rank " +
+        "FROM q CROSS JOIN coarse), " +
+        "probed AS (SELECT query_id, label AS cell FROM cells WHERE cell_rank <= 2), " +
+        "sub AS (SELECT label, (r.range - 1) // 8 AS m, r.range AS pos, " +
+        "CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
+        "FROM embeddings CROSS JOIN range(1, 65) r), " +
+        "cgrp AS (SELECT m, label, pos, CAST(sum(xe10) AS BIGINT) AS sxe10, count(*) AS cnt " +
+        "FROM sub GROUP BY m, label, pos), " +
+        "cent0 AS (SELECT m, label, list_transform(list(sxe10 ORDER BY pos), " +
+        "s -> s::DOUBLE) AS svec, max(cnt) AS cnt FROM cgrp GROUP BY m, label), " +
+        "cent AS (SELECT m, label, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cent0), " +
+        "xsub AS (SELECT vec_id, label AS cell, ms.range AS m, " +
+        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
+        "FROM embeddings CROSS JOIN range(0, 8) ms), " +
+        s"scored AS (SELECT vec_id, cell, x.m AS m, label, $l2 AS dist, " +
+        s"row_number() OVER (PARTITION BY vec_id, x.m ORDER BY $l2 ASC, label) AS rk " +
+        "FROM xsub x JOIN cent c ON c.m = x.m), " +
+        "codes AS (SELECT vec_id, cell, m, label AS code FROM scored WHERE rk = 1), " +
+        "qsub AS (SELECT vec_id AS query_id, ms.range AS m, " +
+        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
+        "FROM embeddings CROSS JOIN range(0, 8) ms WHERE vec_id < 5), " +
+        "qtab AS (SELECT query_id, q2.m AS m, label AS code, " +
+        s"CAST(floor(($l2) * 10000000000) AS BIGINT) AS qd_e10 " +
+        "FROM qsub q2 JOIN cent c ON c.m = q2.m), " +
+        "adc AS (SELECT p.query_id, k.vec_id, CAST(sum(t.qd_e10) AS BIGINT) AS adc_e10 " +
+        "FROM codes k JOIN probed p ON k.cell = p.cell " +
+        "JOIN qtab t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code " +
+        "WHERE p.query_id <> k.vec_id GROUP BY p.query_id, k.vec_id), " +
         "ranked AS (SELECT query_id, vec_id, adc_e10, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
