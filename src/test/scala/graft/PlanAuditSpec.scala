@@ -174,4 +174,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "LSH candidate join lost its (band, bkey) equi-key")
   }
+
+  test("dedup_edit_distance: Levenshtein only inside shingle-blocked candidates") {
+    val p = planOf("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance verify lost its candidate blocking — corpus-wide DP")
+    assert(p.toLowerCase.contains("levenshtein"), "verifier is not the native levenshtein")
+  }
+
+  test("ann_ivf_pq: probed cells + ADC table broadcast, codes side stays distributed") {
+    val analyzed = SparkEntry.queries("ann_ivf_pq")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator
+      .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
+    assert(hints >= 3, "probed/qtab/codebook broadcasts lost")
+    val p = planOf("ann_ivf_pq")
+    assert(p.contains("vec_dot") && p.contains("vec_norm2"),
+      "coarse/PQ distance kernels not the native expressions")
+    assert(!p.contains("CartesianProduct"),
+      "IVF+PQ degenerated to a cartesian product")
+  }
+
+  test("text_tfidf_top_terms / events_spike_days: per-group totals broadcast, no window scalar") {
+    Seq("text_tfidf_top_terms", "events_spike_days").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: totals join lost its group equi-key")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: aggregation lost its map-side partial")
+    }
+  }
+
+  test("text_quality_gate: single-scan projection + one lang aggregation") {
+    val p = planOf("text_quality_gate")
+    assert(!p.contains("Join"), "quality gate must be join-free (one narrow scan)")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one documents scan, got $scans")
+  }
 }
