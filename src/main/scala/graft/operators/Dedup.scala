@@ -314,6 +314,48 @@ object Dedup {
         .filter(col("containment_bp") >= 8000)
         .orderBy(asc("doc_a"), asc("doc_b"))),
 
+    // Incremental dedup: a NEW batch (every 5th doc_id here stands in for
+    // the day's arrivals) deduplicated AGAINST the existing base corpus —
+    // the shape that matters operationally at 100 TB, where re-running
+    // self-dedup over the whole corpus per ingest is a non-starter. The
+    // band join is asymmetric (delta bands ⨝ base band index, an equi-join
+    // whose left side is delta-sized); in production the base side is the
+    // materialized band index maintained across ingests. Each new doc
+    // reports its best base match (Jaccard >= 0.7, rank-1 by jaccard desc,
+    // base_doc asc).
+    "dedup_incremental" -> ((s, d) => {
+      val isNew = "doc_id % 5 = 0"
+      val sig = shingled(s, d)
+        .filter(expr("size(sh) > 0"))
+        .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
+        .transform(CacheScope.persist)
+      def bandsOf(df: DataFrame): DataFrame = df.selectExpr("doc_id",
+        s"""explode(transform(sequence(0, ${Bands - 1}),
+            b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
+        .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
+      val newBands = bandsOf(sig.filter(expr(isNew)))
+      val baseBands = bandsOf(sig.filter(expr(s"NOT ($isNew)")))
+      val cand = newBands.as("n").join(baseBands.as("b"),
+          col("n.band") === col("b.band") && col("n.bkey") === col("b.bkey"))
+        .select(col("n.doc_id").as("new_doc"), col("b.doc_id").as("base_doc"))
+        .distinct()
+      val sh = sig.select(col("doc_id"), col("sh"))
+      cand.join(sh.as("l"), col("new_doc") === col("l.doc_id"))
+        .join(sh.as("r"), col("base_doc") === col("r.doc_id"))
+        .selectExpr("new_doc", "base_doc",
+          "CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_common",
+          "CAST(size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_union")
+        .selectExpr("new_doc", "base_doc",
+          "(n_common * 10000) div n_union AS jaccard_bp")
+        .filter(col("jaccard_bp") >= 7000)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("new_doc"))
+            .orderBy(desc("jaccard_bp"), asc("base_doc"))))
+        .filter(col("rank") === 1)
+        .select(col("new_doc"), col("base_doc"), col("jaccard_bp"))
+        .orderBy(asc("new_doc"))
+    }),
+
     // Edit-distance near-dup: exact Levenshtein as the verifier, with the
     // SAME inverted-index candidate generation as dedup_ngram_jaccard —
     // a loose Jaccard prefilter (>= 0.2) prunes the O(len²) DP to a
@@ -505,6 +547,24 @@ object Dedup {
           "(n_common * 10000) // least(sa.sz, sb.sz) AS containment_bp FROM common " +
           "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
           "WHERE (n_common * 10000) // least(sa.sz, sb.sz) >= 8000 ORDER BY doc_a, doc_b"),
+      "dedup_incremental" ->
+        (s"WITH shingled AS ($shingledSql), " +
+          s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
+          s"bands AS (SELECT doc_id, r.range AS band, " +
+          s"${bandKeyDuck("sig", "r.range")} AS bkey " +
+          s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
+          "cand AS (SELECT DISTINCT n.doc_id AS new_doc, b.doc_id AS base_doc " +
+          "FROM bands n JOIN bands b ON n.band = b.band AND n.bkey = b.bkey " +
+          "WHERE n.doc_id % 5 = 0 AND NOT (b.doc_id % 5 = 0)), " +
+          "verified AS (SELECT new_doc, base_doc, " +
+          "(len(list_intersect(l.sh, r.sh)) * 10000) // " +
+          "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard_bp " +
+          "FROM cand JOIN sigs l ON new_doc = l.doc_id JOIN sigs r ON base_doc = r.doc_id), " +
+          "ranked AS (SELECT new_doc, base_doc, jaccard_bp, row_number() OVER " +
+          "(PARTITION BY new_doc ORDER BY jaccard_bp DESC, base_doc ASC) AS rank " +
+          "FROM verified WHERE jaccard_bp >= 7000) " +
+          "SELECT new_doc, base_doc, jaccard_bp FROM ranked WHERE rank = 1 " +
+          "ORDER BY new_doc"),
       "dedup_edit_distance" ->
         (s"WITH shingled AS ($shingledSql), " +
           "inv0 AS (SELECT lang, doc_id, unnest(sh) AS shv FROM shingled), " +
