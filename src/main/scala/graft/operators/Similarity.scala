@@ -95,6 +95,96 @@ object Similarity {
     s"CAST(floor(${dotDuck(a, b, Dim)} / (sqrt(${norm2Duck(a, Dim)}) * " +
       s"sqrt(${norm2Duck(b, Dim)})) * 1000000) AS BIGINT)"
 
+  // ---------------------------------------------------------------------
+  // Shared PQ codebook: 8 subspaces × 256 sign-orthant cells. The code of
+  // a subvector is its 8-bit sign pattern; the codebook entry is the mean
+  // of the cell's members (integer-e10 component sums → double, so both
+  // engines agree exactly). Deterministic by construction — no iterative
+  // k-means — yet adaptive (cell means), which measured 6× the recall of
+  // the earlier label-derived 10-entry codebook (IvfPqRecallSpec: 0.24 vs
+  // 0.04 @ top-10 against exact L2). One byte per subspace code = 8 bytes
+  // per vector vs 256 raw — the memory ratio that makes 100 TB ANN fit.
+  // ---------------------------------------------------------------------
+
+  private def orthantSpark(xs: String): String =
+    (0 until 8).map(i =>
+      s"if(element_at($xs, ${i + 1}) > cast(0.0 as float), ${1 << i}, 0)")
+      .mkString("(", " + ", ")")
+
+  private def orthantDuck(sv: String): String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN list_extract($sv, ${i + 1}) > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** (vec_id, cell = IVF label, m, xs = 8-dim subvector) for every vector. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label").as("cell"), col("embedding"),
+        explode(expr("sequence(0, 7)")).as("m"))
+      .selectExpr("vec_id", "cell", "m", "slice(embedding, m * 8 + 1, 8) AS xs")
+
+  /** Codebook (m, ccode, cv): per-(subspace, orthant) mean subvector. */
+  private def pqCodebook(xsub: DataFrame): DataFrame =
+    xsub.withColumn("ocode", expr(orthantSpark("xs")))
+      .select(col("m"), col("ocode"), posexplode(col("xs")))
+      .selectExpr("m", "ocode", "pos",
+        "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+      .groupBy(col("m"), col("ocode"), col("pos"))
+      .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
+      .groupBy(col("m"), col("ocode"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sxe10, cnt))), " +
+        "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv"))
+      .withColumnRenamed("ocode", "ccode")
+
+  /** Encode: nearest codebook entry per (vector, subspace) — the cell key
+    * rides along for the IVF probe join. */
+  private def pqEncode(xsub: DataFrame, cent: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    xsub.join(broadcast(cent), Seq("m"))
+      .selectExpr("vec_id", "cell", "m", "ccode",
+        "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("ccode"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("ccode").as("code"))
+  }
+
+  /** Per-query ADC lookup table (query_id, m, code, qd_e10), e10-fixed. */
+  private def pqQueryTable(e: DataFrame, cent: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(expr("sequence(0, 7)")).as("m"))
+      .selectExpr("query_id", "m", "slice(embedding, m * 8 + 1, 8) AS qs")
+      .join(broadcast(cent), Seq("m"))
+      .selectExpr("query_id", "m", "ccode AS code",
+        "CAST(floor((vec_norm2(qs) - 2 * vec_dot(qs, cv) + vec_norm2(cv)) " +
+          "* 10000000000) AS BIGINT) AS qd_e10")
+
+  /** DuckDB twin of subvectors → codebook → encode → query table, as a CTE
+    * chain ending in `codes` (vec_id, cell, m, code) and `qtab`. */
+  private def pqDuckCtes: String = {
+    val l2 = s"${norm2Duck("sv", 8)} - 2 * ${dotDuck("sv", "cv", 8)} + ${norm2Duck("cv", 8)}"
+    "xsub AS (SELECT vec_id, label AS cell, ms.range AS m, " +
+      "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
+      "FROM embeddings CROSS JOIN range(0, 8) ms), " +
+      s"xo AS (SELECT vec_id, cell, m, sv, ${orthantDuck("sv")} AS ocode FROM xsub), " +
+      "comp AS (SELECT m, ocode, p.range AS pos, " +
+      "CAST(sum(CAST(floor(list_extract(sv, p.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sxe10, " +
+      "count(*) AS cnt FROM xo CROSS JOIN range(1, 9) p GROUP BY m, ocode, p.range), " +
+      "cent0 AS (SELECT m, ocode, list_transform(list(sxe10 ORDER BY pos), " +
+      "s -> s::DOUBLE) AS svec, max(cnt) AS cnt FROM comp GROUP BY m, ocode), " +
+      "cent AS (SELECT m, ocode AS ccode, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cent0), " +
+      s"scored AS (SELECT vec_id, cell, x.m AS m, ccode, $l2 AS dist, " +
+      s"row_number() OVER (PARTITION BY vec_id, x.m ORDER BY $l2 ASC, ccode) AS rk " +
+      "FROM xo x JOIN cent c ON c.m = x.m), " +
+      "codes AS (SELECT vec_id, cell, m, ccode AS code FROM scored WHERE rk = 1), " +
+      "qsub AS (SELECT vec_id AS query_id, ms.range AS m, " +
+      "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
+      "FROM embeddings CROSS JOIN range(0, 8) ms WHERE vec_id < 5), " +
+      "qtab AS (SELECT query_id, q2.m AS m, ccode AS code, " +
+      s"CAST(floor(($l2) * 10000000000) AS BIGINT) AS qd_e10 " +
+      "FROM qsub q2 JOIN cent c ON c.m = q2.m)"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-10 for 5 query vectors — the rerank/baseline kernel.
     // Norms are precomputed once per vector (sqrt(vec_norm2(x)) is the same
@@ -185,12 +275,10 @@ object Similarity {
     }),
 
     // Product quantization + asymmetric distance (ADC) — the memory-bound
-    // ANN scale path: vectors compress to M=8 one-byte-ish codes (argmin
-    // centroid per 8-dim subspace), queries score candidates via a
-    // per-query lookup table, never touching the raw vectors. Codebook =
-    // per-(subspace, label) centroids from decimal-exact component sums
-    // (same discipline as ann_ivf_probe, divided by count in double —
-    // deterministic). Distances are L2 via the pinned vec_norm2/vec_dot
+    // ANN scale path: vectors compress to M=8 one-byte codes (argmin over
+    // the 256-entry sign-orthant codebook per 8-dim subspace), queries
+    // score candidates via a per-query lookup table, never touching the
+    // raw vectors. Distances are L2 via the pinned vec_norm2/vec_dot
     // kernels, fixed-point-scaled to e10 BIGINTs so the 8-subspace ADC sum
     // is exact integer math — order-independent on any engine. At 100 TB:
     // codebook and query tables broadcast, the codes relation is the big
@@ -198,43 +286,13 @@ object Similarity {
     "ann_pq_adc" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      // per-(subspace m, label) centroid: 8 components, sp-ordered.
-      // Component sums are e10-scaled BIGINTs, not decimals: Spark's
-      // FLOAT->DECIMAL cast rounds the float's shortest decimal repr
-      // where DuckDB rounds the exact binary value — they disagree at
-      // ~1e-9, which the e10 ADC floor would expose. Integer math is
-      // engine-independent by construction.
-      // persisted: it feeds both the encode join and the per-query table —
-      // without the barrier each consumer re-aggregates the full corpus
-      val cent = CacheScope.persist(
-        e.select(col("label"), posexplode(col("embedding")))
-          .selectExpr("label", "pos div 8 AS m", "pos % 8 AS sp",
-            "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-          .groupBy(col("m"), col("label"), col("sp"))
-          .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
-          .groupBy(col("m"), col("label"))
-          .agg(expr("transform(array_sort(collect_list(struct(sp, sxe10, cnt))), " +
-            "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv")))
-      // encode: per (vector, subspace) the nearest centroid's label
-      val xsub = e.select(col("vec_id"), col("embedding"),
-          explode(expr("sequence(0, 7)")).as("m"))
-        .selectExpr("vec_id", "m", "slice(embedding, m * 8 + 1, 8) AS xs")
-      val codes = xsub.join(broadcast(cent), Seq("m"))
-        .selectExpr("vec_id", "m", "label",
-          "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
-        .withColumn("rk", row_number().over(
-          W.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("label"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("m"), col("label").as("code"))
-      // per-query ADC lookup table: distance to every centroid, e10 fixed
-      val qtab = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"),
-          explode(expr("sequence(0, 7)")).as("m"))
-        .selectExpr("query_id", "m", "slice(embedding, m * 8 + 1, 8) AS qs")
-        .join(broadcast(cent), Seq("m"))
-        .selectExpr("query_id", "m", "label AS code",
-          "CAST(floor((vec_norm2(qs) - 2 * vec_dot(qs, cv) + vec_norm2(cv)) " +
-            "* 10000000000) AS BIGINT) AS qd_e10")
+      val xsub = subvectors(e)
+      // persisted: the codebook feeds both the encode join and the
+      // per-query table — without the barrier each consumer re-aggregates
+      // the full corpus
+      val cent = CacheScope.persist(pqCodebook(xsub))
+      val codes = pqEncode(xsub, cent).drop("cell")
+      val qtab = pqQueryTable(e, cent)
       codes.join(broadcast(qtab), Seq("m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id"))
@@ -276,37 +334,12 @@ object Similarity {
           W.partitionBy(col("query_id")).orderBy(desc("cell_cos"), asc("label"))))
         .filter(col("cell_rank") <= 2)
         .select(col("query_id"), col("label").as("cell"))
-      // PQ codebook: per-(subspace, code-label) centroids from integer sums
-      val cent = CacheScope.persist(
-        e.select(col("label"), posexplode(col("embedding")))
-          .selectExpr("label", "pos div 8 AS m", "pos % 8 AS sp",
-            "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-          .groupBy(col("m"), col("label"), col("sp"))
-          .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
-          .groupBy(col("m"), col("label"))
-          .agg(expr("transform(array_sort(collect_list(struct(sp, sxe10, cnt))), " +
-            "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv")))
-      // encode: nearest codebook entry per (vector, subspace); the vector's
-      // IVF cell rides along so the probe join below is an equi-join
-      val codes = e.select(col("vec_id"), col("label").as("cell"), col("embedding"),
-          explode(expr("sequence(0, 7)")).as("m"))
-        .selectExpr("vec_id", "cell", "m", "slice(embedding, m * 8 + 1, 8) AS xs")
-        .join(broadcast(cent), Seq("m"))
-        .selectExpr("vec_id", "cell", "m", "label",
-          "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
-        .withColumn("rk", row_number().over(
-          W.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("label"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"), col("m"), col("label").as("code"))
-      // per-query ADC lookup table (query × subspace × code), e10 fixed
-      val qtab = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding"),
-          explode(expr("sequence(0, 7)")).as("m"))
-        .selectExpr("query_id", "m", "slice(embedding, m * 8 + 1, 8) AS qs")
-        .join(broadcast(cent), Seq("m"))
-        .selectExpr("query_id", "m", "label AS code",
-          "CAST(floor((vec_norm2(qs) - 2 * vec_dot(qs, cv) + vec_norm2(cv)) " +
-            "* 10000000000) AS BIGINT) AS qd_e10")
+      // shared sign-orthant PQ codebook; the vector's IVF cell rides along
+      // in the codes relation so the probe join below is an equi-join
+      val xsub = subvectors(e)
+      val cent = CacheScope.persist(pqCodebook(xsub))
+      val codes = pqEncode(xsub, cent)
+      val qtab = pqQueryTable(e, cent)
       codes.join(broadcast(probed), Seq("cell"))
         .join(broadcast(qtab), Seq("query_id", "m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
@@ -369,71 +402,27 @@ object Similarity {
         "FROM probed JOIN embeddings e USING (label) WHERE e.vec_id <> query_id) " +
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
-    "ann_pq_adc" -> {
-      // same pinned L2 kernel as the Spark side: norm2(x) - 2*dot(x,c) + norm2(c)
-      val l2 = s"${norm2Duck("sv", 8)} - 2 * ${dotDuck("sv", "cv", 8)} + ${norm2Duck("cv", 8)}"
-      ("WITH sub AS (SELECT label, (r.range - 1) // 8 AS m, r.range AS pos, " +
-        "CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
-        "FROM embeddings CROSS JOIN range(1, 65) r), " +
-        "cgrp AS (SELECT m, label, pos, CAST(sum(xe10) AS BIGINT) AS sxe10, count(*) AS cnt " +
-        "FROM sub GROUP BY m, label, pos), " +
-        "cent0 AS (SELECT m, label, list_transform(list(sxe10 ORDER BY pos), " +
-        "s -> s::DOUBLE) AS svec, max(cnt) AS cnt FROM cgrp GROUP BY m, label), " +
-        "cent AS (SELECT m, label, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cent0), " +
-        "xsub AS (SELECT vec_id, ms.range AS m, " +
-        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
-        "FROM embeddings CROSS JOIN range(0, 8) ms), " +
-        s"scored AS (SELECT vec_id, x.m AS m, label, $l2 AS dist, " +
-        s"row_number() OVER (PARTITION BY vec_id, x.m ORDER BY $l2 ASC, label) AS rk " +
-        "FROM xsub x JOIN cent c ON c.m = x.m), " +
-        "codes AS (SELECT vec_id, m, label AS code FROM scored WHERE rk = 1), " +
-        "qsub AS (SELECT vec_id AS query_id, ms.range AS m, " +
-        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
-        "FROM embeddings CROSS JOIN range(0, 8) ms WHERE vec_id < 5), " +
-        "qtab AS (SELECT query_id, q.m AS m, label AS code, " +
-        s"CAST(floor(($l2) * 10000000000) AS BIGINT) AS qd_e10 " +
-        "FROM qsub q JOIN cent c ON c.m = q.m), " +
+    "ann_pq_adc" ->
+      (s"WITH $pqDuckCtes, " +
         "adc AS (SELECT query_id, vec_id, CAST(sum(qd_e10) AS BIGINT) AS adc_e10 " +
         "FROM codes JOIN qtab USING (m, code) WHERE query_id <> vec_id " +
         "GROUP BY query_id, vec_id), " +
         "ranked AS (SELECT query_id, vec_id, adc_e10, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
-        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
-    },
-    "ann_ivf_pq" -> {
-      val l2 = s"${norm2Duck("sv", 8)} - 2 * ${dotDuck("sv", "cv", 8)} + ${norm2Duck("cv", 8)}"
-      ("WITH comp AS (SELECT label, r.range AS pos, " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+    "ann_ivf_pq" ->
+      (s"WITH comp2 AS (SELECT label, r.range AS pos, " +
         "CAST(sum(CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sx " +
         "FROM embeddings CROSS JOIN range(1, 65) r GROUP BY label, r.range), " +
         "coarse AS (SELECT label, list_transform(list(sx ORDER BY pos), x -> x::DOUBLE) AS ccv " +
-        "FROM comp GROUP BY label), " +
+        "FROM comp2 GROUP BY label), " +
         "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
         "cells AS (SELECT query_id, label, " +
         s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "ccv")} DESC, label) AS cell_rank " +
         "FROM q CROSS JOIN coarse), " +
         "probed AS (SELECT query_id, label AS cell FROM cells WHERE cell_rank <= 2), " +
-        "sub AS (SELECT label, (r.range - 1) // 8 AS m, r.range AS pos, " +
-        "CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
-        "FROM embeddings CROSS JOIN range(1, 65) r), " +
-        "cgrp AS (SELECT m, label, pos, CAST(sum(xe10) AS BIGINT) AS sxe10, count(*) AS cnt " +
-        "FROM sub GROUP BY m, label, pos), " +
-        "cent0 AS (SELECT m, label, list_transform(list(sxe10 ORDER BY pos), " +
-        "s -> s::DOUBLE) AS svec, max(cnt) AS cnt FROM cgrp GROUP BY m, label), " +
-        "cent AS (SELECT m, label, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cent0), " +
-        "xsub AS (SELECT vec_id, label AS cell, ms.range AS m, " +
-        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
-        "FROM embeddings CROSS JOIN range(0, 8) ms), " +
-        s"scored AS (SELECT vec_id, cell, x.m AS m, label, $l2 AS dist, " +
-        s"row_number() OVER (PARTITION BY vec_id, x.m ORDER BY $l2 ASC, label) AS rk " +
-        "FROM xsub x JOIN cent c ON c.m = x.m), " +
-        "codes AS (SELECT vec_id, cell, m, label AS code FROM scored WHERE rk = 1), " +
-        "qsub AS (SELECT vec_id AS query_id, ms.range AS m, " +
-        "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
-        "FROM embeddings CROSS JOIN range(0, 8) ms WHERE vec_id < 5), " +
-        "qtab AS (SELECT query_id, q2.m AS m, label AS code, " +
-        s"CAST(floor(($l2) * 10000000000) AS BIGINT) AS qd_e10 " +
-        "FROM qsub q2 JOIN cent c ON c.m = q2.m), " +
+        s"$pqDuckCtes, " +
         "adc AS (SELECT p.query_id, k.vec_id, CAST(sum(t.qd_e10) AS BIGINT) AS adc_e10 " +
         "FROM codes k JOIN probed p ON k.cell = p.cell " +
         "JOIN qtab t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code " +
@@ -441,8 +430,7 @@ object Similarity {
         "ranked AS (SELECT query_id, vec_id, adc_e10, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
-        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
-    },
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
     "vector_stats" ->
       (s"SELECT label, count(*) AS n, " +
         s"min(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS min_norm_ppm, " +

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall guardrail for the compressed-domain ANN tiers at sf0.1,
+  * decomposing the loss against METRIC-CONSISTENT ground truth: the ADC
+  * operators rank by L2, so they are measured against exact L2 top-10
+  * (measuring them against the cosine bruteforce conflates metric
+  * disagreement with quantization error — measured, that mixture reads
+  * 0.04 and says nothing about the codes). ann_pq_adc then differs from
+  * exact L2 only by PQ quantization; ann_ivf_pq adds 2-of-10-cell probing
+  * on top. A codebook/probing parameter change shows up here as a
+  * measured recall delta (same contract as LshRecallSpec). Numbers are
+  * recorded in PLANS.md §recall. */
+class IvfPqRecallSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    graft.functions.VectorFunctions.register(s)
+    s
+  }
+
+  private def topSet(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) =>
+        q -> rows.map(_.getLong(1)).toSet
+      }
+
+  test("ann_pq_adc / ann_ivf_pq: top-10 recall vs exact-L2 ground truth") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+    val q = e.filter(col("vec_id") < 5)
+      .selectExpr("vec_id AS query_id", "v AS qv", "n2 AS qn2")
+    val truth = q.join(e, col("query_id") =!= col("vec_id"))
+      .selectExpr("query_id", "vec_id",
+        "qn2 - 2 * vec_dot(qv, v) + n2 AS l2")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("l2"), asc("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rows) =>
+        qid -> rows.map(_.getLong(1)).toSet
+      }
+    val pq = topSet("ann_pq_adc")
+    val ivfpq = topSet("ann_ivf_pq")
+    graft.operators.CacheScope.releaseAll()
+
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (k, t) => (approx.getOrElse(k, Set.empty) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val rPq = recall(pq)
+    val rIvfPq = recall(ivfpq)
+    info(f"recall@10 vs exact L2: pq_adc=$rPq%.3f ivf_pq=$rIvfPq%.3f")
+
+    assert(truth.size == 5 && truth.values.forall(_.size == 10),
+      "exact-L2 ground truth incomplete — spec is vacuous")
+    // quantization alone must keep a usable share of the true neighbors
+    assert(rPq >= 0.2, f"PQ quantization recall collapsed: $rPq%.3f")
+    // probing restricts candidates — it can only lose more, never gain
+    assert(rIvfPq <= rPq + 1e-9,
+      "IVF probing cannot beat full-corpus ADC over the same codes")
+    assert(rIvfPq > 0.0, "probed-cell ADC finds no true neighbors at all")
+  }
+}
