@@ -70,6 +70,62 @@ object FactStateStreams {
       }
   }
 
+  /** A streaming near-dup candidate: two docs sharing a MinHash band
+    * bucket, with the signature-agreement Jaccard estimate (matching
+    * components / 16, in basis points). */
+  final case class NearDupCandidate(docA: Long, docB: Long, estJaccardBp: Long)
+
+  /** Streaming MinHash near-dup detection over a document stream
+    * (`doc_id`, `text`) — the Structured Streaming face of the batch
+    * `dedup_incremental` operator: every arriving doc is signed once
+    * (codegen'd shingle/minhash kernels, same pinned constants as the
+    * batch side) and checked ONLY against prior members of its 4 LSH band
+    * buckets, which live as managed stream state sharded by bucket across
+    * executors. Emitted pairs carry the signature-agreement estimate;
+    * exact verification (or the batch verifier) runs downstream on the
+    * candidate trickle, never on the stream itself. Per-bucket membership
+    * is capped (`maxBucket`) so a degenerate bucket (boilerplate corpus)
+    * bounds state instead of growing with the stream; real dup buckets
+    * are far below any sane cap. The same pair can surface from up to 4
+    * buckets — consumers dedup the (docA, docB) pair, which is
+    * batch-local and cheap. */
+  def nearDupCandidates(spark: SparkSession, docs: DataFrame,
+      maxBucket: Int = 64): Dataset[NearDupCandidate] = {
+    import spark.implicits._
+    import graft.functions.CrossHash._
+    graft.functions.TextHashFunctions.register(spark)
+    docs
+      .selectExpr("doc_id",
+        s"array_distinct(${shingleHashesSpark(wordHashesSpark("text"))}) AS sh")
+      .filter("size(sh) > 0")
+      .selectExpr("doc_id", s"${minhashSigSpark("sh")} AS sig")
+      .selectExpr("doc_id", "sig",
+        s"""explode(transform(sequence(0, ${Bands - 1}),
+            b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
+      .selectExpr("e.band AS band", "e.bkey AS bkey", "doc_id", "sig")
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var members = state.getOption.getOrElse(Seq.empty)
+        val out = Seq.newBuilder[NearDupCandidate]
+        // deterministic intra-batch order: lower doc_id is "prior"
+        rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+          if (!members.exists(_._1 == id)) {
+            members.foreach { case (mid, msig) =>
+              val eq = sig.zip(msig).count { case (a, b) => a == b }
+              out += NearDupCandidate(math.min(id, mid), math.max(id, mid),
+                eq.toLong * 10000 / 16)
+            }
+            if (members.size < maxBucket) members = members :+ ((id, sig))
+          }
+        }
+        state.update(members)
+        out.result().iterator
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */
