@@ -81,6 +81,26 @@ object Analytics {
     // 100 TB, so lineitem ⨝ orders ⨝ customer are shuffle joins on their
     // keys (AQE may downgrade to broadcast at small SFs — that's its call,
     // not a hint that pins fact tables into executor memory).
+    // TPC-H Q6-style forecast-revenue-change: the canonical scan-filter-sum
+    // — zero joins, zero shuffles beyond the final single-row aggregate;
+    // every predicate (shipdate year, discount band, quantity cap) must
+    // reach the parquet scan as a pushed filter. The price×discount product
+    // stays decimal internally and leaves as an e8-scaled BIGINT.
+    "q6_revenue_change" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val price = col("l_extendedprice").cast(dec)
+      val disc = col("l_discount").cast("decimal(5,4)")
+      l.filter(
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          disc >= lit("0.05").cast("decimal(5,4)") &&
+          disc <= lit("0.07").cast("decimal(5,4)") &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(e8row((price * disc).cast("decimal(28,8)"))).cast("bigint").as("revenue_e8"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "q5_nation_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders")
@@ -269,6 +289,15 @@ object Analytics {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue_e8 DESC, l_orderkey LIMIT 10"),
+    "q6_revenue_change" ->
+      ("SELECT CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(28,8)) * " +
+        "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)) AS BIGINT) AS revenue_e8, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND CAST(l_discount AS DECIMAL(5,4)) >= CAST('0.05' AS DECIMAL(5,4)) " +
+        "AND CAST(l_discount AS DECIMAL(5,4)) <= CAST('0.07' AS DECIMAL(5,4)) " +
+        "AND l_quantity < 24"),
     "q5_nation_revenue" ->
       (s"SELECT n_name, $revenueE8Sql AS revenue_e8, count(*) AS n_items " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
