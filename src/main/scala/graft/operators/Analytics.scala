@@ -101,6 +101,40 @@ object Analytics {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q4-style: order counts by priority for orders with at least
+    // one qualifying line — the LEFT SEMI join shape (existence, no fact
+    // fan-out: a matching order contributes once no matter how many lines
+    // qualify). At 100 TB the semi-join shuffles both fact sides on
+    // l_orderkey but materializes only the orders side — Spark's semi
+    // build keeps the probe relation out of the result entirely.
+    "q4_priority_semijoin" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_discount").cast("decimal(5,4)") >= lit("0.08").cast("decimal(5,4)"))
+        .select(col("l_orderkey"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(asc("o_orderpriority"))
+    }),
+
+    // TPC-H Q13-style: orders-per-customer distribution — LEFT OUTER join
+    // preserving zero-order customers, then the two-level count-of-counts.
+    // The histogram's second aggregation is tiny (distinct order counts),
+    // so the only corpus-sized shuffle is the c_custkey join + first agg.
+    "q13_order_distribution" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"))
+      val o = t(s, d, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     "q5_nation_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders")
@@ -289,6 +323,17 @@ object Analytics {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue_e8 DESC, l_orderkey LIMIT 10"),
+    "q4_priority_semijoin" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND CAST(l.l_discount AS DECIMAL(5,4)) >= CAST('0.08' AS DECIMAL(5,4))) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q13_order_distribution" ->
+      ("WITH co AS (SELECT c_custkey, count(o_custkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "SELECT c_count, count(*) AS custdist FROM co " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
     "q6_revenue_change" ->
       ("SELECT CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
         "CAST(l_discount AS DECIMAL(5,4)) AS DECIMAL(28,8)) * " +
