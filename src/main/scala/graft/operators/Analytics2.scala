@@ -31,6 +31,42 @@ object Analytics2 {
           col("n_docs"), col("total_chars"))
         .orderBy(asc("lang"), asc("source"))),
 
+    // CUBE over (status, priority): all four grouping combinations in one
+    // Expand pass — the slice-and-dice companion to rollup_corpus. Money
+    // leaves as e4-scaled BIGINT; COALESCE pins the null grouping rows.
+    "cube_order_status" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast(dec) * lit(10000).cast("decimal(5,0)"))
+            .cast("bigint")).cast("bigint").as("total_value_e4"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<all>")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("o_orderpriority"),
+          col("n_orders"), col("total_value_e4"))
+        .orderBy(asc("o_orderstatus"), asc("o_orderpriority"))),
+
+    // ntile quartiles over customer lifetime value. The window has no
+    // PARTITION BY — that is safe ONLY because its input is the per-
+    // customer aggregate (customer-count-sized, already reduced), never
+    // the raw orders; the deterministic tiebreak (value desc, custkey)
+    // pins tile membership on both engines.
+    "customer_value_quartiles" -> ((s, d) => {
+      val cv = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("o_totalprice").cast(dec) * lit(10000).cast("decimal(5,0)"))
+          .cast("bigint")).cast("bigint").as("value_e4"))
+      cv.withColumn("quartile", ntile(4).over(
+          Window.orderBy(desc("value_e4"), asc("o_custkey"))))
+        .groupBy(col("quartile"))
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("value_e4")).as("min_value_e4"),
+          max(col("value_e4")).as("max_value_e4"))
+        .selectExpr("CAST(quartile AS BIGINT) AS quartile", "n_customers",
+          "min_value_e4", "max_value_e4")
+        .orderBy(asc("quartile"))
+    }),
+
     // Correlated-subquery shape: parts priced at their type's minimum
     // (decorrelates to an aggregate + join back on the group key).
     "q2_cheapest_per_type" -> ((s, d) => {
@@ -137,6 +173,23 @@ object Analytics2 {
         ("SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source, " +
           "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +
           "FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source"),
+      "cube_order_status" ->
+        ("SELECT COALESCE(o_orderstatus, '<all>') AS o_orderstatus, " +
+          "COALESCE(o_orderpriority, '<all>') AS o_orderpriority, " +
+          "count(*) AS n_orders, " +
+          "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * " +
+          "CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS total_value_e4 " +
+          "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+          "ORDER BY o_orderstatus, o_orderpriority"),
+      "customer_value_quartiles" ->
+        ("WITH cv AS (SELECT o_custkey, " +
+          "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * " +
+          "CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS value_e4 " +
+          "FROM orders GROUP BY o_custkey), " +
+          "q AS (SELECT value_e4, ntile(4) OVER " +
+          "(ORDER BY value_e4 DESC, o_custkey) AS quartile FROM cv) " +
+          "SELECT quartile, count(*) AS n_customers, min(value_e4) AS min_value_e4, " +
+          "max(value_e4) AS max_value_e4 FROM q GROUP BY quartile ORDER BY quartile"),
       "q2_cheapest_per_type" ->
         ("SELECT p_type, p_partkey, p_brand, p_retailprice FROM part " +
           "WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2 " +
