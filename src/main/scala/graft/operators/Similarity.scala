@@ -136,17 +136,20 @@ object Similarity {
       .withColumnRenamed("ocode", "ccode")
 
   /** Encode: nearest codebook entry per (vector, subspace) — the cell key
-    * rides along for the IVF probe join. */
-  private def pqEncode(xsub: DataFrame, cent: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
+    * rides along for the IVF probe join. The argmin is a `min_by` over the
+    * (dist, ccode) pair, NOT a window rank: the window rendering shuffles
+    * every (subvector × code) scored row (n·8·256 at corpus scale) just to
+    * rank them, where min_by partial-aggregates map-side and shuffles one
+    * row per (vector, subspace). Tie semantics are identical to the
+    * oracle's `row_number ... ORDER BY dist, ccode` (lexicographic pair
+    * min) and the dist doubles are the same pinned kernels both sides. */
+  private def pqEncode(xsub: DataFrame, cent: DataFrame): DataFrame =
     xsub.join(broadcast(cent), Seq("m"))
       .selectExpr("vec_id", "cell", "m", "ccode",
         "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
-      .withColumn("rk", row_number().over(
-        W.partitionBy(col("vec_id"), col("m")).orderBy(asc("dist"), asc("ccode"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), col("m"), col("ccode").as("code"))
-  }
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min_by(col("ccode"), struct(col("dist"), col("ccode"))).as("code"))
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
 
   /** Per-query ADC lookup table (query_id, m, code, qd_e10), e10-fixed. */
   private def pqQueryTable(e: DataFrame, cent: DataFrame): DataFrame =
