@@ -12,6 +12,13 @@ object Verify {
     val (sfDir, outDir, filter) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(',').map(_.trim).toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [name1,name2,...]")
+    }
+    // A typo'd filter name must fail loudly: matching nothing would dump an
+    // empty oracle_sql.json and the downstream compare would pass vacuously.
+    filter.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
     }
     def keep(name: String): Boolean = filter.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -83,18 +83,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /** Filtered, signed, persisted signature relation (doc_id, sh, sig) —
+    * the shared front of every MinHash path (self-dedup, clusters,
+    * incremental). Empty-shingle docs are excluded BEFORE signing on both
+    * engines (see dedup_minhash_lsh's scaladoc). */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
+      .filter(expr("size(sh) > 0"))
+      .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
+      .transform(CacheScope.persist)
+
+  /** LSH band index (doc_id, band, bkey) over a signature relation. */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.selectExpr("doc_id",
+      s"""explode(transform(sequence(0, ${Bands - 1}),
+          b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
+      .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
+
   /** Verified MinHash near-dup pairs (doc_a < doc_b, Jaccard >= 0.7) —
     * shared by dedup_minhash_lsh (which just orders it) and dedup_clusters
     * (which closes it transitively). */
   private def minhashVerified(s: SparkSession, d: String): DataFrame = {
-    val sig = shingled(s, d)
-      .filter(expr("size(sh) > 0"))
-      .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
-      .transform(CacheScope.persist)
-    val bands = sig.selectExpr("doc_id",
-      s"""explode(transform(sequence(0, ${Bands - 1}),
-          b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
-      .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
+    val sig = signatures(s, d)
+    val bands = bandsOf(sig)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -325,14 +336,7 @@ object Dedup {
     // base_doc asc).
     "dedup_incremental" -> ((s, d) => {
       val isNew = "doc_id % 5 = 0"
-      val sig = shingled(s, d)
-        .filter(expr("size(sh) > 0"))
-        .selectExpr("doc_id", "sh", s"${minhashSigSpark("sh")} AS sig")
-        .transform(CacheScope.persist)
-      def bandsOf(df: DataFrame): DataFrame = df.selectExpr("doc_id",
-        s"""explode(transform(sequence(0, ${Bands - 1}),
-            b -> struct(b AS band, ${bandKeySpark("sig", "b")} AS bkey))) AS e""")
-        .selectExpr("doc_id", "e.band AS band", "e.bkey AS bkey")
+      val sig = signatures(s, d)
       val newBands = bandsOf(sig.filter(expr(isNew)))
       val baseBands = bandsOf(sig.filter(expr(s"NOT ($isNew)")))
       val cand = newBands.as("n").join(baseBands.as("b"),
@@ -420,14 +424,19 @@ object Dedup {
   def oracles: Map[String, String] = {
     val sh = s"list_distinct(${shingleHashesDuck(wordHashesDuck(tokensDuck("text")))})"
     val shingledSql = s"SELECT doc_id, lang, $sh AS sh FROM documents"
-    // CTE chain ending in `pairs` = the verified minhash near-dup pairs —
-    // the oracle-side twin of minhashVerified above
-    val minhashVerifiedCtes =
+    // CTE prefix shingled→sigs→bands = the oracle twin of
+    // signatures/bandsOf above, shared by the self-dedup chain and the
+    // incremental (delta-vs-base) chain
+    val sigBandCtes =
       s"shingled AS ($shingledSql), " +
         s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
         s"bands AS (SELECT doc_id, r.range AS band, " +
         s"${bandKeyDuck("sig", "r.range")} AS bkey " +
-        s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
+        s"FROM sigs CROSS JOIN range(0, $Bands) r)"
+    // CTE chain ending in `pairs` = the verified minhash near-dup pairs —
+    // the oracle-side twin of minhashVerified above
+    val minhashVerifiedCtes =
+      s"$sigBandCtes, " +
         "cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
         "verified AS (SELECT da AS doc_a, db AS doc_b, " +
@@ -548,11 +557,7 @@ object Dedup {
           "JOIN szs sa ON doc_a = sa.doc_id JOIN szs sb ON doc_b = sb.doc_id " +
           "WHERE (n_common * 10000) // least(sa.sz, sb.sz) >= 8000 ORDER BY doc_a, doc_b"),
       "dedup_incremental" ->
-        (s"WITH shingled AS ($shingledSql), " +
-          s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
-          s"bands AS (SELECT doc_id, r.range AS band, " +
-          s"${bandKeyDuck("sig", "r.range")} AS bkey " +
-          s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
+        (s"WITH $sigBandCtes, " +
           "cand AS (SELECT DISTINCT n.doc_id AS new_doc, b.doc_id AS base_doc " +
           "FROM bands n JOIN bands b ON n.band = b.band AND n.bkey = b.bkey " +
           "WHERE n.doc_id % 5 = 0 AND NOT (b.doc_id % 5 = 0)), " +

@@ -151,15 +151,14 @@ object Similarity {
       .agg(min_by(col("ccode"), struct(col("dist"), col("ccode"))).as("code"))
       .select(col("vec_id"), col("cell"), col("m"), col("code"))
 
-  /** Per-query ADC lookup table (query_id, m, code, qd_e10), e10-fixed. */
+  /** Per-query ADC lookup table (query_id, m, code, qd_e10), e10-fixed —
+    * the same subvector slicing as [[subvectors]], restricted to the query
+    * set. */
   private def pqQueryTable(e: DataFrame, cent: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding"),
-        explode(expr("sequence(0, 7)")).as("m"))
-      .selectExpr("query_id", "m", "slice(embedding, m * 8 + 1, 8) AS qs")
+    subvectors(e.filter(col("vec_id") < 5))
       .join(broadcast(cent), Seq("m"))
-      .selectExpr("query_id", "m", "ccode AS code",
-        "CAST(floor((vec_norm2(qs) - 2 * vec_dot(qs, cv) + vec_norm2(cv)) " +
+      .selectExpr("vec_id AS query_id", "m", "ccode AS code",
+        "CAST(floor((vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv)) " +
           "* 10000000000) AS BIGINT) AS qd_e10")
 
   /** DuckDB twin of subvectors → codebook → encode → query table, as a CTE
@@ -329,8 +328,8 @@ object Similarity {
         .agg(sum(col("xe10")).as("sx"))
         .groupBy(col("label"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
-      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
-        "embedding AS qv", "vec_norm2(embedding) AS qn2")
+      val q = e.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "embedding AS qv")
       val probed = q.crossJoin(broadcast(coarse))
         .selectExpr("query_id", "label", s"${cosPpmSpark("qv", "cv")} AS cell_cos")
         .withColumn("cell_rank", row_number().over(

@@ -235,7 +235,10 @@ object TextAnalysis {
           // mean word length ×10 in pure integer math
           """(aggregate(toks, 0L, (a, t) -> a + length(t)) * 10)
              div greatest(size(toks), 1) AS mean_len_x10""",
-          "(size(filter(toks, t -> t rlike '[a-zA-Z]')) * 10000) div greatest(size(toks), 1) AS alpha_bp",
+          // CAST before the multiply: Spark size() is INT and ANSI mode
+          // makes the 32-bit overflow throw on a >2^31/10^4-token doc
+          // (DuckDB len() is BIGINT — divergent either way)
+          "(CAST(size(filter(toks, t -> t rlike '[a-zA-Z]')) AS BIGINT) * 10000) div greatest(size(toks), 1) AS alpha_bp",
           s"CAST(size(filter(toks, t -> t IN (${allStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS n_stop")
         .selectExpr("lang",
           "CAST(n_words BETWEEN 10 AND 100000 AS INT) AS ok_words",

@@ -115,8 +115,10 @@ object FactStateStreams {
           if (!members.exists(_._1 == id)) {
             members.foreach { case (mid, msig) =>
               val eq = sig.zip(msig).count { case (a, b) => a == b }
+              // denominator follows the pinned permutation count — a wider
+              // signature must not silently inflate the estimate
               out += NearDupCandidate(math.min(id, mid), math.max(id, mid),
-                eq.toLong * 10000 / 16)
+                eq.toLong * 10000 / MinhashPerms.size)
             }
             if (members.size < maxBucket) members = members :+ ((id, sig))
           }

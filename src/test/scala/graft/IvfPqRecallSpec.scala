@@ -61,9 +61,11 @@ class IvfPqRecallSpec extends AnyFunSuite {
       "exact-L2 ground truth incomplete — spec is vacuous")
     // quantization alone must keep a usable share of the true neighbors
     assert(rPq >= 0.2, f"PQ quantization recall collapsed: $rPq%.3f")
-    // probing restricts candidates — it can only lose more, never gain
-    assert(rIvfPq <= rPq + 1e-9,
-      "IVF probing cannot beat full-corpus ADC over the same codes")
+    // NOTE: no rIvfPq <= rPq assertion — probing restricts the CANDIDATE
+    // set, but top-10-of-a-subset is not a subset of top-10-of-the-
+    // superset (excluding unprobed-cell false positives can let a true
+    // neighbor into the probed top-10), so recall@k monotonicity is not a
+    // theorem. Only floors are pinned; the relation is recorded above.
     assert(rIvfPq > 0.0, "probed-cell ADC finds no true neighbors at all")
   }
 }
