@@ -193,6 +193,30 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("rank"))
     }),
 
+    // Fluency proxy (the integer-exact stand-in for an LM-perplexity
+    // filter): a doc whose bigrams are common in its language's corpus
+    // reads as fluent; degenerate or shuffled text hits rare bigrams.
+    // Score = mean corpus frequency of the doc's bigrams, ×10⁴. One
+    // corpus pass builds the bigram relation (persisted), the counts
+    // aggregate over it, and the join back is (lang, bigram) equi — the
+    // inverted-index shape, near-linear at 100 TB.
+    "text_fluency" -> ((s, d) => {
+      val bg = docs(s, d)
+        .selectExpr("doc_id", "lang", s"${tokensSpark("text")} AS toks")
+        .filter(expr("size(toks) >= 2"))
+        .selectExpr("doc_id", "lang",
+          """explode(transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS bg""")
+        .transform(CacheScope.persist)
+      val counts = bg.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n_bg"))
+      bg.join(counts, Seq("lang", "bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("n_bg")).as("sum_bg"))
+        .selectExpr("doc_id", "n_bigrams",
+          "(sum_bg * 10000) div n_bigrams AS avg_bigram_freq_e4")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Corpus-level TF-IDF: per-language top-5 terms by tf·idf, kept
     // integer-exact — idf is scaled reciprocal document frequency
     // ((N·10⁶) div df, monotone in the usual log(N/df) so ranks at fixed N
@@ -348,6 +372,15 @@ object TextAnalysis {
           "(PARTITION BY lang ORDER BY lift_bp DESC, n_ab DESC, w1, w2) AS rank FROM sc) " +
           "SELECT lang, w1, w2, n_ab, lift_bp, rank FROM r WHERE rank <= 20 " +
           "ORDER BY lang, rank"),
+      "text_fluency" ->
+        (s"WITH base AS (SELECT doc_id, lang, $toks AS toks FROM documents), " +
+          "bg AS (SELECT doc_id, lang, " +
+          "list_extract(toks, t.i) || ' ' || list_extract(toks, t.i + 1) AS bg " +
+          "FROM base, unnest(range(1, len(toks))) AS t(i) WHERE len(toks) >= 2), " +
+          "counts AS (SELECT lang, bg, count(*) AS n_bg FROM bg GROUP BY lang, bg) " +
+          "SELECT doc_id, count(*) AS n_bigrams, " +
+          "(CAST(sum(n_bg) AS BIGINT) * 10000) // count(*) AS avg_bigram_freq_e4 " +
+          "FROM bg JOIN counts USING (lang, bg) GROUP BY doc_id ORDER BY doc_id"),
       "text_tfidf_top_terms" ->
         (s"WITH tok AS (SELECT lang, doc_id, unnest($toks) AS tok FROM documents), " +
           "stats AS (SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df " +
