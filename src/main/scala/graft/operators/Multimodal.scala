@@ -91,6 +91,34 @@ object Multimodal {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).cast("bigint").as("total_bytes"))
         .orderBy(asc("format"))),
 
+    // Resize planning: fit the fake-decoded (width, height) into a 224-max
+    // box preserving aspect ratio — pure integer math (floor division), so
+    // the plan an actual resampling kernel would execute is oracle-pinned
+    // even though the pixel work itself lives behind the codec seam.
+    "media_resize_plan" -> ((s, d) =>
+      docs(s, d).selectExpr(
+          "doc_id",
+          s"CAST(16 + ${charHashSpark("text")} % 64 AS INT) AS width",
+          s"CAST(16 + (${charHashSpark("text")} div 64) % 64 AS INT) AS height")
+        .selectExpr("doc_id", "width", "height",
+          "CAST(CASE WHEN width >= height THEN 224 ELSE (width * 224) div height END AS INT) AS out_w",
+          "CAST(CASE WHEN width >= height THEN (height * 224) div width ELSE 224 END AS INT) AS out_h")
+        .orderBy(asc("doc_id"))),
+
+    // Feature extraction stub: 4-bucket byte-class histogram over the
+    // payload bytes (the shape a real embedding/feature kernel would have:
+    // one narrow scan, fixed-width integer vector out per item).
+    "media_feature_extract" -> ((s, d) =>
+      docs(s, d).selectExpr(
+          "doc_id",
+          "CAST(length(text) - length(regexp_replace(text, '[a-z]', '')) AS BIGINT) AS n_lower",
+          "CAST(length(text) - length(regexp_replace(text, '[A-Z]', '')) AS BIGINT) AS n_upper",
+          "CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS BIGINT) AS n_digit",
+          "CAST(length(text) AS BIGINT) AS n_total")
+        .selectExpr("doc_id", "n_lower", "n_upper", "n_digit",
+          "n_total - n_lower - n_upper - n_digit AS n_other")
+        .orderBy(asc("doc_id"))),
+
     // The mapPartitions decode stub itself (not SQL-expressible -> driver
     // records a rows-only check; the checksum/width/height math is pinned
     // by media_metadata's oracle above).
@@ -115,6 +143,23 @@ object Multimodal {
         s"${charHashDuck("list_aggregate(list_transform(range(1, (length(text) + 15) // 16 + 1), " +
           "i -> substring(text, (i - 1) * 16 + 1, 1)), 'string_agg', '')")} AS track_hash " +
         "FROM documents ORDER BY doc_id"),
+    "media_resize_plan" ->
+      (s"WITH m AS (SELECT doc_id, " +
+        s"CAST(16 + ${charHashDuck("text")} % 64 AS INT) AS width, " +
+        s"CAST(16 + (${charHashDuck("text")} // 64) % 64 AS INT) AS height " +
+        "FROM documents) " +
+        "SELECT doc_id, width, height, " +
+        "CAST(CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END AS INT) AS out_w, " +
+        "CAST(CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END AS INT) AS out_h " +
+        "FROM m ORDER BY doc_id"),
+    "media_feature_extract" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS n_lower, " +
+        "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper, " +
+        "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit, " +
+        "length(text) AS n_total FROM documents) " +
+        "SELECT doc_id, n_lower, n_upper, n_digit, " +
+        "n_total - n_lower - n_upper - n_digit AS n_other FROM m ORDER BY doc_id"),
     "media_format_stats" ->
       (s"WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes, " +
         s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
