@@ -72,7 +72,7 @@ object FactStateStreams {
 
   /** A streaming near-dup candidate: two docs sharing a MinHash band
     * bucket, with the signature-agreement Jaccard estimate (matching
-    * components / 16, in basis points). */
+    * components over the pinned permutation count, in basis points). */
   final case class NearDupCandidate(docA: Long, docB: Long, estJaccardBp: Long)
 
   /** Streaming MinHash near-dup detection over a document stream
