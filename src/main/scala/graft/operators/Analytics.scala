@@ -135,6 +135,45 @@ object Analytics {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
+    // then join the survivors back to orders/customer. The aggregate runs
+    // FIRST and the join sees only qualifying orderkeys — at 100 TB the
+    // having-filtered set is tiny, so the back-join broadcasts while the
+    // only corpus-sized shuffle is the groupBy(l_orderkey).
+    "q18_large_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(e4(col("l_quantity").cast(dec))).cast("bigint").as("sum_qty_e4"))
+        .filter(col("sum_qty_e4") > 1500000L)
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .selectExpr("o_orderkey", "c_custkey", "sum_qty_e4",
+          s"${"CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"} AS total_price_e4")
+        .orderBy(desc("sum_qty_e4"), asc("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19-style disjunctive predicate: OR of brand×quantity-band
+    // conjunctions over part ⨝ lineitem. Catalyst pushes the common
+    // p_brand IN (...) superset below the join and keeps the exact
+    // disjunction as the post-join filter — the shape that tests OR
+    // pushdown rather than simple conjunctive pruning.
+    "q19_disjunctive_revenue" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      val price = col("l_extendedprice").cast(dec)
+      val discFactor = (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#15" && col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 25)))
+        .agg(
+          sum(e8row((price * discFactor).cast("decimal(28,8)"))).cast("bigint").as("revenue_e8"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "q5_nation_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders")
@@ -323,6 +362,19 @@ object Analytics {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue_e8 DESC, l_orderkey LIMIT 10"),
+    "q18_large_orders" ->
+      (s"WITH big AS (SELECT l_orderkey, CAST(sum(${e4Sql("l_quantity")}) AS BIGINT) AS sum_qty_e4 " +
+        "FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(" + e4Sql("l_quantity") + ") AS BIGINT) > 1500000) " +
+        "SELECT o_orderkey, c_custkey, sum_qty_e4, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS total_price_e4 " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY sum_qty_e4 DESC, o_orderkey LIMIT 20"),
+    "q19_disjunctive_revenue" ->
+      (s"SELECT $revenueE8Sql AS revenue_e8, count(*) AS n_rows " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#15' AND l_quantity BETWEEN 1 AND 15) " +
+        "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 25)"),
     "q4_priority_semijoin" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' " +
