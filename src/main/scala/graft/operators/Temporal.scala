@@ -94,6 +94,29 @@ object Temporal {
         .orderBy(asc("event_id"))
     }),
 
+    // Path mining: the top-10 most-traveled 3-event sequences — lead()×2
+    // inside one per-user window (single user_id shuffle, same partition
+    // for both offsets), then a count over the trigram domain (bounded by
+    // |event_types|³, tiny regardless of corpus size). Window order is
+    // (ts_us, event_id) so sub-µs ties sequence identically on both
+    // engines.
+    "events_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("event_id"))
+      EventFinders.events(s, d)
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS ts_us")
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .selectExpr("concat_ws('>', event_type, e2, e3) AS path")
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n"), asc("path"))))
+        .filter(col("rank") <= 10)
+        .selectExpr("path", "n", "CAST(rank AS BIGINT) AS rank")
+        .orderBy(asc("rank"))
+    }),
+
     // Daily-volume anomaly ranking: each (event_type, day) count against
     // the type's all-days average, as exact basis points
     // (n·n_days·10⁴ div total), reporting the top-3 highest-deviation days
@@ -143,6 +166,14 @@ object Temporal {
         "LEFT JOIN (SELECT ts, value FROM events WHERE event_type = 'purchase') p " +
         "ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 900000000 " +
         "GROUP BY e.event_id, epoch_us(e.ts) ORDER BY e.event_id"),
+    "events_top_paths" ->
+      ("WITH seq AS (SELECT event_type, " +
+        "lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), " +
+        "paths AS (SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n " +
+        "FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1), " +
+        "r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank FROM paths) " +
+        "SELECT path, n, rank FROM r WHERE rank <= 10 ORDER BY rank"),
     "events_spike_days" ->
       ("WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
         "count(*) AS n FROM events GROUP BY event_type, day), " +
