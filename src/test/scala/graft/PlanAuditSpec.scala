@@ -205,6 +205,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q19_disjunctive_revenue: OR-superset predicates pushed to BOTH scans") {
+    val p = planOf("q19_disjunctive_revenue")
+    // the quantity-band disjunction must reach the lineitem scan and the
+    // brand disjunction the part scan — not sit above the join
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findAllIn(p).size >= 2,
+      "disjunctive predicate supersets not pushed to both scans")
+  }
+
+  test("q18_large_orders: fact aggregate runs before the back-join") {
+    val p = planOf("q18_large_orders")
+    assert(p.contains("partial_sum"), "orderkey aggregate lost its map-side partial")
+    assert(!p.contains("CartesianProduct"), "back-join degenerated")
+    // the HAVING filter must apply to the aggregate, not post-join
+    assert(p.contains("sum_qty_e4"), "having column vanished from the plan")
+  }
+
+  test("events_top_paths: both leads share one user_id window partition") {
+    val p = planOf("events_top_paths")
+    // a second Exchange on user_id would mean the two lead() offsets split
+    // into separate windows
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected one user_id exchange, got $userExchanges")
+  }
+
   test("text_quality_gate: single-scan projection + one lang aggregation") {
     val p = planOf("text_quality_gate")
     assert(!p.contains("Join"), "quality gate must be join-free (one narrow scan)")
