@@ -135,6 +135,30 @@ object Analytics {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // TPC-H Q14-style promo revenue share: ratio of conditional sums over
+    // one month of the part ⨝ lineitem join, emitted as exact basis
+    // points of the e8-scaled sums (integer division — no float ratio
+    // crosses the engine boundary). Part is the true dim and broadcasts.
+    "q14_promo_share" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      val price = col("l_extendedprice").cast(dec)
+      val discFactor = (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)"))
+      val rev = e8row((price * discFactor).cast("decimal(28,8)"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).cast("bigint").as("promo_rev_e8"),
+          sum(rev).cast("bigint").as("total_rev_e8"))
+        // both sums pre-scale down by 1e4 before the ratio: promo_e8·10⁴
+        // overflows int64 once monthly revenue passes ~9·10¹⁴ (already at
+        // sf0.1) — the identical expression on both engines keeps the bp
+        // result deterministic
+        .selectExpr("promo_rev_e8", "total_rev_e8",
+          "((promo_rev_e8 div 10000) * 10000) div (total_rev_e8 div 10000) AS promo_bp")
+    }),
+
     // TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
     // then join the survivors back to orders/customer. The aggregate runs
     // FIRST and the join sees only qualifying orderkeys — at 100 TB the
@@ -362,6 +386,18 @@ object Analytics {
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_mktsegment = 'BUILDING' " +
         "GROUP BY l_orderkey, o_orderdate_us ORDER BY revenue_e8 DESC, l_orderkey LIMIT 10"),
+    "q14_promo_share" -> {
+      val rev = "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+        "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)"
+      s"WITH agg AS (SELECT " +
+        s"CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0 END) AS BIGINT) AS promo_rev_e8, " +
+        s"CAST(sum($rev) AS BIGINT) AS total_rev_e8 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01') " +
+        "SELECT promo_rev_e8, total_rev_e8, " +
+        "((promo_rev_e8 // 10000) * 10000) // (total_rev_e8 // 10000) AS promo_bp FROM agg"
+    },
     "q18_large_orders" ->
       (s"WITH big AS (SELECT l_orderkey, CAST(sum(${e4Sql("l_quantity")}) AS BIGINT) AS sum_qty_e4 " +
         "FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(" + e4Sql("l_quantity") + ") AS BIGINT) > 1500000) " +
