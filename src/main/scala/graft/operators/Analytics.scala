@@ -155,8 +155,11 @@ object Analytics {
         // overflows int64 once monthly revenue passes ~9·10¹⁴ (already at
         // sf0.1) — the identical expression on both engines keeps the bp
         // result deterministic
+        // greatest(…, 1) guards the degenerate all-zero-revenue month:
+        // DuckDB raises on integer division by zero while non-ANSI Spark
+        // yields NULL — the identical guard keeps both engines total
         .selectExpr("promo_rev_e8", "total_rev_e8",
-          "((promo_rev_e8 div 10000) * 10000) div (total_rev_e8 div 10000) AS promo_bp")
+          "((promo_rev_e8 div 10000) * 10000) div greatest(total_rev_e8 div 10000, 1) AS promo_bp")
     }),
 
     // TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
@@ -396,7 +399,7 @@ object Analytics {
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01') " +
         "SELECT promo_rev_e8, total_rev_e8, " +
-        "((promo_rev_e8 // 10000) * 10000) // (total_rev_e8 // 10000) AS promo_bp FROM agg"
+        "((promo_rev_e8 // 10000) * 10000) // greatest(total_rev_e8 // 10000, 1) AS promo_bp FROM agg"
     },
     "q18_large_orders" ->
       (s"WITH big AS (SELECT l_orderkey, CAST(sum(${e4Sql("l_quantity")}) AS BIGINT) AS sum_qty_e4 " +

@@ -178,6 +178,11 @@ object Dedup {
       labels = jumped
       rounds += 1
     }
+    // the cap is a safety bound, not a tuning knob: hitting it with work
+    // left would silently ship unconverged labels into every downstream
+    // cluster query (surfacing only as an opaque oracle hash mismatch)
+    require(changed == 0,
+      s"connectedComponents did not converge in $rounds rounds ($changed labels still changing)")
     labels.select(col("vertex").as("doc_id"), col("label").as("cluster_id"))
   }
 

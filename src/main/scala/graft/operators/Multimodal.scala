@@ -119,9 +119,9 @@ object Multimodal {
           "n_total - n_lower - n_upper - n_digit AS n_other")
         .orderBy(asc("doc_id"))),
 
-    // The mapPartitions decode stub itself (not SQL-expressible -> driver
-    // records a rows-only check; the checksum/width/height math is pinned
-    // by media_metadata's oracle above).
+    // The mapPartitions decode stub itself. The operator shape is not
+    // SQL-expressible, but its stub arithmetic IS deterministic integer
+    // math, so the oracle below replays it column-for-column in DuckDB.
     "media_decode_stub" -> ((s, d) => {
       val payloads = docs(s, d)
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
@@ -165,7 +165,19 @@ object Multimodal {
         s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
         "FROM documents) " +
         "SELECT format, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes " +
-        "FROM m GROUP BY format ORDER BY format")
-    // media_decode_stub: intentionally no oracle (mapPartitions operator)
+        "FROM m GROUP BY format ORDER BY format"),
+    // The decode seam is a mapPartitions operator, but its arithmetic is
+    // deterministic integer math over the payload bytes (ASCII ⇒ byte i ==
+    // char code i), so DuckDB can replay every derived column: length,
+    // first byte, char-fold checksum, checksum-derived width/height/format.
+    // Types follow MediaMeta exactly (n_bytes/header_code/width/height INT).
+    "media_decode_stub" ->
+      (s"SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+        "unicode(substring(text, 1, 1)) AS header_code, " +
+        s"${charHashDuck("text")} AS checksum, " +
+        s"CAST(16 + ${charHashDuck("text")} % 64 AS INT) AS width, " +
+        s"CAST(16 + (${charHashDuck("text")} // 64) % 64 AS INT) AS height, " +
+        s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
+        "FROM documents ORDER BY doc_id")
   )
 }

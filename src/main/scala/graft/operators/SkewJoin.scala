@@ -43,10 +43,10 @@ object SkewJoin {
   }
 
   /** Per-partition row counts of a frame's current physical distribution —
-    * the observable salting improves. */
-  def partitionSizes(df: DataFrame): Seq[Long] = {
-    val sizes: Column = spark_partition_id()
-    df.groupBy(sizes.as("p")).count().collect()
-      .map(_.getAs[Long]("count")).toIndexedSeq
-  }
+    * the observable salting improves. Counts per partition directly (one
+    * entry per partition, INCLUDING empty ones — a groupBy(partition_id)
+    * would drop empties and overstate balance). Test observability only. */
+  def partitionSizes(df: DataFrame): Seq[Long] =
+    df.rdd.mapPartitions(it => Iterator.single(it.size.toLong))
+      .collect().toIndexedSeq
 }

@@ -83,11 +83,13 @@ object FactStateStreams {
     * buckets, which live as managed stream state sharded by bucket across
     * executors. Emitted pairs carry the signature-agreement estimate;
     * exact verification (or the batch verifier) runs downstream on the
-    * candidate trickle, never on the stream itself. Per-bucket membership
-    * is capped (`maxBucket`) so a degenerate bucket (boilerplate corpus)
-    * bounds state instead of growing with the stream; real dup buckets
-    * are far below any sane cap. The same pair can surface from up to 4
-    * buckets — consumers dedup the (docA, docB) pair, which is
+    * candidate trickle, never on the stream itself. Per-bucket COMPARISON
+    * membership is capped (`maxBucket`) so a degenerate bucket (boilerplate
+    * corpus) bounds per-doc work instead of growing with the stream; real
+    * dup buckets are far below any sane cap. Docs arriving past the cap
+    * keep an id-only seen-marker in state, so an at-least-once redelivery
+    * never re-emits their pairs in a later batch. The same pair can
+    * surface from up to 4 buckets — consumers dedup the (docA, docB) pair, which is
     * batch-local and cheap. */
   def nearDupCandidates(spark: SparkSession, docs: DataFrame,
       maxBucket: Int = 64): Dataset[NearDupCandidate] = {
@@ -108,19 +110,27 @@ object FactStateStreams {
       .flatMapGroupsWithState[Seq[(Long, Seq[Long])], NearDupCandidate](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        // full entries (sig nonEmpty) are comparison candidates, bounded by
+        // maxBucket; empty-sig entries are id-only seen-markers for docs
+        // that arrived past the cap — an at-least-once redelivery of such a
+        // doc in a later micro-batch must NOT re-emit its pairs
         var members = state.getOption.getOrElse(Seq.empty)
+        var nFull = members.count(_._2.nonEmpty)
         val out = Seq.newBuilder[NearDupCandidate]
         // deterministic intra-batch order: lower doc_id is "prior"
         rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
           if (!members.exists(_._1 == id)) {
             members.foreach { case (mid, msig) =>
-              val eq = sig.zip(msig).count { case (a, b) => a == b }
-              // denominator follows the pinned permutation count — a wider
-              // signature must not silently inflate the estimate
-              out += NearDupCandidate(math.min(id, mid), math.max(id, mid),
-                eq.toLong * 10000 / MinhashPerms.size)
+              if (msig.nonEmpty) {
+                val eq = sig.zip(msig).count { case (a, b) => a == b }
+                // denominator follows the pinned permutation count — a wider
+                // signature must not silently inflate the estimate
+                out += NearDupCandidate(math.min(id, mid), math.max(id, mid),
+                  eq.toLong * 10000 / MinhashPerms.size)
+              }
             }
-            if (members.size < maxBucket) members = members :+ ((id, sig))
+            if (nFull < maxBucket) { members = members :+ ((id, sig)); nFull += 1 }
+            else members = members :+ ((id, Seq.empty[Long]))
           }
         }
         state.update(members)
