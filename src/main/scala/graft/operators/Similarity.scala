@@ -96,95 +96,245 @@ object Similarity {
       s"sqrt(${norm2Duck(b, Dim)})) * 1000000) AS BIGINT)"
 
   // ---------------------------------------------------------------------
-  // Shared PQ codebook: 8 subspaces × 256 sign-orthant cells. The code of
-  // a subvector is its 8-bit sign pattern; the codebook entry is the mean
-  // of the cell's members (integer-e10 component sums → double, so both
-  // engines agree exactly). Deterministic by construction — no iterative
-  // k-means — yet adaptive (cell means), which measured 6× the recall of
-  // the earlier label-derived 10-entry codebook (IvfPqRecallSpec: 0.24 vs
-  // 0.04 @ top-10 against exact L2). One byte per subspace code = 8 bytes
-  // per vector vs 256 raw — the memory ratio that makes 100 TB ANN fit.
+  // Learned quantizers (round 7). Both the IVF coarse partitioner and the
+  // PQ sub-quantizer codebooks are trained with unrolled Lloyd (k-means)
+  // iterations from hash-seeded starting points — nothing is derived from
+  // the `label` column any more. Determinism discipline (so the DuckDB
+  // oracle replays training bit-exactly):
+  //  - seeds are the K vectors with the smallest (vec_id·scramble mod P,
+  //    vec_id) — a top-K, integer-exact on both engines;
+  //  - every mean is integer e10-floored component sums / (1e10 · count),
+  //    so memberships (integers) fully determine the centroid doubles;
+  //  - every distance is the pinned vec_norm2/vec_dot double kernels with
+  //    identical evaluation order, and every argmin tie-breaks on the
+  //    (dist, id) pair — min_by(struct) here, row_number(ORDER BY dist,
+  //    id) there;
+  //  - a cluster that loses all members simply drops out (both engines).
+  // Measured at sf0.1 (IvfPqRecallSpec, top-10 vs exact L2): pq_adc
+  // 0.24 → ~0.6, ivf_pq 0.14 → ~0.6. Memory: PqM bytes of codes per
+  // vector vs 256 raw — the ratio that makes 100 TB ANN fit.
   // ---------------------------------------------------------------------
 
-  private def orthantSpark(xs: String): String =
-    (0 until 8).map(i =>
-      s"if(element_at($xs, ${i + 1}) > cast(0.0 as float), ${1 << i}, 0)")
-      .mkString("(", " + ", ")")
+  /** PQ geometry: 16 subspaces × 4 dims, 128 learned entries each, 2 Lloyd
+    * refinements. 16×4 halves the per-subspace volume vs the round-6 8×8
+    * split — measured +0.3 recall for 2× code bytes (16 vs 8 per vector). */
+  private val PqM = 16
+  private val PqSubDim = Dim / PqM
+  private val PqK = 128
+  private val PqIters = 2
+  /** IVF coarse geometry: 10 learned cells, 3 Lloyd refinements; every
+    * vector is indexed under its 2 nearest cells (multi-assignment — 2×
+    * the codes relation buys back the neighbors that straddle a cell
+    * boundary, the classic IVF recall failure), queries probe 2 cells. */
+  private val CoarseK = 10
+  private val CoarseIters = 3
+  private val MultiAssign = 2
+  private val ProbeCells = 2
 
-  private def orthantDuck(sv: String): String =
-    (0 until 8).map(i =>
-      s"(CASE WHEN list_extract($sv, ${i + 1}) > 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString("(", " + ", ")")
+  private def l2DistSpark(v: String, c: String): String =
+    s"vec_norm2($v) - 2 * vec_dot($v, $c) + vec_norm2($c)"
+  private def l2DistDuck(v: String, c: String, dim: Int): String =
+    s"${norm2Duck(v, dim)} - 2 * ${dotDuck(v, c, dim)} + ${norm2Duck(c, dim)}"
+  private def scrambleSql = s"(vec_id * $CoinScramble) % $P"
 
-  /** (vec_id, cell = IVF label, m, xs = 8-dim subvector) for every vector. */
-  private def subvectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("label").as("cell"), col("embedding"),
-        explode(expr("sequence(0, 7)")).as("m"))
-      .selectExpr("vec_id", "cell", "m", "slice(embedding, m * 8 + 1, 8) AS xs")
+  /** K hash-seed rows (vec_id, id ∈ [0, k)) — the k smallest scrambled
+    * vec_ids. orderBy+limit plans as TakeOrderedAndProject (a distributed
+    * top-K, no global sort); the row_number window only ranks the k
+    * survivors. */
+  private def hashSeeds(e: DataFrame, k: Int, idCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))
+    e.selectExpr("vec_id", s"$scrambleSql AS h")
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn(idCol, row_number().over(W) - 1)
+      .select(col("vec_id"), col(idCol))
+  }
 
-  /** Codebook (m, ccode, cv): per-(subspace, orthant) mean subvector. */
-  private def pqCodebook(xsub: DataFrame): DataFrame =
-    xsub.withColumn("ocode", expr(orthantSpark("xs")))
-      .select(col("m"), col("ocode"), posexplode(col("xs")))
-      .selectExpr("m", "ocode", "pos",
+  /** Learned IVF coarse quantizer: CoarseK centroids, hash-seeded, refined
+    * by CoarseIters Lloyd rounds over the full corpus. Each round is one
+    * scored pass (corpus × broadcast centroids, map-side) + a map-side
+    * partial-aggregated argmin + one mean re-aggregation; the tiny centroid
+    * table is eagerly localCheckpoint'ed per round so the final plan depth
+    * stays O(1). At 100 TB the standard refinement is to train on a
+    * hash-coin sample and assign the full corpus once — same code path
+    * with a sampled `e`. Returns (cell, cv: 64-dim double). */
+  private def coarseCentroids(e: DataFrame): DataFrame = {
+    var cent = hashSeeds(e, CoarseK, "cell")
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .selectExpr("cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv")
+      .localCheckpoint(true)
+    val comps = e.select(col("vec_id"), posexplode(col("embedding")))
+      .selectExpr("vec_id", "pos",
         "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-      .groupBy(col("m"), col("ocode"), col("pos"))
-      .agg(sum(col("xe10")).as("sxe10"), count(lit(1)).as("cnt"))
-      .groupBy(col("m"), col("ocode"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, sxe10, cnt))), " +
-        "p -> cast(p.sxe10 as double) / (10000000000D * p.cnt)) AS cv"))
-      .withColumnRenamed("ocode", "ccode")
+    for (_ <- 1 to CoarseIters) {
+      val asn = e.selectExpr("vec_id", "embedding AS v").crossJoin(broadcast(cent))
+        .selectExpr("vec_id", "cell", s"${l2DistSpark("v", "cv")} AS dist")
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+      cent = asn.join(comps, Seq("vec_id"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
+          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
 
-  /** Encode: nearest codebook entry per (vector, subspace) — the cell key
-    * rides along for the IVF probe join. The argmin is a `min_by` over the
-    * (dist, ccode) pair, NOT a window rank: the window rendering shuffles
-    * every (subvector × code) scored row (n·8·256 at corpus scale) just to
-    * rank them, where min_by partial-aggregates map-side and shuffles one
-    * row per (vector, subspace). Tie semantics are identical to the
-    * oracle's `row_number ... ORDER BY dist, ccode` (lexicographic pair
-    * min) and the dist doubles are the same pinned kernels both sides. */
+  /** Multi-assignment: each vector indexed under its MultiAssign nearest
+    * cells. The per-vector top-2 is a collect_list of the K scored cells
+    * (map-side partial — each vector's K rows are co-located after the
+    * broadcast join) sorted lexicographically by (dist, cell), NOT a
+    * window over the n·K scored relation. */
+  private def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.selectExpr("vec_id", "embedding AS v").crossJoin(broadcast(cent))
+      .selectExpr("vec_id", "cell", s"${l2DistSpark("v", "cv")} AS dist")
+      .groupBy(col("vec_id"))
+      .agg(expr("slice(transform(array_sort(collect_list(struct(dist, cell))), " +
+        s"p -> p.cell), 1, $MultiAssign) AS cells"))
+      .select(col("vec_id"), explode(col("cells")).as("cell"))
+
+  /** Query-side probe: the ProbeCells nearest cells per query, by the same
+    * L2 metric the ADC scoring uses (metric-consistent probing — the
+    * round-6 cosine probe paid recall for nothing). */
+  private def probedCells(e: DataFrame, cent: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding AS qv")
+      .crossJoin(broadcast(cent))
+      .selectExpr("query_id", "cell", s"${l2DistSpark("qv", "cv")} AS dist")
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("query_id")).orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= ProbeCells)
+      .select(col("query_id"), col("cell"))
+  }
+
+  /** (vec_id, m, xs = PqSubDim-dim subvector) for every vector. */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
+      .selectExpr("vec_id", "m", s"slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS xs")
+
+  /** Learned PQ codebook (m, code, cv): PqK entries per subspace, seeded
+    * from one shared hash-selected seed-vector list (each seed contributes
+    * its m-th subvector to subspace m) and refined by PqIters Lloyd rounds
+    * — same pass structure, checkpoint discipline, and scale notes as
+    * [[coarseCentroids]]. */
+  private def pqCodebook(e: DataFrame, xsub: DataFrame): DataFrame = {
+    var cent = hashSeeds(e, PqK, "code")
+      .join(xsub, Seq("vec_id"))
+      .selectExpr("m", "code", "transform(xs, x -> CAST(x AS DOUBLE)) AS cv")
+      .localCheckpoint(true)
+    val comps = xsub.select(col("vec_id"), col("m"), posexplode(col("xs")))
+      .selectExpr("vec_id", "m", "pos",
+        "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+    for (_ <- 1 to PqIters) {
+      val asn = xsub.join(broadcast(cent), Seq("m"))
+        .selectExpr("vec_id", "m", "code", s"${l2DistSpark("xs", "cv")} AS dist")
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      cent = asn.join(comps, Seq("vec_id", "m"))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("m"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
+          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
+  /** Encode: nearest codebook entry per (vector, subspace). The argmin is
+    * a `min_by` over the (dist, code) pair, NOT a window rank: the window
+    * rendering shuffles every (subvector × code) scored row (n·M·K at
+    * corpus scale) just to rank them, where min_by partial-aggregates
+    * map-side and shuffles one row per (vector, subspace). Tie semantics
+    * are identical to the oracle's `row_number ... ORDER BY dist, code`
+    * (lexicographic pair min). */
   private def pqEncode(xsub: DataFrame, cent: DataFrame): DataFrame =
     xsub.join(broadcast(cent), Seq("m"))
-      .selectExpr("vec_id", "cell", "m", "ccode",
-        "vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv) AS dist")
-      .groupBy(col("vec_id"), col("cell"), col("m"))
-      .agg(min_by(col("ccode"), struct(col("dist"), col("ccode"))).as("code"))
-      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+      .selectExpr("vec_id", "m", "code", s"${l2DistSpark("xs", "cv")} AS dist")
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
 
   /** Per-query ADC lookup table (query_id, m, code, qd_e10), e10-fixed —
-    * the same subvector slicing as [[subvectors]], restricted to the query
-    * set. */
-  private def pqQueryTable(e: DataFrame, cent: DataFrame): DataFrame =
-    subvectors(e.filter(col("vec_id") < 5))
+    * the full M × K distance grid for each query vector. */
+  private def pqQueryTable(xsub: DataFrame, cent: DataFrame): DataFrame =
+    xsub.filter(col("vec_id") < 5)
       .join(broadcast(cent), Seq("m"))
-      .selectExpr("vec_id AS query_id", "m", "ccode AS code",
-        "CAST(floor((vec_norm2(xs) - 2 * vec_dot(xs, cv) + vec_norm2(cv)) " +
-          "* 10000000000) AS BIGINT) AS qd_e10")
+      .selectExpr("vec_id AS query_id", "m", "code",
+        s"CAST(floor((${l2DistSpark("xs", "cv")}) * 10000000000) AS BIGINT) AS qd_e10")
 
-  /** DuckDB twin of subvectors → codebook → encode → query table, as a CTE
-    * chain ending in `codes` (vec_id, cell, m, code) and `qtab`. */
+  /** DuckDB twin of the learned coarse quantizer: seeds → CoarseIters
+    * unrolled Lloyd rounds → final centroids, plus the corpus-side
+    * 2-nearest multi-assignment (`cassign`) and the query-side probe
+    * (`qprob`). */
+  private def coarseDuckCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
+      "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
+      s"ORDER BY $scrambleSql, vec_id LIMIT $CoarseK), "
+    sb ++= "ccmp AS (SELECT vec_id, p.range AS pos, " +
+      "CAST(floor(list_extract(embedding, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
+      s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) p), "
+    var prev = "cseed"
+    for (i <- 1 to CoarseIters) {
+      sb ++= s"casn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM " +
+        s"(SELECT e.vec_id, c.cell, ${l2DistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+        s"FROM embeddings e CROSS JOIN $prev c) _s$i) _r$i WHERE rk = 1), "
+      sb ++= s"cagg$i AS (SELECT cell, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
+        s"FROM casn$i JOIN ccmp USING (vec_id) GROUP BY cell, pos), "
+      sb ++= s"cen0$i AS (SELECT cell, list_transform(list(sx ORDER BY pos), s -> s::DOUBLE) AS svec, " +
+        s"max(cnt) AS cnt FROM cagg$i GROUP BY cell), "
+      sb ++= s"ccent$i AS (SELECT cell, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cen0$i), "
+      prev = s"ccent$i"
+    }
+    sb ++= "cassign AS (SELECT vec_id, unnest(cells) AS cell FROM (SELECT vec_id, " +
+      s"(list(cell ORDER BY dist, cell))[1:$MultiAssign] AS cells FROM " +
+      s"(SELECT e.vec_id, c.cell, ${l2DistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+      s"FROM embeddings e CROSS JOIN $prev c) _sa GROUP BY vec_id) _ga), "
+    sb ++= "qprob AS (SELECT query_id, cell FROM (SELECT query_id, cell, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rk FROM " +
+      s"(SELECT e.vec_id AS query_id, c.cell, ${l2DistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+      s"FROM embeddings e CROSS JOIN $prev c WHERE e.vec_id < 5) _sq) _rq WHERE rk <= $ProbeCells)"
+    sb.toString
+  }
+
+  /** DuckDB twin of subvectors → learned codebook → encode → query table,
+    * a CTE chain ending in `codes` (vec_id, m, code) and `qtab`. */
   private def pqDuckCtes: String = {
-    val l2 = s"${norm2Duck("sv", 8)} - 2 * ${dotDuck("sv", "cv", 8)} + ${norm2Duck("cv", 8)}"
-    "xsub AS (SELECT vec_id, label AS cell, ms.range AS m, " +
-      "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
-      "FROM embeddings CROSS JOIN range(0, 8) ms), " +
-      s"xo AS (SELECT vec_id, cell, m, sv, ${orthantDuck("sv")} AS ocode FROM xsub), " +
-      "comp AS (SELECT m, ocode, p.range AS pos, " +
-      "CAST(sum(CAST(floor(list_extract(sv, p.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sxe10, " +
-      "count(*) AS cnt FROM xo CROSS JOIN range(1, 9) p GROUP BY m, ocode, p.range), " +
-      "cent0 AS (SELECT m, ocode, list_transform(list(sxe10 ORDER BY pos), " +
-      "s -> s::DOUBLE) AS svec, max(cnt) AS cnt FROM comp GROUP BY m, ocode), " +
-      "cent AS (SELECT m, ocode AS ccode, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cent0), " +
-      s"scored AS (SELECT vec_id, cell, x.m AS m, ccode, $l2 AS dist, " +
-      s"row_number() OVER (PARTITION BY vec_id, x.m ORDER BY $l2 ASC, ccode) AS rk " +
-      "FROM xo x JOIN cent c ON c.m = x.m), " +
-      "codes AS (SELECT vec_id, cell, m, ccode AS code FROM scored WHERE rk = 1), " +
-      "qsub AS (SELECT vec_id AS query_id, ms.range AS m, " +
-      "list_slice(embedding, ms.range * 8 + 1, ms.range * 8 + 8) AS sv " +
-      "FROM embeddings CROSS JOIN range(0, 8) ms WHERE vec_id < 5), " +
-      "qtab AS (SELECT query_id, q2.m AS m, ccode AS code, " +
-      s"CAST(floor(($l2) * 10000000000) AS BIGINT) AS qd_e10 " +
-      "FROM qsub q2 JOIN cent c ON c.m = q2.m)"
+    val sb = new StringBuilder
+    sb ++= s"pseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS code, vec_id " +
+      s"FROM embeddings ORDER BY $scrambleSql, vec_id LIMIT $PqK), "
+    sb ++= s"xsub AS (SELECT vec_id, ms.range AS m, " +
+      s"list_slice(embedding, ms.range * $PqSubDim + 1, ms.range * $PqSubDim + $PqSubDim) AS sv " +
+      s"FROM embeddings CROSS JOIN range(0, $PqM) ms), "
+    sb ++= s"xcmp AS (SELECT vec_id, m, p.range AS pos, " +
+      "CAST(floor(list_extract(sv, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
+      s"FROM xsub CROSS JOIN range(1, ${PqSubDim + 1}) p), "
+    sb ++= "pcent0 AS (SELECT m, code, list_transform(sv, x -> x::DOUBLE) AS cv " +
+      "FROM pseed JOIN xsub USING (vec_id)), "
+    var prev = "pcent0"
+    for (i <- 1 to PqIters) {
+      sb ++= s"pasn$i AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
+        "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM " +
+        s"(SELECT x.vec_id, x.m AS m, c.code, ${l2DistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
+        s"FROM xsub x JOIN $prev c ON c.m = x.m) _ps$i) _pr$i WHERE rk = 1), "
+      sb ++= s"pagg$i AS (SELECT m, code, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
+        s"FROM pasn$i JOIN xcmp USING (vec_id, m) GROUP BY m, code, pos), "
+      sb ++= s"pc0$i AS (SELECT m, code, list_transform(list(sx ORDER BY pos), s -> s::DOUBLE) AS svec, " +
+        s"max(cnt) AS cnt FROM pagg$i GROUP BY m, code), "
+      sb ++= s"pcent$i AS (SELECT m, code, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM pc0$i), "
+      prev = s"pcent$i"
+    }
+    sb ++= "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
+      "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM " +
+      s"(SELECT x.vec_id, x.m AS m, c.code, ${l2DistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
+      s"FROM xsub x JOIN $prev c ON c.m = x.m) _fs) _fr WHERE rk = 1), "
+    sb ++= s"qtab AS (SELECT x.vec_id AS query_id, x.m AS m, c.code, " +
+      s"CAST(floor((${l2DistDuck("x.sv", "c.cv", PqSubDim)}) * 10000000000) AS BIGINT) AS qd_e10 " +
+      s"FROM xsub x JOIN $prev c ON c.m = x.m WHERE x.vec_id < 5)"
+    sb.toString
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,24 +427,24 @@ object Similarity {
     }),
 
     // Product quantization + asymmetric distance (ADC) — the memory-bound
-    // ANN scale path: vectors compress to M=8 one-byte codes (argmin over
-    // the 256-entry sign-orthant codebook per 8-dim subspace), queries
-    // score candidates via a per-query lookup table, never touching the
-    // raw vectors. Distances are L2 via the pinned vec_norm2/vec_dot
-    // kernels, fixed-point-scaled to e10 BIGINTs so the 8-subspace ADC sum
-    // is exact integer math — order-independent on any engine. At 100 TB:
-    // codebook and query tables broadcast, the codes relation is the big
-    // side and never collects, ADC is a map-side join + small aggregation.
+    // ANN scale path: vectors compress to M=16 one-byte codes (argmin over
+    // a 128-entry LEARNED codebook per 4-dim subspace — hash-seeded, 2
+    // Lloyd refinements), queries score candidates via a per-query lookup
+    // table, never touching the raw vectors. Distances are L2 via the
+    // pinned vec_norm2/vec_dot kernels, fixed-point-scaled to e10 BIGINTs
+    // so the M-subspace ADC sum is exact integer math — order-independent
+    // on any engine. At 100 TB: codebook and query tables broadcast, the
+    // codes relation is the big side and never collects, ADC is a
+    // map-side join + small aggregation.
     "ann_pq_adc" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val xsub = subvectors(e)
-      // persisted: the codebook feeds both the encode join and the
-      // per-query table — without the barrier each consumer re-aggregates
-      // the full corpus
-      val cent = CacheScope.persist(pqCodebook(xsub))
-      val codes = pqEncode(xsub, cent).drop("cell")
-      val qtab = pqQueryTable(e, cent)
+      // persisted: the subvector relation feeds every Lloyd round, the
+      // final encode, and the query table
+      val xsub = CacheScope.persist(subvectors(e))
+      val cent = pqCodebook(e, xsub)
+      val codes = pqEncode(xsub, cent)
+      val qtab = pqQueryTable(xsub, cent)
       codes.join(broadcast(qtab), Seq("m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id"))
@@ -307,42 +457,32 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
-    // IVF + PQ/ADC composed — the production ANN shape at 100 TB: queries
-    // probe the 2 nearest coarse cells (per-label centroids, the same
-    // integer-e10 discipline as ann_ivf_probe), and candidates inside the
-    // probed cells are scored from their 8-subspace PQ codes via the
-    // per-query ADC table (same codebook/ADC kernel as ann_pq_adc) — the
-    // raw vectors are never touched after encoding. Plan: codes ⨝ probed
-    // cells is the only corpus-sized join and it's an equi-join on the
-    // cell key with the tiny probed/qtab sides broadcast; memory per
-    // executor is codes (M bytes per vector) not vectors (4·dim bytes).
+    // IVF + PQ/ADC composed — the production ANN shape at 100 TB: the
+    // coarse partitioner is LEARNED (hash-seeded k-means, 3 Lloyd rounds),
+    // every vector is indexed under its 2 nearest cells (multi-assignment),
+    // queries probe their 2 nearest cells by the same L2 metric ADC ranks
+    // with, and candidates are scored from their 16-subspace PQ codes via
+    // the per-query ADC table (same learned codebook/ADC kernel as
+    // ann_pq_adc) — the raw vectors are never touched after encoding.
+    // Plan: the probe resolves to a tiny (query_id, vec_id) member list
+    // (≤ queries × probe × cell size), so the only corpus-sized join is
+    // codes ⨝ broadcast(member) + broadcast(qtab); memory per executor is
+    // codes (M bytes per vector) not vectors (4·dim bytes).
     "ann_ivf_pq" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      // coarse quantizer: per-label centroid sum-vectors (scale-invariant
-      // under cosine, integer sums so both engines agree exactly)
-      val coarse = e.select(col("label"), posexplode(col("embedding")))
-        .selectExpr("label", "pos",
-          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("xe10")).as("sx"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
-      val q = e.filter(col("vec_id") < 5)
-        .selectExpr("vec_id AS query_id", "embedding AS qv")
-      val probed = q.crossJoin(broadcast(coarse))
-        .selectExpr("query_id", "label", s"${cosPpmSpark("qv", "cv")} AS cell_cos")
-        .withColumn("cell_rank", row_number().over(
-          W.partitionBy(col("query_id")).orderBy(desc("cell_cos"), asc("label"))))
-        .filter(col("cell_rank") <= 2)
-        .select(col("query_id"), col("label").as("cell"))
-      // shared sign-orthant PQ codebook; the vector's IVF cell rides along
-      // in the codes relation so the probe join below is an equi-join
-      val xsub = subvectors(e)
-      val cent = CacheScope.persist(pqCodebook(xsub))
+      val coarse = coarseCentroids(e)
+      val probed = probedCells(e, coarse)
+      // distinct: a vector whose 2 assigned cells are BOTH probed must
+      // not double its ADC sum
+      val member = coarseAssign(e, coarse)
+        .join(broadcast(probed), Seq("cell"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      val xsub = CacheScope.persist(subvectors(e))
+      val cent = pqCodebook(e, xsub)
       val codes = pqEncode(xsub, cent)
-      val qtab = pqQueryTable(e, cent)
-      codes.join(broadcast(probed), Seq("cell"))
+      val qtab = pqQueryTable(xsub, cent)
+      codes.join(broadcast(member), Seq("vec_id"))
         .join(broadcast(qtab), Seq("query_id", "m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id"))
@@ -414,21 +554,14 @@ object Similarity {
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
         "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
     "ann_ivf_pq" ->
-      (s"WITH comp2 AS (SELECT label, r.range AS pos, " +
-        "CAST(sum(CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sx " +
-        "FROM embeddings CROSS JOIN range(1, 65) r GROUP BY label, r.range), " +
-        "coarse AS (SELECT label, list_transform(list(sx ORDER BY pos), x -> x::DOUBLE) AS ccv " +
-        "FROM comp2 GROUP BY label), " +
-        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
-        "cells AS (SELECT query_id, label, " +
-        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "ccv")} DESC, label) AS cell_rank " +
-        "FROM q CROSS JOIN coarse), " +
-        "probed AS (SELECT query_id, label AS cell FROM cells WHERE cell_rank <= 2), " +
+      (s"WITH $coarseDuckCtes, " +
         s"$pqDuckCtes, " +
-        "adc AS (SELECT p.query_id, k.vec_id, CAST(sum(t.qd_e10) AS BIGINT) AS adc_e10 " +
-        "FROM codes k JOIN probed p ON k.cell = p.cell " +
-        "JOIN qtab t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code " +
-        "WHERE p.query_id <> k.vec_id GROUP BY p.query_id, k.vec_id), " +
+        "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
+        "JOIN qprob p ON a.cell = p.cell), " +
+        "adc AS (SELECT mb.query_id, k.vec_id, CAST(sum(t.qd_e10) AS BIGINT) AS adc_e10 " +
+        "FROM codes k JOIN member mb ON k.vec_id = mb.vec_id " +
+        "JOIN qtab t ON t.query_id = mb.query_id AND t.m = k.m AND t.code = k.code " +
+        "WHERE mb.query_id <> k.vec_id GROUP BY mb.query_id, k.vec_id), " +
         "ranked AS (SELECT query_id, vec_id, adc_e10, row_number() OVER " +
         "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +

@@ -59,8 +59,12 @@ class IvfPqRecallSpec extends AnyFunSuite {
 
     assert(truth.size == 5 && truth.values.forall(_.size == 10),
       "exact-L2 ground truth incomplete — spec is vacuous")
-    // quantization alone must keep a usable share of the true neighbors
-    assert(rPq >= 0.2, f"PQ quantization recall collapsed: $rPq%.3f")
+    // round-7 learned quantizers (hash-seeded Lloyd codebooks, learned
+    // coarse cells + 2-cell multi-assignment): measured 0.64 / 0.62 —
+    // floors pinned at 0.5 (deterministic pipeline, so these are stable,
+    // not flaky; a parameter or kernel regression trips them)
+    assert(rPq >= 0.5, f"PQ quantization recall collapsed: $rPq%.3f")
+    assert(rIvfPq >= 0.5, f"IVF+PQ probed recall collapsed: $rIvfPq%.3f")
     // NOTE: no rIvfPq <= rPq assertion — probing restricts the CANDIDATE
     // set, but top-10-of-a-subset is not a subset of top-10-of-the-
     // superset (excluding unprobed-cell false positives can let a true
