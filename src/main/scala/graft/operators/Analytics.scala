@@ -162,6 +162,62 @@ object Analytics {
           "((promo_rev_e8 div 10000) * 10000) div greatest(total_rev_e8 div 10000, 1) AS promo_bp")
     }),
 
+    // TPC-H Q7-style volume shipping: the join-ORDER probe — lineitem ⨝
+    // supplier ⨝ orders ⨝ customer ⨝ nation×nation with a DISJUNCTIVE
+    // nation-pair predicate. The two nation uses pre-filter their join
+    // sides to the 2-nation superset (pushdown below the joins), while the
+    // exact pair disjunction is the residual filter after the last join —
+    // the shape that tests whether the optimizer keeps the cheap dims
+    // broadcast (supplier⨝nation rides into lineitem map-side) and
+    // shuffles only the two fact⨝fact joins (orderkey, then custkey).
+    "q7_volume_shipping" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, d, "supplier").join(broadcast(n),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer").join(broadcast(n),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      t(s, d, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("bigint").as("l_year"))
+        .agg(sum(e8row((col("l_extendedprice").cast(dec) *
+          (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+          .cast("decimal(28,8)"))).cast("bigint").as("revenue_e8"))
+        .orderBy(asc("supp_nation"), asc("cust_nation"), asc("l_year"))
+    }),
+
+    // TPC-H Q16-style supplier counts: the anti-join + count-distinct
+    // probe. The part-supplier association is derived from lineitem (this
+    // schema has no partsupp): broadcast the filtered part dim INTO the
+    // fact scan FIRST so the dedup shuffle only carries qualifying pairs,
+    // anti-join the (tiny, broadcast) negative-balance supplier set — the
+    // NOT IN shape — then count distinct suppliers per part group.
+    "q16_supplier_cnt" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#15" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = t(s, d, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("p_brand"), col("p_type"), col("p_size"))
+        .distinct()
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    }),
+
     // TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
     // then join the survivors back to orders/customer. The aggregate runs
     // FIRST and the join sees only qualifying orderkeys — at 100 TB the
@@ -434,6 +490,28 @@ object Analytics {
         "AND CAST(l_discount AS DECIMAL(5,4)) >= CAST('0.05' AS DECIMAL(5,4)) " +
         "AND CAST(l_discount AS DECIMAL(5,4)) <= CAST('0.07' AS DECIMAL(5,4)) " +
         "AND l_quantity < 24"),
+    "q7_volume_shipping" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS l_year, " +
+        s"$revenueE8Sql AS revenue_e8 " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year"),
+    "q16_supplier_cnt" ->
+      ("WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey, p_brand, p_type, p_size " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#15' AND p_type <> 'MEDIUM' " +
+        "AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)) " +
+        "SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM ps WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
     "q5_nation_revenue" ->
       (s"SELECT n_name, $revenueE8Sql AS revenue_e8, count(*) AS n_items " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +

@@ -92,6 +92,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "PQ encode degenerated to a cartesian product")
   }
 
+  test("q7_volume_shipping: dims broadcast, disjunctive pair filter residual, no cartesian") {
+    val analyzed = SparkEntry.queries("q7_volume_shipping")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator
+      .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
+    assert(hints >= 3, "nation/nation/supplier broadcast hints lost")
+    val p = planOf("q7_volume_shipping")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "nation-pair disjunction degenerated to a cross join")
+    assert(p.contains("partial_sum"), "revenue aggregation lost its map-side partial")
+    assert(p.contains("n_name"), "nation filter not applied before the joins")
+  }
+
+  test("q16_supplier_cnt: part filter before dedup, broadcast anti-join, no cartesian") {
+    val analyzed = SparkEntry.queries("q16_supplier_cnt")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator
+      .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
+    assert(hints >= 2, "part/negative-supplier broadcast hints lost")
+    val p = planOf("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), "NOT IN shape lost its anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "anti-join degenerated to a nested loop")
+    // the pair-dedup must happen AFTER the part filter pruned the fact side
+    assert(p.contains("p_size"), "part filter missing from the plan")
+  }
+
   test("events_asof_join: union+window plan — zero join operators, one user_id shuffle") {
     val p = planOf("events_asof_join")
     assert(!p.contains("Join"), "as-of degenerated to a join (union+window lost)")
