@@ -34,6 +34,18 @@ object TextAnalysis {
 
   private val EnStop = StopLists.toMap.apply("en")
 
+  /** Shard fan-out for the two-level per-language top-k. A single
+    * `row_number() OVER (PARTITION BY lang)` funnels a language's ENTIRE
+    * scored vocabulary through one reducer — at 100 TB English alone is one
+    * straggler. Level 1 ranks within (lang, hash-shard) — each reducer sees
+    * vocab/Shards rows; level 2 merges the ≤ Shards·k survivors per
+    * language with a collect_list + array_sort + slice (no lang-only window
+    * anywhere). Top-k of the union of per-shard top-k IS the global top-k,
+    * so results are bit-identical to the single-window rendering and the
+    * shard hash never crosses the engine boundary. Size this ~ cluster
+    * parallelism in production. */
+  private val TopKShards = 32
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish sub-word proxy
     // (4-char chunks, the standard chars-per-token heuristic).
@@ -137,18 +149,27 @@ object TextAnalysis {
 
     // Per-language top-5 vocabulary: count desc, token asc tiebreak. The
     // token count shuffles on (lang, token) — the inverted-index shape —
-    // and row_number sees only the per-lang aggregate, which is vocab-
-    // sized, not corpus-sized.
+    // then the two-level top-k (see TopKShards): shard-local rank windows,
+    // lang-level merge over ≤ Shards·5 rows via sorted-slice, so no
+    // reducer ever holds a language's whole vocabulary.
     "text_top_tokens" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = docs(s, d)
         .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
         .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("lang")).orderBy(desc("n"), asc("tok"))
-      counts.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .selectExpr("lang", "tok", "CAST(n AS BIGINT) AS n",
-          "CAST(rank AS BIGINT) AS rank")
+      val w1 = Window.partitionBy(col("lang"), col("__shard"))
+        .orderBy(desc("n"), asc("tok"))
+      counts
+        .withColumn("__shard", pmod(xxhash64(col("tok")), lit(TopKShards)).cast("int"))
+        .withColumn("__srk", row_number().over(w1))
+        .filter(col("__srk") <= 5)
+        // negated-key structs sort lexicographically ascending in exactly
+        // the window's (n DESC, tok ASC) order
+        .groupBy(col("lang"))
+        .agg(collect_list(struct(negate(col("n")).as("nn"), col("tok"))).as("cand"))
+        .select(col("lang"), posexplode(expr("slice(array_sort(cand), 1, 5)")))
+        .selectExpr("lang", "col.tok AS tok", "CAST(-col.nn AS BIGINT) AS n",
+          "CAST(pos + 1 AS BIGINT) AS rank")
         .orderBy(asc("lang"), asc("rank"))
     }),
 
@@ -185,11 +206,21 @@ object TextAnalysis {
         .filter(col("n_ab") >= 5)
         .selectExpr("lang", "w1", "w2", "n_ab",
           "(n_ab * n_total * 10000) div (n_a * n_b) AS lift_bp")
-        .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
-          .orderBy(desc("lift_bp"), desc("n_ab"), asc("w1"), asc("w2"))))
-        .filter(col("rank") <= 20)
-        .selectExpr("lang", "w1", "w2", "n_ab", "lift_bp",
-          "CAST(rank AS BIGINT) AS rank")
+        // two-level top-20 (see TopKShards): shard-local windows, then a
+        // sorted-slice merge of ≤ Shards·20 survivors per language
+        .withColumn("__shard",
+          pmod(xxhash64(col("w1"), col("w2")), lit(TopKShards)).cast("int"))
+        .withColumn("__srk", row_number().over(
+          Window.partitionBy(col("lang"), col("__shard"))
+            .orderBy(desc("lift_bp"), desc("n_ab"), asc("w1"), asc("w2"))))
+        .filter(col("__srk") <= 20)
+        .groupBy(col("lang"))
+        .agg(collect_list(struct(negate(col("lift_bp")).as("nl"),
+          negate(col("n_ab")).as("nn"), col("w1"), col("w2"))).as("cand"))
+        .select(col("lang"), posexplode(expr("slice(array_sort(cand), 1, 20)")))
+        .selectExpr("lang", "col.w1 AS w1", "col.w2 AS w2",
+          "CAST(-col.nn AS BIGINT) AS n_ab", "CAST(-col.nl AS BIGINT) AS lift_bp",
+          "CAST(pos + 1 AS BIGINT) AS rank")
         .orderBy(asc("lang"), asc("rank"))
     }),
 
@@ -236,11 +267,19 @@ object TextAnalysis {
       stats.join(broadcast(nd), Seq("lang"))
         .selectExpr("lang", "tok", "tf", "df",
           "tf * ((n_docs * 1000000) div df) AS tfidf_e6")
-        .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
-          .orderBy(desc("tfidf_e6"), asc("tok"))))
-        .filter(col("rank") <= 5)
-        .selectExpr("lang", "tok", "tf", "df", "tfidf_e6",
-          "CAST(rank AS BIGINT) AS rank")
+        // two-level top-5 (see TopKShards): shard-local windows, then a
+        // sorted-slice merge of ≤ Shards·5 survivors per language
+        .withColumn("__shard", pmod(xxhash64(col("tok")), lit(TopKShards)).cast("int"))
+        .withColumn("__srk", row_number().over(
+          Window.partitionBy(col("lang"), col("__shard"))
+            .orderBy(desc("tfidf_e6"), asc("tok"))))
+        .filter(col("__srk") <= 5)
+        .groupBy(col("lang"))
+        .agg(collect_list(struct(negate(col("tfidf_e6")).as("nt"), col("tok"),
+          col("tf"), col("df"))).as("cand"))
+        .select(col("lang"), posexplode(expr("slice(array_sort(cand), 1, 5)")))
+        .selectExpr("lang", "col.tok AS tok", "col.tf AS tf", "col.df AS df",
+          "CAST(-col.nt AS BIGINT) AS tfidf_e6", "CAST(pos + 1 AS BIGINT) AS rank")
         .orderBy(asc("lang"), asc("rank"))
     }),
 

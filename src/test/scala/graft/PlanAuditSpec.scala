@@ -222,6 +222,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "IVF+PQ degenerated to a cartesian product")
   }
 
+  test("text top-k queries: no rank window partitions on raw lang alone") {
+    Seq("text_top_tokens", "text_bigram_lift", "text_tfidf_top_terms").foreach { q =>
+      val p = planOf(q)
+      val bad = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition(lang#") && !l.contains("__shard")).toSeq
+      assert(bad.isEmpty,
+        s"$q: a window funnels a whole language through one reducer:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("text_tfidf_top_terms / events_spike_days: per-group totals broadcast, no window scalar") {
     Seq("text_tfidf_top_terms", "events_spike_days").foreach { q =>
       val p = planOf(q)
