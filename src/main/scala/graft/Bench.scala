@@ -70,7 +70,17 @@ object Bench {
       "\"" + k + "\":\"" + safe + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg}""")
+    // total_sec is duplicated at the END of the line: the driver artifact
+    // keeps the stdout tail, so the trailing fields survive truncation
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg,"n_queries":${results.size},"n_errors":${errors.size},"total_sec":$total}"""
+    // The driver artifact preserves only the TAIL of stdout, which at 9x
+    // queries truncates the per-query map. Persist the full JSON to the
+    // repo root (committed per round) so BENCH_LOCAL.json + the stdout
+    // tail together always cover every query.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

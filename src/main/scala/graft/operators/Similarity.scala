@@ -122,12 +122,12 @@ object Similarity {
   private val PqSubDim = Dim / PqM
   private val PqK = 128
   private val PqIters = 2
-  /** IVF coarse geometry: 10 learned cells, 3 Lloyd refinements; every
+  /** IVF coarse geometry: 10 learned cells, 2 Lloyd refinements; every
     * vector is indexed under its 2 nearest cells (multi-assignment — 2×
     * the codes relation buys back the neighbors that straddle a cell
     * boundary, the classic IVF recall failure), queries probe 2 cells. */
   private val CoarseK = 10
-  private val CoarseIters = 3
+  private val CoarseIters = 2
   private val MultiAssign = 2
   private val ProbeCells = 2
 
@@ -135,7 +135,59 @@ object Similarity {
     s"vec_norm2($v) - 2 * vec_dot($v, $c) + vec_norm2($c)"
   private def l2DistDuck(v: String, c: String, dim: Int): String =
     s"${norm2Duck(v, dim)} - 2 * ${dotDuck(v, c, dim)} + ${norm2Duck(c, dim)}"
+  /** Shifted assignment score: n2(c) − 2·⟨x,c⟩. The n2(x) term is constant
+    * within one vector's argmin, so dropping it preserves the ordering —
+    * but IEEE addition is not exact, so BOTH engines must drop it (they
+    * do: this builder and its Duck twin are the only assignment scores). */
+  private def shiftDistDuck(v: String, c: String, dim: Int): String =
+    s"${norm2Duck(c, dim)} - 2 * ${dotDuck(v, c, dim)}"
   private def scrambleSql = s"(vec_id * $CoinScramble) % $P"
+
+  // Assignment/encode runs as the native codegen'd quantizer expressions
+  // (functions/QuantizerExpressions.scala): the codebook — bounded by M·K
+  // entries, the same smallness argument as a broadcast build — is
+  // collected once per Lloyd round and embedded in the expression, so a
+  // round is ONE tight map pass over the corpus plus the tiny mean
+  // re-aggregation. Interpreted HOF folds and (row × entry) broadcast
+  // joins both measured 3-5× slower here.
+  import graft.functions.QuantizerCodebook.Entries
+
+  private def nearestCode(vec: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column, cb: Entries): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumns.of(graft.functions.NearestCode(
+      org.apache.spark.sql.GraftColumns.expr(vec),
+      org.apache.spark.sql.GraftColumns.expr(m), cb))
+
+  private def nearestTwo(vec: org.apache.spark.sql.Column, cb: Entries): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumns.of(graft.functions.NearestTwoCodes(
+      org.apache.spark.sql.GraftColumns.expr(vec),
+      org.apache.spark.sql.GraftColumns.expr(lit(0)), cb))
+
+  /** Pack (id, centroid) rows into codebook entries: ids ascending, flat
+    * code-major centroids, squared norms via the SAME index-ordered fold
+    * as vec_norm2 / the oracle's list_reduce. */
+  private def packEntries(rows: Seq[Array[(Int, Array[Double])]], subDim: Int): Entries = {
+    val sorted = rows.map(_.sortBy(_._1))
+    Entries(
+      codes = sorted.map(_.map(_._1)).toArray,
+      cvs = sorted.map(_.flatMap(_._2)).toArray,
+      n2s = sorted.map(_.map { case (_, cv) =>
+        var a = 0.0; var i = 0
+        while (i < cv.length) { a += cv(i) * cv(i); i += 1 }
+        a
+      }).toArray,
+      subDim = subDim)
+  }
+
+  /** Collect a (cell, cv) frame into a single-subspace codebook. */
+  private def collectCoarse(df: DataFrame): Entries =
+    packEntries(Seq(df.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))), Dim)
+
+  /** Collect an (m, code, cv) frame into the per-subspace codebook. */
+  private def collectPq(df: DataFrame): Entries = {
+    val rows = df.collect().map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Double](2).toArray)))
+    packEntries((0 until PqM).map(m => rows.filter(_._1 == m).map(_._2)), PqSubDim)
+  }
 
   /** K hash-seed rows (vec_id, id ∈ [0, k)) — the k smallest scrambled
     * vec_ids. orderBy+limit plans as TakeOrderedAndProject (a distributed
@@ -151,62 +203,43 @@ object Similarity {
 
   /** Learned IVF coarse quantizer: CoarseK centroids, hash-seeded, refined
     * by CoarseIters Lloyd rounds over the full corpus. Each round is one
-    * scored pass (corpus × broadcast centroids, map-side) + a map-side
-    * partial-aggregated argmin + one mean re-aggregation; the tiny centroid
-    * table is eagerly localCheckpoint'ed per round so the final plan depth
-    * stays O(1). At 100 TB the standard refinement is to train on a
-    * hash-coin sample and assign the full corpus once — same code path
-    * with a sampled `e`. Returns (cell, cv: 64-dim double). */
-  private def coarseCentroids(e: DataFrame): DataFrame = {
-    var cent = hashSeeds(e, CoarseK, "cell")
+    * codegen'd map pass (native argmin over the embedded codebook) + the
+    * tiny mean re-aggregation, collected into the next round's codebook —
+    * plan depth stays O(1) without checkpoints. At 100 TB the standard
+    * refinement is to train on a hash-coin sample and assign the full
+    * corpus once — same code path with a sampled `e`. */
+  private def coarseCentroids(e: DataFrame): Entries = {
+    var cb = collectCoarse(hashSeeds(e, CoarseK, "cell")
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .selectExpr("cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv")
-      .localCheckpoint(true)
-    val comps = e.select(col("vec_id"), posexplode(col("embedding")))
-      .selectExpr("vec_id", "pos",
-        "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+      .selectExpr("cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv"))
     for (_ <- 1 to CoarseIters) {
-      val asn = e.selectExpr("vec_id", "embedding AS v").crossJoin(broadcast(cent))
-        .selectExpr("vec_id", "cell", s"${l2DistSpark("v", "cv")} AS dist")
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
-      cent = asn.join(comps, Seq("vec_id"))
+      val asn = e.select(nearestCode(col("embedding"), lit(0), cb).as("cell"),
+        col("embedding"))
+      cb = collectCoarse(asn.select(col("cell"), posexplode(col("embedding")))
+        .selectExpr("cell", "pos",
+          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
         .groupBy(col("cell"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv"))
-        .localCheckpoint(true)
+          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv")))
     }
-    cent
+    cb
   }
 
-  /** Multi-assignment: each vector indexed under its MultiAssign nearest
-    * cells. The per-vector top-2 is a collect_list of the K scored cells
-    * (map-side partial — each vector's K rows are co-located after the
-    * broadcast join) sorted lexicographically by (dist, cell), NOT a
-    * window over the n·K scored relation. */
-  private def coarseAssign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.selectExpr("vec_id", "embedding AS v").crossJoin(broadcast(cent))
-      .selectExpr("vec_id", "cell", s"${l2DistSpark("v", "cv")} AS dist")
-      .groupBy(col("vec_id"))
-      .agg(expr("slice(transform(array_sort(collect_list(struct(dist, cell))), " +
-        s"p -> p.cell), 1, $MultiAssign) AS cells"))
-      .select(col("vec_id"), explode(col("cells")).as("cell"))
+  /** Multi-assignment: each vector indexed under its MultiAssign (= 2)
+    * nearest cells — one codegen'd best-two pass, no scored relation, no
+    * shuffle. */
+  private def coarseAssign(e: DataFrame, cb: Entries): DataFrame =
+    e.select(col("vec_id"), explode(nearestTwo(col("embedding"), cb)).as("cell"))
 
-  /** Query-side probe: the ProbeCells nearest cells per query, by the same
-    * L2 metric the ADC scoring uses (metric-consistent probing — the
-    * round-6 cosine probe paid recall for nothing). */
-  private def probedCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id", "embedding AS qv")
-      .crossJoin(broadcast(cent))
-      .selectExpr("query_id", "cell", s"${l2DistSpark("qv", "cv")} AS dist")
-      .withColumn("rk", row_number().over(
-        W.partitionBy(col("query_id")).orderBy(asc("dist"), asc("cell"))))
-      .filter(col("rk") <= ProbeCells)
-      .select(col("query_id"), col("cell"))
-  }
+  /** Query-side probe: the ProbeCells (= 2) nearest cells per query, by
+    * the same (shifted-)L2 metric the ADC scoring uses (metric-consistent
+    * probing — the round-6 cosine probe paid recall for nothing). */
+  private def probedCells(e: DataFrame, cb: Entries): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        explode(nearestTwo(col("embedding"), cb)).as("cell"))
 
   /** (vec_id, m, xs = PqSubDim-dim subvector) for every vector. */
   private def subvectors(e: DataFrame): DataFrame =
@@ -214,50 +247,47 @@ object Similarity {
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"))
       .selectExpr("vec_id", "m", s"slice(embedding, m * $PqSubDim + 1, $PqSubDim) AS xs")
 
-  /** Learned PQ codebook (m, code, cv): PqK entries per subspace, seeded
-    * from one shared hash-selected seed-vector list (each seed contributes
-    * its m-th subvector to subspace m) and refined by PqIters Lloyd rounds
-    * — same pass structure, checkpoint discipline, and scale notes as
-    * [[coarseCentroids]]. */
-  private def pqCodebook(e: DataFrame, xsub: DataFrame): DataFrame = {
-    var cent = hashSeeds(e, PqK, "code")
+  /** Learned PQ codebook: PqK entries per subspace, seeded from one shared
+    * hash-selected seed-vector list (each seed contributes its m-th
+    * subvector to subspace m) and refined by PqIters Lloyd rounds — same
+    * pass structure and scale notes as [[coarseCentroids]]. Returns the
+    * packed codebook plus the equivalent (m, code, cv) frame (rebuilt from
+    * the collected values, zero recompute) for the ADC query table. */
+  private def pqCodebook(e: DataFrame, xsub: DataFrame): (Entries, DataFrame) = {
+    var cb = collectPq(hashSeeds(e, PqK, "code")
       .join(xsub, Seq("vec_id"))
-      .selectExpr("m", "code", "transform(xs, x -> CAST(x AS DOUBLE)) AS cv")
-      .localCheckpoint(true)
-    val comps = xsub.select(col("vec_id"), col("m"), posexplode(col("xs")))
-      .selectExpr("vec_id", "m", "pos",
-        "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+      .selectExpr("m", "code", "transform(xs, x -> CAST(x AS DOUBLE)) AS cv"))
     for (_ <- 1 to PqIters) {
-      val asn = xsub.join(broadcast(cent), Seq("m"))
-        .selectExpr("vec_id", "m", "code", s"${l2DistSpark("xs", "cv")} AS dist")
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-      cent = asn.join(comps, Seq("vec_id", "m"))
+      val asn = xsub.select(col("m"), col("xs"),
+        nearestCode(col("xs"), col("m"), cb).as("code"))
+      cb = collectPq(asn.select(col("m"), col("code"), posexplode(col("xs")))
+        .selectExpr("m", "code", "pos",
+          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
         .groupBy(col("m"), col("code"), col("pos"))
         .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
         .groupBy(col("m"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv"))
-        .localCheckpoint(true)
+          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv")))
     }
-    cent
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centRows = for (m <- 0 until PqM; j <- cb.codes(m).indices) yield
+      (m, cb.codes(m)(j), cb.cvs(m).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq)
+    (cb, centRows.toDF("m", "code", "cv"))
   }
 
-  /** Encode: nearest codebook entry per (vector, subspace). The argmin is
-    * a `min_by` over the (dist, code) pair, NOT a window rank: the window
-    * rendering shuffles every (subvector × code) scored row (n·M·K at
-    * corpus scale) just to rank them, where min_by partial-aggregates
-    * map-side and shuffles one row per (vector, subspace). Tie semantics
-    * are identical to the oracle's `row_number ... ORDER BY dist, code`
-    * (lexicographic pair min). */
-  private def pqEncode(xsub: DataFrame, cent: DataFrame): DataFrame =
-    xsub.join(broadcast(cent), Seq("m"))
-      .selectExpr("vec_id", "m", "code", s"${l2DistSpark("xs", "cv")} AS dist")
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+  /** Encode: nearest codebook entry per (vector, subspace) — one
+    * codegen'd map pass, no shuffle (a window or min_by rendering would
+    * materialize and move n·M·K scored rows at corpus scale). Tie
+    * semantics match the oracle's `row_number ... ORDER BY dist, code`
+    * (strict < in ascending code order). */
+  private def pqEncode(xsub: DataFrame, cb: Entries): DataFrame =
+    xsub.select(col("vec_id"), col("m"),
+      nearestCode(col("xs"), col("m"), cb).as("code"))
 
   /** Per-query ADC lookup table (query_id, m, code, qd_e10), e10-fixed —
-    * the full M × K distance grid for each query vector. */
+    * the full M × K distance grid for each query vector (FULL L2 here:
+    * this is the output-contract distance, not an argmin). */
   private def pqQueryTable(xsub: DataFrame, cent: DataFrame): DataFrame =
     xsub.filter(col("vec_id") < 5)
       .join(broadcast(cent), Seq("m"))
@@ -280,7 +310,7 @@ object Similarity {
     for (i <- 1 to CoarseIters) {
       sb ++= s"casn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM " +
-        s"(SELECT e.vec_id, c.cell, ${l2DistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+        s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
         s"FROM embeddings e CROSS JOIN $prev c) _s$i) _r$i WHERE rk = 1), "
       sb ++= s"cagg$i AS (SELECT cell, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
         s"FROM casn$i JOIN ccmp USING (vec_id) GROUP BY cell, pos), "
@@ -291,11 +321,11 @@ object Similarity {
     }
     sb ++= "cassign AS (SELECT vec_id, unnest(cells) AS cell FROM (SELECT vec_id, " +
       s"(list(cell ORDER BY dist, cell))[1:$MultiAssign] AS cells FROM " +
-      s"(SELECT e.vec_id, c.cell, ${l2DistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+      s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
       s"FROM embeddings e CROSS JOIN $prev c) _sa GROUP BY vec_id) _ga), "
     sb ++= "qprob AS (SELECT query_id, cell FROM (SELECT query_id, cell, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rk FROM " +
-      s"(SELECT e.vec_id AS query_id, c.cell, ${l2DistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+      s"(SELECT e.vec_id AS query_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
       s"FROM embeddings e CROSS JOIN $prev c WHERE e.vec_id < 5) _sq) _rq WHERE rk <= $ProbeCells)"
     sb.toString
   }
@@ -318,7 +348,7 @@ object Similarity {
     for (i <- 1 to PqIters) {
       sb ++= s"pasn$i AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
         "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM " +
-        s"(SELECT x.vec_id, x.m AS m, c.code, ${l2DistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
+        s"(SELECT x.vec_id, x.m AS m, c.code, ${shiftDistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
         s"FROM xsub x JOIN $prev c ON c.m = x.m) _ps$i) _pr$i WHERE rk = 1), "
       sb ++= s"pagg$i AS (SELECT m, code, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
         s"FROM pasn$i JOIN xcmp USING (vec_id, m) GROUP BY m, code, pos), "
@@ -329,7 +359,7 @@ object Similarity {
     }
     sb ++= "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +
       "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM " +
-      s"(SELECT x.vec_id, x.m AS m, c.code, ${l2DistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
+      s"(SELECT x.vec_id, x.m AS m, c.code, ${shiftDistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
       s"FROM xsub x JOIN $prev c ON c.m = x.m) _fs) _fr WHERE rk = 1), "
     sb ++= s"qtab AS (SELECT x.vec_id AS query_id, x.m AS m, c.code, " +
       s"CAST(floor((${l2DistDuck("x.sv", "c.cv", PqSubDim)}) * 10000000000) AS BIGINT) AS qd_e10 " +
@@ -442,9 +472,9 @@ object Similarity {
       // persisted: the subvector relation feeds every Lloyd round, the
       // final encode, and the query table
       val xsub = CacheScope.persist(subvectors(e))
-      val cent = pqCodebook(e, xsub)
-      val codes = pqEncode(xsub, cent)
-      val qtab = pqQueryTable(xsub, cent)
+      val (cb, centDf) = pqCodebook(e, xsub)
+      val codes = pqEncode(xsub, cb)
+      val qtab = pqQueryTable(xsub, centDf)
       codes.join(broadcast(qtab), Seq("m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id"))
@@ -458,7 +488,7 @@ object Similarity {
     }),
 
     // IVF + PQ/ADC composed — the production ANN shape at 100 TB: the
-    // coarse partitioner is LEARNED (hash-seeded k-means, 3 Lloyd rounds),
+    // coarse partitioner is LEARNED (hash-seeded k-means, 2 Lloyd rounds),
     // every vector is indexed under its 2 nearest cells (multi-assignment),
     // queries probe their 2 nearest cells by the same L2 metric ADC ranks
     // with, and candidates are scored from their 16-subspace PQ codes via
@@ -479,9 +509,9 @@ object Similarity {
         .join(broadcast(probed), Seq("cell"))
         .select(col("query_id"), col("vec_id")).distinct()
       val xsub = CacheScope.persist(subvectors(e))
-      val cent = pqCodebook(e, xsub)
-      val codes = pqEncode(xsub, cent)
-      val qtab = pqQueryTable(xsub, cent)
+      val (cb, centDf) = pqCodebook(e, xsub)
+      val codes = pqEncode(xsub, cb)
+      val qtab = pqQueryTable(xsub, centDf)
       codes.join(broadcast(member), Seq("vec_id"))
         .join(broadcast(qtab), Seq("query_id", "m", "code"))
         .filter(col("query_id") =!= col("vec_id"))

@@ -79,15 +79,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("char_hash"), "checksum kernel not the native expression")
   }
 
-  test("ann_pq_adc: codebook and query tables broadcast, codes side never does") {
+  test("ann_pq_adc: native codegen encode, query table broadcast, codes side never does") {
     val analyzed = SparkEntry.queries("ann_pq_adc")(spark, sf)
       .queryExecution.analyzed.toString
     val hints = analyzed.linesIterator
       .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
-    assert(hints >= 2, "centroid/query-table broadcasts lost")
+    assert(hints >= 1, "query-table broadcast lost")
     val p = planOf("ann_pq_adc")
+    assert(p.contains("quantizer_nearest_code"),
+      "PQ encode is not the native codegen'd argmin expression")
     assert(p.contains("vec_dot") && p.contains("vec_norm2"),
-      "PQ distance kernel not the native expressions")
+      "ADC query-table distance kernel not the native expressions")
     assert(!p.contains("CartesianProduct"),
       "PQ encode degenerated to a cartesian product")
   }
@@ -214,10 +216,12 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.analyzed.toString
     val hints = analyzed.linesIterator
       .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
-    assert(hints >= 3, "probed/qtab/codebook broadcasts lost")
+    assert(hints >= 2, "member/qtab broadcasts lost")
     val p = planOf("ann_ivf_pq")
+    assert(p.contains("quantizer_nearest_code"),
+      "PQ encode is not the native codegen'd argmin expression")
     assert(p.contains("vec_dot") && p.contains("vec_norm2"),
-      "coarse/PQ distance kernels not the native expressions")
+      "ADC query-table distance kernels not the native expressions")
     assert(!p.contains("CartesianProduct"),
       "IVF+PQ degenerated to a cartesian product")
   }
