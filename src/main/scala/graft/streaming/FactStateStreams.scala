@@ -138,6 +138,42 @@ object FactStateStreams {
       }
   }
 
+  /** A CONFIRMED streaming near-duplicate: exact shingle-set Jaccard (not
+    * the signature estimate) in basis points. */
+  final case class VerifiedNearDup(docA: Long, docB: Long, jaccardBp: Long)
+
+  /** Streaming dedup-on-ingest with a verify stage: [[nearDupCandidates]]
+    * produces the band-bucket candidate trickle, and each candidate pair
+    * is exactly verified (shingle-set Jaccard, same kernels and ≥ 0.7 bar
+    * as the batch `dedup_minhash_lsh` verifier) via a STREAM-STATIC join
+    * back to the corpus relation, so the stream emits confirmed duplicate
+    * pairs rather than candidates. The verify join is equi on doc_id with
+    * a candidate-trickle-sized stream side — at 100 TB the corpus side is
+    * the store's documents table and the per-batch cost scales with the
+    * candidates, not the corpus. The same pair can reach the verifier from
+    * up to 4 band buckets; the exact join is deterministic, so duplicates
+    * agree — consumers drop repeats by (docA, docB) as with candidates. */
+  def verifiedNearDups(spark: SparkSession, docs: DataFrame, corpus: DataFrame,
+      minJaccardBp: Long = 7000, maxBucket: Int = 64): Dataset[VerifiedNearDup] = {
+    import spark.implicits._
+    import graft.functions.CrossHash._
+    import org.apache.spark.sql.functions.col
+    graft.functions.TextHashFunctions.register(spark)
+    val sh = corpus
+      .selectExpr("doc_id",
+        s"array_distinct(${shingleHashesSpark(wordHashesSpark("text"))}) AS sh")
+      .filter("size(sh) > 0")
+    nearDupCandidates(spark, docs, maxBucket).toDF()
+      .join(sh.as("l"), col("docA") === col("l.doc_id"))
+      .join(sh.as("r"), col("docB") === col("r.doc_id"))
+      .selectExpr("docA", "docB",
+        "CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_common",
+        "CAST(size(l.sh) + size(r.sh) - size(array_intersect(l.sh, r.sh)) AS BIGINT) AS n_union")
+      .selectExpr("docA", "docB", "(n_common * 10000) div n_union AS jaccardBp")
+      .filter(col("jaccardBp") >= minJaccardBp)
+      .as[VerifiedNearDup]
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */
