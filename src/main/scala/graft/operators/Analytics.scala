@@ -218,6 +218,82 @@ object Analytics {
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
     }),
 
+    // TPC-H Q9-style product-type profit: the multi-fact SNOWFLAKE probe —
+    // lineitem ⨝ part ⨝ supplier ⨝ nation ⨝ orders, profit measure mixing
+    // columns from three relations, grouped by nation × order-year. (This
+    // schema has no partsupp, so the cost leg is retailprice·qty·0.6 —
+    // kept integer-exact: retail_e4 · qty · 6000 ≡ (retail·qty·0.6)·10⁸,
+    // no decimal re-scaling anywhere near the engine boundary.) Part and
+    // the supplier→nation arm broadcast; the two fact joins (orderkey) and
+    // the group-by are the only shuffles.
+    "q9_product_profit" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val price = col("l_extendedprice").cast(dec)
+      val discFactor = lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")
+      val rev = e8row((price * discFactor).cast("decimal(28,8)"))
+      t(s, d, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(sum(rev - e4(col("p_retailprice").cast(dec)) * col("l_quantity").cast("bigint") * lit(6000L))
+          .cast("bigint").as("profit_e8"))
+        .orderBy(asc("n_name"), desc("o_year"))
+    }),
+
+    // TPC-H Q20-style nested existence: suppliers who shipped an EXCESS
+    // volume of the filtered parts inside one year — a semi-join against
+    // an aggregated-with-HAVING subquery (the IN-(SELECT..GROUP BY..
+    // HAVING) shape). The aggregate runs first and qualifies a tiny
+    // supplier set; supplier then semi-joins it and the nation dim
+    // broadcasts — no fact data survives past the HAVING.
+    "q20_excess_suppliers" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val qual = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("q"))
+        .filter(col("q") > 60L)
+        .select(col("l_suppkey"))
+      t(s, d, "supplier")
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(asc("s_name"))
+    }),
+
+    // RFM segmentation — the classic customer-value cube for a marketing /
+    // training-data pipeline: per-customer recency (last order day) /
+    // frequency (order count) / monetary (e4-scaled spend), each scored
+    // into quartiles by a deterministic ntile (ties broken on c_custkey),
+    // then the 4×4×4 segment histogram. One orders shuffle builds the
+    // per-customer base; the three ntile windows rank the CUSTOMER-sized
+    // relation (not the fact table) — same single-reducer caveat and
+    // remedy as customer_value_quartiles at extreme scale.
+    "customer_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(epochUs(col("o_orderdate"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(e4(col("o_totalprice").cast(dec))).cast("bigint").as("monetary_e4"))
+      base
+        .withColumn("r_q", ntile(4).over(Window.orderBy(desc("last_us"), asc("o_custkey"))).cast("bigint"))
+        .withColumn("f_q", ntile(4).over(Window.orderBy(desc("frequency"), asc("o_custkey"))).cast("bigint"))
+        .withColumn("m_q", ntile(4).over(Window.orderBy(desc("monetary_e4"), asc("o_custkey"))).cast("bigint"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_e4")).cast("bigint").as("segment_monetary_e4"))
+        .orderBy(asc("r_q"), asc("f_q"), asc("m_q"))
+    }),
+
     // TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
     // then join the survivors back to orders/customer. The aggregate runs
     // FIRST and the join sees only qualifying orderkeys — at 100 TB the
@@ -503,6 +579,39 @@ object Analytics {
         "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
         "GROUP BY supp_nation, cust_nation, l_year " +
         "ORDER BY supp_nation, cust_nation, l_year"),
+    "q9_product_profit" ->
+      ("SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        "CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+        "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) " +
+        "- CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) " +
+        "* CAST(l_quantity AS BIGINT) * 6000) AS BIGINT) AS profit_e8 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE p_name LIKE '%red%' " +
+        "GROUP BY n_name, o_year ORDER BY n_name, o_year DESC"),
+    "q20_excess_suppliers" ->
+      ("WITH qual AS (SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_name LIKE 'small%' " +
+        "AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01' " +
+        "GROUP BY l_suppkey, l_partkey HAVING sum(CAST(l_quantity AS BIGINT)) > 60) " +
+        "SELECT s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM qual) ORDER BY s_name"),
+    "customer_rfm_segments" ->
+      ("WITH base AS (SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us, " +
+        "count(*) AS frequency, " +
+        s"CAST(sum(${e4Sql("o_totalprice")}) AS BIGINT) AS monetary_e4 " +
+        "FROM orders GROUP BY o_custkey), " +
+        "scored AS (SELECT monetary_e4, " +
+        "ntile(4) OVER (ORDER BY last_us DESC, o_custkey) AS r_q, " +
+        "ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q, " +
+        "ntile(4) OVER (ORDER BY monetary_e4 DESC, o_custkey) AS m_q FROM base) " +
+        "SELECT r_q, f_q, m_q, count(*) AS n_customers, " +
+        "CAST(sum(monetary_e4) AS BIGINT) AS segment_monetary_e4 " +
+        "FROM scored GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"),
     "q16_supplier_cnt" ->
       ("WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey, p_brand, p_type, p_size " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +

@@ -121,6 +121,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("p_size"), "part filter missing from the plan")
   }
 
+  test("q9_product_profit / q20_excess_suppliers: snowflake dims broadcast, no cartesian") {
+    val p9 = planOf("q9_product_profit")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"),
+      "q9 snowflake degenerated to a cross join")
+    assert(p9.contains("partial_sum"), "q9 profit aggregation lost its map-side partial")
+    val p20 = planOf("q20_excess_suppliers")
+    assert(p20.contains("LeftSemi"), "q20 nested existence lost its semi-join")
+    assert(!p20.contains("CartesianProduct") && !p20.contains("BroadcastNestedLoopJoin"),
+      "q20 degenerated to a nested loop")
+  }
+
   test("events_asof_join: union+window plan — zero join operators, one user_id shuffle") {
     val p = planOf("events_asof_join")
     assert(!p.contains("Join"), "as-of degenerated to a join (union+window lost)")
