@@ -11,8 +11,9 @@ import graft.functions.CrossHash._
   *  - `ann_bruteforce_topk`: exact cosine top-k — the correctness baseline.
   *  - `ann_lsh_buckets`: random-hyperplane LSH sign buckets — candidates
   *    share a bucket, so the join is equi- not cross-; the 100 TB path.
-  *  - `ann_ivf_probe`: IVF-style — coarse centroids (per label), queries
-  *    probe the nearest 2 cells, exact rerank inside probed cells only.
+  *  - `ann_ivf_probe`: IVF with a LEARNED coarse quantizer (hash-seeded
+  *    k-means), queries probe the nearest 2 cells, exact rerank inside
+  *    probed cells only.
   *
   * Determinism: cosine is a strict index-ordered double fold (CrossHash),
   * scores are emitted as exact-floor ppm integers, ranks tie-break on
@@ -84,13 +85,8 @@ object Similarity {
       s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** Whole-stage-codegen cosine via the native VecDot/VecNorm2 expressions
-    * (identical index-order double accumulation as the CrossHash folds, so
-    * the DuckDB oracle — which uses the folds — still hash-matches). */
-  private def cosPpmSpark(a: String, b: String): String =
-    s"CAST(floor(vec_dot($a, $b) / (sqrt(vec_norm2($a)) * " +
-      s"sqrt(vec_norm2($b))) * 1000000) AS BIGINT)"
-
+  /** DuckDB cosine-ppm twin of the inline vec_dot/vec_norm2 renderings
+    * (identical index-order double accumulation, so floor-ppm matches). */
   private def cosPpmDuck(a: String, b: String): String =
     s"CAST(floor(${dotDuck(a, b, Dim)} / (sqrt(${norm2Duck(a, Dim)}) * " +
       s"sqrt(${norm2Duck(b, Dim)})) * 1000000) AS BIGINT)"
@@ -414,36 +410,25 @@ object Similarity {
         .orderBy(asc("vec_a"), asc("vec_b"))
     }),
 
-    // IVF: coarse quantizer = per-label centroid (decimal component sums —
-    // scale-invariant under cosine, so no division); queries probe the 2
-    // nearest cells and rerank exactly inside them.
+    // IVF probe with the LEARNED coarse quantizer (round 7 — no label-
+    // derived partitioner anywhere any more): same hash-seeded k-means
+    // cells, 2-cell multi-assignment, and L2 probe-2 as ann_ivf_pq, but
+    // the probed candidates are reranked EXACTLY (full cosine over the
+    // raw vectors) instead of ADC-scored — the accuracy-over-memory end
+    // of the IVF family. The member list is tiny (queries × probe × cell
+    // size) and broadcasts into the corpus-sized rerank join.
     "ann_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
-      // centroid sum-vectors via e10-scaled integer sums — not decimals:
-      // Spark FLOAT->DECIMAL rounds the float's shortest decimal repr,
-      // DuckDB rounds the exact binary value, a ~1e-9 divergence that ppm
-      // flooring only mostly masks. Integer sums match by construction;
-      // the e10 scale is irrelevant under cosine (scale-invariant).
-      val cent = e.select(col("label"), posexplode(col("embedding")))
-        .selectExpr("label", "pos",
-          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-        .groupBy(col("label"), col("pos"))
-        .agg(sum(col("xe10")).as("sx"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), p -> cast(p.sx as double)) AS cv"))
+      val coarse = coarseCentroids(e)
+      val member = coarseAssign(e, coarse)
+        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
+        .select(col("query_id"), col("vec_id")).distinct()
       val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
         "embedding AS qv", "vec_norm2(embedding) AS qn2")
-      val probed = q.crossJoin(broadcast(cent))
-        .selectExpr("query_id", "qv", "qn2", "label",
-          s"${cosPpmSpark("qv", "cv")} AS cell_cos")
-        .withColumn("cell_rank", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-            .orderBy(desc("cell_cos"), asc("label"))))
-        .filter(col("cell_rank") <= 2)
-        .select(col("query_id"), col("qv"), col("qn2"), col("label"))
       // rerank kernel reuses precomputed norms (IEEE-identical values)
-      probed.join(e.selectExpr("vec_id", "label", "embedding AS v",
-            "vec_norm2(embedding) AS n2"), Seq("label"))
+      e.selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+        .join(broadcast(member), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
         .filter(col("query_id") =!= col("vec_id"))
         .selectExpr("query_id", "vec_id AS neighbor_id",
           "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
@@ -558,20 +543,15 @@ object Similarity {
         "FROM b AS a JOIN b AS b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id " +
         s"WHERE ${cosPpmDuck("a.v", "b2.v")} >= 100000 ORDER BY vec_a, vec_b"),
     "ann_ivf_probe" ->
-      ("WITH comp AS (SELECT label, r.range AS pos, " +
-        "CAST(sum(CAST(floor(list_extract(embedding, r.range)::DOUBLE * 10000000000) AS BIGINT)) AS BIGINT) AS sx " +
-        "FROM embeddings CROSS JOIN range(1, 65) r GROUP BY label, r.range), " +
-        "cent AS (SELECT label, list_transform(list(sx ORDER BY pos), x -> x::DOUBLE) AS cv " +
-        "FROM comp GROUP BY label), " +
+      (s"WITH $coarseDuckCtes, " +
+        "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
+        "JOIN qprob p ON a.cell = p.cell), " +
         "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
-        "cells AS (SELECT query_id, qv, label, " +
-        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "cv")} DESC, label) AS cell_rank " +
-        "FROM q CROSS JOIN cent), " +
-        "probed AS (SELECT query_id, qv, label FROM cells WHERE cell_rank <= 2), " +
-        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
+        "scored AS (SELECT mb.query_id, e.vec_id AS neighbor_id, " +
         s"${cosPpmDuck("qv", "e.embedding")} AS cos_ppm, " +
-        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
-        "FROM probed JOIN embeddings e USING (label) WHERE e.vec_id <> query_id) " +
+        s"row_number() OVER (PARTITION BY mb.query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM member mb JOIN embeddings e ON e.vec_id = mb.vec_id " +
+        "JOIN q ON q.query_id = mb.query_id WHERE e.vec_id <> mb.query_id) " +
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
     "ann_pq_adc" ->
