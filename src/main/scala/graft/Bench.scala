@@ -74,12 +74,20 @@ object Bench {
     // keeps the stdout tail, so the trailing fields survive truncation
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg,"n_queries":${results.size},"n_errors":${errors.size},"total_sec":$total}"""
     // The driver artifact preserves only the TAIL of stdout, which at 9x
-    // queries truncates the per-query map. Persist the full JSON to the
-    // repo root (committed per round) so BENCH_LOCAL.json + the stdout
-    // tail together always cover every query.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    // queries truncates the per-query map. Persist the full JSON next to
+    // build.sbt (walking up from cwd — `sbt runMain` and spark-submit may
+    // differ in working directory), overridable via SPARK_GRAFT_BENCH_LOCAL;
+    // BENCH_LOCAL.json + the stdout tail together always cover every query.
+    try {
+      val target = sys.env.get("SPARK_GRAFT_BENCH_LOCAL").map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          val cwd = java.nio.file.Paths.get("").toAbsolutePath
+          Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+            .getOrElse(cwd).resolve("BENCH_LOCAL.json")
+        }
+      java.nio.file.Files.write(target, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     println(json)
     spark.stop()
   }

@@ -126,6 +126,13 @@ object Similarity {
   private val CoarseIters = 2
   private val MultiAssign = 2
   private val ProbeCells = 2
+  // The Spark side renders best-two via the fixed NearestTwoCodes
+  // expression while the oracle renders `rk <= ProbeCells` / `[1:N]` from
+  // these constants — a silent bump would diverge the engines and surface
+  // only as an opaque gate hash mismatch. Generalizing means a
+  // NearestKCodes expression, not just a constant change.
+  require(MultiAssign == 2 && ProbeCells == 2,
+    "multi-assign/probe != 2 requires a NearestKCodes expression (Spark side is pinned to best-two)")
 
   private def l2DistSpark(v: String, c: String): String =
     s"vec_norm2($v) - 2 * vec_dot($v, $c) + vec_norm2($c)"
@@ -158,6 +165,31 @@ object Similarity {
     org.apache.spark.sql.GraftColumns.of(graft.functions.NearestTwoCodes(
       org.apache.spark.sql.GraftColumns.expr(vec),
       org.apache.spark.sql.GraftColumns.expr(lit(0)), cb))
+
+  /** The e10-floored mean re-aggregation — the ONE arithmetic the
+    * cross-engine training determinism rests on (integer component sums
+    * fully determine the centroid doubles), shared by the coarse and PQ
+    * Lloyd rounds. Input must carry `keys` + a vector column; output is
+    * keys + `cv`. */
+  private def e10Means(asn: DataFrame, vecCol: String, keys: Seq[String]): DataFrame =
+    asn.select(keys.map(col) :+ posexplode(col(vecCol)): _*)
+      .selectExpr(keys ++ Seq("pos",
+        "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10"): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
+        "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv"))
+
+  /** DuckDB twin of [[e10Means]] as a 3-CTE block `<pfx>agg/<pfx>c0/
+    * <pfx>cent$i`; `joinSrc` must expose the key columns, `pos`, `xe10`. */
+  private def duckMeanCtes(pfx: String, i: Int, keyCols: String, joinSrc: String): String =
+    s"${pfx}agg$i AS (SELECT $keyCols, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
+      s"FROM $joinSrc GROUP BY $keyCols, pos), " +
+      s"${pfx}c0$i AS (SELECT $keyCols, list_transform(list(sx ORDER BY pos), s -> s::DOUBLE) AS svec, " +
+      s"max(cnt) AS cnt FROM ${pfx}agg$i GROUP BY $keyCols), " +
+      s"${pfx}cent$i AS (SELECT $keyCols, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv " +
+      s"FROM ${pfx}c0$i), "
 
   /** Pack (id, centroid) rows into codebook entries: ids ascending, flat
     * code-major centroids, squared norms via the SAME index-ordered fold
@@ -211,14 +243,7 @@ object Similarity {
     for (_ <- 1 to CoarseIters) {
       val asn = e.select(nearestCode(col("embedding"), lit(0), cb).as("cell"),
         col("embedding"))
-      cb = collectCoarse(asn.select(col("cell"), posexplode(col("embedding")))
-        .selectExpr("cell", "pos",
-          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv")))
+      cb = collectCoarse(e10Means(asn, "embedding", Seq("cell")))
     }
     cb
   }
@@ -256,14 +281,7 @@ object Similarity {
     for (_ <- 1 to PqIters) {
       val asn = xsub.select(col("m"), col("xs"),
         nearestCode(col("xs"), col("m"), cb).as("code"))
-      cb = collectPq(asn.select(col("m"), col("code"), posexplode(col("xs")))
-        .selectExpr("m", "code", "pos",
-          "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg(sum(col("xe10")).as("sx"), count(lit(1)).as("cnt"))
-        .groupBy(col("m"), col("code"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sx, cnt))), " +
-          "p -> CAST(p.sx AS DOUBLE) / (10000000000D * p.cnt)) AS cv")))
+      cb = collectPq(e10Means(asn, "xs", Seq("m", "code")))
     }
     val spark = e.sparkSession
     import spark.implicits._
@@ -308,11 +326,7 @@ object Similarity {
         "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM " +
         s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
         s"FROM embeddings e CROSS JOIN $prev c) _s$i) _r$i WHERE rk = 1), "
-      sb ++= s"cagg$i AS (SELECT cell, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
-        s"FROM casn$i JOIN ccmp USING (vec_id) GROUP BY cell, pos), "
-      sb ++= s"cen0$i AS (SELECT cell, list_transform(list(sx ORDER BY pos), s -> s::DOUBLE) AS svec, " +
-        s"max(cnt) AS cnt FROM cagg$i GROUP BY cell), "
-      sb ++= s"ccent$i AS (SELECT cell, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM cen0$i), "
+      sb ++= duckMeanCtes("c", i, "cell", s"casn$i JOIN ccmp USING (vec_id)")
       prev = s"ccent$i"
     }
     sb ++= "cassign AS (SELECT vec_id, unnest(cells) AS cell FROM (SELECT vec_id, " +
@@ -346,11 +360,7 @@ object Similarity {
         "row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rk FROM " +
         s"(SELECT x.vec_id, x.m AS m, c.code, ${shiftDistDuck("x.sv", "c.cv", PqSubDim)} AS dist " +
         s"FROM xsub x JOIN $prev c ON c.m = x.m) _ps$i) _pr$i WHERE rk = 1), "
-      sb ++= s"pagg$i AS (SELECT m, code, pos, CAST(sum(xe10) AS BIGINT) AS sx, count(*) AS cnt " +
-        s"FROM pasn$i JOIN xcmp USING (vec_id, m) GROUP BY m, code, pos), "
-      sb ++= s"pc0$i AS (SELECT m, code, list_transform(list(sx ORDER BY pos), s -> s::DOUBLE) AS svec, " +
-        s"max(cnt) AS cnt FROM pagg$i GROUP BY m, code), "
-      sb ++= s"pcent$i AS (SELECT m, code, list_transform(svec, s -> s / (10000000000.0 * cnt)) AS cv FROM pc0$i), "
+      sb ++= duckMeanCtes("p", i, "m, code", s"pasn$i JOIN xcmp USING (vec_id, m)")
       prev = s"pcent$i"
     }
     sb ++= "codes AS (SELECT vec_id, m, code FROM (SELECT vec_id, m, code, " +

@@ -46,6 +46,26 @@ object TextAnalysis {
     * parallelism in production. */
   private val TopKShards = 32
 
+  /** The two-level top-k itself, shared by the three per-language rank
+    * queries. `sortKey` is a struct whose LEXICOGRAPHIC ASCENDING order is
+    * the desired rank order (negate numeric fields for descending) — the
+    * same struct drives the shard-local window AND the merge sort, so the
+    * two levels cannot disagree. Returns (lang, pos, col = sortKey struct)
+    * with pos 0-based within the per-language top-k. */
+  private def topKPerLang(df: DataFrame, k: Int,
+      shardKey: org.apache.spark.sql.Column,
+      sortKey: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__key", sortKey)
+      .withColumn("__shard", pmod(xxhash64(shardKey), lit(TopKShards)).cast("int"))
+      .withColumn("__srk", row_number().over(
+        Window.partitionBy(col("lang"), col("__shard")).orderBy(asc("__key"))))
+      .filter(col("__srk") <= k)
+      .groupBy(col("lang"))
+      .agg(collect_list(col("__key")).as("cand"))
+      .select(col("lang"), posexplode(expr(s"slice(array_sort(cand), 1, $k)")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish sub-word proxy
     // (4-char chunks, the standard chars-per-token heuristic).
@@ -153,21 +173,11 @@ object TextAnalysis {
     // lang-level merge over ≤ Shards·5 rows via sorted-slice, so no
     // reducer ever holds a language's whole vocabulary.
     "text_top_tokens" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val counts = docs(s, d)
         .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
         .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
-      val w1 = Window.partitionBy(col("lang"), col("__shard"))
-        .orderBy(desc("n"), asc("tok"))
-      counts
-        .withColumn("__shard", pmod(xxhash64(col("tok")), lit(TopKShards)).cast("int"))
-        .withColumn("__srk", row_number().over(w1))
-        .filter(col("__srk") <= 5)
-        // negated-key structs sort lexicographically ascending in exactly
-        // the window's (n DESC, tok ASC) order
-        .groupBy(col("lang"))
-        .agg(collect_list(struct(negate(col("n")).as("nn"), col("tok"))).as("cand"))
-        .select(col("lang"), posexplode(expr("slice(array_sort(cand), 1, 5)")))
+      topKPerLang(counts, 5, col("tok"),
+          struct(negate(col("n")).as("nn"), col("tok")))
         .selectExpr("lang", "col.tok AS tok", "CAST(-col.nn AS BIGINT) AS n",
           "CAST(pos + 1 AS BIGINT) AS rank")
         .orderBy(asc("lang"), asc("rank"))
@@ -184,7 +194,6 @@ object TextAnalysis {
     // fine to ~10⁷ bigrams per language partition; shard the lang key
     // before that (the scores are per-partition exact either way).
     "text_bigram_lift" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ab = docs(s, d)
         .selectExpr("lang", s"${tokensSpark("text")} AS toks")
         .filter(expr("size(toks) >= 2"))
@@ -206,18 +215,10 @@ object TextAnalysis {
         .filter(col("n_ab") >= 5)
         .selectExpr("lang", "w1", "w2", "n_ab",
           "(n_ab * n_total * 10000) div (n_a * n_b) AS lift_bp")
-        // two-level top-20 (see TopKShards): shard-local windows, then a
-        // sorted-slice merge of ≤ Shards·20 survivors per language
-        .withColumn("__shard",
-          pmod(xxhash64(col("w1"), col("w2")), lit(TopKShards)).cast("int"))
-        .withColumn("__srk", row_number().over(
-          Window.partitionBy(col("lang"), col("__shard"))
-            .orderBy(desc("lift_bp"), desc("n_ab"), asc("w1"), asc("w2"))))
-        .filter(col("__srk") <= 20)
-        .groupBy(col("lang"))
-        .agg(collect_list(struct(negate(col("lift_bp")).as("nl"),
-          negate(col("n_ab")).as("nn"), col("w1"), col("w2"))).as("cand"))
-        .select(col("lang"), posexplode(expr("slice(array_sort(cand), 1, 20)")))
+        // two-level top-20 (see topKPerLang / TopKShards)
+        .transform(scored => topKPerLang(scored, 20, concat(col("w1"), lit(" "), col("w2")),
+          struct(negate(col("lift_bp")).as("nl"), negate(col("n_ab")).as("nn"),
+            col("w1"), col("w2"))))
         .selectExpr("lang", "col.w1 AS w1", "col.w2 AS w2",
           "CAST(-col.nn AS BIGINT) AS n_ab", "CAST(-col.nl AS BIGINT) AS lift_bp",
           "CAST(pos + 1 AS BIGINT) AS rank")
@@ -257,7 +258,6 @@ object TextAnalysis {
     // no-window-scalar discipline as text_bigram_lift). Ties break on
     // term asc in both engines.
     "text_tfidf_top_terms" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val stats = docs(s, d)
         .select(col("lang"), col("doc_id"), explode(expr(tokensSpark("text"))).as("tok"))
         .groupBy(col("lang"), col("tok"))
@@ -267,17 +267,9 @@ object TextAnalysis {
       stats.join(broadcast(nd), Seq("lang"))
         .selectExpr("lang", "tok", "tf", "df",
           "tf * ((n_docs * 1000000) div df) AS tfidf_e6")
-        // two-level top-5 (see TopKShards): shard-local windows, then a
-        // sorted-slice merge of ≤ Shards·5 survivors per language
-        .withColumn("__shard", pmod(xxhash64(col("tok")), lit(TopKShards)).cast("int"))
-        .withColumn("__srk", row_number().over(
-          Window.partitionBy(col("lang"), col("__shard"))
-            .orderBy(desc("tfidf_e6"), asc("tok"))))
-        .filter(col("__srk") <= 5)
-        .groupBy(col("lang"))
-        .agg(collect_list(struct(negate(col("tfidf_e6")).as("nt"), col("tok"),
-          col("tf"), col("df"))).as("cand"))
-        .select(col("lang"), posexplode(expr("slice(array_sort(cand), 1, 5)")))
+        // two-level top-5 (see topKPerLang / TopKShards)
+        .transform(scored => topKPerLang(scored, 5, col("tok"),
+          struct(negate(col("tfidf_e6")).as("nt"), col("tok"), col("tf"), col("df"))))
         .selectExpr("lang", "col.tok AS tok", "col.tf AS tf", "col.df AS df",
           "CAST(-col.nt AS BIGINT) AS tfidf_e6", "CAST(pos + 1 AS BIGINT) AS rank")
         .orderBy(asc("lang"), asc("rank"))

@@ -87,8 +87,10 @@ object FactStateStreams {
     * membership is capped (`maxBucket`) so a degenerate bucket (boilerplate
     * corpus) bounds per-doc work instead of growing with the stream; real
     * dup buckets are far below any sane cap. Docs arriving past the cap
-    * keep an id-only seen-marker in state, so an at-least-once redelivery
-    * never re-emits their pairs in a later batch. The same pair can
+    * keep an id-only seen-marker in state (markers themselves capped at
+    * 4×maxBucket), so an at-least-once redelivery does not re-emit their
+    * pairs; past the marker cap state stops growing and redelivery may
+    * re-emit — the documented trade that keeps state bounded. The same pair can
     * surface from up to 4 buckets — consumers dedup the (docA, docB) pair, which is
     * batch-local and cheap. */
   def nearDupCandidates(spark: SparkSession, docs: DataFrame,
@@ -113,7 +115,12 @@ object FactStateStreams {
         // full entries (sig nonEmpty) are comparison candidates, bounded by
         // maxBucket; empty-sig entries are id-only seen-markers for docs
         // that arrived past the cap — an at-least-once redelivery of such a
-        // doc in a later micro-batch must NOT re-emit its pairs
+        // doc in a later micro-batch must NOT re-emit its pairs. Markers
+        // are THEMSELVES bounded (4 × maxBucket): past that, state stops
+        // growing and a redelivered past-cap doc may re-emit — boundedness
+        // is the harder invariant, so the residual at-least-once edge is
+        // the documented trade, not unbounded state.
+        val markerCap = 4 * maxBucket
         var members = state.getOption.getOrElse(Seq.empty)
         var nFull = members.count(_._2.nonEmpty)
         val out = Seq.newBuilder[NearDupCandidate]
@@ -130,7 +137,8 @@ object FactStateStreams {
               }
             }
             if (nFull < maxBucket) { members = members :+ ((id, sig)); nFull += 1 }
-            else members = members :+ ((id, Seq.empty[Long]))
+            else if (members.size < maxBucket + markerCap)
+              members = members :+ ((id, Seq.empty[Long]))
           }
         }
         state.update(members)
@@ -159,10 +167,14 @@ object FactStateStreams {
     import graft.functions.CrossHash._
     import org.apache.spark.sql.functions.col
     graft.functions.TextHashFunctions.register(spark)
-    val sh = corpus
+    // persisted: a stream-static join re-executes the static plan every
+    // micro-batch — without the cache each trigger would re-shingle the
+    // whole corpus (twice), breaking the per-batch-cost-scales-with-the-
+    // candidates contract
+    val sh = graft.operators.CacheScope.persist(corpus
       .selectExpr("doc_id",
         s"array_distinct(${shingleHashesSpark(wordHashesSpark("text"))}) AS sh")
-      .filter("size(sh) > 0")
+      .filter("size(sh) > 0"))
     nearDupCandidates(spark, docs, maxBucket).toDF()
       .join(sh.as("l"), col("docA") === col("l.doc_id"))
       .join(sh.as("r"), col("docB") === col("r.doc_id"))

@@ -10,12 +10,11 @@ class QueryInventorySpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries that are deliberately not SQL-expressible (driver records a
-    * rows-only check). Keep this list short and justified. */
-  private val noOracleExempt = Set("media_decode_stub")
-
-  test("every query has an oracle or an explicit exemption") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracleExempt
+  // Round 7 closed the last exemption (media_decode_stub's stub decode is
+  // deterministic integer math DuckDB replays) — EVERY query now carries
+  // an oracle, and this test keeps it that way.
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without query: $orphaned")
