@@ -294,6 +294,72 @@ object Analytics {
         .orderBy(asc("r_q"), asc("f_q"), asc("m_q"))
     }),
 
+    // TPC-H Q17-style small-quantity revenue: the CORRELATED-subquery
+    // probe, decorrelated by hand the way Catalyst would — the per-part
+    // average becomes a groupBy aggregate joined back to the fact rows.
+    // The fractional comparison qty < avg/5 is kept integer-exact:
+    // 5·qty·cnt < sum(qty) per part (the e4 scales cancel), so no float
+    // division crosses the engine boundary.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_type") === "SMALL").select(col("p_partkey"))
+      val l = t(s, d, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), e4(col("l_quantity").cast(dec)).as("q4"),
+          e4(col("l_extendedprice").cast(dec)).as("p4"))
+      val stats = l.groupBy(col("l_partkey"))
+        .agg(sum(col("q4")).cast("bigint").as("sum_q4"), count(lit(1)).as("cnt"))
+      l.join(stats, Seq("l_partkey"))
+        .filter(lit(5L) * col("q4") * col("cnt") < col("sum_q4"))
+        .agg(sum(col("p4")).cast("bigint").as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q11-style important parts: the SCALAR-subquery probe — the
+    // corpus-wide total value is a one-row aggregate broadcast back, and
+    // the HAVING fraction (value > total/2000) is an exact integer
+    // cross-multiplication.
+    "q11_important_parts" -> ((s, d) => {
+      val v = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(e4(col("l_extendedprice").cast(dec))).cast("bigint").as("value_e4"))
+      val total = v.agg(sum(col("value_e4")).cast("bigint").as("total_e4"))
+      v.crossJoin(broadcast(total))
+        .filter(col("value_e4") * 2000L > col("total_e4"))
+        .select(col("l_partkey"), col("value_e4"))
+        .orderBy(desc("value_e4"), asc("l_partkey"))
+    }),
+
+    // First/last-touch attribution — the marketing-analytics join shape
+    // over the event log: each converting user's first-ever event type
+    // and the last event type strictly before their first purchase
+    // ('none' when the purchase opens the history). All extrema are
+    // min/max over (ts, event_id[, type]) structs — (ts, event_id) is a
+    // total order, so the carried type never influences comparisons and
+    // both engines pick identical rows.
+    "events_attribution" -> ((s, d) => {
+      // events.parquet carries INT64 TIMESTAMP(NANOS) — EventFinders.events
+      // reads ts as nanos LongType; `div 1000` is the exact µs projection
+      // matching the oracle's epoch_us
+      val ev = EventFinders.events(s, d)
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS ts_us")
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("fp"))
+      val fe = ev.groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("fe"))
+      val le = ev.join(fp, Seq("user_id"))
+        .filter(struct(col("ts_us"), col("event_id")) < col("fp"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("le"))
+      fp.join(fe, Seq("user_id"))
+        .join(le, Seq("user_id"), "left")
+        .selectExpr("fe.event_type AS first_touch",
+          "coalesce(le.event_type, 'none') AS last_touch")
+        .groupBy(col("first_touch"), col("last_touch"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(asc("first_touch"), asc("last_touch"))
+    }),
+
     // TPC-H Q18-style large-volume orders: HAVING over a fact aggregate,
     // then join the survivors back to orders/customer. The aggregate runs
     // FIRST and the join sees only qualifying orderkeys — at 100 TB the
@@ -579,6 +645,36 @@ object Analytics {
         "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
         "GROUP BY supp_nation, cust_nation, l_year " +
         "ORDER BY supp_nation, cust_nation, l_year"),
+    "q17_small_qty_revenue" ->
+      ("WITH l AS (SELECT l_partkey, " +
+        s"${e4Sql("l_quantity")} AS q4, ${e4Sql("l_extendedprice")} AS p4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'SMALL'), " +
+        "st AS (SELECT l_partkey, CAST(sum(q4) AS BIGINT) AS sum_q4, count(*) AS cnt " +
+        "FROM l GROUP BY l_partkey) " +
+        "SELECT CAST(sum(p4) AS BIGINT) AS revenue_e4, count(*) AS n_rows " +
+        "FROM l JOIN st USING (l_partkey) WHERE 5 * q4 * cnt < sum_q4"),
+    "q11_important_parts" ->
+      ("WITH v AS (SELECT l_partkey, " +
+        s"CAST(sum(${e4Sql("l_extendedprice")}) AS BIGINT) AS value_e4 " +
+        "FROM lineitem GROUP BY l_partkey), " +
+        "t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4 FROM v) " +
+        "SELECT l_partkey, value_e4 FROM v, t WHERE value_e4 * 2000 > total_e4 " +
+        "ORDER BY value_e4 DESC, l_partkey"),
+    "events_attribution" ->
+      ("WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "fp AS (SELECT user_id, ts_us, event_id FROM (SELECT user_id, ts_us, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rk " +
+        "FROM ev WHERE event_type = 'purchase') _f WHERE rk = 1), " +
+        "fe AS (SELECT user_id, first_touch FROM (SELECT user_id, event_type AS first_touch, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rk FROM ev) _e WHERE rk = 1), " +
+        "le AS (SELECT user_id, last_touch FROM (SELECT e.user_id, e.event_type AS last_touch, " +
+        "row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_us DESC, e.event_id DESC) AS rk " +
+        "FROM ev e JOIN fp ON e.user_id = fp.user_id " +
+        "AND (e.ts_us < fp.ts_us OR (e.ts_us = fp.ts_us AND e.event_id < fp.event_id))) _l WHERE rk = 1) " +
+        "SELECT first_touch, coalesce(last_touch, 'none') AS last_touch, count(*) AS n_users " +
+        "FROM fp JOIN fe USING (user_id) LEFT JOIN le USING (user_id) " +
+        "GROUP BY first_touch, coalesce(last_touch, 'none') " +
+        "ORDER BY first_touch, last_touch"),
     "q9_product_profit" ->
       ("SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
         "CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
