@@ -294,6 +294,29 @@ object Analytics {
         .orderBy(asc("r_q"), asc("f_q"), asc("m_q"))
     }),
 
+    // TPC-H Q10-style returned-item ranking: who costs us returns — the
+    // two-fact-join + dim + top-N report shape. The returnflag filter
+    // pushes to the lineitem scan, customer joins AFTER the orders join
+    // keyed on custkey, nation broadcasts, and the top-20 is
+    // TakeOrderedAndProject over the grouped relation.
+    "q10_returned_items" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          e4(col("c_acctbal").cast(dec)).as("acctbal_e4"))
+        .agg(sum(e8row((col("l_extendedprice").cast(dec) *
+          (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+          .cast("decimal(28,8)"))).cast("bigint").as("revenue_e8"))
+        .orderBy(desc("revenue_e8"), asc("c_custkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q17-style small-quantity revenue: the CORRELATED-subquery
     // probe, decorrelated by hand the way Catalyst would — the per-part
     // average becomes a groupBy aggregate joined back to the fact rows.
@@ -645,6 +668,16 @@ object Analytics {
         "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
         "GROUP BY supp_nation, cust_nation, l_year " +
         "ORDER BY supp_nation, cust_nation, l_year"),
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        s"${e4Sql("c_acctbal")} AS acctbal_e4, " +
+        s"$revenueE8Sql AS revenue_e8 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, n_name, acctbal_e4 " +
+        "ORDER BY revenue_e8 DESC, c_custkey LIMIT 20"),
     "q17_small_qty_revenue" ->
       ("WITH l AS (SELECT l_partkey, " +
         s"${e4Sql("l_quantity")} AS q4, ${e4Sql("l_extendedprice")} AS p4 " +
