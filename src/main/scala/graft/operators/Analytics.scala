@@ -294,6 +294,26 @@ object Analytics {
         .orderBy(asc("r_q"), asc("f_q"), asc("m_q"))
     }),
 
+    // TPC-H Q12-style shipping-lateness report (this schema has no
+    // shipmode/commitdate, so lateness = shipdate more than 60 days after
+    // the order date): conditional counts per order priority, with the
+    // day-difference computed as exact integer µs arithmetic — identical
+    // `(ship_us - order_us) div 86400000000` on both engines, no
+    // date-function semantics crossing the boundary.
+    "q12_late_shipments" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        epochUs(col("o_orderdate")).as("order_us"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), epochUs(col("l_shipdate")).as("ship_us"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .selectExpr("o_orderpriority",
+          "CAST((ship_us - order_us) div 86400000000 > 60 AS INT) AS is_late")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("is_late")).cast("bigint").as("late_count"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(asc("o_orderpriority"))
+    }),
+
     // TPC-H Q10-style returned-item ranking: who costs us returns — the
     // two-fact-join + dim + top-N report shape. The returnflag filter
     // pushes to the lineitem scan, customer joins AFTER the orders join
@@ -668,6 +688,12 @@ object Analytics {
         "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
         "GROUP BY supp_nation, cust_nation, l_year " +
         "ORDER BY supp_nation, cust_nation, l_year"),
+    "q12_late_shipments" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(sum(CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000 > 60 AS INT)) AS BIGINT) AS late_count, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "q10_returned_items" ->
       ("SELECT c_custkey, c_name, n_name, " +
         s"${e4Sql("c_acctbal")} AS acctbal_e4, " +
