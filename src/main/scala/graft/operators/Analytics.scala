@@ -442,6 +442,123 @@ object Analytics {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q8-style national market share: one target nation's slice of a
+    // region's market per order year — the widest snowflake in the suite
+    // (lineitem ⨝ part ⨝ supplier→nation ⨝ orders ⨝ customer→nation→region).
+    // Part and the supplier arm broadcast into the lineitem scan; the
+    // customer→region qualifier is a semi-join (no customer columns are
+    // needed downstream, so the optimizer keeps it key-only). The share is
+    // the q14 integer-exact basis-point rendering — no doubles cross the
+    // engine boundary.
+    "q8_market_share" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val supNat = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), (col("n_name") === "NATION_1").as("is_target"))
+      val regionCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val rev = e8row((col("l_extendedprice").cast(dec) *
+        (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+        .cast("decimal(28,8)"))
+      t(s, d, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          sum(when(col("is_target"), rev).otherwise(lit(0L))).cast("bigint").as("nation_rev_e8"),
+          sum(rev).cast("bigint").as("total_rev_e8"))
+        .selectExpr("o_year", "nation_rev_e8", "total_rev_e8",
+          "((nation_rev_e8 div 10000) * 10000) div greatest(total_rev_e8 div 10000, 1) AS share_bp")
+        .orderBy(asc("o_year"))
+    }),
+
+    // TPC-H Q15-style top supplier: revenue view over one quarter, then the
+    // scalar-max subquery selecting the supplier(s) AT the max — the
+    // aggregate-of-an-aggregate shape. The quarter filter pushes to the
+    // scan; the per-supplier rollup is the only fact shuffle; the 1-row max
+    // broadcasts back over the supplier-sized view (an equi-join, not a
+    // nested loop).
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(e8row((col("l_extendedprice").cast(dec) *
+          (lit(1).cast("decimal(5,4)") - col("l_discount").cast("decimal(5,4)")))
+          .cast("decimal(28,8)"))).cast("bigint").as("total_rev_e8"))
+      val top = rev.agg(max(col("total_rev_e8")).as("max_rev_e8"))
+      rev.join(broadcast(top), col("total_rev_e8") === col("max_rev_e8"))
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e8"))
+        .orderBy(asc("s_suppkey"))
+    }),
+
+    // TPC-H Q21-style waiting suppliers (this schema has no receipt/commit
+    // dates, so "kept the order waiting" = shipped more than 60 days after
+    // the order date): for FINISHED multi-supplier orders, suppliers who
+    // were the ONLY late shipper — the EXISTS + NOT-EXISTS dual-correlation,
+    // expressed as one per-(order,supplier) rollup plus per-order window
+    // counts instead of two correlated re-scans of lineitem. One orderkey
+    // shuffle feeds both the rollup and the window; supplier broadcasts.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lateUs = 60L * 86400L * 1000000L
+      val perPair = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          when(epochUs(col("l_shipdate")) - epochUs(col("o_orderdate")) > lateUs, 1L)
+            .otherwise(0L))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+      val perOrder = Window.partitionBy(col("l_orderkey"))
+      perPair
+        .withColumn("n_supp", count(lit(1)).over(perOrder))
+        .withColumn("n_late", sum(col("late")).over(perOrder))
+        .filter(col("late") === 1L && col("n_supp") > 1 && col("n_late") === 1L)
+        .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22-style dormant high-balance accounts (every customer here has
+    // SOME order, so "no orders" becomes "no orders since 2000-01-01"):
+    // customers above the average POSITIVE balance with no recent orders,
+    // rolled up per nation. The average is never divided — the filter is the
+    // cross-multiplied integer comparison acctbal·n > sum, replayed exactly
+    // in DuckDB — and the 1-row stats broadcast over customer; the recent
+    // buyer set anti-joins on custkey.
+    "q22_dormant_balances" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          e4(col("c_acctbal").cast(dec)).as("acctbal_e4"))
+      val pos = cust.filter(col("acctbal_e4") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum(col("acctbal_e4")).cast("bigint").as("sum_pos_e4"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("acctbal_e4") * col("n_pos") > col("sum_pos_e4"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("acctbal_e4")).cast("bigint").as("totacctbal_e4"))
+        .orderBy(asc("nationkey"))
+    }),
+
     "q5_nation_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders")
@@ -776,6 +893,53 @@ object Analytics {
         "FROM ps WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
         "GROUP BY p_brand, p_type, p_size " +
         "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q8_market_share" -> {
+      val rev = "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+        "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)"
+      "WITH agg AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, " +
+        s"CAST(sum(CASE WHEN n1.n_name = 'NATION_1' THEN $rev ELSE 0 END) AS BIGINT) AS nation_rev_e8, " +
+        s"CAST(sum($rev) AS BIGINT) AS total_rev_e8 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY' " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "JOIN region ON n2.n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY o_year) " +
+        "SELECT o_year, nation_rev_e8, total_rev_e8, " +
+        "((nation_rev_e8 // 10000) * 10000) // greatest(total_rev_e8 // 10000, 1) AS share_bp " +
+        "FROM agg ORDER BY o_year"
+    },
+    "q15_top_supplier" ->
+      (s"WITH rev AS (SELECT l_suppkey, $revenueE8Sql AS total_rev_e8 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_rev_e8 FROM rev " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_rev_e8 = (SELECT max(total_rev_e8) FROM rev) ORDER BY s_suppkey"),
+    "q21_waiting_suppliers" ->
+      ("WITH ls AS (SELECT l_orderkey, l_suppkey, " +
+        "max(CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) > 5184000000000 THEN 1 ELSE 0 END) AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey, l_suppkey), " +
+        "per AS (SELECT l_suppkey, late, " +
+        "count(*) OVER (PARTITION BY l_orderkey) AS n_supp, " +
+        "CAST(sum(late) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_late FROM ls) " +
+        "SELECT s_name, count(*) AS numwait FROM per " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE late = 1 AND n_supp > 1 AND n_late = 1 " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "q22_dormant_balances" ->
+      (s"WITH c AS (SELECT c_custkey, c_nationkey, ${e4Sql("c_acctbal")} AS acctbal_e4 FROM customer), " +
+        "pos AS (SELECT count(*) AS n_pos, CAST(sum(acctbal_e4) AS BIGINT) AS sum_pos_e4 " +
+        "FROM c WHERE acctbal_e4 > 0) " +
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS numcust, " +
+        "CAST(sum(acctbal_e4) AS BIGINT) AS totacctbal_e4 " +
+        "FROM c, pos WHERE acctbal_e4 * n_pos > sum_pos_e4 " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') " +
+        "GROUP BY nationkey ORDER BY nationkey"),
     "q5_nation_revenue" ->
       (s"SELECT n_name, $revenueE8Sql AS revenue_e8, count(*) AS n_items " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +

@@ -132,6 +132,39 @@ class PlanAuditSpec extends AnyFunSuite {
       "q20 degenerated to a nested loop")
   }
 
+  test("q8_market_share: part + supplier-arm + region-qualifier dims all broadcast") {
+    val analyzed = SparkEntry.queries("q8_market_share")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator
+      .filter(l => l.contains("UnresolvedHint") || l.contains("ResolvedHint")).size
+    assert(hints >= 5, "q8 dimension broadcast hints lost")
+    val p = planOf("q8_market_share")
+    assert(p.contains("LeftSemi"), "region-customer qualifier lost its semi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q8 snowflake degenerated to a cross join")
+    assert(p.contains("partial_sum"), "market-share aggregation lost its map-side partial")
+  }
+
+  test("q15_top_supplier / q21_waiting_suppliers: scalar-max equi-join, windowed existence") {
+    val p15 = planOf("q15_top_supplier")
+    assert(!p15.contains("CartesianProduct") && !p15.contains("BroadcastNestedLoopJoin"),
+      "q15 scalar-max subquery degenerated to a nested loop (must stay an equi hash join)")
+    assert(p15.contains("max_rev_e8"), "q15 lost the 1-row max view")
+    val p21 = planOf("q21_waiting_suppliers")
+    assert(p21.contains("Window"), "q21 per-order counts lost the window rendering")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      "q21 dual existence degenerated to a nested loop")
+    assert(p21.contains("TakeOrderedAndProject"), "q21 top-20 lost the top-k rewrite")
+  }
+
+  test("q22_dormant_balances: 1-row stats broadcast, recent-buyer anti-join") {
+    val p = planOf("q22_dormant_balances")
+    assert(p.contains("LeftAnti"), "q22 recent-buyer exclusion lost its anti-join")
+    // the only nested-loop allowed is the 1-row positive-balance stats side
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, "q22 grew a second nested-loop join")
+  }
+
   test("events_asof_join: union+window plan — zero join operators, one user_id shuffle") {
     val p = planOf("events_asof_join")
     assert(!p.contains("Join"), "as-of degenerated to a join (union+window lost)")
