@@ -152,6 +152,43 @@ object Sketches {
           max(col("n")).as("max_cell"))
         .orderBy(asc("depth"))),
 
+    // Histogram quantile sketch over lineitem prices — the constant-memory
+    // percentile pattern for a 100 TB fact table (the exact twin,
+    // `lineitem_quantiles`, sorts per group; this one never sorts data):
+    // values bucket into fixed e4-integer-width bins, the bin-count grid is
+    // the sketch (map-side combinable, bounded by value range / width, NOT
+    // by row count), and p50/p90/p99 resolve to the first bin whose
+    // cumulative count reaches ceil(n·q) — error bounded by one bin width.
+    // The cumsum window runs over the GRID (≤ ~1k rows), not the corpus;
+    // the only corpus pass is the bucket groupBy. All integer arithmetic:
+    // rank = (n·pct + 99) div 100, replayed exactly in DuckDB.
+    "price_quantile_sketch" -> ((s, d) => {
+      val W = 1000000L // e4-scale bin width = 100.00 price units
+      val e4 = "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+      val grid = s.read.parquet(s"$d/lineitem.parquet")
+        .selectExpr(s"$e4 div ${W}L AS bucket")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      val cum = grid.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      val n = grid.agg(sum(col("cnt")).cast("bigint").as("n"))
+      cum.crossJoin(broadcast(n))
+        .agg(
+          max(col("n")).as("n"),
+          min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("bucket"))).as("b50"),
+          min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("bucket"))).as("b90"),
+          min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("bucket"))).as("b99"))
+        .selectExpr("stack(3, " +
+          "50L, (n * 50 + 99) div 100, b50, " +
+          "90L, (n * 90 + 99) div 100, b90, " +
+          "99L, (n * 99 + 99) div 100, b99) AS (pct, rank, bucket)")
+        .selectExpr("pct", "rank", "bucket",
+          s"bucket * ${W}L AS lo_e4", s"(bucket + 1) * ${W}L AS hi_e4")
+        .orderBy(asc("pct"))
+    }),
+
     "text_cms_heavy_hitters" -> ((s, d) => {
       val top = tokenHashes(s, d)
         .groupBy(col("h")).agg(count(lit(1)).as("n_exact"))
@@ -200,6 +237,20 @@ object Sketches {
           "grid AS (SELECT depth, cell, count(*) AS n FROM cells GROUP BY depth, cell) " +
           "SELECT depth, count(*) AS occupied_cells, CAST(sum(n) AS BIGINT) AS total_count, " +
           "max(n) AS max_cell FROM grid GROUP BY depth ORDER BY depth"),
+      "price_quantile_sketch" ->
+        ("WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+          "CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS e4 FROM lineitem), " +
+          "g AS (SELECT e4 // 1000000 AS bucket, count(*) AS cnt FROM v GROUP BY bucket), " +
+          "c AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g), " +
+          "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g), " +
+          "q AS (SELECT * FROM (VALUES (50), (90), (99)) t(pct)), " +
+          "r AS (SELECT pct, (n * pct + 99) // 100 AS rank FROM q, n), " +
+          "sel AS (SELECT r.pct, r.rank, min(c.bucket) AS bucket " +
+          "FROM r JOIN c ON c.cum >= r.rank GROUP BY r.pct, r.rank) " +
+          "SELECT CAST(pct AS BIGINT) AS pct, CAST(rank AS BIGINT) AS rank, bucket, " +
+          "bucket * 1000000 AS lo_e4, (bucket + 1) * 1000000 AS hi_e4 " +
+          "FROM sel ORDER BY pct"),
       "text_cms_heavy_hitters" ->
         (s"WITH tok AS ($tok), cells AS ($cells), " +
           "grid AS (SELECT depth, cell, count(*) AS n FROM cells GROUP BY depth, cell), " +

@@ -38,6 +38,24 @@ class SketchAccuracySpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantile sketch brackets the exact percentile, one-bin error") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val sketch = SparkEntry.queries("price_quantile_sketch")(s, sf).collect()
+      .map(r => r.getAs[Long]("pct") -> (r.getAs[Long]("lo_e4"), r.getAs[Long]("hi_e4"))).toMap
+    assert(sketch.keySet == Set(50L, 90L, 99L))
+    // exact percentile by full sort — the expensive truth the sketch replaces
+    val vals = s.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS e4")
+      .orderBy(col("e4")).collect().map(_.getLong(0))
+    for (pct <- Seq(50L, 90L, 99L)) {
+      val exact = vals(((vals.length * pct + 99) / 100 - 1).toInt)
+      val (lo, hi) = sketch(pct)
+      assert(exact >= lo && exact < hi,
+        s"p$pct: exact $exact outside sketch bin [$lo, $hi)")
+    }
+  }
+
   test("CMS merge law: grid(A) + grid(B) cell-wise equals grid(A ∪ B)") {
     import org.apache.spark.sql.functions._
     val s = spark
