@@ -416,6 +416,74 @@ object Dedup {
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy(asc("vec_id"))
+    }),
+
+    // The WHOLE curation funnel, one DAG, one corpus pass: quality gate →
+    // exact dedup (keep min doc per content hash) → near-dup drop (verified
+    // MinHash pair whose smaller-id side also survived exact dedup) →
+    // decontamination (benchmark docs and ≥3-shingle-overlap docs out) →
+    // 80% hash-coin sample, reported as the per-stage (docs, tokens) yield
+    // funnel every curation run publishes. Survival is monotone, so each
+    // doc's stage flags are prefix-ANDs computed ONCE in a single row
+    // relation (the expensive inputs — pair graph, contamination set —
+    // are bucket-joins reused from the dedup kernels), and the funnel is
+    // ONE conditional aggregate, not six query re-runs. The gate decision
+    // is the same rendering text_quality_gate reports on
+    // (TextAnalysis.qualityOkSpark — one rendering per engine).
+    "training_data_factory" -> ((s, d) => {
+      val base = docs(s, d)
+        .selectExpr("doc_id", "lang", "md5(text) AS h",
+          s"${tokensSpark("text")} AS toks")
+        .selectExpr("doc_id", "lang", "h",
+          "CAST(size(toks) AS BIGINT) AS n_tokens",
+          s"${TextAnalysis.qualityOkSpark("toks")} AS ok_q",
+          "doc_id % 97 = 0 AS is_bench",
+          s"${charHashSpark("CAST(doc_id AS STRING)")} % 100 AS coin")
+        .transform(CacheScope.persist)
+      val staged = base
+        .withColumn("min_ok_doc",
+          min(when(col("ok_q"), col("doc_id"))).over(Window.partitionBy(col("h"))))
+        .withColumn("s1", col("ok_q"))
+        .withColumn("s2", col("ok_q") && col("doc_id") === col("min_ok_doc"))
+      val s2ids = staged.filter(col("s2")).select(col("doc_id").as("surv_id"))
+      val dropNear = minhashVerified(s, d)
+        .join(s2ids, col("doc_a") === col("surv_id"), "left_semi")
+        .select(col("doc_b").as("doc_id")).distinct()
+      val shRel = shingled(s, d)
+      val benchSh = shRel.filter(col("doc_id") % 97 === 0)
+        .selectExpr("lang", "explode(sh) AS shv").distinct()
+      val contaminated = shRel.filter(col("doc_id") % 97 =!= 0)
+        .selectExpr("doc_id", "lang", "explode(sh) AS shv")
+        .join(broadcast(benchSh), Seq("lang", "shv"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= TrainingPipeline.ContaminationMinOverlap)
+        .select(col("doc_id"))
+      staged
+        .join(dropNear.withColumn("near_dup", lit(true)), Seq("doc_id"), "left")
+        .join(contaminated.withColumn("contam", lit(true)), Seq("doc_id"), "left")
+        .withColumn("s3", col("s2") && col("near_dup").isNull)
+        .withColumn("s4", col("s3") && !col("is_bench") && col("contam").isNull)
+        .withColumn("s5", col("s4") && col("coin") < 80)
+        .agg(
+          count(lit(1)).as("n0"), sum(col("n_tokens")).cast("bigint").as("t0"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("s1"), col("n_tokens")).otherwise(0L)).as("t1"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("s2"), col("n_tokens")).otherwise(0L)).as("t2"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n4"),
+          sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("t4"),
+          sum(when(col("s5"), 1L).otherwise(0L)).as("n5"),
+          sum(when(col("s5"), col("n_tokens")).otherwise(0L)).as("t5"))
+        .selectExpr("stack(6, " +
+          "0L, 'all', n0, t0, " +
+          "1L, 'quality', n1, t1, " +
+          "2L, 'exact_dedup', n2, t2, " +
+          "3L, 'near_dedup', n3, t3, " +
+          "4L, 'decontaminated', n4, t4, " +
+          "5L, 'sampled', n5, t5) AS (stage, stage_name, n_docs, total_tokens)")
+        .orderBy(asc("stage"))
     })
   )
 
@@ -621,7 +689,47 @@ object Dedup {
           "lab AS (SELECT u AS vec_id, min(m) AS cluster_id FROM reach GROUP BY u) " +
           "SELECT vec_id, cluster_id, " +
           "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
-          "FROM lab ORDER BY vec_id")
+          "FROM lab ORDER BY vec_id"),
+      "training_data_factory" ->
+        (s"WITH $minhashVerifiedCtes, " +
+          s"b0 AS (SELECT doc_id, lang, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +
+          "b AS (SELECT doc_id, lang, h, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+          s"${TextAnalysis.qualityOkDuck("toks")} AS ok_q, " +
+          "doc_id % 97 = 0 AS is_bench, " +
+          s"${charHashDuck("CAST(doc_id AS VARCHAR)")} % 100 AS coin FROM b0), " +
+          "st AS (SELECT *, min(CASE WHEN ok_q THEN doc_id END) " +
+          "OVER (PARTITION BY h) AS min_ok_doc FROM b), " +
+          "s2ids AS (SELECT doc_id FROM st WHERE ok_q AND doc_id = min_ok_doc), " +
+          "dropnear AS (SELECT DISTINCT doc_b AS doc_id FROM pairs " +
+          "WHERE doc_a IN (SELECT doc_id FROM s2ids)), " +
+          "bench AS (SELECT DISTINCT lang, unnest(sh) AS shv FROM shingled WHERE doc_id % 97 = 0), " +
+          "corpus AS (SELECT doc_id, lang, unnest(sh) AS shv FROM shingled WHERE doc_id % 97 <> 0), " +
+          "contam AS (SELECT c.doc_id FROM corpus c JOIN bench be ON c.lang = be.lang AND c.shv = be.shv " +
+          s"GROUP BY c.doc_id HAVING count(*) >= ${TrainingPipeline.ContaminationMinOverlap}), " +
+          "fl AS (SELECT n_tokens, ok_q AS s1, " +
+          "(ok_q AND doc_id = min_ok_doc) AS s2, " +
+          "(ok_q AND doc_id = min_ok_doc AND doc_id NOT IN (SELECT doc_id FROM dropnear)) AS s3, " +
+          "(ok_q AND doc_id = min_ok_doc AND doc_id NOT IN (SELECT doc_id FROM dropnear) " +
+          "AND NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM contam)) AS s4, " +
+          "(ok_q AND doc_id = min_ok_doc AND doc_id NOT IN (SELECT doc_id FROM dropnear) " +
+          "AND NOT is_bench AND doc_id NOT IN (SELECT doc_id FROM contam) AND coin < 80) AS s5 FROM st), " +
+          "agg AS (SELECT count(*) AS n0, CAST(sum(n_tokens) AS BIGINT) AS t0, " +
+          "CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+          "CAST(sum(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1, " +
+          "CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+          "CAST(sum(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2, " +
+          "CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, " +
+          "CAST(sum(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3, " +
+          "CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4, " +
+          "CAST(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4, " +
+          "CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5, " +
+          "CAST(sum(CASE WHEN s5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5 FROM fl) " +
+          "SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name, n0 AS n_docs, t0 AS total_tokens FROM agg " +
+          "UNION ALL SELECT 1, 'quality', n1, t1 FROM agg " +
+          "UNION ALL SELECT 2, 'exact_dedup', n2, t2 FROM agg " +
+          "UNION ALL SELECT 3, 'near_dedup', n3, t3 FROM agg " +
+          "UNION ALL SELECT 4, 'decontaminated', n4, t4 FROM agg " +
+          "UNION ALL SELECT 5, 'sampled', n5, t5 FROM agg ORDER BY stage")
     )
   }
 }

@@ -34,6 +34,28 @@ object TextAnalysis {
 
   private val EnStop = StopLists.toMap.apply("en")
 
+  /** The Gopher-gate pass/fail decision as ONE boolean over a token-array
+    * expression — the same four integer-exact rules text_quality_gate
+    * reports per language, factored so the training_data_factory funnel
+    * applies the identical decision (one rendering per engine, like the
+    * top-k and e10-means idioms). */
+  private[operators] def qualityOkSpark(toks: String): String = {
+    val allStop = StopLists.flatMap(_._2).distinct.sorted
+    s"((CAST(size($toks) AS BIGINT) BETWEEN 10 AND 100000) AND " +
+      s"(((aggregate($toks, 0L, (a, t) -> a + length(t)) * 10) div greatest(size($toks), 1)) BETWEEN 30 AND 100) AND " +
+      s"(((CAST(size(filter($toks, t -> t rlike '[a-zA-Z]')) AS BIGINT) * 10000) div greatest(size($toks), 1)) >= 7000) AND " +
+      s"(CAST(size(filter($toks, t -> t IN (${allStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) >= 2))"
+  }
+
+  /** DuckDB twin of [[qualityOkSpark]] (identical rules and arithmetic). */
+  private[operators] def qualityOkDuck(toks: String): String = {
+    val allStop = StopLists.flatMap(_._2).distinct.sorted
+    s"((CAST(len($toks) AS BIGINT) BETWEEN 10 AND 100000) AND " +
+      s"(((list_reduce(list_prepend(0::BIGINT, list_transform($toks, t -> length(t)::BIGINT)), (a, x) -> a + x) * 10) // greatest(len($toks), 1)) BETWEEN 30 AND 100) AND " +
+      s"(((len(list_filter($toks, t -> regexp_matches(t, '[a-zA-Z]'))) * 10000) // greatest(len($toks), 1)) >= 7000) AND " +
+      s"(CAST(len(list_filter($toks, t -> t IN (${allStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) >= 2))"
+  }
+
   /** Shard fan-out for the two-level per-language top-k. A single
     * `row_number() OVER (PARTITION BY lang)` funnels a language's ENTIRE
     * scored vocabulary through one reducer — at 100 TB English alone is one
