@@ -21,7 +21,8 @@ object SparkEntry {
       (Temporal.queries, Temporal.oracles),
       (Pii.queries, Pii.oracles),
       (Sketches.queries, Sketches.oracles),
-      (Multimodal.queries, Multimodal.oracles)
+      (Multimodal.queries, Multimodal.oracles),
+      (Evolution.queries, Evolution.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-evolution operators: the jobs a curation platform runs BETWEEN
+  * pipeline versions — snapshot-to-snapshot change audit, one-pass column
+  * profiling, and graph centrality over the behavior log. Reference scope:
+  * factstore keeps an immutable fact log (`factstore-spec` append/replay
+  * semantics), so "what changed between two cuts of the log" and "what
+  * does the data look like now" are first-class questions its users answer
+  * downstream; these operators answer them engine-side.
+  *
+  * Scale notes (100 TB):
+  * - `snapshot_diff` aggregates both snapshots from ONE scan (the older
+  *   cutoff is a filter inside the same pass, not a second read), then
+  *   diffs per-key states with a single co-partitioned full-outer join on
+  *   the aggregate (post-shuffle size = |keys|, not |rows|). Output is the
+  *   per-change-class summary — O(3) rows, the audit artifact.
+  * - `profile_columns` unpivots k columns into (col, value) pairs BEFORE
+  *   aggregating, so exact per-column distinct counts come from one
+  *   shuffle of narrow pairs — NOT k independent count(distinct) over the
+  *   wide row (Catalyst would Expand the scan k-fold). Values render as
+  *   zero-padded fixed-width strings so lexicographic min/max equals
+  *   numeric min/max and both engines hash identically.
+  * - `events_transition_rank` is the log→graph→iterate pattern: the only
+  *   corpus-scale work is one user_id-shuffled lag + a groupBy that
+  *   collapses 100 TB of events into a |types|² edge table; the damped
+  *   random-walk iterations then run on the tiny aggregated graph
+  *   (broadcast joins, integer-exact floor arithmetic both engines
+  *   replay).
+  */
+object Evolution {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Money as scale-4 BIGINT per row (see Analytics: no DECIMAL leaves a
+    * query; scaled integers hash identically across engines). */
+  private def e4(c: Column) =
+    (c.cast("decimal(18,4)") * lit(10000).cast("decimal(5,0)")).cast("bigint")
+  private def e4Sql(inner: String) =
+    s"CAST(CAST($inner AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+
+  /** Snapshot cutoffs for the CDC diff (orders span 1995-01..2001-08). */
+  val CutOld = "1999-01-01 00:00:00"
+  val CutNew = "2000-01-01 00:00:00"
+
+  /** Damped-walk fixed point scale and iteration count, pinned. */
+  val RankScale = 1000000000000L // 1e12
+  val RankIters = 4
+
+  /** Columns profiled by `profile_columns`: (output name, Spark rendering,
+    * DuckDB rendering). Renderings are non-negative integers (or short
+    * uppercase flags) lpad'ed to 20, so string order == numeric order. */
+  private val profileCols: Seq[(String, String, String)] = Seq(
+    ("l_orderkey", "CAST(l_orderkey AS STRING)", "CAST(l_orderkey AS VARCHAR)"),
+    ("l_partkey", "CAST(l_partkey AS STRING)", "CAST(l_partkey AS VARCHAR)"),
+    ("l_suppkey", "CAST(l_suppkey AS STRING)", "CAST(l_suppkey AS VARCHAR)"),
+    ("l_linenumber", "CAST(l_linenumber AS STRING)", "CAST(l_linenumber AS VARCHAR)"),
+    ("l_quantity_e4", s"CAST(${e4Sql("l_quantity")} AS STRING)",
+      s"CAST(${e4Sql("l_quantity")} AS VARCHAR)"),
+    ("l_extendedprice_e4", s"CAST(${e4Sql("l_extendedprice")} AS STRING)",
+      s"CAST(${e4Sql("l_extendedprice")} AS VARCHAR)"),
+    ("l_returnflag", "l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus", "l_linestatus"),
+    ("l_shipdate_us", "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING)",
+      "CAST(epoch_us(l_shipdate) AS VARCHAR)"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Snapshot CDC: per-customer order state (count, spend) at two log
+    // cutoffs, full-outer diffed, summarized per change class. The log is
+    // append-only, so 'removed' is structurally impossible — the operator
+    // still models it (full outer + null handling both ways) because a
+    // compacted/vacuumed store can drop keys.
+    "snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(CutNew)))
+      // one scan: the older snapshot is a conditional aggregate of the newer
+      val st = o.groupBy(col("o_custkey")).agg(
+        sum(when(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(CutOld)), 1L)
+          .otherwise(0L)).as("n_old"),
+        sum(when(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(CutOld)),
+          e4(col("o_totalprice"))).otherwise(0L)).as("spend_old_e4"),
+        count(lit(1)).as("n_new"),
+        sum(e4(col("o_totalprice"))).as("spend_new_e4"))
+      st.select(
+          when(col("n_old") === 0L, lit("added"))
+            .when(col("n_new") =!= col("n_old"), lit("changed"))
+            .otherwise(lit("unchanged")).as("change_type"),
+          col("n_new"), col("n_old"), col("spend_new_e4"), col("spend_old_e4"))
+        .groupBy(col("change_type"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("n_new") - col("n_old")).as("orders_delta"),
+          sum(col("spend_new_e4") - col("spend_old_e4")).as("spend_delta_e4"))
+        .orderBy(asc("change_type"))
+    }),
+
+    // One-pass exact column profile of the widest fact table: row count,
+    // null count, exact distinct count, min/max per column — the
+    // data-quality dashboard every ingest run publishes.
+    "profile_columns" -> ((s, d) => {
+      val stackArgs = profileCols
+        .map { case (n, sp, _) => s"'$n', lpad($sp, 20, '0')" }.mkString(", ")
+      t(s, d, "lineitem")
+        .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS (col_name, v)")
+        .groupBy(col("col_name"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(asc("col_name"))
+    }),
+
+    // Damped random-walk centrality over the event-type transition graph:
+    // which states of the behavior log attract the walk. Log→graph is the
+    // scale step (one user_id shuffle); the RankIters power iterations run
+    // on the aggregated |types|² graph with floor-division arithmetic both
+    // engines replay bit-exactly (all operands positive, < 2^62).
+    "events_transition_rank" -> ((s, d) => {
+      val ev = EventFinders.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("event_id"))
+      val edges = ev
+        .withColumn("src", lag(col("event_type"), 1).over(byUser))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      // fresh exprId for the grouping key — joining outw back onto edges
+      // with the inherited `src` attribute would be an ambiguous self-join
+      val outw = edges.select(col("src").as("osrc"), col("w"))
+        .groupBy(col("osrc")).agg(sum(col("w")).as("outw"))
+      val nodes = ev.select(col("event_type").as("node")).distinct()
+      // |types| is a bounded enumeration (5 here); a driver-side scalar for
+      // the literal base term, same spirit as the cached ANN index arrays
+      val n = nodes.count()
+      val base = (15L * RankScale) / (100L * n)
+      var pr = nodes.withColumn("pr", lit(RankScale / n))
+      for (_ <- 1 to RankIters) {
+        val inflow = pr.join(edges, pr("node") === edges("src"))
+          .join(outw, col("src") === col("osrc"))
+          .select(col("dst").as("node"),
+            expr("pr * w div outw").as("contrib"))
+          .groupBy(col("node"))
+          .agg(sum(col("contrib")).as("inflow"))
+        pr = nodes.join(inflow, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"85 * coalesce(inflow, 0L) div 100")).as("pr"))
+      }
+      pr.select(col("node").as("event_type"), col("pr").as("rank_e12"))
+        .orderBy(desc("rank_e12"), asc("event_type"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      (s"WITH st AS (SELECT o_custkey, " +
+        "CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '" + CutOld + "' THEN 1 ELSE 0 END) AS BIGINT) AS n_old, " +
+        s"CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$CutOld' THEN ${e4Sql("o_totalprice")} ELSE 0 END) AS BIGINT) AS spend_old_e4, " +
+        "count(*) AS n_new, " +
+        s"CAST(sum(${e4Sql("o_totalprice")}) AS BIGINT) AS spend_new_e4 " +
+        s"FROM orders WHERE o_orderdate < TIMESTAMP '$CutNew' GROUP BY o_custkey), " +
+        "cls AS (SELECT CASE WHEN n_old = 0 THEN 'added' " +
+        "WHEN n_new != n_old THEN 'changed' ELSE 'unchanged' END AS change_type, " +
+        "n_new, n_old, spend_new_e4, spend_old_e4 FROM st) " +
+        "SELECT change_type, count(*) AS n_customers, " +
+        "CAST(sum(n_new - n_old) AS BIGINT) AS orders_delta, " +
+        "CAST(sum(spend_new_e4 - spend_old_e4) AS BIGINT) AS spend_delta_e4 " +
+        "FROM cls GROUP BY change_type ORDER BY change_type"),
+
+    "profile_columns" -> {
+      val union = profileCols
+        .map { case (n, _, du) => s"SELECT '$n' AS col_name, lpad($du, 20, '0') AS v FROM lineitem" }
+        .mkString(" UNION ALL ")
+      s"WITH u AS ($union) " +
+        "SELECT col_name, count(*) AS n_rows, " +
+        "CAST(count(*) - count(v) AS BIGINT) AS n_nulls, " +
+        "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, " +
+        "min(v) AS min_v, max(v) AS max_v " +
+        "FROM u GROUP BY col_name ORDER BY col_name"
+    },
+
+    "events_transition_rank" -> {
+      val iters = (1 to RankIters).map { k =>
+        val prev = if (k == 1) "i0" else s"i${k - 1}"
+        s"i$k AS (SELECT n.node, b.base + (85 * coalesce(s.inflow, 0)) // 100 AS pr " +
+          "FROM nodes n CROSS JOIN b LEFT JOIN (" +
+          "SELECT e.dst AS node, CAST(sum((p.pr * e.w) // o.outw) AS BIGINT) AS inflow " +
+          s"FROM $prev p JOIN edges e ON e.src = p.node JOIN outw o ON o.src = e.src " +
+          "GROUP BY e.dst) s ON s.node = n.node)"
+      }.mkString(", ")
+      "WITH seq AS (SELECT user_id, event_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS src FROM events), " +
+        "edges AS (SELECT src, event_type AS dst, count(*) AS w FROM seq " +
+        "WHERE src IS NOT NULL GROUP BY src, event_type), " +
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src), " +
+        "nodes AS (SELECT DISTINCT event_type AS node FROM events), " +
+        "nn AS (SELECT count(*) AS c FROM nodes), " +
+        s"b AS (SELECT (15 * ${RankScale}) // (100 * c) AS base, ${RankScale} // c AS pr0 FROM nn), " +
+        "i0 AS (SELECT n.node, b.pr0 AS pr FROM nodes n CROSS JOIN b), " +
+        iters + " " +
+        s"SELECT node AS event_type, CAST(pr AS BIGINT) AS rank_e12 FROM i$RankIters " +
+        "ORDER BY rank_e12 DESC, event_type"
+    }
+  )
+}
