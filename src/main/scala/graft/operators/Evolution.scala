@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *   shuffle of narrow pairs — NOT k independent count(distinct) over the
   *   wide row (Catalyst would Expand the scan k-fold). Values render as
   *   zero-padded fixed-width strings so lexicographic min/max equals
-  *   numeric min/max and both engines hash identically.
+  *   numeric min/max and both engines hash identically. (At 100 TB the
+  *   exact distinct swaps for the HLL kernel in Sketches — same unpivot
+  *   shape, mergeable registers instead of a distinct shuffle.)
   * - `events_transition_rank` is the log→graph→iterate pattern: the only
   *   corpus-scale work is one user_id-shuffled lag + a groupBy that
   *   collapses 100 TB of events into a |types|² edge table; the damped
@@ -126,29 +128,38 @@ object Evolution {
       val ev = EventFinders.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
       val byUser = Window.partitionBy(col("user_id")).orderBy(asc("event_id"))
-      val edges = ev
+      // materialize the collapsed graph ONCE — every fixed-point iteration
+      // references edges/nodes, and without the persist each iteration
+      // would re-scan and re-aggregate the full event log
+      val edges = CacheScope.persist(ev
         .withColumn("src", lag(col("event_type"), 1).over(byUser))
         .filter(col("src").isNotNull)
         .groupBy(col("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("w"))
+        .agg(count(lit(1)).as("w")))
       // fresh exprId for the grouping key — joining outw back onto edges
       // with the inherited `src` attribute would be an ambiguous self-join
       val outw = edges.select(col("src").as("osrc"), col("w"))
         .groupBy(col("osrc")).agg(sum(col("w")).as("outw"))
-      val nodes = ev.select(col("event_type").as("node")).distinct()
+      // nodes come from the log, not the edge endpoints: an event type seen
+      // only in single-event histories has no edges but is still a state
+      val nodes = CacheScope.persist(
+        ev.select(col("event_type").as("node")).distinct())
       // |types| is a bounded enumeration (5 here); a driver-side scalar for
       // the literal base term, same spirit as the cached ANN index arrays
       val n = nodes.count()
       val base = (15L * RankScale) / (100L * n)
       var pr = nodes.withColumn("pr", lit(RankScale / n))
       for (_ <- 1 to RankIters) {
-        val inflow = pr.join(edges, pr("node") === edges("src"))
-          .join(outw, col("src") === col("osrc"))
+        // |types|² rows: broadcast is structurally safe, and explicit —
+        // cache stats are unknown to the static planner, which would
+        // otherwise fall back to a sort-merge join
+        val inflow = pr.join(broadcast(edges), pr("node") === edges("src"))
+          .join(broadcast(outw), col("src") === col("osrc"))
           .select(col("dst").as("node"),
             expr("pr * w div outw").as("contrib"))
           .groupBy(col("node"))
           .agg(sum(col("contrib")).as("inflow"))
-        pr = nodes.join(inflow, Seq("node"), "left")
+        pr = nodes.join(broadcast(inflow), Seq("node"), "left")
           .select(col("node"),
             (lit(base) + expr(s"85 * coalesce(inflow, 0L) div 100")).as("pr"))
       }

@@ -320,4 +320,39 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected one documents scan, got $scans")
   }
+
+  test("snapshot_diff: both snapshots from ONE orders scan, join-free") {
+    val p = planOf("snapshot_diff")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"older snapshot must be a conditional aggregate of the newer, got $scans scans")
+    assert(!p.contains("Join"), "snapshot states must diff inside the aggregate, not via a join")
+    assert(p.contains("PushedFilters"), "newer-cutoff filter must reach the scan")
+  }
+
+  test("profile_columns: no Expand — distinct counts go through the unpivot, not k-fold expansion") {
+    val p = planOf("profile_columns")
+    assert(!p.contains("Expand"),
+      "per-column count(distinct) expanded the wide scan k-fold; the unpivot shape is gone")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one lineitem scan, got $scans")
+  }
+
+  test("events_transition_rank: graph materialized once; iterations broadcast it") {
+    val df = SparkEntry.queries("events_transition_rank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      // the log->graph collapse (the only corpus-scale work, one user_id
+      // window exchange) must be cached — every fixed-point iteration then
+      // reads the InMemoryRelation instead of re-scanning the event log
+      assert(p.contains("InMemoryTableScan"),
+        "edge/node aggregates not materialized; each iteration re-scans the log")
+      assert(!p.contains("SortMergeJoin"),
+        "fixed-point iterations on the |types|^2 graph must broadcast, not shuffle")
+      // and the cached subplan itself carries exactly one user_id exchange
+      val firstCached = p.indexOf("InMemoryRelation")
+      val cachedSection = if (firstCached >= 0) p.substring(firstCached) else p
+      assert("hashpartitioning\\(user_id".r.findAllIn(cachedSection).nonEmpty,
+        "cached graph plan lost its single user_id window exchange")
+    } finally graft.operators.CacheScope.releaseAll()
+  }
 }
