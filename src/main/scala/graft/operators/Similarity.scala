@@ -559,7 +559,41 @@ object Similarity {
         .agg(count(lit(1)).as("n"),
           min(col("norm_ppm")).as("min_norm_ppm"),
           max(col("norm_ppm")).as("max_norm_ppm"))
-        .orderBy(asc("label")))
+        .orderBy(asc("label"))),
+
+    // Embedding-space cluster quality: per-label cohesion (mean member→
+    // centroid L2, e10-floored integer mean) vs separation (L2 to the
+    // nearest OTHER centroid) — the SemDeDup-era signal for pruning or
+    // re-clustering a degenerate embedding region before semantic dedup
+    // trusts it. One corpus pass builds the e10-exact centroids, one
+    // broadcast join scores members; the pairwise centroid table is
+    // |labels|² and never touches the corpus.
+    "embedding_cluster_quality" -> ((s, d) => {
+      val e = emb(s, d)
+      val cent = CacheScope.persist(e10Means(e, "embedding", Seq("label")))
+      val memb = e.join(broadcast(cent), Seq("label"))
+        .selectExpr("label",
+          s"CAST(floor((${l2DistSpark("embedding", "cv")}) * 10000000000) AS BIGINT) AS de10")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(de10) div count(1)").as("cohesion_e10"))
+      val other = cent.select(col("label").as("olabel"), col("cv").as("ocv"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("se10"), col("olabel"))
+      val sep = cent.join(broadcast(other), col("label") =!= col("olabel"))
+        .selectExpr("label", "olabel",
+          s"CAST(floor((${l2DistSpark("cv", "ocv")}) * 10000000000) AS BIGINT) AS se10")
+        .withColumn("rk", row_number().over(W))
+        .filter(col("rk") === 1)
+        .select(col("label"), col("olabel").as("nn_label"), col("se10").as("nn_sep_e10"))
+      memb.join(sep, Seq("label"))
+        // guarded denominator: identical rendering on both engines so a
+        // degenerate zero-separation corpus can't diverge (DuckDB raises,
+        // Spark yields NULL)
+        .selectExpr("label", "n_vecs", "cohesion_e10", "nn_label", "nn_sep_e10",
+          "(cohesion_e10 * 10000) div greatest(nn_sep_e10, 1L) AS compactness_bp")
+        .orderBy(asc("label"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -619,6 +653,26 @@ object Similarity {
       (s"SELECT label, count(*) AS n, " +
         s"min(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS min_norm_ppm, " +
         s"max(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS max_norm_ppm " +
-        "FROM embeddings GROUP BY label ORDER BY label")
+        "FROM embeddings GROUP BY label ORDER BY label"),
+
+    "embedding_cluster_quality" ->
+      ("WITH ecmp AS (SELECT label, vec_id, p.range AS pos, " +
+        "CAST(floor(list_extract(embedding, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
+        s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) p), " +
+        duckMeanCtes("gq", 1, "label", "ecmp") +
+        "memb AS (SELECT e.label, " +
+        s"CAST(floor((${l2DistDuck("e.embedding", "c.cv", Dim)}) * 10000000000) AS BIGINT) AS de10 " +
+        "FROM embeddings e JOIN gqcent1 c USING (label)), " +
+        "coh AS (SELECT label, count(*) AS n_vecs, " +
+        "CAST(sum(de10) // count(*) AS BIGINT) AS cohesion_e10 FROM memb GROUP BY label), " +
+        "pairs AS (SELECT a.label, b.label AS olabel, " +
+        s"CAST(floor((${l2DistDuck("a.cv", "b.cv", Dim)}) * 10000000000) AS BIGINT) AS se10 " +
+        "FROM gqcent1 a JOIN gqcent1 b ON a.label != b.label), " +
+        "sep AS (SELECT label, olabel AS nn_label, se10 AS nn_sep_e10 FROM (" +
+        "SELECT label, olabel, se10, row_number() OVER " +
+        "(PARTITION BY label ORDER BY se10, olabel) AS rk FROM pairs) _ WHERE rk = 1) " +
+        "SELECT coh.label, n_vecs, cohesion_e10, nn_label, nn_sep_e10, " +
+        "CAST((cohesion_e10 * 10000) // greatest(nn_sep_e10, 1) AS BIGINT) AS compactness_bp " +
+        "FROM coh JOIN sep ON coh.label = sep.label ORDER BY coh.label")
   )
 }

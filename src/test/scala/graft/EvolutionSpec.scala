@@ -56,6 +56,17 @@ class EvolutionSpec extends AnyFunSuite {
     assert(prof("l_orderkey").getString(4).toLong == minKey)
   }
 
+  test("embedding_cluster_quality: labels partition the corpus, neighbor is a different label") {
+    val q = SparkEntry.queries("embedding_cluster_quality")(spark, sf).collect()
+    try {
+      val nVectors = spark.read.parquet(s"$sf/embeddings.parquet").count()
+      assert(q.map(_.getLong(1)).sum == nVectors, "per-label counts must partition the corpus")
+      assert(q.forall(r => r.getInt(0) != r.getInt(3)), "nearest centroid must be another label")
+      assert(q.forall(_.getLong(2) > 0L), "cohesion must be positive on a non-degenerate corpus")
+      assert(q.forall(_.getLong(4) > 0L), "separation must be positive for distinct centroids")
+    } finally graft.operators.CacheScope.releaseAll()
+  }
+
   test("events_transition_rank is a near-unit distribution ranking in-flow") {
     val pr = Evolution.queries("events_transition_rank")(spark, sf).collect()
     assert(pr.length == 5)
