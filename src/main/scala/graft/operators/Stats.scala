@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-model operators over the fact tables: integer-exact
+  * least-squares regression (covariance / slope) and per-period modal
+  * category — the "fit a trend" and "what is typical" questions an
+  * analytics engine answers after the plain aggregates. Reference scope:
+  * factstore exposes append/scan/aggregate; its users run exactly these
+  * model-ish reductions downstream, so the engine ships them as first-class
+  * one-pass operators.
+  *
+  * Determinism contract: all moments are integer sums (money at ×10⁴, the
+  * classic scaled-bigint discipline of this inventory); the second-moment
+  * cross terms n·Σxy − Σx·Σy are computed in DECIMAL(38,0) on Spark and
+  * HUGEINT in DuckDB (both exact integer arithmetic), and every division is
+  * sign-guarded integral division (sign(a)·(|a| div b)) so the two engines
+  * cannot disagree on negative-quotient rounding (Spark `div` truncates
+  * toward zero; floor-vs-truncate only differs on negatives).
+  *
+  * Scale (100 TB): both operators are one map-side-combined groupBy over a
+  * narrow projection — the moment vector (n, Σx, Σy, Σx², Σxy) is a
+  * constant-width mergeable state, the same shape as the sketch kernels.
+  * The mode's rank window runs on the aggregated (period × priority)
+  * relation (bounded: periods/months × 5 priorities), never on raw rows.
+  */
+object Stats {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Money as scale-4 BIGINT (see Analytics). */
+  private def e4Sql(inner: String) =
+    s"CAST(CAST($inner AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+
+  /** 30-day epoch period for the mode query — calendar-free integer day
+    * arithmetic both engines render identically. */
+  private val PeriodDays = 30L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer-exact OLS of extendedprice on quantity per returnflag: one
+    // narrow scan -> five-moment aggregate -> closed-form slope. The whole
+    // regression is ONE map-side-combined shuffle of 5 longs per group;
+    // at 100 TB this is the cheapest possible "fit a line" plan.
+    // Bounds: x <= 50, y_e4 <= ~1e9, so Sxy <= n·5e10 and the DECIMAL(38,0)
+    // cross terms stay far below 1e38 through sf1000.
+    "stats_qty_price_regression" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .selectExpr(
+          "l_returnflag",
+          "CAST(l_quantity AS BIGINT) AS x", // integral in TPC-H data
+          s"${e4Sql("l_extendedprice")} AS y_e4")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y_e4")).as("sy_e4"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y_e4")).as("sxy"))
+        .selectExpr(
+          "l_returnflag", "n", "sx AS sum_qty", "sy_e4 AS sum_price_e4",
+          "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sy_e4 AS DECIMAL(38,0)) AS covn",
+          "CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS varn",
+          "n AS n2")
+        .selectExpr(
+          "l_returnflag", "n", "sum_qty", "sum_price_e4",
+          // cov(x, y_e4) = covn / n²; sign-guarded integral division
+          "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * (abs(covn) div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))) AS BIGINT) AS cov_qp_e4",
+          // slope = covn / varn, in price-per-unit-qty at 1e4·1e6 = 1e10
+          "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * ((abs(covn) * CAST(1000000 AS DECIMAL(38,0))) div varn) AS BIGINT) AS slope_e10")
+        .orderBy(asc("l_returnflag"))),
+
+    // Per-30-day-period modal order priority + its share: aggregate to the
+    // (period, priority) grid first (the only corpus-sized work, one
+    // combine-friendly groupBy), then rank within the tiny grid. Share is
+    // exact basis points against the period total.
+    "stats_priority_mode" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val grid = t(s, d, "orders")
+        .selectExpr(
+          s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${dayUs}L div $PeriodDays AS period",
+          "o_orderpriority")
+        .groupBy(col("period"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val tot = grid.groupBy(col("period")).agg(sum(col("n")).as("total"))
+      grid.join(broadcast(tot), Seq("period"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("period"))
+            .orderBy(desc("n"), asc("o_orderpriority"))))
+        .filter(col("rank") === 1)
+        .selectExpr("period", "o_orderpriority AS mode_priority", "n",
+          "(n * 10000) div total AS share_bp")
+        .orderBy(asc("period"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "stats_qty_price_regression" ->
+      ("WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
+        s"${e4Sql("l_extendedprice")} AS y_e4 FROM lineitem), " +
+        "g AS (SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(y_e4) AS BIGINT) AS sy_e4, CAST(sum(x * x) AS BIGINT) AS sxx, " +
+        "CAST(sum(x * y_e4) AS BIGINT) AS sxy FROM b GROUP BY l_returnflag), " +
+        "c AS (SELECT l_returnflag, n, sx, sy_e4, " +
+        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy_e4 AS covn, " +
+        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varn FROM g) " +
+        "SELECT l_returnflag, n, sx AS sum_qty, sy_e4 AS sum_price_e4, " +
+        "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * (abs(covn) // (CAST(n AS HUGEINT) * n)) AS BIGINT) AS cov_qp_e4, " +
+        "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * ((abs(covn) * 1000000) // varn) AS BIGINT) AS slope_e10 " +
+        "FROM c ORDER BY l_returnflag"),
+
+    "stats_priority_mode" ->
+      (s"WITH grid AS (SELECT epoch_us(o_orderdate) // 86400000000 // $PeriodDays AS period, " +
+        "o_orderpriority, count(*) AS n FROM orders GROUP BY period, o_orderpriority), " +
+        "tot AS (SELECT period, CAST(sum(n) AS BIGINT) AS total FROM grid GROUP BY period), " +
+        "r AS (SELECT g.period, g.o_orderpriority, g.n, t.total, row_number() OVER " +
+        "(PARTITION BY g.period ORDER BY g.n DESC, g.o_orderpriority ASC) AS rank " +
+        "FROM grid g JOIN tot t ON g.period = t.period) " +
+        "SELECT period, o_orderpriority AS mode_priority, n, " +
+        "(n * 10000) // total AS share_bp FROM r WHERE rank = 1 ORDER BY period")
+  )
+}
