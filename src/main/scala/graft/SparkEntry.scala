@@ -22,7 +22,8 @@ object SparkEntry {
       (Pii.queries, Pii.oracles),
       (Sketches.queries, Sketches.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (Evolution.queries, Evolution.oracles)
+      (Evolution.queries, Evolution.oracles),
+      (Stats.queries, Stats.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   * one-pass operators.
   *
   * Determinism contract: all moments are integer sums (money at ×10⁴, the
-  * classic scaled-bigint discipline of this inventory); the second-moment
-  * cross terms n·Σxy − Σx·Σy are computed in DECIMAL(38,0) on Spark and
-  * HUGEINT in DuckDB (both exact integer arithmetic), and every division is
-  * sign-guarded integral division (sign(a)·(|a| div b)) so the two engines
-  * cannot disagree on negative-quotient rounding (Spark `div` truncates
-  * toward zero; floor-vs-truncate only differs on negatives).
+  * classic scaled-bigint discipline of this inventory). Overflow headroom,
+  * stated exactly: the accumulated cross-moments Σx² and Σx·y_e4 are summed
+  * in DECIMAL(38,0) on Spark / HUGEINT in DuckDB (exact to ≥1e38 — at 100 TB
+  * Σx·y_e4 ≈ 2e21, far beyond BIGINT but 17 orders below the DECIMAL(38,0)
+  * ceiling); the emitted sums Σx and Σy_e4 stay BIGINT, which is exact
+  * through sf1000 (Σy_e4 ≈ 1e18 < 2⁶³) — a 100 TB deployment widens those
+  * two output columns to DECIMAL(38,0), nothing else changes. Every
+  * division is sign-guarded integral division (sign(a)·(|a| div b)) so the
+  * two engines cannot disagree on negative-quotient rounding (Spark `div`
+  * truncates toward zero; floor-vs-truncate only differs on negatives), and
+  * a degenerate group (constant x → varn = 0) yields a NULL slope rather
+  * than a division error on either engine.
   *
   * Scale (100 TB): both operators are one map-side-combined groupBy over a
   * narrow projection — the moment vector (n, Σx, Σy, Σx², Σxy) is a
@@ -44,8 +50,8 @@ object Stats {
     // narrow scan -> five-moment aggregate -> closed-form slope. The whole
     // regression is ONE map-side-combined shuffle of 5 longs per group;
     // at 100 TB this is the cheapest possible "fit a line" plan.
-    // Bounds: x <= 50, y_e4 <= ~1e9, so Sxy <= n·5e10 and the DECIMAL(38,0)
-    // cross terms stay far below 1e38 through sf1000.
+    // Bounds: x <= 50, y_e4 <= ~1e9; the wide cross-moments (DECIMAL(38,0))
+    // carry Sxy/Sxx exactly to 100 TB — see the contract in the class doc.
     "stats_qty_price_regression" -> ((s, d) =>
       t(s, d, "lineitem")
         .selectExpr(
@@ -57,19 +63,20 @@ object Stats {
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"),
           sum(col("y_e4")).as("sy_e4"),
-          sum(expr("x * x")).as("sxx"),
-          sum(expr("x * y_e4")).as("sxy"))
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y_e4")).as("sxy"))
         .selectExpr(
           "l_returnflag", "n", "sx AS sum_qty", "sy_e4 AS sum_price_e4",
-          "CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sy_e4 AS DECIMAL(38,0)) AS covn",
-          "CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS varn",
-          "n AS n2")
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * CAST(sy_e4 AS DECIMAL(38,0)) AS covn",
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS varn")
         .selectExpr(
           "l_returnflag", "n", "sum_qty", "sum_price_e4",
           // cov(x, y_e4) = covn / n²; sign-guarded integral division
           "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * (abs(covn) div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))) AS BIGINT) AS cov_qp_e4",
-          // slope = covn / varn, in price-per-unit-qty at 1e4·1e6 = 1e10
-          "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * ((abs(covn) * CAST(1000000 AS DECIMAL(38,0))) div varn) AS BIGINT) AS slope_e10")
+          // slope = covn / varn, in price-per-unit-qty at 1e4·1e6 = 1e10;
+          // NULL for degenerate groups (constant x) instead of a div error
+          "CASE WHEN varn = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+            "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * ((abs(covn) * CAST(1000000 AS DECIMAL(38,0))) div varn) AS BIGINT) END AS slope_e10")
         .orderBy(asc("l_returnflag"))),
 
     // Per-30-day-period modal order priority + its share: aggregate to the
@@ -101,14 +108,15 @@ object Stats {
       ("WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
         s"${e4Sql("l_extendedprice")} AS y_e4 FROM lineitem), " +
         "g AS (SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
-        "CAST(sum(y_e4) AS BIGINT) AS sy_e4, CAST(sum(x * x) AS BIGINT) AS sxx, " +
-        "CAST(sum(x * y_e4) AS BIGINT) AS sxy FROM b GROUP BY l_returnflag), " +
+        "CAST(sum(y_e4) AS BIGINT) AS sy_e4, sum(x * x) AS sxx, " +
+        "sum(x * y_e4) AS sxy FROM b GROUP BY l_returnflag), " +
         "c AS (SELECT l_returnflag, n, sx, sy_e4, " +
         "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy_e4 AS covn, " +
         "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varn FROM g) " +
         "SELECT l_returnflag, n, sx AS sum_qty, sy_e4 AS sum_price_e4, " +
         "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * (abs(covn) // (CAST(n AS HUGEINT) * n)) AS BIGINT) AS cov_qp_e4, " +
-        "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * ((abs(covn) * 1000000) // varn) AS BIGINT) AS slope_e10 " +
+        "CASE WHEN varn = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+        "CAST((CASE WHEN covn < 0 THEN -1 ELSE 1 END) * ((abs(covn) * 1000000) // varn) AS BIGINT) END AS slope_e10 " +
         "FROM c ORDER BY l_returnflag"),
 
     "stats_priority_mode" ->

@@ -355,4 +355,29 @@ class PlanAuditSpec extends AnyFunSuite {
         "cached graph plan lost its single user_id window exchange")
     } finally graft.operators.CacheScope.releaseAll()
   }
+
+  test("stats_qty_price_regression: five-moment aggregate is one map-side-combined shuffle") {
+    val df = SparkEntry.queries("stats_qty_price_regression")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // partial + final HashAggregate around exactly one exchange: the whole
+    // regression travels as 5 longs/decimals per group, never raw rows
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "moment aggregate lost its partial (map-side combine) phase")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one group-key exchange, got $exchanges")
+    assert(!p.contains("l_comment"), "unused lineitem columns read from parquet")
+  }
+
+  test("stats_priority_mode: rank runs on the aggregated grid, total joined by broadcast") {
+    val df = SparkEntry.queries("stats_priority_mode")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "period totals (tiny grid) must broadcast-hash-join, not shuffle-join")
+    assert(!p.contains("SortMergeJoin"),
+      "grid-total join fell back to a corpus-scale sort-merge join")
+    // the window (rank) input must be the aggregated grid: aggregation
+    // appears below the window in the plan, so only one scan of orders
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected at most two scans of the orders grid, got $scans")
+  }
 }
