@@ -49,8 +49,21 @@ object Blooms {
   def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 
+  /** Deserialized-filter cache. A compacted bucket's bloom is multiple MB
+    * (capacityFor(4M entries) ≈ 3.6 MB of bits); re-materializing it from
+    * bytes on EVERY conditional-append probe was measurable at 5M facts.
+    * Keyed by the byte array itself: checkpoint metadata is cached per seq
+    * (FactLog.ckptCache), so the same array instance recurs across probes;
+    * weak keys let vacuumed checkpoints drop their filters with the bytes.
+    * (Java array equality IS identity, which is exactly the key we want.) */
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Byte], BloomFilter]())
+
+  def cached(bytes: Array[Byte]): BloomFilter =
+    cache.computeIfAbsent(bytes, deserialize(_))
+
   def mightContainAll(bloom: Array[Byte], entries: Seq[String]): Boolean = {
-    val bf = deserialize(bloom)
+    val bf = cached(bloom)
     entries.forall(bf.mightContainString)
   }
 
@@ -60,7 +73,7 @@ object Blooms {
     bloom match {
       case None => true
       case Some(b) =>
-        val bf = deserialize(b)
+        val bf = cached(b)
         q.items.exists {
           case TagQueryItem.TagOnly(tags) =>
             tags.forall { case (k, v) => bf.mightContainString(tagEntry(k, v)) }
@@ -71,5 +84,5 @@ object Blooms {
     }
 
   def mightContainSubject(bloom: Option[Array[Byte]], subject: String): Boolean =
-    bloom.forall(b => deserialize(b).mightContainString(subjectEntry(subject)))
+    bloom.forall(b => cached(b).mightContainString(subjectEntry(subject)))
 }

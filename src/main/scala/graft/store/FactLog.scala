@@ -46,13 +46,18 @@ final case class CommitRecord(
     bloom: Option[Array[Byte]] = None // Blooms over id/type/subject/tag entries
 )
 
-/** Per compacted file: path + metadata ranges and attribute bloom for
-  * pruning (range cuts for position/time, bloom for type/subject/tags). */
+/** Per compacted file: path + metadata ranges, attribute bloom for pruning
+  * (range cuts for position/time, bloom for type/subject/tags), and the
+  * optional entry-index sidecar (exact per-entry count/max-position/last-id,
+  * written sorted so probes answer from one parquet page — the bloom's
+  * false positives stop costing a bucket scan). */
 final case class FileMeta(path: String, minPos: Long, maxPos: Long,
-    minNanos: Long, maxNanos: Long, bloom: Option[Array[Byte]] = None)
+    minNanos: Long, maxNanos: Long, bloom: Option[Array[Byte]] = None,
+    index: Option[String] = None)
 
-/** A committed data file (or directory) + its pruning bloom. */
-final case class FileRef(path: String, bloom: Option[Array[Byte]])
+/** A committed data file (or directory) + its pruning bloom + entry index. */
+final case class FileRef(path: String, bloom: Option[Array[Byte]],
+    index: Option[String] = None)
 
 /** A checkpoint at seq K supersedes commit records 1..K: the facts live in
   * few position-bucketed compacted files and the idempotency-key set is
@@ -176,7 +181,8 @@ final class FactLog(val storeDir: Path) {
     val base = ckpt.toSeq.flatMap(_.files.collect {
       case f if f.maxPos >= minPos && f.minPos <= maxPos &&
         f.maxNanos >= minNanos && f.minNanos <= maxNanos =>
-        FileRef(storeDir.resolve(f.path).toString, f.bloom)
+        FileRef(storeDir.resolve(f.path).toString, f.bloom,
+          f.index.map(i => storeDir.resolve(i).toString))
     })
     // appendedAtNanos is monotonic non-decreasing across commits (assigned in
     // the single-writer critical section), so both prunings are range cuts.
@@ -207,7 +213,8 @@ final class FactLog(val storeDir: Path) {
     val files = lines.tail.iterator.filter(_.startsWith("f\t")).map { l =>
       val a = l.split('\t')
       FileMeta(a(1), a(2).toLong, a(3).toLong, a(4).toLong, a(5).toLong,
-        if (a.length > 6 && a(6) != "-") Some(java.util.Base64.getDecoder.decode(a(6))) else None)
+        if (a.length > 6 && a(6) != "-") Some(java.util.Base64.getDecoder.decode(a(6))) else None,
+        if (a.length > 7 && a(7) != "-") Some(a(7)) else None)
     }.toSeq
     Checkpoint(h(0).toLong, h(1).toLong, h(2).toLong, keys, files)
   }
@@ -220,7 +227,8 @@ final class FactLog(val storeDir: Path) {
     c.idempotencyKeys.toSeq.sorted.foreach(k => body.append(s"k\t$k\n"))
     c.files.foreach { f =>
       val b = f.bloom.map(java.util.Base64.getEncoder.encodeToString).getOrElse("-")
-      body.append(s"f\t${f.path}\t${f.minPos}\t${f.maxPos}\t${f.minNanos}\t${f.maxNanos}\t$b\n")
+      val ix = f.index.getOrElse("-")
+      body.append(s"f\t${f.path}\t${f.minPos}\t${f.maxPos}\t${f.minNanos}\t${f.maxNanos}\t$b\t$ix\n")
     }
     val tmp = checkpointsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, body.toString, UTF_8)
@@ -251,7 +259,10 @@ final class FactLog(val storeDir: Path) {
     old.foreach { seq =>
       if (deleteFiles) {
         val c = readCheckpoint(seq)
-        c.files.foreach(f => DirStreams.deleteTree(storeDir.resolve(f.path)))
+        c.files.foreach { f =>
+          DirStreams.deleteTree(storeDir.resolve(f.path))
+          f.index.foreach(i => DirStreams.deleteTree(storeDir.resolve(i)))
+        }
       }
       Files.deleteIfExists(checkpointPath(seq))
     }

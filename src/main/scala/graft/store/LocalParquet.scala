@@ -315,7 +315,12 @@ object LocalParquet {
     }
 
   /** Last (max-position) fact id for a subject. */
-  def lastIdOfSubject(files: Seq[String], subject: String): Option[String] = {
+  def lastIdOfSubject(files: Seq[String], subject: String): Option[String] =
+    lastPosIdOfSubject(files, subject).map(_._2)
+
+  /** Last (position, id) for a subject — position kept so callers can take a
+    * max across index-answered and scanned file sets. */
+  def lastPosIdOfSubject(files: Seq[String], subject: String): Option[(Long, String)] = {
     scan(files, ProbeProjection) { it =>
       var best: Option[(Long, String)] = None
       it.foreach { g =>
@@ -324,8 +329,55 @@ object LocalParquet {
           if (best.forall(_._1 < pos)) best = Some(pos -> g.getString("id", 0))
         }
       }
-      best.map(_._2)
+      best
     }
+  }
+
+  // --- entry-index sidecars ---------------------------------------------------
+  // A compacted bucket's index has one row per distinct bloom entry
+  // ("i:<id>" / "t:<type>" / "s:<subject>" / "g:<k>=<v>"): (entry, n,
+  // max_pos, last_id), written SORTED by entry. Lookups push an equality
+  // filter so parquet's column indexes skip to the one matching page —
+  // probe cost is O(footer + page), independent of bucket row count.
+
+  private val IndexProjection =
+    """message idx {
+      |  optional binary entry (STRING);
+      |  optional int64 n;
+      |  optional int64 max_pos;
+      |  optional binary last_id (STRING);
+      |}""".stripMargin
+
+  /** One index row, if the entry occurs in the bucket. */
+  final case class IndexHit(n: Long, maxPos: Long, lastId: String)
+
+  /** Exact (count, max position, id at max position) for `entry` across the
+    * given index files/dirs — one row per bucket the entry occurs in. */
+  def indexLookup(indexFiles: Seq[String], entry: String): Seq[IndexHit] = {
+    scanCount.incrementAndGet()
+    val wanted = MessageTypeParser.parseMessageType(IndexProjection)
+    val filter = {
+      import org.apache.parquet.filter2.predicate.{FilterApi => FA}
+      org.apache.parquet.filter2.compat.FilterCompat.get(
+        FA.eq(FA.binaryColumn("entry"), org.apache.parquet.io.api.Binary.fromString(entry)))
+    }
+    indexFiles.iterator.flatMap(f => parts(JPath.of(f))).flatMap { p =>
+      val conf = confFor(projectionForFile(p, "idx", wanted))
+      val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p.toUri))
+        .withConf(conf).withFilter(filter).build()
+      try {
+        var out: Option[IndexHit] = None
+        var g = reader.read()
+        while (g != null && out.isEmpty) {
+          // filter2 prunes pages; confirm the record match explicitly
+          if (g.getString("entry", 0) == entry)
+            out = Some(IndexHit(g.getLong("n", 0), g.getLong("max_pos", 0),
+              g.getString("last_id", 0)))
+          else g = reader.read()
+        }
+        out
+      } finally reader.close()
+    }.toSeq
   }
 
   /** Does any fact with position > afterPos match the query? (early exit) */

@@ -142,15 +142,25 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     findStoreByName(request.storeName) match {
       case None => AppendResult.StoreNotFound
       case Some(md) =>
+        val log = logFor(md)
+        // Heavy lifting OUTSIDE the append lock: the condition's checkpoint
+        // and committed-suffix state is folded here, concurrently across
+        // writers. Inside the lock, advance() folds only commits that land
+        // between now and the CAS — O(delta), not O(store).
+        var cond = new IncrementalCondition(log, request.condition)
+        cond.advance()
         lockFor(md.id).synchronized {
-          val log = logFor(md)
           var result: AppendResult = null
           while (result == null) {
             val head = log.headState()
             val headPos = head.lastPosition
+            if (!cond.advance()) { // vacuumed under us: rebase and re-fold
+              cond = new IncrementalCondition(log, request.condition)
+              cond.advance()
+            }
             if (log.idempotencyKeys().contains(request.idempotencyKey))
               result = AppendResult.AlreadyApplied
-            else if (!conditionHolds(log, request.condition))
+            else if (!cond.holds)
               result = AppendResult.AppendConditionViolated
             else {
               val at = Instant.now()
@@ -384,6 +394,29 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
               (bf, es) => { es.foreach(bf.putString); bf },
               (a, b) => { a.mergeInPlace(b); a })
             .mapValues(Blooms.serialize).collect().toMap
+          // Per-bucket ENTRY INDEX sidecar: exact (count, max position, id at
+          // max position) per bloom entry, one combine-friendly groupBy over
+          // the freshly bucketed data. Written sorted by entry so parquet
+          // column indexes give page-level point lookups: a conditional-
+          // append probe that survives the bloom reads ONE page of the index
+          // instead of scanning the bucket — the bloom's ~3% false positives
+          // stop costing O(bucket) under the append lock, which is what kept
+          // cond-append p90 growing with store size. Index size scales with
+          // DISTINCT entries per bucket, not facts; at 100 TB it rides the
+          // same partitionBy write as the data and stays ~1-2% of its bytes.
+          val tmpIdx = log.resolve(s"data/tmp-compact-idx-${UUID.randomUUID()}")
+          spark.read.parquet(tmp.toString)
+            .selectExpr("bucket", "position", "id",
+              "explode(concat(" +
+                "array(concat('i:', id), concat('t:', fact_type), concat('s:', subject)), " +
+                "transform(map_entries(ifnull(tags, map())), e -> concat('g:', e.key, '=', e.value))" +
+                ")) AS entry")
+            .groupBy(col("bucket"), col("entry"))
+            .agg(count(lit(1)).as("n"), max("position").as("max_pos"),
+              expr("max_by(id, position)").as("last_id"))
+            .repartition(col("bucket"))
+            .sortWithinPartitions(col("bucket"), col("entry"))
+            .write.partitionBy("bucket").parquet(tmpIdx.toString)
           val ckptId = UUID.randomUUID().toString.take(8)
           // partition-column inference may type bucket as int
           val files = metas.sortBy(_.getAs[Number]("bucket").longValue).map { r =>
@@ -391,10 +424,16 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
             val src = tmp.resolve(s"bucket=$b")
             val rel = s"data/compact-$ckptId-b$b"
             Files.move(src, log.resolve(rel)) // same fs: atomic rename
+            val idxSrc = tmpIdx.resolve(s"bucket=$b")
+            val idxRel = s"data/compact-$ckptId-b$b.idx"
+            val idx = if (Files.exists(idxSrc)) {
+              Files.move(idxSrc, log.resolve(idxRel)); Some(idxRel)
+            } else None
             FileMeta(rel, r.getAs[Long]("minp"), r.getAs[Long]("maxp"),
-              r.getAs[Long]("minn"), r.getAs[Long]("maxn"), blooms.get(b))
+              r.getAs[Long]("minn"), r.getAs[Long]("maxn"), blooms.get(b), idx)
           }.toSeq
           deleteRecursively(tmp)
+          deleteRecursively(tmpIdx)
           val carried = if (full) Seq.empty else prevCkpt.map(_.files).getOrElse(Seq.empty)
           val ckpt = Checkpoint(state.seq, state.lastPosition, state.appendedAtNanos,
             keys, carried ++ files)
@@ -405,7 +444,10 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
             }
             recs.size
           } else {
-            files.foreach(f => deleteRecursively(log.resolve(f.path)))
+            files.foreach { f =>
+              deleteRecursively(log.resolve(f.path))
+              f.index.foreach(i => deleteRecursively(log.resolve(i)))
+            }
             0
           }
         }
@@ -420,47 +462,229 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   private def localOk(files: Seq[String]): Boolean =
     LocalParquet.totalBytes(files) <= LocalScanMaxBytes
 
-  private def conditionHolds(log: FactLog, c: AppendCondition): Boolean = c match {
-    case AppendCondition.None => true
-    case AppendCondition.ExpectedLastFact(subject, expected) =>
-      // bloom prune: only files that might contain the subject
-      val files = log.committedFileRefs()
-        .filter(f => Blooms.mightContainSubject(f.bloom, subject)).map(_.path)
-      val last =
-        if (localOk(files)) LocalParquet.lastIdOfSubject(files, subject)
-        else FactFinders.bySubject(FactLog.read(spark, files), subject,
-          Limit.Of(1), ReadDirection.Backward)
-          .select("id").collect().headOption.map(_.getString(0))
-      last == expected
-    case AppendCondition.All(cs) => cs.forall(conditionHolds(log, _))
-    case AppendCondition.TagQueryBased(query, after) =>
-      // A nonexistent `after` cursor is a violated condition, not a trivially
-      // satisfied one (reference MemoryFactStore.kt:249 rejects it).
-      val afterPos: Option[Long] = after match {
-        case Some(id) => resolvePosition(log, id)
+  /** Last (position, id) of `subject` in the given files, local or Spark. */
+  private def lastPosIdIn(paths: Seq[String], subject: String): Option[(Long, String)] =
+    if (paths.isEmpty) None
+    else if (localOk(paths)) LocalParquet.lastPosIdOfSubject(paths, subject)
+    else FactFinders.bySubject(FactLog.read(spark, paths), subject,
+      Limit.Of(1), ReadDirection.Backward)
+      .select("position", "id").collect().headOption
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  /** Does any fact in `paths` past `pos` match `query`? local or Spark. */
+  private def existsMatchIn(paths: Seq[String], pos: Long, query: TagQuery): Boolean =
+    paths.nonEmpty && {
+      if (localOk(paths)) LocalParquet.existsMatching(paths, pos, query)
+      else !FactLog.read(spark, paths)
+        .filter(col("position") > lit(pos) && FactFinders.tagQueryPredicate(query))
+        .limit(1).isEmpty
+    }
+
+  /** Position of `factId` in `paths`, local or Spark. */
+  private def posOfIdIn(paths: Seq[String], factId: String): Option[Long] =
+    if (paths.isEmpty) None
+    else if (localOk(paths)) LocalParquet.positionOfId(paths, factId)
+    else FactLog.read(spark, paths).filter(col("id") === lit(factId))
+      .select("position").collect().headOption.map(_.getLong(0))
+
+  /** Incrementally evaluated append condition.
+    *
+    * The expensive part of a conditional append — probing the committed log
+    * — used to run in full inside the per-store append lock, so concurrent
+    * writers paid (queue depth × full-probe) latency and the probe itself
+    * grew with store size. This evaluator folds the checkpoint buckets
+    * (entry-index lookups, one parquet page each) and the already-committed
+    * suffix ONCE, outside the lock; re-validation after a competing commit
+    * folds only the commits that landed since (`advance`), so the critical
+    * section does O(new commits) work — independent of store size.
+    *
+    * Rebase contract: the checkpoint is read once at construction and never
+    * re-read; every later commit is folded individually (fold order is
+    * irrelevant: the states are max/∃ accumulators). If the contiguous
+    * commit suffix after our cursor is gone (a vacuum folded it into a
+    * checkpoint) `advance()` returns false and the caller builds a fresh
+    * evaluator from the new checkpoint.
+    */
+  private final class IncrementalCondition(log: FactLog, cond: AppendCondition) {
+    private def ckptRefs(ckpt: Option[Checkpoint], minPosExclusive: Long = Long.MinValue): Seq[FileRef] =
+      ckpt.toSeq.flatMap(_.files.collect {
+        case f if f.maxPos > minPosExclusive =>
+          FileRef(log.resolve(f.path).toString, f.bloom,
+            f.index.map(i => log.resolve(i).toString))
+      })
+
+    private def recPaths(rec: CommitRecord): Seq[String] =
+      rec.files.map(f => log.resolve(f).toString)
+
+    private sealed trait Ev {
+      def fold(rec: CommitRecord): Unit
+      def holds: Boolean
+    }
+
+    private val ckpt0 = log.latestCheckpoint()
+    private var seen: Long = ckpt0.map(_.seq).getOrElse(0L)
+
+    private object TrueEv extends Ev {
+      def fold(rec: CommitRecord): Unit = ()
+      def holds: Boolean = true
+    }
+
+    private final class ElfEv(subject: String, expected: Option[String]) extends Ev {
+      // exact (max position, id at it) so far; checkpoint part answered by
+      // the entry index (bloom-pruned), never by scanning a bucket
+      private var best: Option[(Long, String)] = {
+        val refs = ckptRefs(ckpt0).filter(f => Blooms.mightContainSubject(f.bloom, subject))
+        val (ix, plain) = refs.partition(_.index.isDefined)
+        val fromIdx = LocalParquet
+          .indexLookup(ix.flatMap(_.index), Blooms.subjectEntry(subject))
+          .map(h => (h.maxPos, h.lastId))
+        (fromIdx ++ lastPosIdIn(plain.map(_.path), subject)).maxByOption(_._1)
+      }
+      def fold(rec: CommitRecord): Unit =
+        if (Blooms.mightContainSubject(rec.bloom, subject)) {
+          val hit = lastPosIdIn(recPaths(rec), subject)
+          best = (best ++ hit).maxByOption(_._1)
+        }
+      def holds: Boolean = best.map(_._2) == expected
+    }
+
+    private final class TqbEv(query: TagQuery, after: Option[String]) extends Ev {
+      // A nonexistent `after` cursor is a violated condition, not a
+      // trivially satisfied one (reference MemoryFactStore.kt:249). The
+      // cursor may be committed concurrently, so resolution is retried on
+      // each folded commit; existence accumulates only once resolved
+      // (`pending` buffers commits folded before that).
+      private var exists = false
+      private val pending = scala.collection.mutable.ArrayBuffer[CommitRecord]()
+      private var pos: Option[Long] = after match {
         case None => Some(0L)
+        case Some(id) =>
+          val refs = ckptRefs(ckpt0).filter(f => f.bloom.forall(b =>
+            Blooms.cached(b).mightContainString(s"i:$id")))
+          val (ix, plain) = refs.partition(_.index.isDefined)
+          LocalParquet.indexLookup(ix.flatMap(_.index), s"i:$id")
+            .headOption.map(_.maxPos)
+            .orElse(posOfIdIn(plain.map(_.path), id))
       }
-      afterPos.exists { pos =>
-        // limit-1 existence probe over files pruned to positions > pos,
-        // then bloom-pruned to files that might match the query at all
-        val pruned = log.committedFileRefs(minPos = pos + 1)
-          .filter(f => Blooms.mightMatchQuery(f.bloom, query)).map(_.path)
-        if (localOk(pruned)) !LocalParquet.existsMatching(pruned, pos, query)
-        else FactLog.read(spark, pruned)
-          .filter(col("position") > lit(pos) &&
-            FactFinders.tagQueryPredicate(query))
-          .limit(1).isEmpty
+      pos.foreach(foldCkpt)
+
+      /** One-time existence check over checkpoint buckets past `p`:
+        * position-range prune, bloom prune, entry-index verdicts, and a
+        * data scan only for buckets the index marginals cannot decide. */
+      private def foldCkpt(p: Long): Unit = if (!exists) {
+        val refs = ckptRefs(ckpt0, minPosExclusive = p)
+          .filter(f => Blooms.mightMatchQuery(f.bloom, query))
+        val (ix, plain) = refs.partition(_.index.isDefined)
+        val verdicts = ix.map(f => f -> indexSaysMatch(f, query, p))
+        exists = verdicts.exists(_._2.contains(true)) ||
+          existsMatchIn(
+            verdicts.collect { case (f, None) => f.path } ++ plain.map(_.path),
+            p, query)
       }
+
+      private def checkRec(rec: CommitRecord, p: Long): Unit =
+        if (!exists && rec.lastPosition > p && Blooms.mightMatchQuery(rec.bloom, query))
+          exists = existsMatchIn(recPaths(rec), p, query)
+
+      def fold(rec: CommitRecord): Unit = pos match {
+        case Some(p) => checkRec(rec, p)
+        case None =>
+          after.foreach { id =>
+            if (rec.bloom.forall(b => Blooms.cached(b).mightContainString(s"i:$id")))
+              pos = posOfIdIn(recPaths(rec), id)
+          }
+          pos match {
+            case Some(p) =>
+              foldCkpt(p)
+              pending.foreach(checkRec(_, p))
+              pending.clear()
+              checkRec(rec, p)
+            case None => pending += rec
+          }
+      }
+      def holds: Boolean = pos.isDefined && !exists
+    }
+
+    private def build(c: AppendCondition): Ev = c match {
+      case AppendCondition.None => TrueEv
+      case AppendCondition.ExpectedLastFact(subject, expected) => new ElfEv(subject, expected)
+      case AppendCondition.TagQueryBased(query, after) => new TqbEv(query, after)
+      case AppendCondition.All(cs) =>
+        val subs = cs.map(build)
+        new Ev {
+          def fold(rec: CommitRecord): Unit = subs.foreach(_.fold(rec))
+          def holds: Boolean = subs.forall(_.holds)
+        }
+    }
+
+    private val ev = build(cond)
+
+    /** Fold commits up to the current head. False means the suffix after
+      * our cursor is unreachable (vacuumed mid-evaluation) — rebuild. */
+    def advance(): Boolean =
+      try {
+        val head = log.headState()
+        if (head.seq <= seen) true
+        else {
+          log.commitsAfter(seen).foreach { r => ev.fold(r); seen = r.seq }
+          seen >= head.seq
+        }
+      } catch {
+        // data files of a cached commit record can vanish under a racing
+        // vacuum; treat exactly like a gap and rebase on the new checkpoint
+        case _: java.io.IOException | _: java.io.UncheckedIOException => false
+      }
+
+    def holds: Boolean = ev.holds
   }
 
-  /** Position of a fact id, via local probe or Spark depending on volume. */
+  /** Tri-state: does `f`'s bucket contain a fact matching `query` past
+    * `afterPos`? Some(true)/Some(false) when the entry-index marginals
+    * decide it exactly; None when only a data scan can (an item with 2+
+    * constraints needs them on the SAME fact — marginals can refute, via a
+    * missing/too-old required entry, but not confirm). */
+  private def indexSaysMatch(f: FileRef, query: TagQuery, afterPos: Long): Option[Boolean] = {
+    val idx = f.index.toSeq
+    def hit(entry: String): Option[LocalParquet.IndexHit] =
+      LocalParquet.indexLookup(idx, entry).headOption
+    val verdicts = query.items.map {
+      case TagQueryItem.TagOnly(tags) if tags.size == 1 =>
+        val (k, v) = tags.head
+        Some(hit(Blooms.tagEntry(k, v)).exists(_.maxPos > afterPos))
+      case TagQueryItem.TagOnly(tags) =>
+        // all tags on one fact: refutable from marginals, not confirmable
+        val hs = tags.toSeq.map { case (k, v) => hit(Blooms.tagEntry(k, v)) }
+        if (hs.exists(!_.exists(_.maxPos > afterPos))) Some(false) else None
+      case TagQueryItem.TagType(types, tags) if tags.isEmpty && types.size == 1 =>
+        Some(hit(Blooms.typeEntry(types.head)).exists(_.maxPos > afterPos))
+      case TagQueryItem.TagType(types, tags) =>
+        val typeOk = types.exists(t => hit(Blooms.typeEntry(t)).exists(_.maxPos > afterPos))
+        val tagHs = tags.toSeq.map { case (k, v) => hit(Blooms.tagEntry(k, v)) }
+        if (!typeOk || tagHs.exists(!_.exists(_.maxPos > afterPos))) Some(false)
+        else if (tags.isEmpty) Some(true) // single constraint family: exact
+        else None
+    }
+    // items are OR'd: any confirmed -> true; all refuted -> false; else scan
+    if (verdicts.exists(_.contains(true))) Some(true)
+    else if (verdicts.forall(_.contains(false))) Some(false)
+    else None
+  }
+
+  /** Position of a fact id: entry index for compacted buckets, local probe
+    * or Spark for the commit suffix. */
   private def resolvePosition(log: FactLog, factId: String): Option[Long] = {
-    val files = log.committedFileRefs()
+    val refs = log.committedFileRefs()
       .filter(f => f.bloom.forall(b =>
-        Blooms.deserialize(b).mightContainString(s"i:$factId"))).map(_.path)
-    if (localOk(files)) LocalParquet.positionOfId(files, factId)
-    else FactLog.read(spark, files).filter(col("id") === lit(factId))
-      .select("position").collect().headOption.map(_.getLong(0))
+        Blooms.cached(b).mightContainString(s"i:$factId")))
+    val (indexed, plain) = refs.partition(_.index.isDefined)
+    LocalParquet.indexLookup(indexed.flatMap(_.index), s"i:$factId")
+      .headOption.map(_.maxPos)
+      .orElse {
+        val files = plain.map(_.path)
+        if (localOk(files)) LocalParquet.positionOfId(files, factId)
+        else FactLog.read(spark, files).filter(col("id") === lit(factId))
+          .select("position").collect().headOption.map(_.getLong(0))
+      }
   }
 
   // -- finders -----------------------------------------------------------------

@@ -115,9 +115,10 @@ class StoreScaleSmokeSpec extends AnyFunSuite {
     }
     // best of two rounds: the assertion pins the PRUNING capability at 5M
     // facts, not whatever else the machine is running during a full-suite
-    // pass (observed: a quiet run measures ~300 ms, a loaded one 2-6x that)
-    val p90 = { val first = condAppendP90(1); if (first < 2000.0) first else condAppendP90(2) }
-    assert(p90 < 2000.0, f"cond-append p90 $p90%.0f ms — pruning is not holding at 5M facts")
+    // pass (observed idle: ~190 ms with entry-index probes + out-of-lock
+    // incremental condition evaluation; a loaded run 2-6x that)
+    val p90 = { val first = condAppendP90(1); if (first < 1000.0) first else condAppendP90(2) }
+    assert(p90 < 1000.0, f"cond-append p90 $p90%.0f ms — index probes are not holding at 5M facts")
 
     // the writer facts landed after position N, visible to the finders
     // (3 per measurement round — a slow first round triggers a retry)
