@@ -63,19 +63,30 @@ final class RestServer(store: FactStore, port: Int = 0) {
         ex.getResponseHeaders.set("Location", "/explorer/")
         ex.sendResponseHeaders(302, -1)
       case ("GET", "/explorer" | "/explorer/" | "/explorer/index.html") =>
-        val in = getClass.getResourceAsStream("/explorer/index.html")
-        if (in == null) sendError(ex, 404, "not_found", path)
-        else {
-          val bytes = try in.readAllBytes() finally in.close()
-          ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
-          if (head) ex.sendResponseHeaders(200, -1)
-          else {
-            ex.sendResponseHeaders(200, bytes.length.toLong)
-            val os = ex.getResponseBody
-            os.write(bytes); os.close()
-          }
-        }
+        serveResource(ex, "/explorer/index.html", "text/html; charset=utf-8", head)
+      case ("GET", "/openapi.json" | "/q/openapi") =>
+        // machine-readable API description — parity with the reference's
+        // quarkus-smallrye-openapi /q/openapi (factstore-server/
+        // build.gradle.kts:20); static because the surface is static
+        serveResource(ex, "/openapi.json", "application/json", head)
       case _ => sendError(ex, 404, "not_found", path)
+    }
+  }
+
+  /** Serve a classpath resource (GET body or HEAD headers-only). */
+  private def serveResource(ex: HttpExchange, resource: String,
+      contentType: String, head: Boolean): Unit = {
+    val in = getClass.getResourceAsStream(resource)
+    if (in == null) sendError(ex, 404, "not_found", resource)
+    else {
+      val bytes = try in.readAllBytes() finally in.close()
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      if (head) ex.sendResponseHeaders(200, -1)
+      else {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        os.write(bytes); os.close()
+      }
     }
   }
 

@@ -304,4 +304,30 @@ class RestServerSpec extends AnyFunSuite {
       assert(bad.statusCode() == 404 && bad.body().contains("after_fact_not_found"))
     }
   }
+
+  test("GET /openapi.json: machine-readable API description covers every route") {
+    withServer { (base, c) =>
+      val root = base.stripSuffix("/api/v1")
+      val r = get(c, s"$root/openapi.json")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("").startsWith("application/json"))
+      val doc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(doc.path("openapi").asText().startsWith("3."))
+      val paths = doc.path("paths")
+      // every implemented route is documented
+      for (p <- Seq(
+        "/api/v1/info", "/api/v1/stores", "/api/v1/stores/{name}",
+        "/api/v1/stores/{name}/facts", "/api/v1/stores/{name}/facts/query",
+        "/api/v1/stores/{name}/facts/replay", "/api/v1/stores/{name}/facts/subscribe",
+        "/api/v1/stores/{name}/facts/{factId}",
+        "/api/v1/stores/{name}/subjects/{subject}/facts"))
+        assert(paths.has(p), s"openapi.json missing path $p")
+      // the condition vocabulary is the full reference set
+      val conds = doc.at("/components/schemas/AppendCondition/properties/type/enum")
+      val vals = (0 until conds.size()).map(conds.get(_).asText()).toSet
+      assert(vals == Set("none", "expectedLastFact", "tagQueryBased", "all"))
+      // quarkus-style alias
+      assert(get(c, s"$root/q/openapi").statusCode() == 200)
+    }
+  }
 }
