@@ -268,6 +268,54 @@ final class FactLog(val storeDir: Path) {
     }
   }
 
+  /** Janitor: delete store artifacts nothing references — data files/dirs
+    * of crashed writers (written before a commit CAS that never happened or
+    * was lost), tmp-compact directories of crashed compactions, and stale
+    * `.tmp-*` CAS staging files. The happy paths clean up inline; this
+    * covers process death between write and CAS.
+    *
+    * Safety: the referenced set is the union over EVERY commit record (by
+    * directory listing — `commitsAfter(0)` would stop at the vacuum gap and
+    * miss the live suffix) and EVERY checkpoint (older checkpoints' buckets
+    * can be carried forward by newer incremental ones). Anything uncommitted
+    * but in-flight is younger than `olderThanMillis` — the grace period is
+    * the correctness knob, not an optimization: a writer stages its data
+    * file strictly before its CAS, so "unreferenced AND old" is provably
+    * abandoned. Returns the number of artifacts removed. */
+  def janitor(olderThanMillis: Long = 3600000L): Int = {
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < cutoff
+    val referenced = mutable.Set[String]()
+    DirStreams.listNames(commitsDir)(_.filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).toSeq).foreach { seq =>
+      val rec = synchronized(cache.getOrElseUpdate(seq,
+        parse(Files.readString(commitPath(seq), UTF_8))))
+      rec.files.foreach(f => referenced += storeDir.resolve(f).normalize.toString)
+    }
+    if (Files.exists(checkpointsDir))
+      DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
+        .map(_.stripSuffix(".ckpt").toLong).toSeq).foreach { seq =>
+        val c = synchronized(ckptCache.getOrElseUpdate(seq, readCheckpoint(seq)))
+        c.files.foreach { f =>
+          referenced += storeDir.resolve(f.path).normalize.toString
+          f.index.foreach(i => referenced += storeDir.resolve(i).normalize.toString)
+        }
+      }
+    var removed = 0
+    DirStreams.listPaths(dataDir)(_.toSeq).foreach { p =>
+      if (!referenced.contains(p.normalize.toString) && oldEnough(p)) {
+        DirStreams.deleteTree(p); removed += 1
+      }
+    }
+    for (d <- Seq(commitsDir, checkpointsDir) if Files.exists(d))
+      DirStreams.listPaths(d)(_.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq)
+        .foreach { p =>
+          if (oldEnough(p) && Files.deleteIfExists(p)) removed += 1
+        }
+    removed
+  }
+
   // --- streaming view -------------------------------------------------------
   // `stream/` holds hard links to COMMITTED data files only, created after
   // the commit CAS is won. Spark's file-source streaming can therefore tail

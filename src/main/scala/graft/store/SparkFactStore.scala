@@ -337,6 +337,12 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     *
     * Returns the number of commit records folded into the checkpoint (0 =
     * nothing to do). */
+  /** Remove unreferenced artifacts left behind by crashed writers or
+    * compactions (see FactLog.janitor for the safety argument). None if the
+    * store does not exist; Some(count removed) otherwise. */
+  def janitor(storeName: String, olderThanMillis: Long = 3600000L): Option[Int] =
+    findStoreByName(storeName).map(md => logFor(md).janitor(olderThanMillis))
+
   def compact(storeName: String, rowsPerBucket: Long = 1L << 20,
       vacuum: Boolean = false, full: Boolean = false,
       takeLock: Boolean = true): Int =
