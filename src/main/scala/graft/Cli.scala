@@ -16,6 +16,8 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR store create NAME
   *   graft.Cli --root DIR store list
   *   graft.Cli --root DIR store remove NAME
+  *   graft.Cli --root DIR store compact NAME
+  *   graft.Cli --root DIR store janitor NAME [--grace-ms N]
   *   graft.Cli --root DIR fact append STORE TYPE SUBJECT DATA [k=v ...]
   *   graft.Cli --root DIR fact find-by-id STORE ID
   *   graft.Cli --root DIR fact find-by-subject STORE SUBJECT [--limit N] [--direction d]
@@ -78,6 +80,21 @@ object Cli {
       case "store" :: "list" :: Nil =>
         fs.listStores().foreach(md => println(s"${md.id}\t${md.name}\t${md.createdAt}"))
       case "store" :: "remove" :: name :: Nil => println(fs.removeStore(name))
+      // maintenance (local engine only — not part of the wire protocol)
+      case "store" :: "compact" :: name :: Nil => fs match {
+        case s: SparkFactStore =>
+          println(s"compacted ${s.compact(name, vacuum = true)} commits")
+        case _ => fail("store compact requires --root (local engine)")
+      }
+      case "store" :: "janitor" :: name :: Nil => fs match {
+        case s: SparkFactStore =>
+          val grace = flags.get("grace-ms").map(_.toLong).getOrElse(3600000L)
+          s.janitor(name, grace) match {
+            case Some(n) => println(s"removed $n abandoned artifacts")
+            case None => fail(s"store not found: $name")
+          }
+        case _ => fail("store janitor requires --root (local engine)")
+      }
       case "fact" :: "append" :: store :: tpe :: subject :: data :: rest =>
         val tags = rest.map(kv => kv.split("=", 2) match {
           case Array(k, v) => k -> v
