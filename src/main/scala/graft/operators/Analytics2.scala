@@ -146,6 +146,43 @@ object Analytics2 {
 
     // End-to-end training-corpus pipeline: exact-dedup keep-first ->
     // quality gate (token count + stopword ratio) -> per-lang yield.
+    // Revenue concentration (Lorenz curve) WITHOUT a global rank window:
+    // per-part revenue (the only corpus-scale shuffle, map-side combined),
+    // parts binned by the DIGIT COUNT of their revenue — an integer-exact
+    // log10 bucket both engines render identically — then cumulative
+    // shares from the richest bin down over the <= 19-row bin table (the
+    // one single-partition window, on a relation bounded by bigint's digit
+    // count, never by the corpus). The naive "top-k% of parts" global
+    // sort+cumsum this replaces would single-partition 2e10 parts at
+    // 100 TB; the histogram shape keeps every corpus-scale step
+    // combine-friendly and the answer exact per bin.
+    "part_revenue_concentration" -> ((s, d) => {
+      val perPart = t(s, d, "lineitem")
+        .selectExpr("l_partkey",
+          "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+            "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+            "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS r8")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("r8")).cast("bigint").as("rev_e8"))
+      val bins = perPart
+        .selectExpr("length(CAST(rev_e8 AS STRING)) AS rev_digits", "rev_e8")
+        .groupBy(col("rev_digits"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_e8")).cast("bigint").as("bin_rev_e8"))
+      val tot = bins.agg(sum(col("n_parts")).cast("bigint").as("t_parts"),
+        sum(col("bin_rev_e8")).cast("bigint").as("t_rev"))
+      val w = Window.orderBy(desc("rev_digits"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bins.crossJoin(broadcast(tot))
+        .withColumn("cum_parts", sum(col("n_parts")).over(w).cast("bigint"))
+        .withColumn("cum_rev_e8", sum(col("bin_rev_e8")).over(w).cast("bigint"))
+        .selectExpr("rev_digits", "n_parts", "bin_rev_e8", "cum_parts", "cum_rev_e8",
+          // shares through DECIMAL(38,0): cum_rev_e8 * 1e4 passes 2^63 as
+          // early as sf0.001 — the bp numerators must be wide
+          "CAST((CAST(cum_parts AS DECIMAL(38,0)) * 10000) div t_parts AS BIGINT) AS cum_parts_bp",
+          "CAST((CAST(cum_rev_e8 AS DECIMAL(38,0)) * 10000) div t_rev AS BIGINT) AS cum_rev_bp")
+        .orderBy(desc("rev_digits"))
+    }),
+
     "corpus_pipeline" -> ((s, d) => {
       val toks = tokensSpark("text")
       val scored = t(s, d, "documents").selectExpr(
@@ -226,6 +263,23 @@ object Analytics2 {
           "CAST(r.price * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS price_e4 " +
           "FROM t JOIN r ON r.flag = t.flag AND r.rn = t.idx " +
           "ORDER BY t.flag, t.q"),
+      "part_revenue_concentration" ->
+        ("WITH pp AS (SELECT l_partkey, CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+          "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+          "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)) AS BIGINT) AS rev_e8 " +
+          "FROM lineitem GROUP BY l_partkey), " +
+          "b AS (SELECT length(CAST(rev_e8 AS VARCHAR)) AS rev_digits, count(*) AS n_parts, " +
+          "CAST(sum(rev_e8) AS BIGINT) AS bin_rev_e8 FROM pp GROUP BY rev_digits), " +
+          "t AS (SELECT CAST(sum(n_parts) AS BIGINT) AS t_parts, " +
+          "CAST(sum(bin_rev_e8) AS BIGINT) AS t_rev FROM b), " +
+          "c AS (SELECT rev_digits, n_parts, bin_rev_e8, " +
+          "CAST(sum(n_parts) OVER w AS BIGINT) AS cum_parts, " +
+          "CAST(sum(bin_rev_e8) OVER w AS BIGINT) AS cum_rev_e8 FROM b " +
+          "WINDOW w AS (ORDER BY rev_digits DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+          "SELECT rev_digits, n_parts, bin_rev_e8, cum_parts, cum_rev_e8, " +
+          "CAST((CAST(cum_parts AS HUGEINT) * 10000) // t_parts AS BIGINT) AS cum_parts_bp, " +
+          "CAST((CAST(cum_rev_e8 AS HUGEINT) * 10000) // t_rev AS BIGINT) AS cum_rev_bp " +
+          "FROM c, t ORDER BY rev_digits DESC"),
       "corpus_pipeline" ->
         (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, len($toks) AS n_tokens, " +
           s"(len(list_filter($toks, t -> t IN ('the','a','of','and','to','is'))) * 10000) " +
