@@ -17,6 +17,7 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR store list
   *   graft.Cli --root DIR store remove NAME
   *   graft.Cli --root DIR store compact NAME
+  *   graft.Cli --root DIR store stats NAME
   *   graft.Cli --root DIR store janitor NAME [--grace-ms N]
   *   graft.Cli --root DIR fact append STORE TYPE SUBJECT DATA [k=v ...]
   *   graft.Cli --root DIR fact find-by-id STORE ID
@@ -85,6 +86,16 @@ object Cli {
         case s: SparkFactStore =>
           println(s"compacted ${s.compact(name, vacuum = true)} commits")
         case _ => fail("store compact requires --root (local engine)")
+      }
+      case "store" :: "stats" :: name :: Nil => fs match {
+        case s: SparkFactStore => s.storeStats(name) match {
+          case Some(st) =>
+            println(s"facts=${st.nFacts} head=${st.headPosition} " +
+              s"commitSuffix=${st.commitSuffix} checkpointSeq=${st.checkpointSeq.getOrElse(-1L)} " +
+              s"buckets=${st.nBuckets} dataBytes=${st.dataBytes} indexBytes=${st.indexBytes}")
+          case None => fail(s"store not found: $name")
+        }
+        case _ => fail("store stats requires --root (local engine)")
       }
       case "store" :: "janitor" :: name :: Nil => fs match {
         case s: SparkFactStore =>

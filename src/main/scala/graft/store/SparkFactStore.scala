@@ -343,6 +343,44 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   def janitor(storeName: String, olderThanMillis: Long = 3600000L): Option[Int] =
     findStoreByName(storeName).map(md => logFor(md).janitor(olderThanMillis))
 
+  /** Metadata-only store diagnostics — answered entirely from cached
+    * commit/checkpoint metadata plus file sizes (no data scan, any store
+    * size): fact count, head position, uncompacted commit-suffix length,
+    * checkpoint seq, bucket count, and the on-disk byte footprint split
+    * into data vs (bloom + entry-index) overhead. The ops-side view of the
+    * compaction/janitor story. */
+  final case class StoreStats(
+      nFacts: Long, headPosition: Long, commitSuffix: Int,
+      checkpointSeq: Option[Long], nBuckets: Int,
+      dataBytes: Long, indexBytes: Long)
+
+  def storeStats(storeName: String): Option[StoreStats] =
+    findStoreByName(storeName).map { md =>
+      val log = logFor(md)
+      val (ckpt, recs) = log.snapshot()
+      val head = recs.lastOption.map(_.lastPosition)
+        .orElse(ckpt.map(_.lastPosition)).getOrElse(0L)
+      def bytesOf(rel: String): Long = {
+        val p = log.resolve(rel)
+        if (!Files.exists(p)) 0L
+        else if (Files.isDirectory(p))
+          DirStreams.listPaths(p)(_.map(f => Files.size(f)).sum)
+        else Files.size(p)
+      }
+      val ckptFiles = ckpt.toSeq.flatMap(_.files)
+      StoreStats(
+        nFacts = head, // positions are contiguous from 1 (commit protocol)
+        headPosition = head,
+        commitSuffix = recs.size,
+        checkpointSeq = ckpt.map(_.seq),
+        nBuckets = ckptFiles.size,
+        dataBytes = ckptFiles.map(f => bytesOf(f.path)).sum +
+          recs.flatMap(_.files).map(bytesOf).sum,
+        indexBytes = ckptFiles.flatMap(_.index).map(bytesOf).sum +
+          ckptFiles.flatMap(_.bloom).map(_.length.toLong).sum +
+          recs.flatMap(_.bloom).map(_.length.toLong).sum)
+    }
+
   def compact(storeName: String, rowsPerBucket: Long = 1L << 20,
       vacuum: Boolean = false, full: Boolean = false,
       takeLock: Boolean = true): Int =
@@ -382,23 +420,38 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
             .agg(min("position").as("minp"), max("position").as("maxp"),
               min("appended_at_nanos").as("minn"), max("appended_at_nanos").as("maxn"))
             .collect()
-          // per-bucket attribute blooms (distributed mergeable aggregation)
+          // per-bucket attribute blooms (distributed mergeable aggregation),
+          // sized to each bucket's ACTUAL row count (exact from the
+          // contiguous position range in `metas`) — sizing to the bucket
+          // CAPACITY made a 3-fact store carry a 3.6 MB bloom, and partial
+          // tail buckets always overpaid. The key rides inside the value so
+          // the seqOp can size lazily; merge capacities agree per key.
+          val bucketRows: Map[Long, Long] = metas.map { r =>
+            r.getAs[Number]("bucket").longValue ->
+              (r.getAs[Long]("maxp") - r.getAs[Long]("minp") + 1L)
+          }.toMap
+          val bcRows = spark.sparkContext.broadcast(bucketRows)
           val blooms: Map[Long, Array[Byte]] = spark.read.parquet(tmp.toString)
             .select("bucket", "id", "fact_type", "subject", "tags").rdd
             .map { r =>
               val tags = Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty)
-              (r.getAs[Number]("bucket").longValue,
+              val b = r.getAs[Number]("bucket").longValue
+              (b, (b,
                 s"i:${r.getAs[String]("id")}" +:
                   Blooms.entriesOf(r.getAs[String]("fact_type"),
-                    r.getAs[String]("subject"), tags))
+                    r.getAs[String]("subject"), tags)))
             }
-            .aggregateByKey(
-              // sized to the bucket (~4 entries/row); bucket row counts are
-              // uniform (rowsPerBucket), so one zero-value capacity fits all
-              org.apache.spark.util.sketch.BloomFilter.create(
-                Blooms.capacityFor(rowsPerBucket * 4), 0.03))(
-              (bf, es) => { es.foreach(bf.putString); bf },
-              (a, b) => { a.mergeInPlace(b); a })
+            .aggregateByKey(null: org.apache.spark.util.sketch.BloomFilter)(
+              (bf0, v) => {
+                val (b, es) = v
+                val bf = if (bf0 != null) bf0
+                  else org.apache.spark.util.sketch.BloomFilter.create(
+                    Blooms.capacityFor(bcRows.value.getOrElse(b, rowsPerBucket) * 4), 0.03)
+                es.foreach(bf.putString); bf
+              },
+              (a, b) =>
+                if (a == null) b else if (b == null) a
+                else { a.mergeInPlace(b); a })
             .mapValues(Blooms.serialize).collect().toMap
           // Per-bucket ENTRY INDEX sidecar: exact (count, max position, id at
           // max position) per bloom entry, one combine-friendly groupBy over

@@ -72,6 +72,16 @@ class JanitorSpec extends AnyFunSuite {
     assert(fs.janitor("j", olderThanMillis = 60000L).get == 0)
     // unknown store -> None
     assert(fs.janitor("nope").isEmpty)
+
+    // metadata-only diagnostics agree with what we built: 40 compacted
+    // facts in ceil(40/16)=3 buckets + 8 suffix commits, head at 48
+    val st = fs.storeStats("j").get
+    assert(st.nFacts == 48L && st.headPosition == 48L)
+    assert(st.commitSuffix == 8)
+    assert(st.checkpointSeq.isDefined && st.nBuckets == 3)
+    assert(st.dataBytes > 0, "data footprint must be positive")
+    assert(st.indexBytes > 0, "bloom + entry-index overhead must be accounted")
+    assert(fs.storeStats("nope").isEmpty)
     fs.removeStore("j")
   }
 }
