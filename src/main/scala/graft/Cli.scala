@@ -16,7 +16,7 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR store create NAME
   *   graft.Cli --root DIR store list
   *   graft.Cli --root DIR store remove NAME
-  *   graft.Cli --root DIR store compact NAME
+  *   graft.Cli --root DIR store compact NAME [--full]
   *   graft.Cli --root DIR store stats NAME
   *   graft.Cli --root DIR store janitor NAME [--grace-ms N]
   *   graft.Cli --root DIR fact append STORE TYPE SUBJECT DATA [k=v ...]
@@ -84,7 +84,8 @@ object Cli {
       // maintenance (local engine only — not part of the wire protocol)
       case "store" :: "compact" :: name :: Nil => fs match {
         case s: SparkFactStore =>
-          println(s"compacted ${s.compact(name, vacuum = true)} commits")
+          val full = flags.contains("full") // rewrite carried buckets too
+          println(s"compacted ${s.compact(name, vacuum = true, full = full)} commits")
         case _ => fail("store compact requires --root (local engine)")
       }
       case "store" :: "stats" :: name :: Nil => fs match {
@@ -175,13 +176,16 @@ object Cli {
     s"${f.position}\t${f.id}\t${f.factType}\t${f.subject}\t${f.appendedAt}\t" +
       f.tags.map { case (k, v) => s"$k=$v" }.mkString(",")
 
-  /** `--flag value` pairs + positional args. */
+  /** `--flag value` pairs, bare `--flag` booleans (mapped to "true"), and
+    * positional args. */
   private def parseArgs(args: List[String]): (Map[String, String], List[String]) = {
     val flags = Map.newBuilder[String, String]
     val pos = List.newBuilder[String]
     var rest = args
     while (rest.nonEmpty) rest match {
-      case f :: v :: tail if f.startsWith("--") => flags += f.drop(2) -> v; rest = tail
+      case f :: v :: tail if f.startsWith("--") && !v.startsWith("--") =>
+        flags += f.drop(2) -> v; rest = tail
+      case f :: tail if f.startsWith("--") => flags += f.drop(2) -> "true"; rest = tail
       case a :: tail => pos += a; rest = tail
       case Nil => ()
     }

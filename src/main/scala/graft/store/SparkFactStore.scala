@@ -323,20 +323,6 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     }
   }
 
-  /** Compact the store's committed log into position-bucketed files and
-    * publish a checkpoint superseding the per-append commit records. Keeps
-    * file count and commit-log length bounded regardless of append count —
-    * required hygiene at 100 TB. `vacuum` additionally deletes the
-    * superseded commits + data files (live subscribers keep working:
-    * `stream/` hard links pin the inodes).
-    *
-    * Incremental by default: only the commit suffix since the last
-    * checkpoint is rewritten (O(new data)); the previous checkpoint's
-    * buckets are carried forward by reference. `full = true` rewrites the
-    * whole store (bucket merge / defrag).
-    *
-    * Returns the number of commit records folded into the checkpoint (0 =
-    * nothing to do). */
   /** Remove unreferenced artifacts left behind by crashed writers or
     * compactions (see FactLog.janitor for the safety argument). None if the
     * store does not exist; Some(count removed) otherwise. */
@@ -381,6 +367,24 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
           recs.flatMap(_.bloom).map(_.length.toLong).sum)
     }
 
+  /** Compact the store's committed log into position-bucketed files and
+    * publish a checkpoint superseding the per-append commit records. Keeps
+    * file count and commit-log length bounded regardless of append count —
+    * required hygiene at 100 TB. `vacuum` additionally deletes the
+    * superseded commits + data files (live subscribers keep working:
+    * `stream/` hard links pin the inodes).
+    *
+    * Incremental by default: only the commit suffix since the last
+    * checkpoint is rewritten (O(new data)); the previous checkpoint's
+    * buckets are carried forward by reference. `full = true` rewrites the
+    * whole store (bucket merge / defrag / metadata re-size). A full
+    * rewrite at an UNCHANGED head is a no-op by protocol: the checkpoint
+    * for that seq already exists and the publish CAS (exactly one
+    * checkpoint per seq — readers switch atomically) must lose; it takes
+    * effect on the first compaction after the head advances.
+    *
+    * Returns the number of commit records folded into the checkpoint (0 =
+    * nothing new to fold, or CAS lost). */
   def compact(storeName: String, rowsPerBucket: Long = 1L << 20,
       vacuum: Boolean = false, full: Boolean = false,
       takeLock: Boolean = true): Int =
