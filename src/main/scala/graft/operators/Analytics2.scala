@@ -165,7 +165,8 @@ object Analytics2 {
         .groupBy(col("l_partkey"))
         .agg(sum(col("r8")).cast("bigint").as("rev_e8"))
       val bins = perPart
-        .selectExpr("length(CAST(rev_e8 AS STRING)) AS rev_digits", "rev_e8")
+        // BIGINT to match DuckDB's length() (Spark's is INT)
+        .selectExpr("CAST(length(CAST(rev_e8 AS STRING)) AS BIGINT) AS rev_digits", "rev_e8")
         .groupBy(col("rev_digits"))
         .agg(count(lit(1)).as("n_parts"), sum(col("rev_e8")).cast("bigint").as("bin_rev_e8"))
       val tot = bins.agg(sum(col("n_parts")).cast("bigint").as("t_parts"),
