@@ -23,7 +23,8 @@ object SparkEntry {
       (Sketches.queries, Sketches.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Evolution.queries, Evolution.oracles),
-      (Stats.queries, Stats.oracles)
+      (Stats.queries, Stats.oracles),
+      (Tokenize.queries, Tokenize.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

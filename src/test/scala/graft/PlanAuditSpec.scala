@@ -380,4 +380,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 2, s"expected at most two scans of the orders grid, got $scans")
   }
+
+  test("doc_chunks: map-side generate — no shuffle except the final order") {
+    val p = planOf("doc_chunks")
+    assert(p.contains("Generate"), "chunk fan-out is not a Generate (explode)")
+    assert(p.contains("char_hash"), "chunk identity not the native hash kernel")
+    // the only exchange allowed is the rangepartitioning of the final orderBy
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 1, s"chunk generation introduced a shuffle ($exchanges exchanges)")
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not hash-shuffle — it is a pure per-partition generate")
+  }
+
+  test("bpe_pair_stats: vocab-first aggregation and distributed top-k") {
+    val p = planOf("bpe_pair_stats")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 lost the distributed top-k (global sort instead)")
+    // pair explosion must read the AGGREGATED vocab, not raw documents: one
+    // scan of documents total
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one documents scan, got $scans")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "vocab/pair aggregates lost their partial (map-side combine) phase")
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.functions.CrossHash
+
+/** Value-level oracle for the Tokenize operators: chunk geometry, content
+  * hashes, and BPE pair counts are all recomputed independently in-test
+  * (code-point-exact, no Spark), so the operators are pinned against a
+  * second implementation rather than just the DuckDB rendering.
+  */
+class TokenizeSpec extends AnyFunSpec with Matchers {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Code-point-safe mirror of SQL substring(s, start1, len) (both engines
+    * substring by code point, Scala String is UTF-16). */
+  private def cpSubstring(s: String, start1: Int, len: Int): String = {
+    val cps = s.codePoints().toArray
+    val from = math.min(math.max(start1 - 1, 0), cps.length)
+    val to = math.min(from + len, cps.length)
+    new String(cps, from, to - from)
+  }
+
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  private def polyHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % CrossHash.P)
+
+  private def tokens(s: String): Seq[String] =
+    s.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  describe("doc_chunks") {
+    it("emits exactly the 256/192 window geometry with exact hashes") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("doc_id", "text").as[(Long, String)].collect()
+
+      val expected = docs.flatMap { case (id, text) =>
+        val len = cpLen(text)
+        val nChunks = (math.max(len, 1) - 1) / Tokenize.Stride + 1
+        (0 until nChunks).map { i =>
+          val start = i * Tokenize.Stride + 1
+          val chunk = cpSubstring(text, start, Tokenize.ChunkChars)
+          (id, len.toLong, i.toLong, start.toLong,
+            cpLen(chunk).toLong, tokens(chunk).size.toLong, polyHash(chunk))
+        }
+      }.sortBy(r => (r._1, r._3))
+
+      val got = Tokenize.queries("doc_chunks")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+      got should have size expected.length.toLong
+      got shouldBe expected.toSeq
+    }
+
+    it("covers every document: last chunk reaches the end, overlap is 64") {
+      val rows = Tokenize.queries("doc_chunks")(spark, sf)
+        .selectExpr("doc_id", "doc_len", "chunk_idx", "start_pos", "chunk_len")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      rows.groupBy(_._1).foreach { case (_, cs) =>
+        val last = cs.maxBy(_._3)
+        (last._4 + last._5 - 1) shouldBe last._2 // end of last chunk == doc_len
+        cs.foreach { c => // every chunk runs to window size or the doc end
+          c._4 shouldBe c._3 * Tokenize.Stride + 1
+          c._5 shouldBe math.min(Tokenize.ChunkChars.toLong, c._2 - c._4 + 1)
+        }
+      }
+    }
+  }
+
+  describe("bpe_pair_stats") {
+    it("matches a brute-force vocabulary pair count") {
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").as[String].collect()
+
+      val vocab = texts.flatMap(tokens).groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+      val pairStats = collection.mutable.Map.empty[String, (Long, Set[String])]
+      for ((tok, freq) <- vocab if cpLen(tok) >= 2) {
+        val cps = tok.codePoints().toArray
+        for (i <- 0 until cps.length - 1) {
+          val pair = new String(cps, i, 2)
+          val (n, ts) = pairStats.getOrElse(pair, (0L, Set.empty[String]))
+          pairStats(pair) = (n + freq, ts + tok)
+        }
+      }
+      val expected = pairStats.toSeq
+        .map { case (p, (n, ts)) => (p, n, ts.size.toLong) }
+        .sortBy { case (p, n, _) => (-n, p) }
+        .take(20)
+
+      val got = Tokenize.queries("bpe_pair_stats")(spark, sf)
+        .as[(String, Long, Long)].collect().toSeq
+
+      got shouldBe expected
+    }
+  }
+}
