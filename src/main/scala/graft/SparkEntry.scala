@@ -24,7 +24,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Evolution.queries, Evolution.oracles),
       (Stats.queries, Stats.oracles),
-      (Tokenize.queries, Tokenize.oracles)
+      (Tokenize.queries, Tokenize.oracles),
+      (Sessions.queries, Sessions.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Session-level event analytics: gap sessionization, ordered funnel
+  * conversion, and cohort retention — the three questions every event-log
+  * consumer asks right after the finder queries (reference scope: factstore
+  * stores per-subject histories, `Fact.kt:37-47`; its users reconstruct
+  * sessions/funnels downstream, so the engine ships them as first-class
+  * operators over the same per-subject ordering the store guarantees).
+  *
+  * All three share one physical skeleton — a single hash exchange on
+  * `user_id` — and everything after that exchange either stays inside the
+  * same partitioning or reduces to a grid bounded by days/stages:
+  *
+  *  - '''sessionize''': per-user gap detection (30 min) is lag + running
+  *    sum over one (user_id)-partitioned window; the per-session rollup
+  *    groups by (user_id, session_idx), whose clustering is already
+  *    satisfied by the window's hash partitioning (a superset of the
+  *    partition key never re-shuffles), so the whole operator is ONE
+  *    exchange + one sort at any scale.
+  *  - '''funnel''': stage-reach times are three chained running mins over
+  *    the SAME window spec (one sort, three Window operators, zero joins),
+  *    then a two-level count-distinct-free aggregate to a single row.
+  *  - '''retention''': first-seen day per user is a full-partition window
+  *    min; (user, day) dedup again re-uses the user_id clustering; only the
+  *    final cohort×offset rollup (days² rows at most) crosses the wire.
+  *
+  * Determinism contract (house rules): epoch-micro timestamps, unique
+  * window order keys (ts_us, event_id), integer-exact shares in basis
+  * points via `div`, total output order.
+  */
+object Sessions {
+
+  /** Session gap: 30 minutes, in epoch micros. */
+  private val GapUs = 1800L * 1000000
+
+  private val DayUs = 86400L * 1000000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based sessionization: a new session starts when a user is idle
+    // >30 min. Emits one row per session with its span and size. lag +
+    // conditional running sum; the rollup reuses the window's exchange.
+    "events_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
+      EventFinders.events(s, d)
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS ts_us")
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > GapUs || lag(col("ts_us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          countDistinct(col("event_type")).as("n_types"))
+        .selectExpr("user_id", "session_idx", "n_events",
+          "start_us", "end_us", "end_us - start_us AS duration_us", "n_types")
+        .orderBy(asc("user_id"), asc("session_idx"))
+    }),
+
+    // Ordered funnel view -> click -> purchase: a stage counts only if it
+    // happens at-or-after the previous stage's first reach (order pinned by
+    // (ts_us, event_id)). Three chained running mins over one window spec,
+    // then one global rollup row with conversion in basis points.
+    "events_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts_us"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = EventFinders.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS ts_us")
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("v_ts").isNotNull, col("ts_us"))).over(w))
+        .withColumn("p_ts",
+          min(when(col("event_type") === "purchase" && col("c_ts").isNotNull, col("ts_us"))).over(w))
+      base
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("v_ts").isNotNull.cast("long")).as("r1"),
+          max(col("c_ts").isNotNull.cast("long")).as("r2"),
+          max(col("p_ts").isNotNull.cast("long")).as("r3"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("r1")).as("n_view"),
+          sum(col("r2")).as("n_view_click"),
+          sum(col("r3")).as("n_view_click_purchase"))
+        .selectExpr("n_users", "n_view", "n_view_click", "n_view_click_purchase",
+          "CASE WHEN n_view = 0 THEN NULL ELSE (n_view_click * 10000) div n_view END AS click_conv_bp",
+          "CASE WHEN n_view_click = 0 THEN NULL ELSE (n_view_click_purchase * 10000) div n_view_click END AS purchase_conv_bp")
+    }),
+
+    // Cohort retention: users grouped by first-seen day; for each cohort,
+    // how many come back k days later, as exact basis points of cohort
+    // size. ONE corpus-scale shuffle: per-user (cohort_day, active-day set)
+    // by a map-side-combined groupBy — the set is bounded by the retention
+    // horizon in days, not by events. Everything after (explode, the
+    // cohort×offset rollup, the cohort-size window) runs on grids bounded
+    // by days², never touching the corpus again.
+    "events_retention" -> ((s, d) => {
+      val perUser = EventFinders.events(s, d)
+        .selectExpr("user_id", s"(ts div 1000) div ${DayUs}L AS day")
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+      val cells = perUser
+        .select(col("cohort_day"), explode(col("days")).as("day"))
+        .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      // cohort size = the offset-0 cell (every user is active on their own
+      // cohort day), read via a window over the tiny grid — no re-scan.
+      cells
+        .withColumn("cohort_size",
+          max(when(col("day_offset") === 0L, col("n_users")))
+            .over(Window.partitionBy(col("cohort_day"))))
+        .selectExpr("cohort_day", "day_offset", "n_users", "cohort_size",
+          "(n_users * 10000) div cohort_size AS retained_bp")
+        .orderBy(asc("cohort_day"), asc("day_offset"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_sessionize" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "m AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 " +
+        "OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "sx AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM m) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "min(ts_us) AS start_us, max(ts_us) AS end_us, " +
+        "max(ts_us) - min(ts_us) AS duration_us, " +
+        "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types " +
+        "FROM sx GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+
+    "events_funnel" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us " +
+        "FROM events WHERE event_type IN ('view','click','purchase')), " +
+        "s1 AS (SELECT *, min(CASE WHEN event_type='view' THEN ts_us END) OVER w AS v_ts " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s2 AS (SELECT *, min(CASE WHEN event_type='click' AND v_ts IS NOT NULL THEN ts_us END) OVER w AS c_ts " +
+        "FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s3 AS (SELECT *, min(CASE WHEN event_type='purchase' AND c_ts IS NOT NULL THEN ts_us END) OVER w AS p_ts " +
+        "FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "u AS (SELECT user_id, max(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS r1, " +
+        "max(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS r2, " +
+        "max(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS r3 FROM s3 GROUP BY user_id) " +
+        "SELECT count(*) AS n_users, CAST(sum(r1) AS BIGINT) AS n_view, " +
+        "CAST(sum(r2) AS BIGINT) AS n_view_click, " +
+        "CAST(sum(r3) AS BIGINT) AS n_view_click_purchase, " +
+        "CASE WHEN sum(r1) = 0 THEN NULL ELSE CAST((sum(r2) * 10000) // sum(r1) AS BIGINT) END AS click_conv_bp, " +
+        "CASE WHEN sum(r2) = 0 THEN NULL ELSE CAST((sum(r3) * 10000) // sum(r2) AS BIGINT) END AS purchase_conv_bp " +
+        "FROM u"),
+
+    "events_retention" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), " +
+        "c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud), " +
+        "cells AS (SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users " +
+        "FROM c GROUP BY cohort_day, day_offset), " +
+        "w AS (SELECT *, max(CASE WHEN day_offset = 0 THEN n_users END) " +
+        "OVER (PARTITION BY cohort_day) AS cohort_size FROM cells) " +
+        "SELECT cohort_day, day_offset, n_users, cohort_size, " +
+        "(n_users * 10000) // cohort_size AS retained_bp " +
+        "FROM w ORDER BY cohort_day, day_offset")
+  )
+}

@@ -403,4 +403,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "vocab/pair aggregates lost their partial (map-side combine) phase")
   }
+
+  test("events_sessionize: session rollup reuses the window's user_id clustering") {
+    val p = planOf("events_sessionize")
+    // exactly ONE corpus-scale hash exchange (user_id for the window); the
+    // groupBy(user_id, session_idx) — a superset of the partition key —
+    // must NOT re-shuffle, and the only other exchange is the final orderBy
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id), got $hashEx")
+    assert("Exchange ".r.findAllIn(p).length <= 2,
+      "more than window-shuffle + output-order exchanges in the plan")
+    assert(!p.contains("Join"), "sessionization must be join-free")
+  }
+
+  test("events_funnel: three chained stage windows share one sort, zero joins") {
+    val p = planOf("events_funnel")
+    assert("Window ".r.findAllIn(p).length == 3, "expected 3 chained stage windows")
+    assert("Sort ".r.findAllIn(p).length == 1,
+      "stage windows must share ONE sort (same partition+order spec)")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id), got $hashEx")
+    assert(!p.contains("Join"), "funnel must be join-free")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      "stage-type filter not pushed to the events scan")
+  }
+
+  test("events_retention: one corpus shuffle; cohort sizes via grid window, no re-scan") {
+    val p = planOf("events_retention")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one events scan, got $scans")
+    assert(!p.contains("Join"), "cohort size must come from the grid window, not a self-join")
+    // the per-user day-set aggregate is the only corpus-scale exchange;
+    // everything after operates on the cohort_day x offset grid
+    assert(p.contains("partial_collect_set"),
+      "per-user day set lost its map-side partial aggregation")
+  }
 }
