@@ -25,7 +25,8 @@ object SparkEntry {
       (Evolution.queries, Evolution.oracles),
       (Stats.queries, Stats.oracles),
       (Tokenize.queries, Tokenize.oracles),
-      (Sessions.queries, Sessions.oracles)
+      (Sessions.queries, Sessions.oracles),
+      (Market.queries, Market.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

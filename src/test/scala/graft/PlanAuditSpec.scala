@@ -438,4 +438,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_collect_set"),
       "per-user day set lost its map-side partial aggregation")
   }
+
+  test("basket_pairs: join-free pair mining — in-row explode, distributed top-k") {
+    val p = planOf("basket_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pair generation fell back to a lineitem self-join")
+    assert("Generate explode".r.findAllIn(p).length == 2,
+      "pairs must come from the bounded double-explode of per-order item sets")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 lost the distributed top-k (global sort instead)")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "expected exactly one lineitem scan")
+  }
+
+  test("rfm_segments: corpus max day is a scalar broadcast, not a window or re-aggregation") {
+    val p = planOf("rfm_segments")
+    // the only join is the 1-row scalar attach; the per-customer aggregate
+    // subtree must not be computed twice (the max-day arm reads orders
+    // narrowly, with no per-customer exchange)
+    assert(!p.contains("SortMergeJoin"), "scalar attach became a corpus-scale join")
+    assert("HashAggregate\\(keys=\\[o_custkey".r.findAllIn(p).length <= 2,
+      "per-customer aggregate computed more than once (partial+final is one pair)")
+    assert(!p.contains("Window"), "no global window allowed — fixed bands only")
+  }
+
+  test("ltv_cohort: join-free cohort curves; windows run on reduced relations") {
+    val p = planOf("ltv_cohort")
+    assert(!p.contains("Join"), "cohort attach must be a window, not a self-join")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected exactly one orders scan")
+    assert("Window ".r.findAllIn(p).length == 2,
+      "expected the per-customer cohort window and the per-cohort cumulative window")
+  }
 }
