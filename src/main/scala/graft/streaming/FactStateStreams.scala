@@ -186,6 +186,76 @@ object FactStateStreams {
       .as[VerifiedNearDup]
   }
 
+  /** A closed user session: contiguous activity with no gap above the
+    * session threshold, finalized once the watermark passes its end. */
+  final case class ClosedSession(
+      userId: Long, startUs: Long, endUs: Long, nEvents: Long, nTypes: Long)
+
+  /** Managed state for one in-flight session (public: the state encoder
+    * needs the synthesized constructor; `types` is a distinct list because
+    * the product encoder has no Set column type). */
+  final case class OpenSession(
+      startUs: Long, endUs: Long, nEvents: Long, types: Seq[String])
+
+  /** Streaming gap sessionization — the live twin of the batch
+    * `events_sessionize` operator (operators/Sessions.scala), and the one
+    * state pattern the rest of this module doesn't exercise: EVENT-TIME
+    * TIMEOUT. The open session per user is managed state; it closes either
+    * when a later event from the same user arrives past the gap (emitted
+    * immediately) or when the WATERMARK passes sessionEnd + gap (emitted by
+    * the timeout callback — so an idle user's final session still flushes
+    * without any further input from them, which `NoTimeout` state can never
+    * do). State is one fixed-size record per ACTIVE user — closed sessions
+    * leave the store, so state tracks concurrency, not history; sharded by
+    * user across executors and restart-safe via checkpointing.
+    *
+    * Input: an event stream with `user_id`, `event_type`, and an event-time
+    * `ts` TIMESTAMP column ALREADY watermarked by the caller (the watermark
+    * bounds both lateness and timeout progress). In-batch events fold in
+    * ts order; events later than an already-closed boundary open new
+    * sessions exactly as the batch operator's cumulative-gap rule does.
+    * The session threshold matches the batch side: 30 minutes. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 1800L * 1000000): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us", "ts")
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) { (userId, rows, state) =>
+        if (state.hasTimedOut) {
+          // watermark passed end + gap: the open session can no longer be
+          // extended by any non-late event — flush it
+          val s = state.get
+          state.remove()
+          Iterator.single(ClosedSession(userId, s.startUs, s.endUs, s.nEvents, s.types.size.toLong))
+        } else {
+          val closed = Seq.newBuilder[ClosedSession]
+          var open = state.getOption
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, ts, _) =>
+            open match {
+              case Some(s) if ts - s.endUs <= gapUs =>
+                val types = if (s.types.contains(typ)) s.types else s.types :+ typ
+                open = Some(OpenSession(s.startUs, ts, s.nEvents + 1, types))
+              case Some(s) =>
+                closed += ClosedSession(userId, s.startUs, s.endUs, s.nEvents, s.types.size.toLong)
+                open = Some(OpenSession(ts, ts, 1L, Seq(typ)))
+              case None =>
+                open = Some(OpenSession(ts, ts, 1L, Seq(typ)))
+            }
+          }
+          open.foreach { s =>
+            state.update(s)
+            // re-arm the flush clock to this session's latest activity
+            state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+          }
+          closed.result().iterator
+        }
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */
