@@ -29,6 +29,15 @@ object SparkEntry {
       (Market.queries, Market.oracles)
     )
 
+  /** Query names declared by more than one module. `queries`/`oracleSql`
+    * are Map-merged, so a cross-module name collision silently REPLACES the
+    * earlier operator — an inventory deletion with no compile error.
+    * QueryInventorySpec pins this empty. */
+  private[graft] def duplicateQueryNames: Seq[String] =
+    modules.flatMap(_._1.keys).groupBy(identity).collect {
+      case (name, occurrences) if occurrences.size > 1 => name
+    }.toSeq.sorted
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Analytics.queries("q5_nation_revenue")(spark, "/root/testdata/sf0.001")

@@ -67,7 +67,7 @@ object Sessions {
     // happens at-or-after the previous stage's first reach (order pinned by
     // (ts_us, event_id)). Three chained running mins over one window spec,
     // then one global rollup row with conversion in basis points.
-    "events_funnel" -> ((s, d) => {
+    "events_funnel_conversion" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(asc("ts_us"), asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -139,7 +139,7 @@ object Sessions {
         "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types " +
         "FROM sx GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
 
-    "events_funnel" ->
+    "events_funnel_conversion" ->
       ("WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us " +
         "FROM events WHERE event_type IN ('view','click','purchase')), " +
         "s1 AS (SELECT *, min(CASE WHEN event_type='view' THEN ts_us END) OVER w AS v_ts " +

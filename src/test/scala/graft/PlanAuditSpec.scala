@@ -416,8 +416,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "sessionization must be join-free")
   }
 
-  test("events_funnel: three chained stage windows share one sort, zero joins") {
-    val p = planOf("events_funnel")
+  test("events_funnel_conversion: three chained stage windows share one sort, zero joins") {
+    val p = planOf("events_funnel_conversion")
     assert("Window ".r.findAllIn(p).length == 3, "expected 3 chained stage windows")
     assert("Sort ".r.findAllIn(p).length == 1,
       "stage windows must share ONE sort (same partition+order spec)")

@@ -13,6 +13,11 @@ class QueryInventorySpec extends AnyFunSuite {
   // Round 7 closed the last exemption (media_decode_stub's stub decode is
   // deterministic integer math DuckDB replays) — EVERY query now carries
   // an oracle, and this test keeps it that way.
+  test("no query name is declared by two modules (Map-merge would silently drop one)") {
+    assert(SparkEntry.duplicateQueryNames.isEmpty,
+      s"cross-module name collisions: ${SparkEntry.duplicateQueryNames.mkString(", ")}")
+  }
+
   test("every query has an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

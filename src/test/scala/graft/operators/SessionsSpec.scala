@@ -94,7 +94,7 @@ class SessionsSpec extends AnyFunSpec with Matchers {
         (7L, t0, 3L, "click", 0.0, "{}"),
         // user 4: view only
         (8L, t0, 4L, "view", 0.0, "{}")))
-      val r = Sessions.queries("events_funnel")(spark, d).collect().head
+      val r = Sessions.queries("events_funnel_conversion")(spark, d).collect().head
       r.getLong(0) shouldBe 4L // n_users
       r.getLong(1) shouldBe 3L // n_view (users 1,2,4)
       r.getLong(2) shouldBe 2L // n_view_click (users 1,2)
@@ -105,7 +105,7 @@ class SessionsSpec extends AnyFunSpec with Matchers {
 
     it("emits NULL conversions when no user enters the funnel") {
       val d = eventsDir(Seq((1L, 1700000000000000L, 1L, "error", 0.0, "{}")))
-      val r = Sessions.queries("events_funnel")(spark, d).collect().head
+      val r = Sessions.queries("events_funnel_conversion")(spark, d).collect().head
       r.getLong(0) shouldBe 0L
       r.isNullAt(4) shouldBe true
       r.isNullAt(5) shouldBe true
