@@ -26,7 +26,9 @@ object SparkEntry {
       (Stats.queries, Stats.oracles),
       (Tokenize.queries, Tokenize.oracles),
       (Sessions.queries, Sessions.oracles),
-      (Market.queries, Market.oracles)
+      (Market.queries, Market.oracles),
+      (DataQuality.queries, DataQuality.oracles),
+      (Graph.queries, Graph.oracles)
     )
 
   /** Query names declared by more than one module. `queries`/`oracleSql`

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Constraint-audit operators — the data-quality gate a 100 TB ingest runs
+  * before anything downstream is allowed to read a snapshot. Reference
+  * scope: factstore validates its own invariants at append time (typed
+  * append errors, `AppendCondition.kt`); a relational engine extends the
+  * same idea to whole-corpus audits: key uniqueness, referential
+  * integrity, domain/range rules, and cross-table temporal consistency.
+  *
+  * Physical discipline, per operator:
+  *
+  *  - '''uniqueness''': one map-side-combined `groupBy(key)` per table,
+  *    then a constant-width rollup of the per-key counts. Never sorts,
+  *    never materializes duplicates.
+  *  - '''referential integrity''': the fact side is aggregated to
+  *    `(fk, cnt)` FIRST (map-side combine collapses repeats), so the
+  *    existence join probes distinct keys — cardinality of the key space,
+  *    not of the 100 TB fact table. The dim side is a key-only projection.
+  *  - '''value rules''': one scan, all rules as conditional sums in a
+  *    single aggregate; the rule→row unpivot happens on the 1-row result.
+  *  - '''temporal consistency''': the one fact⨝fact join (lineitem⨝orders
+  *    on orderkey) — the canonical co-located join that a bucketed layout
+  *    runs exchange-free at scale (BucketingSpec proves the zero-Exchange
+  *    plan for exactly this key).
+  *
+  * Determinism contract (house rules): counts are BIGINT, shares are exact
+  * basis points via integral `div`, date arithmetic is epoch-day integer
+  * math, output order is total.
+  */
+object DataQuality {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val DayUs = 86400L * 1000000
+
+  /** Per-key multiplicity rollup: one groupBy + constant-width aggregate. */
+  private[operators] def uniq(df: DataFrame, table: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        sum(when(col("cnt") > 1, col("cnt") - 1L).otherwise(0L)).as("n_excess_rows"),
+        max(col("cnt")).as("max_multiplicity"))
+      .select(lit(table).as("table_name"), col("n_rows"), col("n_keys"),
+        col("n_dup_keys"), col("n_excess_rows"), col("max_multiplicity"))
+
+  /** One FK edge: aggregate fact to (key, cnt), left-join the dim's key
+    * projection, roll up orphan rows/keys. The join input is distinct fact
+    * keys — bounded by key cardinality at any corpus size. */
+  private[operators] def fkEdge(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                     edge: String): DataFrame = {
+    val keyAgg = fact.groupBy(col(fk).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val dimKeys = dim.select(col(pk).cast("long").as("pk")).distinct()
+    keyAgg.join(dimKeys, col("k") === col("pk"), "left")
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("pk").isNull, col("cnt")).otherwise(0L)).as("n_orphan_rows"),
+        sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+      .select(lit(edge).as("fk_edge"), col("n_rows"), col("n_orphan_rows"),
+        col("n_orphan_keys"),
+        expr("(n_orphan_rows * 10000) div n_rows").as("orphan_bp"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Primary-key uniqueness audit across every table in the layout. Each
+    // table is ONE map-side-combined shuffle on its key; the union rows are
+    // 8 constant-width summaries.
+    "dq_key_uniqueness" -> ((s, d) => {
+      Seq(
+        uniq(t(s, d, "customer"), "customer", Seq("c_custkey")),
+        uniq(t(s, d, "documents"), "documents", Seq("doc_id")),
+        uniq(t(s, d, "embeddings"), "embeddings", Seq("vec_id")),
+        uniq(t(s, d, "events"), "events", Seq("event_id")),
+        uniq(t(s, d, "lineitem"), "lineitem", Seq("l_orderkey", "l_linenumber")),
+        uniq(t(s, d, "orders"), "orders", Seq("o_orderkey")),
+        uniq(t(s, d, "part"), "part", Seq("p_partkey")),
+        uniq(t(s, d, "supplier"), "supplier", Seq("s_suppkey"))
+      ).reduce(_ union _).orderBy(asc("table_name"))
+    }),
+
+    // Referential-integrity audit over the schema's six FK edges. Fact
+    // sides collapse to distinct keys before any join; dims are key-only
+    // projections (and broadcastable when genuinely small).
+    "dq_referential_integrity" -> ((s, d) => {
+      val orders = t(s, d, "orders"); val li = t(s, d, "lineitem")
+      Seq(
+        fkEdge(t(s, d, "customer"), "c_nationkey", t(s, d, "nation"), "n_nationkey",
+          "customer.c_nationkey->nation"),
+        fkEdge(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
+        fkEdge(li, "l_partkey", t(s, d, "part"), "p_partkey", "lineitem.l_partkey->part"),
+        fkEdge(li, "l_suppkey", t(s, d, "supplier"), "s_suppkey", "lineitem.l_suppkey->supplier"),
+        fkEdge(t(s, d, "nation"), "n_regionkey", t(s, d, "region"), "r_regionkey",
+          "nation.n_regionkey->region"),
+        fkEdge(orders, "o_custkey", t(s, d, "customer"), "c_custkey", "orders.o_custkey->customer")
+      ).reduce(_ union _).orderBy(asc("fk_edge"))
+    }),
+
+    // Domain/range rule audit over lineitem: spec bounds (expected clean)
+    // plus distribution-tail warnings (expected non-zero), all in ONE scan
+    // — every rule is a conditional sum in a single aggregate; the
+    // rule→row unpivot runs on the 1-row result.
+    "dq_value_rules" -> ((s, d) => {
+      val agg = t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L).otherwise(0L)).as("v_qty_range"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.10, 1L).otherwise(0L)).as("v_discount_range"),
+        sum(when(col("l_tax") < 0.0 || col("l_tax") > 0.08, 1L).otherwise(0L)).as("v_tax_range"),
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L)).as("v_price_positive"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_returnflag_domain"),
+        sum(when(!col("l_linestatus").isin("O", "F"), 1L).otherwise(0L)).as("v_linestatus_domain"),
+        sum(when(col("l_quantity") > 45.0, 1L).otherwise(0L)).as("v_qty_tail_gt45"),
+        sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_discount_tail_gt8pct"))
+      agg.selectExpr("n_rows", "stack(8, " +
+          "'discount_range', v_discount_range, " +
+          "'discount_tail_gt8pct', v_discount_tail_gt8pct, " +
+          "'linestatus_domain', v_linestatus_domain, " +
+          "'price_positive', v_price_positive, " +
+          "'qty_range', v_qty_range, " +
+          "'qty_tail_gt45', v_qty_tail_gt45, " +
+          "'returnflag_domain', v_returnflag_domain, " +
+          "'tax_range', v_tax_range) AS (rule, n_violations)")
+        .selectExpr("rule", "n_rows", "n_violations",
+          "(n_violations * 10000) div n_rows AS viol_bp")
+        .orderBy(asc("rule"))
+    }),
+
+    // Cross-table temporal consistency: a lineitem must not ship before
+    // its order is placed. One orderkey equi-join (co-located under a
+    // bucketed layout), integer epoch-day lag arithmetic, constant-width
+    // rollup.
+    "dq_temporal_consistency" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .selectExpr("l_orderkey", s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div ${DayUs}L AS ship_day")
+      val ord = t(s, d, "orders")
+        .selectExpr("o_orderkey", s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${DayUs}L AS order_day")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .selectExpr("ship_day - order_day AS lag_days")
+        .agg(
+          count(lit(1)).as("n_lineitems"),
+          sum(when(col("lag_days") < 0L, 1L).otherwise(0L)).as("n_ship_before_order"),
+          min(col("lag_days")).as("min_lag_days"),
+          max(col("lag_days")).as("max_lag_days"))
+        .selectExpr("n_lineitems", "n_ship_before_order",
+          "(n_ship_before_order * 10000) div n_lineitems AS viol_bp",
+          "min_lag_days", "max_lag_days")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    def uniqSql(table: String, keys: String) =
+      s"""SELECT '$table' AS table_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+          count(*) AS n_keys,
+          CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+          CAST(sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS n_excess_rows,
+          CAST(max(cnt) AS BIGINT) AS max_multiplicity
+          FROM (SELECT $keys, count(*) AS cnt FROM $table GROUP BY $keys)"""
+    def fkSql(edge: String, fact: String, fk: String, dim: String, pk: String) =
+      s"""SELECT '$edge' AS fk_edge, CAST(sum(cnt) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN d.pk IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+          CAST(sum(CASE WHEN d.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+          CAST((sum(CASE WHEN d.pk IS NULL THEN cnt ELSE 0 END) * 10000) // sum(cnt) AS BIGINT) AS orphan_bp
+          FROM (SELECT CAST($fk AS BIGINT) AS k, count(*) AS cnt FROM $fact GROUP BY 1) f
+          LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS pk FROM $dim) d ON f.k = d.pk"""
+    Map(
+      "dq_key_uniqueness" -> Seq(
+        uniqSql("customer", "c_custkey"),
+        uniqSql("documents", "doc_id"),
+        uniqSql("embeddings", "vec_id"),
+        uniqSql("events", "event_id"),
+        uniqSql("lineitem", "l_orderkey, l_linenumber"),
+        uniqSql("orders", "o_orderkey"),
+        uniqSql("part", "p_partkey"),
+        uniqSql("supplier", "s_suppkey")
+      ).mkString("", " UNION ALL ", " ORDER BY table_name"),
+
+      "dq_referential_integrity" -> Seq(
+        fkSql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        fkSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fkSql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        fkSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fkSql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        fkSql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey")
+      ).mkString("", " UNION ALL ", " ORDER BY fk_edge"),
+
+      "dq_value_rules" ->
+        ("""WITH a AS (SELECT count(*) AS n_rows,
+            sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty_range,
+            sum(CASE WHEN l_discount < 0 OR l_discount > 0.10 THEN 1 ELSE 0 END) AS v_discount_range,
+            sum(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END) AS v_tax_range,
+            sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price_positive,
+            sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_returnflag_domain,
+            sum(CASE WHEN l_linestatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS v_linestatus_domain,
+            sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS v_qty_tail_gt45,
+            sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS v_discount_tail_gt8pct
+            FROM lineitem),
+          u AS (
+            SELECT 'discount_range' AS rule, n_rows, v_discount_range AS n_violations FROM a
+            UNION ALL SELECT 'discount_tail_gt8pct', n_rows, v_discount_tail_gt8pct FROM a
+            UNION ALL SELECT 'linestatus_domain', n_rows, v_linestatus_domain FROM a
+            UNION ALL SELECT 'price_positive', n_rows, v_price_positive FROM a
+            UNION ALL SELECT 'qty_range', n_rows, v_qty_range FROM a
+            UNION ALL SELECT 'qty_tail_gt45', n_rows, v_qty_tail_gt45 FROM a
+            UNION ALL SELECT 'returnflag_domain', n_rows, v_returnflag_domain FROM a
+            UNION ALL SELECT 'tax_range', n_rows, v_tax_range FROM a)
+          SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+            CAST((n_violations * 10000) // n_rows AS BIGINT) AS viol_bp
+          FROM u ORDER BY rule"""),
+
+      "dq_temporal_consistency" ->
+        ("""WITH j AS (SELECT epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS lag_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          SELECT count(*) AS n_lineitems,
+            CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_before_order,
+            CAST((sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS viol_bp,
+            min(lag_days) AS min_lag_days, max(lag_days) AS max_lag_days
+          FROM j""")
+    )
+  }
+}

@@ -43,7 +43,7 @@ object Sessions {
     // Gap-based sessionization: a new session starts when a user is idle
     // >30 min. Emits one row per session with its span and size. lag +
     // conditional running sum; the rollup reuses the window's exchange.
-    "events_sessionize" -> ((s, d) => {
+    "events_session_spans" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
       EventFinders.events(s, d)
         .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS ts_us")
@@ -126,7 +126,7 @@ object Sessions {
   )
 
   def oracles: Map[String, String] = Map(
-    "events_sessionize" ->
+    "events_session_spans" ->
       ("WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
         "m AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 " +
         "OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess " +

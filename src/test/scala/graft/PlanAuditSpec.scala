@@ -404,8 +404,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "vocab/pair aggregates lost their partial (map-side combine) phase")
   }
 
-  test("events_sessionize: session rollup reuses the window's user_id clustering") {
-    val p = planOf("events_sessionize")
+  test("events_session_spans: session rollup reuses the window's user_id clustering") {
+    val p = planOf("events_session_spans")
     // exactly ONE corpus-scale hash exchange (user_id for the window); the
     // groupBy(user_id, session_idx) — a superset of the partition key —
     // must NOT re-shuffle, and the only other exchange is the final orderBy
@@ -468,5 +468,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, "expected exactly one orders scan")
     assert("Window ".r.findAllIn(p).length == 2,
       "expected the per-customer cohort window and the per-cohort cumulative window")
+  }
+
+  test("dq_referential_integrity: fact sides collapse to distinct keys before any join") {
+    val p = planOf("dq_referential_integrity")
+    // every FK existence join must probe the aggregated (fk, cnt) relation,
+    // so each join's streamed side is a HashAggregate, never a raw fact scan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no nested-loop shapes in an equi-join audit")
+    // 6 edges -> 6 key-level joins; each upstream of a key aggregate
+    val joins = ("SortMergeJoin".r.findAllIn(p).length
+      + "BroadcastHashJoin".r.findAllIn(p).length
+      + "ShuffledHashJoin".r.findAllIn(p).length)
+    assert(joins == 6, s"expected exactly 6 key-level joins, got $joins")
+    // 6 fact-side key censuses + 6 dim-side distincts, each at least one
+    // HashAggregate with a non-empty grouping key
+    assert("HashAggregate\\(keys=\\[[a-z]".r.findAllIn(p).length >= 12,
+      "a fact side reached its join un-aggregated (raw rows, not distinct keys)")
+  }
+
+  test("dq_value_rules: all rules in ONE lineitem scan and one aggregate pair") {
+    val p = planOf("dq_value_rules")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "expected exactly one lineitem scan for the whole rule battery")
+    assert(!p.contains("Join"), "rule audit must be join-free")
+    // partial+final of the single 1-row aggregate; the unpivot runs after
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      "rule sums lost their single partial+final aggregate pair")
+  }
+
+  test("graph_triangles: oriented wedge join is an equi-join, never a cartesian") {
+    val p = planOf("graph_triangles")
+    assert(!p.contains("CartesianProduct"), "cartesian product in the triangle census")
+    // the only nested-loop shape allowed is the final 1-row×1-row scalar
+    // attach of (counts ⨯ triangles); the wedge-closing join is an equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      "a corpus-scale join fell back to a nested-loop shape")
+    // the cached edge artifact feeds the plan: no lineitem re-scan inside
+    assert(!p.contains("Scan parquet"),
+      "graph queries must run on the checkpointed edge artifact, not re-mine lineitem")
+  }
+
+  test("graph_pagerank: iterations run on the node-sized relation with flat lineage") {
+    val p = planOf("graph_pagerank")
+    // the localCheckpoint per iteration keeps the final plan shallow: only
+    // the LAST iteration's join + rollup + top-k should remain visible
+    val joins = ("SortMergeJoin".r.findAllIn(p).length
+      + "BroadcastHashJoin".r.findAllIn(p).length
+      + "ShuffledHashJoin".r.findAllIn(p).length)
+    assert(joins <= 2, s"lineage not flattened: $joins joins in the final plan")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 lost the distributed top-k (global sort instead)")
   }
 }

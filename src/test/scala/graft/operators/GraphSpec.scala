@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Value-level oracle for the graph operators on a hand-built co-purchase
+  * fixture whose structure is known by construction: a triangle {1,2,3}
+  * with a pendant node 4, every edge supported by exactly two orders. Also
+  * recomputes the 5-iteration integer PageRank independently in-test (a
+  * driver-side reference loop) and asserts exact rank equality.
+  */
+class GraphSpec extends AnyFunSpec with Matchers {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Each pair listed twice (support 2): triangle 1-2, 2-3, 1-3 plus
+    * pendant edge 1-4; plus one singleton order and one unsupported pair
+    * (5,6) that must NOT become an edge. */
+  private lazy val fixtureDir: String = {
+    val pairs = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L),
+      (1L, 3L), (1L, 3L), (1L, 4L), (1L, 4L), (5L, 6L))
+    val rows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong + 1, a), (i.toLong + 1, b))
+    } ++ Seq((100L, 7L)) // singleton order
+    val dir = Files.createTempDirectory("graph-fixture").toFile
+    dir.deleteOnExit()
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "lineitem.parquet").toString)
+    dir.toString
+  }
+
+  /** The expected edge set (u < v). */
+  private val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+
+  describe("graph_degree_stats") {
+    it("builds the support-2 graph and histograms degrees with exact shares") {
+      val got = Graph.queries("graph_degree_stats")(spark, fixtureDir)
+        .as[(Long, Long, Long)].collect().toSeq
+      // degrees: node1=3, node2=2, node3=2, node4=1 -> hist 1:1, 2:2, 3:1
+      got shouldBe Seq((1L, 1L, 2500L), (2L, 2L, 5000L), (3L, 1L, 2500L))
+    }
+  }
+
+  describe("graph_triangles") {
+    it("counts the single triangle once via the degree orientation") {
+      val got = Graph.queries("graph_triangles")(spark, fixtureDir)
+        .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+      // wedges = sum d(d-1)/2 = 3 + 1 + 1 + 0 = 5; clustering = 3*1*1e4/5
+      got shouldBe Seq((4L, 4L, 5L, 1L, Some(6000L)))
+    }
+  }
+
+  describe("graph_pagerank") {
+    it("matches an independent integer PageRank recomputation exactly") {
+      val got = Graph.queries("graph_pagerank")(spark, fixtureDir)
+        .as[(Long, Long, Long)].collect().toSeq
+
+      // independent reference loop: same integer arithmetic, plain Scala
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      val deg = adj.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      val n = deg.size.toLong
+      val scale = 1000000000000L
+      val base = (15L * (scale / n)) / 100L
+      var rank = deg.keys.map(_ -> scale / n).toMap
+      for (_ <- 1 to 5) {
+        val contrib = adj.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+        }
+        rank = contrib.map { case (node, s) => node -> (base + (85L * s) / 100L) }
+      }
+      val expected = rank.toSeq
+        .map { case (node, r) => (node, deg(node), r) }
+        .sortBy { case (node, _, r) => (-r, node) }
+      got shouldBe expected
+
+      // structural sanity: hub outranks the pendant, ranks sum ≈ scale
+      val byNode = got.map { case (node, _, r) => node -> r }.toMap
+      byNode(1L) should be > byNode(4L)
+      val total = byNode.values.sum
+      total should be <= scale
+      total should be > (scale * 95) / 100
+    }
+  }
+}

@@ -33,7 +33,7 @@ class SessionsSpec extends AnyFunSpec with Matchers {
     dir.toString
   }
 
-  describe("events_sessionize") {
+  describe("events_session_spans") {
     it("splits on >30min gaps, not at exactly 30min, and counts distinct types") {
       val t0 = 1700000000000000L
       val d = eventsDir(Seq(
@@ -44,7 +44,7 @@ class SessionsSpec extends AnyFunSpec with Matchers {
         (3L, t0 + GapUs + GapUs + 1, 1L, "view", 0.0, "{}"),
         // user 2: single event, single session
         (4L, t0, 2L, "purchase", 0.0, "{}")))
-      val got = Sessions.queries("events_sessionize")(spark, d)
+      val got = Sessions.queries("events_session_spans")(spark, d)
         .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
       got shouldBe Seq(
         (1L, 1L, 2L, t0, t0 + GapUs, GapUs, 2L),
@@ -71,7 +71,7 @@ class SessionsSpec extends AnyFunSpec with Matchers {
             ss.map(_._4).max - ss.map(_._4).min, ss.map(_._3).distinct.size.toLong)
         }
       }.sortBy(r => (r._1, r._2))
-      val got = Sessions.queries("events_sessionize")(spark, sf)
+      val got = Sessions.queries("events_session_spans")(spark, sf)
         .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
       got shouldBe expected
     }
