@@ -28,7 +28,8 @@ object SparkEntry {
       (Sessions.queries, Sessions.oracles),
       (Market.queries, Market.oracles),
       (DataQuality.queries, DataQuality.oracles),
-      (Graph.queries, Graph.oracles)
+      (Graph.queries, Graph.oracles),
+      (Timeseries.queries, Timeseries.oracles)
     )
 
   /** Query names declared by more than one module. `queries`/`oracleSql`

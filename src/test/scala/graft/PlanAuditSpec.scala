@@ -509,6 +509,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "graph queries must run on the checkpointed edge artifact, not re-mine lineitem")
   }
 
+  test("timeseries: every operator reduces to a grid before any window runs") {
+    // corpus-scale work is ONE map-side-combined groupBy per operator; the
+    // windows run on the reduced grid, so the only exchanges are the
+    // grid-sized window/output shuffles. Join-free, single events scan.
+    // drift chains three window specs (week → type → week) over the
+    // weeks×types grid, so it carries 3 grid-sized exchanges after the one
+    // corpus-scale groupBy — grid shuffles are size-bounded at any SF
+    Seq("events_rolling_week" -> 2, "events_daily_anomaly" -> 2,
+      "events_hourly_profile" -> 2, "events_type_drift" -> 4).foreach {
+      case (q, maxEx) =>
+        val p = planOf(q)
+        assert(!p.contains("Join"), s"$q must be join-free")
+        assert("Scan parquet".r.findAllIn(p).length == 1,
+          s"$q: expected exactly one events scan")
+        val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(ex <= maxEx, s"$q: $ex hash exchanges (allowed $maxEx)")
+        assert("HashAggregate".r.findAllIn(p).length >= 2,
+          s"$q: grid reduction lost its partial (map-side combine) phase")
+    }
+  }
+
   test("graph_pagerank: iterations run on the node-sized relation with flat lineage") {
     val p = planOf("graph_pagerank")
     // the localCheckpoint per iteration keeps the final plan shallow: only

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Value-level oracle for the time-series operators on hand-built event
+  * fixtures whose rolling frames, medians/MADs, peaks and drifts are known
+  * by construction.
+  */
+class TimeseriesSpec extends AnyFunSpec with Matchers {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** events.parquet fixture from (user, type, day, hour) rows. */
+  private def dirWith(rows: Seq[(Long, String, Long, Long)]): String = {
+    val dir = Files.createTempDirectory("ts-fixture").toFile
+    dir.deleteOnExit()
+    rows.zipWithIndex.map { case ((u, t, day, hour), i) =>
+      (i.toLong, (day * 86400L + hour * 3600L) * 1000000L, u, t, 1.0, "{}")
+    }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .selectExpr("event_id", "CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value", "props")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").toString)
+    dir.toString
+  }
+
+  describe("events_rolling_week") {
+    it("sums the trailing 7-day range frame per user-day") {
+      // user 1 active on days 0 (x2), 3, 7: day 7's frame is days 1..7
+      val d = dirWith(Seq(
+        (1L, "view", 0L, 0L), (1L, "view", 0L, 5L),
+        (1L, "view", 3L, 1L), (1L, "view", 7L, 2L)))
+      val got = Timeseries.queries("events_rolling_week")(spark, d)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(
+        (1L, 0L, 2L, 2L, 1L),
+        (1L, 3L, 1L, 3L, 2L),
+        (1L, 7L, 1L, 2L, 2L))
+    }
+  }
+
+  describe("events_daily_anomaly") {
+    it("computes the lower median and MAD and flags the constructed spike") {
+      // 7 days of 'click': six days with 1 event, one day with 4
+      // median = 1, deviations = [0 x6, 3], MAD = 0, spike day flagged
+      val d = dirWith(
+        (0L to 5L).map(day => (1L, "click", day, 0L)) ++
+          Seq.fill(4)((1L, "click", 6L, 0L)))
+      val got = Timeseries.queries("events_daily_anomaly")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got.take(6) shouldBe (0L to 5L).map(day => ("click", day, 1L, 1L, 0L, 0L))
+      got.last shouldBe ("click", 6L, 4L, 1L, 0L, 1L)
+    }
+  }
+
+  describe("events_hourly_profile") {
+    it("computes exact hour shares and flags the per-type peak") {
+      // 'view': 3 events in hour 1, 1 in hour 2 -> 7500/2500, peak hour 1
+      val d = dirWith(Seq(
+        (1L, "view", 0L, 1L), (2L, "view", 0L, 1L), (3L, "view", 1L, 1L),
+        (1L, "view", 0L, 2L)))
+      val got = Timeseries.queries("events_hourly_profile")(spark, d)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(("view", 1L, 3L, 7500L, 1L), ("view", 2L, 1L, 2500L, 0L))
+    }
+  }
+
+  describe("events_type_drift") {
+    it("computes weekly shares, per-type deltas, and the week L1 drift") {
+      // week 0 (days 0-6): A x3, B x1 -> 7500/2500
+      // week 1 (days 7-13): A x1, B x1 -> 5000/5000; deltas -2500/+2500
+      val d = dirWith(Seq(
+        (1L, "A", 0L, 0L), (1L, "A", 1L, 0L), (1L, "A", 2L, 0L), (1L, "B", 3L, 0L),
+        (1L, "A", 8L, 0L), (1L, "B", 9L, 0L)))
+      val got = Timeseries.queries("events_type_drift")(spark, d)
+        .as[(Long, String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+      got shouldBe Seq(
+        (0L, "A", 3L, 7500L, None, None),
+        (0L, "B", 1L, 2500L, None, None),
+        (1L, "A", 1L, 5000L, Some(-2500L), Some(5000L)),
+        (1L, "B", 1L, 5000L, Some(2500L), Some(5000L)))
+    }
+  }
+}
