@@ -29,7 +29,8 @@ object SparkEntry {
       (Market.queries, Market.oracles),
       (DataQuality.queries, DataQuality.oracles),
       (Graph.queries, Graph.oracles),
-      (Timeseries.queries, Timeseries.oracles)
+      (Timeseries.queries, Timeseries.oracles),
+      (Layout.queries, Layout.oracles)
     )
 
   /** Query names declared by more than one module. `queries`/`oracleSql`
