@@ -95,7 +95,39 @@ object Pii {
               ${sparkLit(EmailRe)}, '<EMAIL>'),
               ${sparkLit(Ipv4Re)}, '<IP>'),
               ${sparkLit(PhoneRe)}, '<PHONE>')) AS redacted_hash""")
-        .orderBy(asc("doc_id")))
+        .orderBy(asc("doc_id"))),
+
+    // k-anonymity audit over the customer quasi-identifiers, at two
+    // generalization levels: (nation, segment) and the coarsened
+    // (region, segment). Each level is one map-side-combined groupBy to
+    // the equivalence-class census followed by a constant-width rollup;
+    // the nation→region coarsening joins two broadcast dims. k = the
+    // smallest class size; risky = classes below k=5.
+    "pii_k_anonymity" -> ((s, d) => {
+      def level(classes: DataFrame, name: String): DataFrame =
+        classes.agg(
+            sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_classes"),
+            min(col("cnt")).as("k_anonymity"),
+            sum(when(col("cnt") < 5L, 1L).otherwise(0L)).as("n_risky_classes"),
+            sum(when(col("cnt") < 5L, col("cnt")).otherwise(0L)).as("n_risky_rows"))
+          .selectExpr(s"'$name' AS level", "n_rows", "n_classes", "k_anonymity",
+            "n_risky_classes", "n_risky_rows",
+            "(n_risky_rows * 10000) div n_rows AS risky_bp")
+      val cust = s.read.parquet(s"$d/customer.parquet")
+      val nation = s.read.parquet(s"$d/nation.parquet")
+      val region = s.read.parquet(s"$d/region.parquet")
+      val fine = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      val coarse = cust
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_regionkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      level(fine, "nation_segment")
+        .union(level(coarse, "region_segment"))
+        .orderBy(asc("level"))
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -124,7 +156,24 @@ object Pii {
           s"len(regexp_extract_all(t, ${duckLit(Ipv4Re)})) AS n_ips, " +
           s"len(regexp_extract_all(t, ${duckLit(PhoneRe)})) AS n_phones, " +
           s"${charHashDuck(redactedDuck)} AS redacted_hash " +
-          "FROM aug ORDER BY doc_id")
+          "FROM aug ORDER BY doc_id"),
+      "pii_k_anonymity" -> {
+        def levelSql(classSql: String, name: String) =
+          s"SELECT '$name' AS level, CAST(sum(cnt) AS BIGINT) AS n_rows, " +
+            "count(*) AS n_classes, CAST(min(cnt) AS BIGINT) AS k_anonymity, " +
+            "CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes, " +
+            "CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_risky_rows, " +
+            "CAST((sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) * 10000) // sum(cnt) AS BIGINT) AS risky_bp " +
+            s"FROM ($classSql)"
+        val fine = "SELECT c_nationkey, c_mktsegment, count(*) AS cnt " +
+          "FROM customer GROUP BY c_nationkey, c_mktsegment"
+        val coarse = "SELECT r_regionkey, c_mktsegment, count(*) AS cnt " +
+          "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey " +
+          "GROUP BY r_regionkey, c_mktsegment"
+        levelSql(fine, "nation_segment") + " UNION ALL " +
+          levelSql(coarse, "region_segment") + " ORDER BY level"
+      }
     )
   }
 }

@@ -141,6 +141,38 @@ object Temporal {
         .filter(col("rank") <= 3)
         .selectExpr("event_type", "day", "n", "dev_bp", "CAST(rank AS BIGINT) AS rank")
         .orderBy(asc("event_type"), asc("rank"))
+    }),
+
+    // SCD2 state intervals: collapse each user's event stream into runs of
+    // consecutive identical event_type and emit validity intervals
+    // [valid_from, valid_to) with the current run open-ended — the
+    // gaps-and-islands build every event-sourced "state history" table
+    // needs. ONE corpus-scale exchange on user_id; the change-flag lag,
+    // the run-id running sum, the per-run rollup (grouping keys are a
+    // superset of the window partition key, so no re-shuffle) and the
+    // valid_to lead all reuse that clustering.
+    "events_state_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
+      val runs = EventFinders.events(s, d)
+        .selectExpr("user_id", "event_id", "event_type", "ts div 1000 AS ts_us")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(
+          min(col("event_type")).as("state"),
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("valid_from_us"))
+      runs
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(asc("run_id"))))
+        .selectExpr("user_id", "run_id", "state", "n_events",
+          "valid_from_us", "valid_to_us",
+          "CASE WHEN valid_to_us IS NULL THEN 1L ELSE 0L END AS is_current")
+        .orderBy(asc("user_id"), asc("run_id"))
     })
   )
 
@@ -185,6 +217,20 @@ object Temporal {
         "r AS (SELECT event_type, day, n, dev_bp, row_number() OVER " +
         "(PARTITION BY event_type ORDER BY dev_bp DESC, day ASC) AS rank FROM sc) " +
         "SELECT event_type, day, n, dev_bp, rank FROM r WHERE rank <= 3 " +
-        "ORDER BY event_type, rank")
+        "ORDER BY event_type, rank"),
+    "events_state_intervals" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events), " +
+        "m AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL " +
+        "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "rn AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM m), " +
+        "runs AS (SELECT user_id, run_id, min(event_type) AS state, count(*) AS n_events, " +
+        "min(ts_us) AS valid_from_us FROM rn GROUP BY user_id, run_id), " +
+        "iv AS (SELECT *, lead(valid_from_us) OVER " +
+        "(PARTITION BY user_id ORDER BY run_id) AS valid_to_us FROM runs) " +
+        "SELECT user_id, run_id, state, n_events, valid_from_us, valid_to_us, " +
+        "CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current " +
+        "FROM iv ORDER BY user_id, run_id")
   )
 }

@@ -224,7 +224,23 @@ object TrainingPipeline {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("shard_tokens"))
-        .orderBy(asc("shard")))
+        .orderBy(asc("shard"))),
+
+    // Deterministic k-per-group reservoir: the 5 docs per language with
+    // the smallest scrambled hash coins — a reproducible uniform sample
+    // (any engine, any run, any cluster size) for eyeballing/eval sets.
+    // The scramble decorrelates the coin from sample_split's bucket; the
+    // per-lang rank is WindowGroupLimit-pruned, so no reducer ever sorts
+    // more than its top-k.
+    "sample_reservoir" -> ((s, d) =>
+      tokenized(s, d)
+        .selectExpr("doc_id", "lang", "n_tokens",
+          s"${coinSpark("CAST(doc_id AS STRING)")} AS coin")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(asc("coin"), asc("doc_id"))))
+        .filter(col("rank") <= 5)
+        .selectExpr("lang", "CAST(rank AS BIGINT) AS rank", "doc_id", "coin", "n_tokens")
+        .orderBy(asc("lang"), asc("rank")))
   )
 
   def oracles: Map[String, String] = {
@@ -304,7 +320,14 @@ object TrainingPipeline {
           s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp, " +
           s"${coinDuck("'w|' || CAST(doc_id AS VARCHAR)")} AS coin " +
           "FROM documents) " +
-          "SELECT doc_id, lang, ttr_bp, coin FROM t WHERE coin < ttr_bp ORDER BY doc_id")
+          "SELECT doc_id, lang, ttr_bp, coin FROM t WHERE coin < ttr_bp ORDER BY doc_id"),
+      "sample_reservoir" ->
+        (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"${coinDuck("CAST(doc_id AS VARCHAR)")} AS coin FROM documents), " +
+          "r AS (SELECT *, row_number() OVER " +
+          "(PARTITION BY lang ORDER BY coin, doc_id) AS rank FROM t) " +
+          "SELECT lang, rank, doc_id, coin, n_tokens " +
+          "FROM r WHERE rank <= 5 ORDER BY lang, rank")
     )
   }
 }
