@@ -17,7 +17,7 @@ import org.apache.spark.sql.expressions.Window
 object Analytics {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   /** TPC-H date columns load as TIMESTAMP_NTZ; epoch under the UTC session
     * tz matches DuckDB's epoch_us on naive timestamps. */

@@ -13,7 +13,7 @@ import graft.functions.CrossHash._
 object Analytics2 {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   private val dec = "decimal(18,4)"
 

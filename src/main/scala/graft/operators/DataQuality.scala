@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object DataQuality {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   private val DayUs = 86400L * 1000000
 

@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
 object Evolution {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   /** Money as scale-4 BIGINT per row (see Analytics: no DECIMAL leaves a
     * query; scaled integers hash identically across engines). */

@@ -51,7 +51,7 @@ object Graph {
   private val Iters = 5
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   private val edgeCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 

@@ -19,7 +19,7 @@ import graft.sources.ZOrderLayout
 object Layout {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   private val DayUs = 86400L * 1000000
 

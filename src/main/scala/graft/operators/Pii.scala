@@ -114,9 +114,9 @@ object Pii {
           .selectExpr(s"'$name' AS level", "n_rows", "n_classes", "k_anonymity",
             "n_risky_classes", "n_risky_rows",
             "(n_risky_rows * 10000) div n_rows AS risky_bp")
-      val cust = s.read.parquet(s"$d/customer.parquet")
-      val nation = s.read.parquet(s"$d/nation.parquet")
-      val region = s.read.parquet(s"$d/region.parquet")
+      val cust = Tables.read(s, d, "customer")
+      val nation = Tables.read(s, d, "nation")
+      val region = Tables.read(s, d, "region")
       val fine = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
         .agg(count(lit(1)).as("cnt"))
       val coarse = cust

@@ -165,7 +165,7 @@ object Sketches {
     "price_quantile_sketch" -> ((s, d) => {
       val W = 1000000L // e4-scale bin width = 100.00 price units
       val e4 = "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
-      val grid = s.read.parquet(s"$d/lineitem.parquet")
+      val grid = Tables.read(s, d, "lineitem")
         .selectExpr(s"$e4 div ${W}L AS bucket")
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
       val cum = grid.withColumn("cum",

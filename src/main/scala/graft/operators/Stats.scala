@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.read(spark, dir, name)
 
   /** Money as scale-4 BIGINT (see Analytics). */
   private def e4Sql(inner: String) =

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Encoding-resilient table reader — the single choke point every relational
+  * operator loads its parquet through. The driver's testdata generator has
+  * shipped temporal columns under THREE physical encodings across rounds
+  * (INT64 TIMESTAMP(NANOS), timestamp[us]→TIMESTAMP_NTZ, and potentially
+  * DATE), and round 8 showed what a hard-coded assumption costs: 19 queries
+  * erroring on a regeneration (`VERDICT r8`, events.ts). `EventFinders`
+  * normalizes the event log to its nanos-LongType contract; this reader
+  * does the same for the TPC-H-ish tables, surfacing every known temporal
+  * column as TIMESTAMP_NTZ no matter how it was written:
+  *
+  *   - TIMESTAMP_NTZ       → as-is
+  *   - TIMESTAMP / DATE    → cast (UTC session, so the instant is unchanged)
+  *   - INT64 nanos (read as LongType under `nanosAsLong`) →
+  *     `timestamp_micros(v div 1000)` (exact at micro precision)
+  *
+  * Schema inspection only (a parquet footer read) — no data scan, no
+  * per-query cost. `TableEncodingDriftSpec` pins all three encodings.
+  */
+object Tables {
+
+  /** Temporal columns per table that must surface as TIMESTAMP_NTZ. */
+  private val TemporalCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // lets an INT64 TIMESTAMP(NANOS) column load (as LongType) instead of
+    // failing the whole read; normalized below
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    TemporalCols.getOrElse(name, Nil).foldLeft(df)(normalize)
+  }
+
+  private def normalize(df: DataFrame, c: String): DataFrame =
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(TimestampNTZType) => df
+      case Some(TimestampType) | Some(DateType) =>
+        df.withColumn(c, col(c).cast(TimestampNTZType))
+      case Some(LongType) => // INT64 nanos surfaced by nanosAsLong
+        df.withColumn(c, expr(s"timestamp_micros($c div 1000)").cast(TimestampNTZType))
+      case Some(other) =>
+        throw new IllegalStateException(
+          s"$c has unsupported temporal encoding $other")
+      case None => df // column absent (test fixtures project subsets)
+    }
+}
