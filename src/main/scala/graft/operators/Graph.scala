@@ -128,6 +128,25 @@ object Graph {
           "CASE WHEN n_wedges = 0 THEN NULL ELSE (3 * n_triangles * 10000) div n_wedges END AS clustering_bp")
     }),
 
+    // Component-size census: min-label connected components (the
+    // dedup_clusters pointer-jumping machinery, O(log d) rounds on the
+    // vertex-sized label table) over the co-purchase graph, rolled up to
+    // a size histogram with exact node shares.
+    "graph_components" -> ((s, d) => {
+      val comps = Dedup.connectedComponents(
+        edges(s, d).selectExpr("u AS doc_a", "v AS doc_b"))
+      val sizes = comps.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"))
+      val hist = sizes.groupBy(col("size"))
+        .agg(count(lit(1)).as("n_components"))
+      val tot = hist.agg(
+        sum(expr("size * n_components")).as("total_nodes"))
+      hist.join(broadcast(tot))
+        .selectExpr("size", "n_components",
+          "(size * n_components * 10000) div total_nodes AS node_share_bp")
+        .orderBy(asc("size"))
+    }),
+
     // Fixed-point PageRank, 5 iterations at damping 0.85, e12-scaled
     // integer arithmetic; top-20 parts by rank with total tiebreak. The
     // converged rank relation is an offline index (same artifact
@@ -202,6 +221,20 @@ object Graph {
         "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
         "CASE WHEN n_wedges = 0 THEN NULL ELSE (3 * n_triangles * 10000) // n_wedges END AS clustering_bp " +
         "FROM agg CROSS JOIN tri"),
+
+    "graph_components" ->
+      // reachability-min closure: exact on the support-thresholded edge
+      // set (sparse — the census-built graph, not the corpus)
+      ("WITH RECURSIVE " + edgeCte.stripPrefix("WITH ") +
+        ", r(node, reach) AS (SELECT node, node FROM deg " +
+        "UNION SELECT a.dst, r.reach FROM r JOIN adj a ON a.src = r.node), " +
+        "cc AS (SELECT node, min(reach) AS comp FROM r GROUP BY node), " +
+        "sizes AS (SELECT comp, count(*) AS size FROM cc GROUP BY comp), " +
+        "hist AS (SELECT size, count(*) AS n_components FROM sizes GROUP BY size), " +
+        "tot AS (SELECT CAST(sum(size * n_components) AS BIGINT) AS total_nodes FROM hist) " +
+        "SELECT size, n_components, " +
+        "(size * n_components * 10000) // total_nodes AS node_share_bp " +
+        "FROM hist CROSS JOIN tot ORDER BY size"),
 
     "graph_pagerank" ->
       (edgeCte + ", nn AS (SELECT count(*) AS n FROM deg), " +

@@ -55,6 +55,14 @@ class GraphSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("graph_components") {
+    it("rolls the single 4-node component into the size histogram") {
+      val got = Graph.queries("graph_components")(spark, fixtureDir)
+        .as[(Long, Long, Long)].collect().toSeq
+      got shouldBe Seq((4L, 1L, 10000L))
+    }
+  }
+
   describe("graph_pagerank") {
     it("matches an independent integer PageRank recomputation exactly") {
       val got = Graph.queries("graph_pagerank")(spark, fixtureDir)
