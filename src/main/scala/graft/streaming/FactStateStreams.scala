@@ -256,6 +256,51 @@ object FactStateStreams {
       }
   }
 
+  /** A closed SCD2 state interval: the user held `state` over
+    * [validFromUs, validToUs) and then transitioned away. */
+  final case class ClosedInterval(
+      userId: Long, state: String, validFromUs: Long, validToUs: Long, nEvents: Long)
+
+  /** Managed state: the user's CURRENT (open) interval. */
+  final case class OpenInterval(state: String, validFromUs: Long, nEvents: Long)
+
+  /** Streaming SCD2 state history — the live twin of the batch
+    * `events_state_intervals` operator (operators/Temporal.scala): per
+    * user, runs of consecutive identical event types become validity
+    * intervals; an interval is EMITTED when the state transitions away
+    * (its valid_to is the successor's valid_from, exactly the batch lead()
+    * semantics), while the current interval deliberately stays in state —
+    * it is open-ended by definition and no watermark can close it. State
+    * is one fixed-width record per user ever seen; at 100 TB scale the
+    * store grows with subject cardinality, not event volume, sharded by
+    * user and restart-safe via checkpointing. */
+  def stateIntervals(spark: SparkSession, events: DataFrame): Dataset[ClosedInterval] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenInterval, ClosedInterval](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (userId, rows, state) =>
+        val closed = Seq.newBuilder[ClosedInterval]
+        var open = state.getOption
+        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, ts) =>
+          open match {
+            case Some(o) if o.state == typ =>
+              open = Some(o.copy(nEvents = o.nEvents + 1))
+            case Some(o) =>
+              closed += ClosedInterval(userId, o.state, o.validFromUs, ts, o.nEvents)
+              open = Some(OpenInterval(typ, ts, 1L))
+            case None =>
+              open = Some(OpenInterval(typ, ts, 1L))
+          }
+        }
+        open.foreach(state.update)
+        closed.result().iterator
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */
