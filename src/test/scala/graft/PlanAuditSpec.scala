@@ -530,6 +530,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("events_state_intervals: one user_id exchange; rollup and lead reuse the clustering") {
+    val p = planOf("events_state_intervals")
+    assert(!p.contains("Join"), "SCD2 build must be join-free")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id), got $hashEx")
+  }
+
+  test("sample_reservoir: per-group rank is WindowGroupLimit-pruned, single scan") {
+    val p = planOf("sample_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      "per-group top-k lost rank pruning (full per-group sort instead)")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "expected exactly one documents scan")
+    assert(!p.contains("Join"), "reservoir sample must be join-free")
+  }
+
+  test("pii_k_anonymity: dims broadcast, censuses map-side combined, no corpus-scale sort join") {
+    val p = planOf("pii_k_anonymity")
+    assert(!p.contains("SortMergeJoin"),
+      "nation/region attach became a shuffle join — they are broadcast dims")
+    assert("HashAggregate\\(keys=\\[[a-z]".r.findAllIn(p).length >= 4,
+      "equivalence-class censuses lost their partial (map-side combine) phase")
+  }
+
+  test("zorder_cells: bounds are a 1-row broadcast, one lineitem scan feeds the census") {
+    val p = planOf("zorder_cells")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "min/max bounds attach became a corpus-scale join")
+    // two branches read lineitem (bounds + keyed projection) — but never more
+    assert("Scan parquet".r.findAllIn(p).length <= 2,
+      "more than the bounds-pass + projection-pass scans")
+  }
+
   test("graph_pagerank: iterations run on the node-sized relation with flat lineage") {
     val p = planOf("graph_pagerank")
     // the localCheckpoint per iteration keeps the final plan shallow: only
