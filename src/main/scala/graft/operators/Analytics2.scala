@@ -46,6 +46,26 @@ object Analytics2 {
           col("n_orders"), col("total_value_e4"))
         .orderBy(asc("o_orderstatus"), asc("o_orderpriority"))),
 
+    // Explicit GROUPING SETS — (status), (priority), () — the third Expand
+    // shape after rollup/cube: named aggregation levels in ONE pass, no
+    // per-level re-scan. The level label is derived from which key is
+    // non-null (engine-agnostic, unlike GROUPING_ID bit orders).
+    "orders_grouping_sets" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast(dec) * lit(10000).cast("decimal(5,0)"))
+            .cast("bigint")).cast("bigint").as("total_value_e4"))
+        .selectExpr(
+          "CASE WHEN o_orderstatus IS NOT NULL THEN 'by_status' " +
+            "WHEN o_orderpriority IS NOT NULL THEN 'by_priority' ELSE 'grand' END AS level",
+          "coalesce(o_orderstatus, '<all>') AS o_orderstatus",
+          "coalesce(o_orderpriority, '<all>') AS o_orderpriority",
+          "n_orders", "total_value_e4")
+        .orderBy(asc("level"), asc("o_orderstatus"), asc("o_orderpriority"))),
+
     // ntile quartiles over customer lifetime value. The window has no
     // PARTITION BY — that is safe ONLY because its input is the per-
     // customer aggregate (customer-count-sized, already reduced), never
@@ -219,6 +239,17 @@ object Analytics2 {
           "CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS total_value_e4 " +
           "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
           "ORDER BY o_orderstatus, o_orderpriority"),
+      "orders_grouping_sets" ->
+        ("WITH g AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, " +
+          "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * " +
+          "CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS total_value_e4 " +
+          "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())) " +
+          "SELECT CASE WHEN o_orderstatus IS NOT NULL THEN 'by_status' " +
+          "WHEN o_orderpriority IS NOT NULL THEN 'by_priority' ELSE 'grand' END AS level, " +
+          "COALESCE(o_orderstatus, '<all>') AS o_orderstatus, " +
+          "COALESCE(o_orderpriority, '<all>') AS o_orderpriority, " +
+          "n_orders, total_value_e4 FROM g " +
+          "ORDER BY level, o_orderstatus, o_orderpriority"),
       "customer_value_quartiles" ->
         ("WITH cv AS (SELECT o_custkey, " +
           "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * " +

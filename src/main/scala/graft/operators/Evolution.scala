@@ -101,6 +101,33 @@ object Evolution {
         .orderBy(asc("change_type"))
     }),
 
+    // MERGE/upsert maintenance: apply a deterministic delta (repriced
+    // updates for keys ≡3 mod 10, synthetic inserts for keys ≡7 mod 100)
+    // to the orders snapshot with latest-wins semantics, and report the
+    // merge audit (inserted/updated/unchanged + the merged checksum). ONE
+    // key equi-join of snapshot ⨝ delta — the canonical co-located merge
+    // that a bucketed layout runs exchange-free; the delta derivation is a
+    // pure projection both engines compute identically.
+    "snapshot_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), e4(col("o_totalprice")).as("price_e4"))
+      val delta = t(s, d, "orders")
+        .selectExpr("o_orderkey", s"${e4Sql("o_totalprice")} AS p")
+        .selectExpr(
+          // updates: +1.0000 on the price; inserts: fresh negative keys
+          "CASE WHEN o_orderkey % 100 = 7 THEN -o_orderkey ELSE o_orderkey END AS k",
+          "CASE WHEN o_orderkey % 100 = 7 THEN p ELSE p + 10000 END AS new_price_e4")
+        .filter("o_orderkey % 10 = 3 OR o_orderkey % 100 = 7")
+      base.join(delta, Seq("k"), "full_outer")
+        .selectExpr(
+          "CASE WHEN price_e4 IS NULL THEN 'insert' " +
+            "WHEN new_price_e4 IS NULL THEN 'unchanged' ELSE 'update' END AS op",
+          "coalesce(new_price_e4, price_e4) AS merged_e4")
+        .groupBy(col("op"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("merged_e4")).as("sum_merged_e4"))
+        .orderBy(asc("op"))
+    }),
+
     // One-pass exact column profile of the widest fact table: row count,
     // null count, exact distinct count, min/max per column — the
     // data-quality dashboard every ingest run publishes.
@@ -183,6 +210,19 @@ object Evolution {
         "CAST(sum(n_new - n_old) AS BIGINT) AS orders_delta, " +
         "CAST(sum(spend_new_e4 - spend_old_e4) AS BIGINT) AS spend_delta_e4 " +
         "FROM cls GROUP BY change_type ORDER BY change_type"),
+
+    "snapshot_upsert" ->
+      (s"WITH base AS (SELECT o_orderkey AS k, ${e4Sql("o_totalprice")} AS price_e4 FROM orders), " +
+        s"raw AS (SELECT o_orderkey, ${e4Sql("o_totalprice")} AS p FROM orders " +
+        "WHERE o_orderkey % 10 = 3 OR o_orderkey % 100 = 7), " +
+        "delta AS (SELECT CASE WHEN o_orderkey % 100 = 7 THEN -o_orderkey ELSE o_orderkey END AS k, " +
+        "CASE WHEN o_orderkey % 100 = 7 THEN p ELSE p + 10000 END AS new_price_e4 FROM raw), " +
+        "m AS (SELECT CASE WHEN b.price_e4 IS NULL THEN 'insert' " +
+        "WHEN d.new_price_e4 IS NULL THEN 'unchanged' ELSE 'update' END AS op, " +
+        "COALESCE(d.new_price_e4, b.price_e4) AS merged_e4 " +
+        "FROM base b FULL OUTER JOIN delta d ON b.k = d.k) " +
+        "SELECT op, count(*) AS n_rows, CAST(sum(merged_e4) AS BIGINT) AS sum_merged_e4 " +
+        "FROM m GROUP BY op ORDER BY op"),
 
     "profile_columns" -> {
       val union = profileCols
