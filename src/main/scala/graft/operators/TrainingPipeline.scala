@@ -240,7 +240,27 @@ object TrainingPipeline {
           Window.partitionBy(col("lang")).orderBy(asc("coin"), asc("doc_id"))))
         .filter(col("rank") <= 5)
         .selectExpr("lang", "CAST(rank AS BIGINT) AS rank", "doc_id", "coin", "n_tokens")
-        .orderBy(asc("lang"), asc("rank")))
+        .orderBy(asc("lang"), asc("rank"))),
+
+    // Shingle novelty: per doc, the share of its distinct word-3-gram
+    // shingles that occur in NO other document — the "how much of this is
+    // new text" curation signal (high novelty = unique content; near-zero
+    // = boilerplate/copies). Inverted-index shape: one explode, one
+    // map-side-combined df census on the shingle hash, one join back on
+    // the hash (vocabulary-sized build side), one per-doc rollup — the
+    // same linear skeleton as the Jaccard census, no pairwise anything.
+    "text_shingle_novelty" -> ((s, d) => {
+      val ex = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("h"))
+      val df = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      ex.join(df, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .selectExpr("doc_id", "n_shingles", "n_unique",
+          "(n_unique * 10000) div n_shingles AS novelty_bp")
+        .orderBy(asc("doc_id"))
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -327,7 +347,14 @@ object TrainingPipeline {
           "r AS (SELECT *, row_number() OVER " +
           "(PARTITION BY lang ORDER BY coin, doc_id) AS rank FROM t) " +
           "SELECT lang, rank, doc_id, coin, n_tokens " +
-          "FROM r WHERE rank <= 5 ORDER BY lang, rank")
+          "FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+      "text_shingle_novelty" ->
+        (s"WITH ex AS (SELECT doc_id, unnest($sh) AS h FROM documents), " +
+          "df AS (SELECT h, count(*) AS df FROM ex GROUP BY h) " +
+          "SELECT ex.doc_id, count(*) AS n_shingles, " +
+          "CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+          "CAST((sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS novelty_bp " +
+          "FROM ex JOIN df ON ex.h = df.h GROUP BY ex.doc_id ORDER BY ex.doc_id")
     )
   }
 }
