@@ -549,6 +549,46 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // IVF+PQ with exact refinement — the full production retrieval stack:
+    // ADC ranks a 50-candidate shortlist from the codes (memory-bound
+    // pass, raw vectors untouched), then ONLY the shortlist is reranked
+    // with the exact cosine kernel (compute-bound pass over queries×50
+    // rows). Recall approaches exact while the corpus-scale work stays
+    // the ADC join; the rerank join's build side is the tiny shortlist.
+    "ann_ivf_pq_refined" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val coarse = coarseFor(d, e)
+      val member = coarseAssign(e, coarse)
+        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      val xsub = CacheScope.persist(subvectors(e))
+      val cb = pqFor(d, e, xsub)
+      val shortlist = pqEncode(xsub, cb)
+        .join(broadcast(member), Seq("vec_id"))
+        .join(broadcast(pqQueryTable(xsub, centFrame(s, cb))), Seq("query_id", "m", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd_e10")).as("adc_e10"))
+        .withColumn("rank0", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
+        .filter(col("rank0") <= 50)
+        .select(col("query_id"), col("vec_id"))
+      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
+        "embedding AS qv", "vec_norm2(embedding) AS qn2")
+      e.selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+        .join(broadcast(shortlist), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("cos_ppm"), asc("neighbor_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("bigint").as("rank"),
+          col("neighbor_id"), col("cos_ppm"))
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
     // Per-vector norms + per-label norm envelope (no float summation —
     // min/max only, deterministic).
     "vector_stats" -> ((s, d) =>
@@ -649,6 +689,25 @@ object Similarity {
         "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank FROM adc) " +
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
         "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
+    "ann_ivf_pq_refined" ->
+      (s"WITH $coarseDuckCtes, " +
+        s"$pqDuckCtes, " +
+        "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
+        "JOIN qprob p ON a.cell = p.cell), " +
+        "adc AS (SELECT mb.query_id, k.vec_id, CAST(sum(t.qd_e10) AS BIGINT) AS adc_e10 " +
+        "FROM codes k JOIN member mb ON k.vec_id = mb.vec_id " +
+        "JOIN qtab t ON t.query_id = mb.query_id AND t.m = k.m AND t.code = k.code " +
+        "WHERE mb.query_id <> k.vec_id GROUP BY mb.query_id, k.vec_id), " +
+        "short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY adc_e10 ASC, vec_id) AS rank0 FROM adc) WHERE rank0 <= 50), " +
+        "qq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "rr AS (SELECT s.query_id, e.vec_id AS neighbor_id, " +
+        s"${cosPpmDuck("qq.qv", "e.embedding")} AS cos_ppm, " +
+        s"row_number() OVER (PARTITION BY s.query_id ORDER BY ${cosPpmDuck("qq.qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM short s JOIN embeddings e ON e.vec_id = s.vec_id " +
+        "JOIN qq ON qq.query_id = s.query_id) " +
+        "SELECT query_id, rank, neighbor_id, cos_ppm FROM rr WHERE rank <= 10 " +
+        "ORDER BY query_id, rank"),
     "vector_stats" ->
       (s"SELECT label, count(*) AS n, " +
         s"min(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS min_norm_ppm, " +

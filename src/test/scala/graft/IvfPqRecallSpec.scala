@@ -72,4 +72,22 @@ class IvfPqRecallSpec extends AnyFunSuite {
     // theorem. Only floors are pinned; the relation is recorded above.
     assert(rIvfPq > 0.0, "probed-cell ADC finds no true neighbors at all")
   }
+
+  test("ann_ivf_pq_refined: exact rerank recovers most of the quantization loss") {
+    // the refined tier ranks by COSINE, so its ground truth is the exact
+    // cosine top-10 — which is exactly ann_bruteforce_topk's output
+    val truth = topSet("ann_bruteforce_topk")
+    val refined = topSet("ann_ivf_pq_refined")
+    graft.operators.CacheScope.releaseAll()
+    val hits = truth.map { case (k, t) => (refined.getOrElse(k, Set.empty) & t).size }.sum
+    val r = hits.toDouble / truth.values.map(_.size).sum
+    info(f"recall@10 vs exact cosine: ivf_pq_refined=$r%.3f")
+    // measured 0.70: the binding loss is the 2-of-10-cell PROBE (a true
+    // cosine neighbor in an unprobed cell is unrecoverable by any rerank),
+    // plus L2-vs-cosine disagreement in the ADC shortlist for unnormalized
+    // vectors. The rerank itself is exact — raising recall means probing
+    // more cells (the documented knob), not a bigger shortlist. Floor
+    // pinned above the compressed tiers' 0.62-0.64.
+    assert(r >= 0.65, f"refined recall lost the rerank benefit: $r%.3f")
+  }
 }
