@@ -27,6 +27,8 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR fact replay STORE [--after ID]
   *   graft.Cli --root DIR fact subscribe STORE [--from beginning|end] [--after ID] [--max N]
   *   graft.Cli --root DIR serve [--http-port N] [--grpc-port N]
+  *   graft.Cli analyze list
+  *   graft.Cli analyze run QUERY --data DIR [--limit N] [--json]
   * }}}
   *
   * Every data command also runs in WIRE MODE against a remote server:
@@ -41,6 +43,17 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = parseArgs(args.toList)
+    pos match {
+      // analytics surface: run any inventory query from the shell —
+      //   graft.Cli analyze list
+      //   graft.Cli analyze run QUERY --data DIR [--limit N] [--json]
+      // (local engine only; leaves the session for the JVM shutdown hook,
+      // so a shared test session is never torn down underneath its suite)
+      case "analyze" :: rest =>
+        analyze(rest, flags)
+        return
+      case _ => ()
+    }
     flags.get("server") match {
       case Some(hostPort) =>
         // wire mode: drive a REMOTE graft (or reference-compatible) server
@@ -161,6 +174,33 @@ object Cli {
       case other => fail(s"unknown command: ${other.mkString(" ")}")
     }
   }
+
+  private def analyze(pos: List[String], flags: Map[String, String]): Unit =
+    pos match {
+      case "list" :: Nil =>
+        Corpus.queryNames.foreach(println)
+      case "run" :: name :: Nil =>
+        val dir = flags.getOrElse("data", fail("analyze run requires --data DIR"))
+        if (!SparkEntry.queries.contains(name))
+          fail(s"unknown query '$name' — see: graft.Cli analyze list")
+        val spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+        val limit = flags.get("limit").map(_.toInt).getOrElse(100)
+        val out = Corpus.query(spark, dir, name).limit(limit)
+        if (flags.contains("json")) out.toJSON.collect().foreach(println)
+        else {
+          println(out.columns.mkString("\t"))
+          out.collect().foreach(r =>
+            println(r.toSeq.map(v => if (v == null) "NULL" else v.toString).mkString("\t")))
+        }
+        graft.operators.CacheScope.releaseAll()
+      case other => fail(s"unknown analyze command: ${other.mkString(" ")}")
+    }
 
   private def render(r: FindByIdResult): String = r match {
     case FindByIdResult.Found(f) => line(f)

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Tables
 
 /** SQL-surface entry point: register the corpus tables as temp views and
   * the engine's codegen'd kernels as SQL functions, so a `spark.sql` user
@@ -10,30 +12,38 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   graft.Corpus.registerViews(spark, "/data/corpus")
   *   spark.sql("SELECT doc_id, char_hash(text) FROM documents WHERE lang = 'en'")
+  *   graft.Corpus.query(spark, "/data/corpus", "dedup_minhash_lsh")  // any inventory query
   * }}}
   *
   * (Cluster deployments can get the functions config-only via
   * `spark.sql.extensions=graft.functions.GraftExtensions`; this helper
   * also covers sessions we receive already-built.) Views are lazy — no
   * scan happens at registration, and every predicate/pruning behavior the
-  * operators rely on applies identically through the views.
+  * operators rely on applies identically through the views. Views load
+  * through the encoding-resilient reader (`operators.Tables`), so
+  * temporal columns surface as TIMESTAMP_NTZ whatever the physical
+  * parquet encoding.
   */
 object Corpus {
 
-  /** The driver-corpus table names (TESTDATA.md layout: one parquet per
-    * table under the scale-factor dir). */
-  val Tables: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings")
+  /** The driver-corpus table names (TESTDATA.md layout). */
+  val TableNames: Seq[String] = Tables.All
 
+  /** Register every corpus table as a temp view + the native kernels. */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     graft.functions.TextHashFunctions.register(spark)
     graft.functions.VectorFunctions.register(spark)
-    // events carries INT64 TIMESTAMP(NANOS) — same legacy read the
-    // operator modules use (EventFinders.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.foreach { t =>
-      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    Tables.All.foreach { name =>
+      Tables.read(spark, dir, name).createOrReplaceTempView(name)
     }
   }
+
+  /** All declared inventory queries, by name. */
+  def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  /** Run one inventory query against a corpus directory. */
+  def query(spark: SparkSession, dir: String, name: String): DataFrame =
+    SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name'; see Corpus.queryNames"))(spark, dir)
 }

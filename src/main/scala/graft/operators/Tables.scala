@@ -24,10 +24,18 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
-  /** Temporal columns per table that must surface as TIMESTAMP_NTZ. */
+  /** Temporal columns per table that must surface as TIMESTAMP_NTZ.
+    * (`EventFinders` keeps its own nanos-LongType contract for the finder
+    * queries; the `events` entry here serves the SQL-view surface,
+    * `Corpus.register`.) */
   private val TemporalCols: Map[String, Seq[String]] = Map(
     "orders" -> Seq("o_orderdate"),
-    "lineitem" -> Seq("l_shipdate"))
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  /** Every table in the driver's corpus layout. */
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     // lets an INT64 TIMESTAMP(NANOS) column load (as LongType) instead of
