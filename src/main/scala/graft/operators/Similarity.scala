@@ -29,6 +29,11 @@ object Similarity {
 
   private val Dim = 64
 
+  /** Leading dimensions covered by the declared covariance query (the full
+    * Dim-wide Gram matrix is the same plan with Dim² constant-width
+    * partials; 16 keeps the oracle output readable at 136 pairs). */
+  private val CovDims = 16
+
   /** Pseudo-random hyperplane component for (plane j, dim i): integer LCG
     * mapped to [-0.5, 0.5) in exact double arithmetic. */
   private def hyper(j: Int, i: Int): Double =
@@ -633,7 +638,39 @@ object Similarity {
         .selectExpr("label", "n_vecs", "cohesion_e10", "nn_label", "nn_sep_e10",
           "(cohesion_e10 * 10000) div greatest(nn_sep_e10, 1L) AS compactness_bp")
         .orderBy(asc("label"))
-    })
+    }),
+
+    // Covariance matrix of the leading CovDims embedding dimensions — the
+    // PCA/whitening precursor (dimension-collapse detection, quantizer
+    // design). Components are e4-quantized so every moment sum is an exact
+    // BIGINT; only the final per-pair normalization cov = num/n² touches a
+    // double (pinned formula both engines). Plan shape: the upper-triangle
+    // pair stream is generated row-locally from a sliced array (k² rows
+    // per vector, whole-stage codegen) and collapses to k(k+1)/2 groups by
+    // map-side combine BEFORE the only shuffle — partials per task are
+    // k²-sized, independent of corpus rows, which is exactly how a Gram
+    // matrix must be computed at 100 TB (the N·k² multiply-adds are
+    // inherent; the exchange stays constant-width).
+    "embedding_covariance" -> ((s, d) =>
+      emb(s, d)
+        .select(expr(s"slice(embedding, 1, $CovDims)").as("v"))
+        .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
+        .select(col("i"),
+          expr("CAST(floor(CAST(vi AS DOUBLE) * 10000) AS BIGINT) AS xi"),
+          posexplode(col("v")).as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+        .selectExpr("i", "j", "xi",
+          "CAST(floor(CAST(vj AS DOUBLE) * 10000) AS BIGINT) AS xj")
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xi")).as("sxi"), sum(col("xj")).as("sxj"),
+          sum(expr("xi * xj")).as("sxixj"))
+        .selectExpr("CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j",
+          "n", "sxi", "sxj", "sxixj",
+          "n * sxixj - sxi * sxj AS cov_num_e8",
+          """CAST(floor(CAST(n * sxixj - sxi * sxj AS DOUBLE) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS cov_e8""")
+        .orderBy(asc("i"), asc("j")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -732,6 +769,21 @@ object Similarity {
         "(PARTITION BY label ORDER BY se10, olabel) AS rk FROM pairs) _ WHERE rk = 1) " +
         "SELECT coh.label, n_vecs, cohesion_e10, nn_label, nn_sep_e10, " +
         "CAST((cohesion_e10 * 10000) // greatest(nn_sep_e10, 1) AS BIGINT) AS compactness_bp " +
-        "FROM coh JOIN sep ON coh.label = sep.label ORDER BY coh.label")
+        "FROM coh JOIN sep ON coh.label = sep.label ORDER BY coh.label"),
+
+    "embedding_covariance" ->
+      (s"WITH q AS (SELECT pi.i AS i, pj.j AS j, " +
+        "CAST(floor(list_extract(embedding, pi.i + 1)::DOUBLE * 10000) AS BIGINT) AS xi, " +
+        "CAST(floor(list_extract(embedding, pj.j + 1)::DOUBLE * 10000) AS BIGINT) AS xj " +
+        s"FROM embeddings, range(0, $CovDims) pi(i), range(0, $CovDims) pj(j) " +
+        "WHERE pj.j >= pi.i), " +
+        "a AS (SELECT i, j, count(*) AS n, CAST(sum(xi) AS BIGINT) AS sxi, " +
+        "CAST(sum(xj) AS BIGINT) AS sxj, CAST(sum(xi * xj) AS BIGINT) AS sxixj " +
+        "FROM q GROUP BY i, j) " +
+        "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sxi, sxj, sxixj, " +
+        "n * sxixj - sxi * sxj AS cov_num_e8, " +
+        "CAST(floor(CAST(n * sxixj - sxi * sxj AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS cov_e8 " +
+        "FROM a ORDER BY i, j")
   )
 }

@@ -342,7 +342,33 @@ object TextAnalysis {
           sum(col("n_tokens")).cast("bigint").as("total_tokens"),
           sum(col("n_chars")).cast("bigint").as("total_chars"),
           max(col("n_tokens")).cast("bigint").as("max_tokens"))
-        .orderBy(asc("lang"), asc("source")))
+        .orderBy(asc("lang"), asc("source"))),
+
+    // Flesch reading-ease readability, integer-exact: words = whitespace
+    // tokens, sentences = [.!?]+ runs, syllables ≈ vowel-group runs (the
+    // standard heuristic). The score 206.835 − 1.015·W/S − 84.6·Y/W is
+    // brought over the common denominator S·W so the milli-score is ONE
+    // integer division — no float ever enters, and clamping the numerator
+    // at 0 (scores below 0 carry no signal) keeps truncating and flooring
+    // division identical across engines. Pure map-side scan + final order,
+    // like every per-doc scorer here.
+    "text_readability" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("doc_id",
+          s"CAST(greatest(size(${tokensSpark("text")}), 1) AS BIGINT) AS n_words",
+          "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS n_sentences",
+          "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS n_syllables")
+        .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables",
+          """greatest(0L, 206835L * n_sentences * n_words
+             - 1015L * n_words * n_words
+             - 84600L * n_syllables * n_sentences)
+             div (n_sentences * n_words) AS flesch_me3""")
+        .selectExpr("doc_id", "n_words", "n_sentences", "n_syllables", "flesch_me3",
+          """CASE WHEN flesch_me3 >= 90000 THEN 'very_easy'
+             WHEN flesch_me3 >= 60000 THEN 'standard'
+             WHEN flesch_me3 >= 30000 THEN 'difficult'
+             ELSE 'very_confusing' END AS band""")
+        .orderBy(asc("doc_id")))
   )
 
   def oracles: Map[String, String] = {
@@ -473,7 +499,24 @@ object TextAnalysis {
         (s"SELECT lang, source, count(*) AS n_docs, " +
           s"CAST(sum(len($toks)) AS BIGINT) AS total_tokens, " +
           "CAST(sum(n_chars) AS BIGINT) AS total_chars, max(len(" + toks + ")) AS max_tokens " +
-          "FROM documents GROUP BY lang, source ORDER BY lang, source")
+          "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+      "text_readability" ->
+        (s"WITH c AS (SELECT doc_id, " +
+          s"CAST(greatest(len($toks), 1) AS BIGINT) AS n_words, " +
+          "CAST(greatest(len(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT) AS n_sentences, " +
+          "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS n_syllables " +
+          "FROM documents), " +
+          "f AS (SELECT doc_id, n_words, n_sentences, n_syllables, " +
+          "greatest(CAST(0 AS BIGINT), 206835 * n_sentences * n_words " +
+          "- 1015 * n_words * n_words " +
+          "- 84600 * n_syllables * n_sentences) " +
+          "// (n_sentences * n_words) AS flesch_me3 FROM c) " +
+          "SELECT doc_id, n_words, n_sentences, n_syllables, flesch_me3, " +
+          "CASE WHEN flesch_me3 >= 90000 THEN 'very_easy' " +
+          "WHEN flesch_me3 >= 60000 THEN 'standard' " +
+          "WHEN flesch_me3 >= 30000 THEN 'difficult' " +
+          "ELSE 'very_confusing' END AS band " +
+          "FROM f ORDER BY doc_id")
     )
   }
 }

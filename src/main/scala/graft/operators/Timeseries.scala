@@ -43,6 +43,23 @@ object Timeseries {
       s"(ts div 1000) div ${DayUs}L AS day",
       s"((ts div 1000) div ${HourUs}L) % 24 AS hour")
 
+  /** Zero-filled per-type daily-count grid over each type's [min, max] day
+    * span. Days with no events must appear as n=0 — autocorrelation and
+    * change-point statistics are wrong on a gappy series. One corpus-scale
+    * groupBy builds the counts; the span aggregate is |types| rows, and the
+    * filled calendar (types×days) joins back to the counts grid — all
+    * grid-sized work after the single big shuffle. */
+  private def dayGrid(s: SparkSession, d: String): DataFrame = {
+    val counts = byDay(s, d)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val calendar = counts.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    calendar.join(counts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rolling 7-day activity per user: events and active days in the
     // trailing week, emitted per (user, active day). One corpus-scale
@@ -120,6 +137,65 @@ object Timeseries {
         .withColumn("week_l1_drift_bp", sum(abs(col("delta_bp"))).over(byWeek))
         .selectExpr("week", "event_type", "n", "share_bp", "delta_bp", "week_l1_drift_bp")
         .orderBy(asc("week"), asc("event_type"))
+    }),
+
+    // Lag-1 / lag-7 autocorrelation of the per-type daily count series on
+    // the ZERO-FILLED day grid (a gappy series biases r upward). Moment
+    // sums are exact integers; only the final Pearson ratio touches
+    // doubles, with a pinned evaluation order shared with the oracle so
+    // floor(r·10⁶) is bit-identical. Work after the one corpus-scale
+    // groupBy is grid-sized: a lag window + one combine-friendly aggregate
+    // per (type, lag).
+    "events_autocorr" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(asc("day"))
+      dayGrid(s, d)
+        .withColumn("y1", lag(col("n"), 1).over(w))
+        .withColumn("y7", lag(col("n"), 7).over(w))
+        .selectExpr("event_type", "n",
+          "stack(2, 1L, y1, 7L, y7) AS (lag, y)")
+        .filter(col("y").isNotNull)
+        .groupBy(col("event_type"), col("lag"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("n")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("n * n")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("n * y")).as("sxy"))
+        .selectExpr("event_type", "lag", "n_pairs",
+          "n_pairs * sxy - sx * sy AS cov_num",
+          "n_pairs * sxx - sx * sx AS var_x_num",
+          "n_pairs * syy - sy * sy AS var_y_num")
+        .selectExpr("event_type", "lag", "n_pairs", "cov_num",
+          """CASE WHEN var_x_num = 0 OR var_y_num = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 /
+               sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT)
+             END AS r_ppm""")
+        .orderBy(asc("event_type"), asc("lag"))
+    }),
+
+    // CUSUM change-point per event type: on the zero-filled grid, the
+    // drift statistic G_d = |cumsum_d·N − T·d| (cross-multiplied — exact
+    // integers, no T/N fraction) peaks at the most likely level shift;
+    // ties break earliest. Means either side of the split are exact e4
+    // fixed-point. Everything after the corpus groupBy is two windows and
+    // a rank-1 filter on the grid.
+    "events_cusum" -> ((s, d) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val run = byType.orderBy(asc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dayGrid(s, d)
+        .withColumn("idx", row_number().over(byType.orderBy(asc("day"))))
+        .withColumn("cum", sum(col("n")).over(run))
+        .withColumn("n_days", count(lit(1)).over(byType))
+        .withColumn("total", sum(col("n")).over(byType))
+        .withColumn("g", abs(expr("cum * n_days - total * idx")))
+        .withColumn("rk", row_number().over(byType.orderBy(desc("g"), asc("day"))))
+        .filter(col("rk") === 1)
+        .selectExpr("event_type", "day AS change_day", "g AS g_max",
+          "n_days", "total",
+          "(cum * 10000) div idx AS mean_before_e4",
+          """CASE WHEN idx = n_days THEN CAST(NULL AS BIGINT)
+             ELSE ((total - cum) * 10000) div (n_days - idx) END AS mean_after_e4""")
+        .orderBy(asc("event_type"))
     })
   )
 
@@ -173,7 +249,52 @@ object Timeseries {
           "ELSE share_bp - prev_share_bp END AS delta_bp FROM lg) " +
           "SELECT week, event_type, n, share_bp, delta_bp, " +
           "CAST(sum(abs(delta_bp)) OVER (PARTITION BY week) AS BIGINT) AS week_l1_drift_bp " +
-          "FROM dl ORDER BY week, event_type")
+          "FROM dl ORDER BY week, event_type"),
+
+      "events_autocorr" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "l AS (SELECT event_type, day, n, lag(n, 1) OVER w AS y1, lag(n, 7) OVER w AS y7 " +
+          "FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+          "u AS (SELECT event_type, n, CAST(1 AS BIGINT) AS lag, y1 AS y FROM l " +
+          "UNION ALL SELECT event_type, n, CAST(7 AS BIGINT), y7 FROM l), " +
+          "a AS (SELECT event_type, lag, count(*) AS n_pairs, " +
+          "CAST(sum(n) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+          "CAST(sum(n * n) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, " +
+          "CAST(sum(n * y) AS BIGINT) AS sxy FROM u WHERE y IS NOT NULL GROUP BY event_type, lag), " +
+          "m AS (SELECT event_type, lag, n_pairs, " +
+          "n_pairs * sxy - sx * sy AS cov_num, " +
+          "n_pairs * sxx - sx * sx AS var_x_num, " +
+          "n_pairs * syy - sy * sy AS var_y_num FROM a) " +
+          "SELECT event_type, lag, n_pairs, cov_num, " +
+          "CASE WHEN var_x_num = 0 OR var_y_num = 0 THEN NULL " +
+          "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
+          "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) END AS r_ppm " +
+          "FROM m ORDER BY event_type, lag"),
+
+      "events_cusum" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "w AS (SELECT event_type, day, n, " +
+          "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx, " +
+          "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days, " +
+          "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM z), " +
+          "gg AS (SELECT *, abs(cum * n_days - total * idx) AS g FROM w), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY g DESC, day) AS rk FROM gg) " +
+          "SELECT event_type, day AS change_day, g AS g_max, n_days, total, " +
+          "(cum * 10000) // idx AS mean_before_e4, " +
+          "CASE WHEN idx = n_days THEN NULL " +
+          "ELSE ((total - cum) * 10000) // (n_days - idx) END AS mean_after_e4 " +
+          "FROM r WHERE rk = 1 ORDER BY event_type")
     )
   }
+
+  /** DuckDB twin of [[dayGrid]]'s zero-fill (CTEs `g`/`span`/`cal`/`z`;
+    * expects a `b` CTE with event_type/day in scope). */
+  private val zeroFilledGrid: String =
+    "g AS (SELECT event_type, day, count(*) AS n FROM b GROUP BY event_type, day), " +
+      "span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM g GROUP BY event_type), " +
+      "cal AS (SELECT event_type, d0 + t.i AS day FROM span, unnest(range(0, d1 - d0 + 1)) AS t(i)), " +
+      "z AS (SELECT c.event_type, c.day, CAST(coalesce(g.n, 0) AS BIGINT) AS n " +
+      "FROM cal c LEFT JOIN g ON c.event_type = g.event_type AND c.day = g.day)"
 }

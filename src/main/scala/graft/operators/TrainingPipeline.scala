@@ -260,6 +260,34 @@ object TrainingPipeline {
         .selectExpr("doc_id", "n_shingles", "n_unique",
           "(n_unique * 10000) div n_shingles AS novelty_bp")
         .orderBy(asc("doc_id"))
+    }),
+
+    // Temperature sampling (α = 0.5): re-balance the source mixture toward
+    // p_s ∝ t_s^α — the standard multilingual/multi-source rebalancing
+    // trick (big sources are downsampled at rate √(t_min/t_s), the
+    // smallest keeps everything; no upsampling, so it composes with the
+    // single-epoch pipeline). sqrt is IEEE-exact and the rate formula's
+    // evaluation order is pinned, so the basis-point rates — and therefore
+    // every hash-coin keep decision — are bit-identical across engines.
+    // Shape: one tiny per-source aggregate, rates broadcast back, map-side
+    // filter, one rollup — identical scaling to sample_mixture.
+    "sample_temperature" -> ((s, d) => {
+      val base = docs(s, d).selectExpr(
+          "doc_id", "source",
+          s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n_tokens",
+          s"${coinSpark("concat('t|', CAST(doc_id AS STRING))")} AS coin")
+        .transform(CacheScope.persist)
+      val rates = base.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("t_s"))
+        .withColumn("t_min", min(col("t_s")).over(Window.partitionBy()))
+        .selectExpr("source", "t_s",
+          """least(10000L, CAST(floor(sqrt(CAST(t_min AS DOUBLE)) /
+             sqrt(CAST(t_s AS DOUBLE)) * 10000.0) AS BIGINT)) AS rate_bp""")
+      base.join(broadcast(rates), Seq("source"))
+        .filter(col("coin") < col("rate_bp"))
+        .groupBy(col("source"), col("t_s"), col("rate_bp"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .orderBy(asc("source"))
     })
   )
 
@@ -354,7 +382,19 @@ object TrainingPipeline {
           "SELECT ex.doc_id, count(*) AS n_shingles, " +
           "CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
           "CAST((sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS novelty_bp " +
-          "FROM ex JOIN df ON ex.h = df.h GROUP BY ex.doc_id ORDER BY ex.doc_id")
+          "FROM ex JOIN df ON ex.h = df.h GROUP BY ex.doc_id ORDER BY ex.doc_id"),
+      "sample_temperature" ->
+        (s"WITH base AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"${coinDuck("'t|' || CAST(doc_id AS VARCHAR)")} AS coin FROM documents), " +
+          "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s FROM base GROUP BY source), " +
+          "mn AS (SELECT min(t_s) AS t_min FROM tot), " +
+          "rates AS (SELECT source, t_s, least(CAST(10000 AS BIGINT), " +
+          "CAST(floor(sqrt(CAST(mn.t_min AS DOUBLE)) / sqrt(CAST(t_s AS DOUBLE)) * 10000.0) AS BIGINT)) AS rate_bp " +
+          "FROM tot, mn) " +
+          "SELECT b.source, r.t_s, r.rate_bp, count(*) AS n_kept, " +
+          "CAST(sum(b.n_tokens) AS BIGINT) AS tokens_kept " +
+          "FROM base b JOIN rates r ON b.source = r.source WHERE b.coin < r.rate_bp " +
+          "GROUP BY b.source, r.t_s, r.rate_bp ORDER BY b.source")
     )
   }
 }

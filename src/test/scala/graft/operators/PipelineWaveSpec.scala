@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.functions.CrossHash
+
+/** Value-level oracles for the round-9 continuation wave — readability,
+  * embedding covariance, and temperature sampling — all recomputed
+  * independently in-test (plain Scala over the sf0.001 parquet, no Spark
+  * expressions), so each operator is pinned against a second implementation
+  * rather than just its DuckDB rendering.
+  */
+class PipelineWaveSpec extends AnyFunSpec with Matchers {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def polyHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % CrossHash.P)
+
+  private def coin(s: String): Long =
+    polyHash(s) * CrossHash.CoinScramble % CrossHash.P % 10000
+
+  describe("text_readability") {
+    it("matches an independent Scala recomputation of the Flesch pipeline") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq
+
+      val expected = docs.sortBy(_._1).map { case (id, text) =>
+        val w = math.max(text.split(" ", -1).count(_.nonEmpty), 1).toLong
+        val sent = math.max("[.!?]+".r.findAllIn(text).size, 1).toLong
+        val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong
+        val num = 206835L * sent * w - 1015L * w * w - 84600L * syll * sent
+        val me3 = math.max(num, 0L) / (sent * w)
+        val band =
+          if (me3 >= 90000) "very_easy"
+          else if (me3 >= 60000) "standard"
+          else if (me3 >= 30000) "difficult"
+          else "very_confusing"
+        (id, w, sent, syll, me3, band)
+      }
+
+      val got = TextAnalysis.queries("text_readability")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("embedding_covariance") {
+    it("matches exact integer moment sums recomputed in Scala") {
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("embedding").as[Seq[Float]].collect().toSeq
+      val k = 16
+      val q = vecs.map(v => v.take(k).map(x => math.floor(x.toDouble * 10000).toLong))
+
+      val expected = (for {
+        i <- 0 until k; j <- i until k
+      } yield {
+        val n = q.size.toLong
+        val sxi = q.map(_(i)).sum
+        val sxj = q.map(_(j)).sum
+        val sxixj = q.map(v => v(i) * v(j)).sum
+        val num = n * sxixj - sxi * sxj
+        val cov = math.floor(num.toDouble / (n.toDouble * n.toDouble)).toLong
+        (i.toLong, j.toLong, n, sxi, sxj, sxixj, num, cov)
+      }).toSeq
+
+      val got = Similarity.queries("embedding_covariance")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got should have size (k * (k + 1) / 2).toLong
+      got shouldBe expected
+    }
+  }
+
+  describe("sample_temperature") {
+    it("keeps everything from the smallest source and matches recomputed keeps") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "source", "text").as[(Long, String, String)].collect().toSeq
+      val toks = docs.map { case (id, src, text) =>
+        (id, src, text.split(" ", -1).count(_.nonEmpty).toLong)
+      }
+      val totals = toks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val tMin = totals.values.min
+      val rates = totals.map { case (srcName, t) =>
+        srcName -> math.min(
+          10000L,
+          math.floor(math.sqrt(tMin.toDouble) / math.sqrt(t.toDouble) * 10000.0).toLong)
+      }
+      val expected = toks
+        .filter { case (id, src, _) => coin(s"t|$id") < rates(src) }
+        .groupBy(_._2).map { case (srcName, rows) =>
+          (srcName, totals(srcName), rates(srcName),
+            rows.size.toLong, rows.map(_._3).sum)
+        }.toSeq.sortBy(_._1)
+
+      val got = TrainingPipeline.queries("sample_temperature")(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // the smallest source runs at rate 10000 -> nothing dropped there
+      val smallest = totals.minBy(_._2)._1
+      rates(smallest) shouldBe 10000L
+      got.find(_._1 == smallest).map(_._4) shouldBe
+        Some(toks.count(_._2 == smallest).toLong)
+    }
+  }
+}

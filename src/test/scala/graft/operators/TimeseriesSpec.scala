@@ -86,4 +86,37 @@ class TimeseriesSpec extends AnyFunSpec with Matchers {
         (1L, "B", 1L, 5000L, Some(2500L), Some(5000L)))
     }
   }
+
+  describe("events_autocorr") {
+    it("zero-fills missing days and nails a perfectly alternating series") {
+      // 'click' on days 0,2,4,6 only: zero-fill makes the series
+      // 1,0,1,0,1,0,1. Lag-1 pairs (n=6): sx=sy=3, sxx=syy=3, sxy=0
+      // -> cov_num=-9, var=9 -> r = -1 exactly. Only 7 days, so lag-7
+      // has no pairs and emits no row.
+      val d = dirWith(Seq(0L, 2L, 4L, 6L).map(day => (1L, "click", day, 0L)))
+      val got = Timeseries.queries("events_autocorr")(spark, d)
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      got shouldBe Seq(("click", 1L, 6L, -9L, Some(-1000000L)))
+    }
+
+    it("yields NULL r for a zero-variance series") {
+      val d = dirWith((0L to 3L).map(day => (1L, "flat", day, 0L)))
+      val got = Timeseries.queries("events_autocorr")(spark, d)
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+      got shouldBe Seq(("flat", 1L, 3L, 0L, None))
+    }
+  }
+
+  describe("events_cusum") {
+    it("finds the constructed level shift with exact split means") {
+      // 1/day for days 0-3 then 5/day for days 4-7: G = |cum·8 − 24·idx|
+      // peaks at idx 4 (day 3) with G=64; means 1.0000 / 5.0000.
+      val d = dirWith(
+        (0L to 3L).map(day => (1L, "view", day, 0L)) ++
+          (4L to 7L).flatMap(day => Seq.fill(5)((1L, "view", day, 0L))))
+      val got = Timeseries.queries("events_cusum")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+      got shouldBe Seq(("view", 3L, 64L, 8L, 24L, 10000L, Some(50000L)))
+    }
+  }
 }
