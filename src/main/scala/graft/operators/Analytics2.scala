@@ -164,6 +164,39 @@ object Analytics2 {
         .orderBy(asc("flag"), asc("q"))
     }),
 
+    // Exact ship-delay percentiles per order priority WITHOUT sorting
+    // the corpus: delay-in-days is a small bounded integer domain, so the
+    // (priority, delay) histogram — one co-partitioned equi-join plus
+    // one map-side-combined groupBy — carries full distribution
+    // information. Nearest-rank p50/p90/p99 read off the cumulative counts
+    // of that few-hundred-row grid with integer cross-multiplication
+    // (cum·100 ≥ total·q). The usual per-group percentile window would
+    // sort every lineitem of a priority class on one reducer at 100 TB; this shape's
+    // only corpus-scale steps are the join and the histogram reduction.
+    "lineitem_delay_percentiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val hist = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .selectExpr("o_orderpriority AS priority",
+          "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS delay_days")
+        .groupBy(col("priority"), col("delay_days"))
+        .agg(count(lit(1)).as("n"))
+      val run = Window.partitionBy(col("priority")).orderBy(asc("delay_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("n")).over(run))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(col("priority"))))
+        .groupBy(col("priority"))
+        .agg(max(col("total")).as("n_items"),
+          min(when(expr("cum * 100 >= total * 50"), col("delay_days"))).as("p50_days"),
+          min(when(expr("cum * 100 >= total * 90"), col("delay_days"))).as("p90_days"),
+          min(when(expr("cum * 100 >= total * 99"), col("delay_days"))).as("p99_days"),
+          max(col("delay_days")).as("max_days"))
+        .orderBy(asc("priority"))
+    }),
+
     // End-to-end training-corpus pipeline: exact-dedup keep-first ->
     // quality gate (token count + stopword ratio) -> per-lang yield.
     // Revenue concentration (Lorenz curve) WITHOUT a global rank window:
@@ -295,6 +328,21 @@ object Analytics2 {
           "CAST(r.price * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS price_e4 " +
           "FROM t JOIN r ON r.flag = t.flag AND r.rn = t.idx " +
           "ORDER BY t.flag, t.q"),
+      "lineitem_delay_percentiles" ->
+        ("WITH j AS (SELECT o_orderpriority AS priority, " +
+          "CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+          "h AS (SELECT priority, delay_days, count(*) AS n FROM j GROUP BY priority, delay_days), " +
+          "c AS (SELECT *, CAST(sum(n) OVER (PARTITION BY priority ORDER BY delay_days " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          "CAST(sum(n) OVER (PARTITION BY priority) AS BIGINT) AS total FROM h) " +
+          "SELECT priority, max(total) AS n_items, " +
+          "min(CASE WHEN cum * 100 >= total * 50 THEN delay_days END) AS p50_days, " +
+          "min(CASE WHEN cum * 100 >= total * 90 THEN delay_days END) AS p90_days, " +
+          "min(CASE WHEN cum * 100 >= total * 99 THEN delay_days END) AS p99_days, " +
+          "max(delay_days) AS max_days " +
+          "FROM c GROUP BY priority ORDER BY priority"),
+
       "part_revenue_concentration" ->
         ("WITH pp AS (SELECT l_partkey, CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
           "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash._
@@ -368,7 +369,36 @@ object TextAnalysis {
              WHEN flesch_me3 >= 60000 THEN 'standard'
              WHEN flesch_me3 >= 30000 THEN 'difficult'
              ELSE 'very_confusing' END AS band""")
-        .orderBy(asc("doc_id")))
+        .orderBy(asc("doc_id"))),
+
+    // Per-language document-length histogram in decimal-magnitude buckets
+    // (digit count of the token length — the integer-exact log10 both
+    // engines render identically, the part_revenue_concentration idiom),
+    // with per-bucket and cumulative doc shares. The sequence-packing
+    // planner reads this to size context windows; the grid after the one
+    // map-side-combined groupBy is |langs|·|digit buckets| ≤ a few dozen
+    // rows, so the share windows never touch corpus-scale data.
+    "doc_length_histogram" -> ((s, d) => {
+      val byLang = Window.partitionBy(col("lang"))
+      docs(s, d)
+        .selectExpr("lang",
+          s"CAST(greatest(size(${tokensSpark("text")}), 1) AS BIGINT) AS n_tokens")
+        .selectExpr("lang", "n_tokens",
+          "CAST(length(CAST(n_tokens AS STRING)) AS BIGINT) AS bucket")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("lang_docs", sum(col("n_docs")).over(byLang))
+        .withColumn("cum_docs", sum(col("n_docs")).over(
+          byLang.orderBy(asc("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .selectExpr("lang", "bucket",
+          "CAST(power(10, bucket - 1) AS BIGINT) AS lo_tokens",
+          "CAST(power(10, bucket) AS BIGINT) - 1 AS hi_tokens",
+          "n_docs", "tokens",
+          "(n_docs * 10000) div lang_docs AS doc_share_bp",
+          "(cum_docs * 10000) div lang_docs AS cum_share_bp")
+        .orderBy(asc("lang"), asc("bucket"))
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -516,7 +546,20 @@ object TextAnalysis {
           "WHEN flesch_me3 >= 60000 THEN 'standard' " +
           "WHEN flesch_me3 >= 30000 THEN 'difficult' " +
           "ELSE 'very_confusing' END AS band " +
-          "FROM f ORDER BY doc_id")
+          "FROM f ORDER BY doc_id"),
+      "doc_length_histogram" ->
+        (s"WITH t AS (SELECT lang, CAST(greatest(len($toks), 1) AS BIGINT) AS n_tokens FROM documents), " +
+          "b AS (SELECT lang, n_tokens, CAST(length(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS bucket FROM t), " +
+          "g AS (SELECT lang, bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens " +
+          "FROM b GROUP BY lang, bucket), " +
+          "w AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS lang_docs, " +
+          "CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bucket " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs FROM g) " +
+          "SELECT lang, bucket, CAST(power(10, bucket - 1) AS BIGINT) AS lo_tokens, " +
+          "CAST(power(10, bucket) AS BIGINT) - 1 AS hi_tokens, n_docs, tokens, " +
+          "(n_docs * 10000) // lang_docs AS doc_share_bp, " +
+          "(cum_docs * 10000) // lang_docs AS cum_share_bp " +
+          "FROM w ORDER BY lang, bucket")
     )
   }
 }

@@ -50,9 +50,11 @@ object Timeseries {
     * filled calendar (types×days) joins back to the counts grid — all
     * grid-sized work after the single big shuffle. */
   private def dayGrid(s: SparkSession, d: String): DataFrame = {
-    val counts = byDay(s, d)
+    // persisted: the span aggregate AND the zero-fill join both consume the
+    // counts grid — without sharing, each re-scans the corpus
+    val counts = CacheScope.persist(byDay(s, d)
       .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val calendar = counts.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))

@@ -574,4 +574,72 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 lost the distributed top-k (global sort instead)")
   }
+
+  test("events_autocorr / events_cusum: one corpus groupBy, zero-fill join is grid-sized") {
+    Seq("events_autocorr", "events_cusum").foreach { q =>
+      val p = planOf(q)
+      // the counts grid is persisted and BOTH consumers (span aggregate +
+      // zero-fill join) read the one InMemoryRelation — the corpus parquet
+      // is scanned once at runtime even though toString prints the cached
+      // subtree under each InMemoryTableScan
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: counts grid not shared — span and join each re-scan the corpus")
+      // the zero-fill attaches the types×days calendar to the counts grid —
+      // both grid-sized; a corpus-scale SortMergeJoin would mean the join
+      // moved before the reduction
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: zero-fill join must not be a corpus-scale shuffle join")
+      assert("partial_count".r.findAllIn(p).nonEmpty,
+        s"$q: grid reduction lost its partial (map-side combine) phase")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian in the plan")
+    }
+  }
+
+  test("text_readability: pure map-side scan — join-free, single pass, pruned read") {
+    val p = planOf("text_readability")
+    assert(!p.contains("Join"), "readability must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one documents scan")
+    assert(!p.contains("lang"), "reads columns beyond doc_id/text")
+  }
+
+  test("embedding_covariance: row-local pair generation collapses by map-side combine") {
+    val p = planOf("embedding_covariance")
+    assert(!p.contains("Join"), "covariance must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one embeddings scan")
+    assert(p.contains("Generate"), "pair stream must be a row-local generator")
+    // partial + final aggregate around ONE constant-width exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "moment sums lost their partial (map-side combine) phase")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      "more than the k²-group exchange (+ output order)")
+  }
+
+  test("sample_temperature: rates attach by broadcast; keep decision is map-side") {
+    val p = planOf("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), "per-source rates must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "rate attach became a corpus-scale shuffle join")
+  }
+
+  test("lineitem_delay_percentiles: histogram reduction before any window; pruned scans") {
+    val p = planOf("lineitem_delay_percentiles")
+    // corpus-scale steps: the orderkey equi-join + ONE map-side-combined
+    // groupBy to the (priority, delay) histogram; both windows and the
+    // final aggregate run on that bounded grid
+    assert(p.contains("partial_count"),
+      "histogram reduction lost its partial (map-side combine) phase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "join degenerated from the orderkey equi-join")
+    // column pruning: only orderkey/shipdate/orderdate/priority are needed
+    assert(!p.contains("l_comment") && !p.contains("o_totalprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("doc_length_histogram: one scan, one corpus groupBy, windows on the digit grid") {
+    val p = planOf("doc_length_histogram")
+    assert(!p.contains("Join"), "histogram must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one documents scan")
+    assert(p.contains("partial_count"),
+      "bucket census lost its partial (map-side combine) phase")
+  }
 }

@@ -75,6 +75,67 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("lineitem_delay_percentiles") {
+    it("matches nearest-rank percentiles recomputed from the raw delays") {
+      val li = Tables.read(spark, sf, "lineitem")
+        .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS sd")
+        .as[(Long, java.sql.Date)].collect().toSeq
+      val ord = Tables.read(spark, sf, "orders")
+        .selectExpr("o_orderkey", "o_orderpriority", "CAST(o_orderdate AS DATE) AS od")
+        .as[(Long, String, java.sql.Date)].collect()
+        .map { case (k, p, od) => k -> (p, od) }.toMap
+
+      val delays = li.map { case (ok, sd) =>
+        val (prio, od) = ord(ok)
+        (prio, sd.toLocalDate.toEpochDay - od.toLocalDate.toEpochDay)
+      }
+      def nearestRank(sorted: Seq[Long], q: Int): Long = {
+        // smallest delay whose cumulative count satisfies cum*100 >= n*q
+        val n = sorted.size.toLong
+        sorted.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1).toLong * 100 >= n * q => v
+        }.get
+      }
+      val expected = delays.groupBy(_._1).map { case (prio, rows) =>
+        val s2 = rows.map(_._2).sorted
+        (prio, s2.size.toLong, nearestRank(s2, 50), nearestRank(s2, 90),
+          nearestRank(s2, 99), s2.max)
+      }.toSeq.sortBy(_._1)
+
+      val got = Analytics2.queries("lineitem_delay_percentiles")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("doc_length_histogram") {
+    it("matches digit-bucket counts and cumulative shares recomputed in Scala") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("lang", "text").as[(String, String)].collect().toSeq
+      val lens = docs.map { case (lang, text) =>
+        (lang, math.max(text.split(" ", -1).count(_.nonEmpty), 1).toLong)
+      }
+      val expected = lens.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (lang, rows) =>
+          val total = rows.size.toLong
+          val grid = rows
+            .map { case (_, n) => (n.toString.length.toLong, n) }
+            .groupBy(_._1).toSeq.sortBy(_._1)
+          grid.scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (b, xs)) =>
+            (b, xs.size.toLong, xs.map(_._2).sum, cum + xs.size)
+          }.drop(1).map { case (b, nDocs, toks, cum) =>
+            (lang, b,
+              math.pow(10, (b - 1).toDouble).toLong,
+              math.pow(10, b.toDouble).toLong - 1,
+              nDocs, toks, nDocs * 10000 / total, cum * 10000 / total)
+          }
+      }
+      val got = TextAnalysis.queries("doc_length_histogram")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("sample_temperature") {
     it("keeps everything from the smallest source and matches recomputed keeps") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
