@@ -301,6 +301,87 @@ object FactStateStreams {
       }
   }
 
+  /** One closed day's autocorrelation snapshot: exact running lag-1
+    * moment sums and the Pearson r they imply (ppm, floor — the same
+    * pinned arithmetic as the batch `events_autocorr`). */
+  final case class AutocorrUpdate(
+      eventType: String, day: Long, n: Long,
+      nPairs: Long, covNum: Long, rPpm: Option[Long])
+
+  /** Streaming per-type autocorrelation state: the open (incomplete) day,
+    * the previous day's closed count, and the six exact moment sums —
+    * O(1) per event type regardless of stream length. */
+  final case class AutocorrState(
+      curDay: Long, curCount: Long, havePrev: Boolean, prev: Long,
+      nPairs: Long, sx: Long, sy: Long, sxx: Long, syy: Long, sxy: Long)
+
+  /** Streaming lag-1 autocorrelation of per-type daily event counts — the
+    * live twin of the batch `events_autocorr`, with the SAME zero-fill
+    * semantics: a gap of z empty days between two active days folds into
+    * the moments in CLOSED FORM (the first zero day pairs with the last
+    * closed count, the remaining z−1 pairs are (0,0) and only move
+    * n_pairs), so state stays six integers however long the quiet period.
+    * A day closes when the first event of a later day arrives; each
+    * closure emits the updated moments and running r. At 100 TB/day the
+    * state store shards by event type and every update is O(events in
+    * batch) work + O(1) state. */
+  def dailyAutocorr(spark: SparkSession, events: DataFrame): Dataset[AutocorrUpdate] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AutocorrState, AutocorrUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val out = Seq.newBuilder[AutocorrUpdate]
+        var st = state.getOption.orNull
+        rows.toSeq.map(_._2 / DayUs).sorted.foreach { day =>
+          st match {
+            case null =>
+              st = AutocorrState(day, 1L, havePrev = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            case s if day == s.curDay =>
+              st = s.copy(curCount = s.curCount + 1)
+            case s if day > s.curDay =>
+              // close curDay: pair (x = curCount, y = prev) unless this is
+              // the series' first day (batch zero-fill starts at min day)
+              val c = s.curCount
+              var (np, sx2, sy2, sxx2, syy2, sxy2) =
+                (s.nPairs, s.sx, s.sy, s.sxx, s.syy, s.sxy)
+              if (s.havePrev) {
+                np += 1; sx2 += c; sy2 += s.prev
+                sxx2 += c * c; syy2 += s.prev * s.prev; sxy2 += c * s.prev
+              }
+              // zero run curDay+1 .. day-1, folded in closed form
+              val z = day - s.curDay - 1
+              if (z > 0) {
+                np += z      // one (0, c) pair + (z-1) (0, 0) pairs
+                sy2 += c; syy2 += c * c
+              }
+              val prev2 = if (z == 0) c else 0L
+              st = AutocorrState(day, 1L, havePrev = true, prev2,
+                np, sx2, sy2, sxx2, syy2, sxy2)
+              val covNum = np * sxy2 - sx2 * sy2
+              val varX = np * sxx2 - sx2 * sx2
+              val varY = np * syy2 - sy2 * sy2
+              val r =
+                if (np == 0 || varX == 0 || varY == 0) None
+                else Some(math.floor(
+                  covNum.toDouble * 1000000.0 /
+                    math.sqrt(varX.toDouble * varY.toDouble)).toLong)
+              out += AutocorrUpdate(typ, s.curDay, c, np, covNum, r)
+            case s => // late event for an already-closed day: count it into
+              // the open day's moments is wrong; drop it (watermark
+              // discipline — the batch operator is the repair path)
+              st = s
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */
