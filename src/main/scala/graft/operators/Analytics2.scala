@@ -124,6 +124,35 @@ object Analytics2 {
           count(col("mp")).as("n_purchased"))
     }),
 
+    // Funnel with CONVERSION WINDOWS: click must land within 24 h of the
+    // first view, purchase within 24 h of that click — the attribution-
+    // window semantics real funnels carry (the unbounded variant above
+    // overcounts conversions that happen weeks later). Same single-scan
+    // shape: three chained conditional window aggregates over ONE user_id
+    // partitioning, zero self-joins.
+    "events_funnel_windowed" -> ((s, d) => {
+      val DayUsL = 86400L * 1000000
+      val w = Window.partitionBy(col("user_id"))
+      val e = EventFinders.events(s, d)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("mv",
+          min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("mc",
+          min(when(col("event_type") === "click" &&
+            col("ts_us") > col("mv") && col("ts_us") <= col("mv") + DayUsL,
+            col("ts_us"))).over(w))
+        .withColumn("mp",
+          min(when(col("event_type") === "purchase" &&
+            col("ts_us") > col("mc") && col("ts_us") <= col("mc") + DayUsL,
+            col("ts_us"))).over(w))
+      e.groupBy(col("user_id"))
+        .agg(max(col("mv")).as("mv"), max(col("mc")).as("mc"), max(col("mp")).as("mp"))
+        .agg(
+          count(col("mv")).as("n_viewed"),
+          count(col("mc")).as("n_clicked_24h"),
+          count(col("mp")).as("n_purchased_24h"))
+    }),
+
     // Pivot-style conditional aggregation: order-status counts as columns
     // per market segment (portable across engines, no PIVOT syntax).
     // (no broadcast hint: customer scales with SF — AQE decides)
@@ -307,6 +336,22 @@ object Analytics2 {
           "AND epoch_us(e.ts) > c.first_click_after_view GROUP BY c.user_id) " +
           "SELECT (SELECT count(*) FROM v) AS n_viewed, (SELECT count(*) FROM c) AS n_clicked, " +
           "(SELECT count(*) FROM p) AS n_purchased"),
+      "events_funnel_windowed" ->
+        ("WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view FROM events " +
+          "WHERE event_type = 'view' GROUP BY user_id), " +
+          "c AS (SELECT v.user_id, min(epoch_us(e.ts)) AS first_click_24h " +
+          "FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'click' " +
+          "AND epoch_us(e.ts) > v.first_view " +
+          "AND epoch_us(e.ts) <= v.first_view + 86400000000 " +
+          "GROUP BY v.user_id), " +
+          "p AS (SELECT c.user_id, min(epoch_us(e.ts)) AS first_purchase_24h " +
+          "FROM c JOIN events e ON e.user_id = c.user_id AND e.event_type = 'purchase' " +
+          "AND epoch_us(e.ts) > c.first_click_24h " +
+          "AND epoch_us(e.ts) <= c.first_click_24h + 86400000000 " +
+          "GROUP BY c.user_id) " +
+          "SELECT (SELECT count(*) FROM v) AS n_viewed, " +
+          "(SELECT count(*) FROM c) AS n_clicked_24h, " +
+          "(SELECT count(*) FROM p) AS n_purchased_24h"),
       "orders_status_pivot" ->
         ("SELECT c_mktsegment, " +
           "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, " +

@@ -91,6 +91,34 @@ object Multimodal {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).cast("bigint").as("total_bytes"))
         .orderBy(asc("format"))),
 
+    // Content-hash dedup census per format — the "drop byte-identical
+    // images before decode" step every multimodal pipeline runs first.
+    // Two map-side-combined groupBys: payloads shard by content hash (the
+    // canonical exact-dedup shuffle — at 100 TB this is hash-partitioned
+    // binary, nothing compares payload bytes pairwise), then the per-hash
+    // groups collapse to a per-format savings report. A real pipeline uses
+    // a 128-bit digest; the 30-bit stub hash stands in behind the same
+    // plan shape, so `grp_bytes - keep_bytes` (not `(copies-1)·bytes`) is
+    // used deliberately — it stays correct even when distinct payloads
+    // collide on the hash.
+    "media_dedup_report" -> ((s, d) =>
+      docs(s, d).selectExpr(
+          "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n_bytes",
+          s"${charHashSpark("text")} AS checksum",
+          s"CASE ${charHashSpark("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format")
+        .groupBy(col("format"), col("checksum"))
+        .agg(count(lit(1)).as("copies"),
+          sum(col("n_bytes")).as("grp_bytes"),
+          max(col("n_bytes")).as("keep_bytes"))
+        .groupBy(col("format"))
+        .agg(sum(col("copies")).as("n_payloads"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("copies - 1")).as("dup_docs"),
+          sum(expr("grp_bytes - keep_bytes")).as("bytes_saved"))
+        .selectExpr("format", "n_payloads", "n_distinct", "dup_docs",
+          "(dup_docs * 10000) div n_payloads AS dup_bp", "bytes_saved")
+        .orderBy(asc("format"))),
+
     // Resize planning: fit the fake-decoded (width, height) into a 224-max
     // box preserving aspect ratio — pure integer math (floor division), so
     // the plan an actual resampling kernel would execute is oracle-pinned
@@ -166,6 +194,19 @@ object Multimodal {
         "FROM documents) " +
         "SELECT format, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes " +
         "FROM m GROUP BY format ORDER BY format"),
+    "media_dedup_report" ->
+      (s"WITH m AS (SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        s"${charHashDuck("text")} AS checksum, " +
+        s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
+        "FROM documents), " +
+        "g AS (SELECT format, checksum, count(*) AS copies, " +
+        "CAST(sum(n_bytes) AS BIGINT) AS grp_bytes, max(n_bytes) AS keep_bytes " +
+        "FROM m GROUP BY format, checksum) " +
+        "SELECT format, CAST(sum(copies) AS BIGINT) AS n_payloads, " +
+        "count(*) AS n_distinct, CAST(sum(copies - 1) AS BIGINT) AS dup_docs, " +
+        "(CAST(sum(copies - 1) AS BIGINT) * 10000) // CAST(sum(copies) AS BIGINT) AS dup_bp, " +
+        "CAST(sum(grp_bytes - keep_bytes) AS BIGINT) AS bytes_saved " +
+        "FROM g GROUP BY format ORDER BY format"),
     // The decode seam is a mapPartitions operator, but its arithmetic is
     // deterministic integer math over the payload bytes (ASCII ⇒ byte i ==
     // char code i), so DuckDB can replay every derived column: length,

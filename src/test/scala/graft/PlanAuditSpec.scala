@@ -642,4 +642,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       "bucket census lost its partial (map-side combine) phase")
   }
+
+  test("events_funnel_windowed: three chained stage windows share one sort, zero joins") {
+    val p = planOf("events_funnel_windowed")
+    assert(!p.contains("Join"), "windowed funnel must be join-free (single scan)")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one events scan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "stage windows must share ONE user_id exchange")
+  }
+
+  test("media_dedup_report: two map-side-combined groupBys, join-free") {
+    val p = planOf("media_dedup_report")
+    assert(!p.contains("Join"), "content-hash census must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one documents scan")
+    assert(p.contains("partial_count"),
+      "census lost its partial (map-side combine) phase")
+  }
 }

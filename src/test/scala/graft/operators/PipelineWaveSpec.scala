@@ -136,6 +136,63 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("media_dedup_report") {
+    it("matches a Scala recomputation of the content-hash census") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").as[String].collect().toSeq
+      val rows = docs.map { t =>
+        val h = polyHash(t)
+        val fmt = (h % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" }
+        (fmt, h, t.getBytes("UTF-8").length.toLong)
+      }
+      val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (fmt, rs) =>
+        val groups = rs.groupBy(_._2).values.toSeq
+        val nPay = rs.size.toLong
+        val nDist = groups.size.toLong
+        val dup = nPay - nDist
+        val saved = groups.map(g => g.map(_._3).sum - g.map(_._3).max).sum
+        (fmt, nPay, nDist, dup, dup * 10000 / nPay, saved)
+      }
+      val got = Multimodal.queries("media_dedup_report")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("events_funnel_windowed") {
+    it("matches per-user min-chain logic with 24h windows recomputed in Scala") {
+      val DayUs = 86400L * 1000000
+      val events = Tables.read(spark, sf, "events")
+        .selectExpr("user_id", "event_type",
+          "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us")
+        .as[(Long, String, Long)].collect().toSeq
+      val byUser = events.groupBy(_._1)
+      var (nV, nC, nP) = (0L, 0L, 0L)
+      byUser.values.foreach { rows =>
+        val views = rows.filter(_._2 == "view").map(_._3)
+        if (views.nonEmpty) {
+          nV += 1
+          val mv = views.min
+          val clicks = rows.filter(r => r._2 == "click" && r._3 > mv && r._3 <= mv + DayUs).map(_._3)
+          if (clicks.nonEmpty) {
+            nC += 1
+            val mc = clicks.min
+            if (rows.exists(r => r._2 == "purchase" && r._3 > mc && r._3 <= mc + DayUs)) nP += 1
+          }
+        }
+      }
+      val got = Analytics2.queries("events_funnel_windowed")(spark, sf)
+        .as[(Long, Long, Long)].collect().head
+      got shouldBe ((nV, nC, nP))
+      // the window must actually bind: strictly fewer or equal conversions
+      // than the unbounded funnel, and the fixture has both kinds
+      val unb = Analytics2.queries("events_funnel")(spark, sf)
+        .as[(Long, Long, Long)].collect().head
+      got._2 should be <= unb._2
+      got._3 should be <= unb._3
+    }
+  }
+
   describe("sample_temperature") {
     it("keeps everything from the smallest source and matches recomputed keeps") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
