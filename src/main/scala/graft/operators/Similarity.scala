@@ -242,6 +242,95 @@ object Similarity {
   private def coarseFor(dir: String, e: DataFrame): Entries =
     cachedArtifact(s"$dir#coarse-$CoarseK-$CoarseIters")(coarseCentroids(e))
 
+  // --- integer power-iteration PCA ---------------------------------------
+
+  /** Unrolled matvec+rescale rounds (mirrored as CTE stages in the oracle). */
+  private val PcaIters = 12
+
+  /** 10^max(digits(maxAbs)−6, 0): the uniform decimal rescale that keeps
+    * every matvec term inside int64. Digit count is the engine-neutral
+    * integer log10 (same idiom as doc_length_histogram); 10^k is an exact
+    * double well past any k reachable here, so the CAST is exact. */
+  private def rescaleFactor(maxAbs: Long): Long = {
+    val excess = math.max(maxAbs.toString.length - 6, 0)
+    math.pow(10, excess.toDouble).toLong
+  }
+
+  /** Leading principal direction of the e4-quantized embeddings as a
+    * Dim-long integer vector (magnitude ≤ ~10⁶). Deterministic: fixed ones
+    * start vector, truncate-toward-zero divisions (Java `/`, matching the
+    * oracle's sign-split `//`), order-free integer sums — so two builds,
+    * or the DuckDB twin, produce identical components. Cached per corpus
+    * dir like the IVF/PQ artifacts. */
+  private def pcaDirection(dir: String, e: DataFrame): Array[Long] =
+    cachedArtifact(s"$dir#pca-$Dim-$PcaIters") {
+      val rows = e
+        .select(col("embedding").as("v"))
+        .select(col("v"), posexplode(col("v")).as(Seq("i", "vi")))
+        .select(col("i"),
+          expr("CAST(floor(CAST(vi AS DOUBLE) * 10000) AS BIGINT) AS xi"),
+          posexplode(col("v")).as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+        .selectExpr("i", "j", "xi",
+          "CAST(floor(CAST(vj AS DOUBLE) * 10000) AS BIGINT) AS xj")
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("xi")).as("sxi"),
+          sum(col("xj")).as("sxj"), sum(expr("xi * xj")).as("sxixj"))
+        .collect()
+      val m = Array.ofDim[Long](Dim, Dim)
+      rows.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        val entry = r.getLong(2) * r.getLong(5) - r.getLong(3) * r.getLong(4)
+        m(i)(j) = entry; m(j)(i) = entry // scatter matrix is symmetric
+      }
+      val sM = rescaleFactor(m.flatten.map(math.abs).max)
+      for (i <- 0 until Dim; j <- 0 until Dim) m(i)(j) /= sM
+      var v = Array.fill(Dim)(1L)
+      for (_ <- 1 to PcaIters) {
+        val u = Array.tabulate(Dim)(i => (0 until Dim).map(j => m(i)(j) * v(j)).sum)
+        val sU = rescaleFactor(u.map(math.abs).max)
+        v = u.map(_ / sU)
+      }
+      v
+    }
+
+  /** DuckDB twin of the full pcaDirection + projection pipeline — moments,
+    * scatter matrix, uniform rescale, PcaIters matvec rounds, projection —
+    * entirely in SQL (each round is one join + groupBy CTE pair). The
+    * sign-split `//` reproduces truncate-toward-zero on negatives. */
+  private def pcaOracleSql: String = {
+    def tdiv(x: String, s: String) =
+      s"CASE WHEN $x < 0 THEN -((-($x)) // $s) ELSE ($x) // $s END"
+    def scaleOf(col: String) =
+      s"CAST(power(10, greatest(length(CAST(max(abs($col)) AS VARCHAR)) - 6, 0)) AS BIGINT) AS s"
+    val iters = (1 to PcaIters).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"u$t AS MATERIALIZED (SELECT m1.i AS k, CAST(sum(m1.m * $pv.v) AS BIGINT) AS u " +
+        s"FROM m1 JOIN $pv ON m1.j = $pv.k GROUP BY m1.i), " +
+        s"s$t AS MATERIALIZED (SELECT ${scaleOf("u")} FROM u$t), " +
+        s"v$t AS MATERIALIZED (SELECT k, ${tdiv("u", "s")} AS v FROM u$t, s$t)"
+    }.mkString(", ")
+    s"WITH q AS (SELECT pi.i AS i, pj.j AS j, " +
+      "CAST(floor(list_extract(embedding, pi.i + 1)::DOUBLE * 10000) AS BIGINT) AS xi, " +
+      "CAST(floor(list_extract(embedding, pj.j + 1)::DOUBLE * 10000) AS BIGINT) AS xj " +
+      s"FROM embeddings, range(0, $Dim) pi(i), range(0, $Dim) pj(j)), " +
+      "mom AS MATERIALIZED (SELECT i, j, count(*) AS n, CAST(sum(xi) AS BIGINT) AS si, " +
+      "CAST(sum(xj) AS BIGINT) AS sj, CAST(sum(xi * xj) AS BIGINT) AS sij " +
+      "FROM q GROUP BY i, j), " +
+      "m0 AS MATERIALIZED (SELECT i, j, n * sij - si * sj AS m FROM mom), " +
+      s"msc AS MATERIALIZED (SELECT ${scaleOf("m")} FROM m0), " +
+      s"m1 AS MATERIALIZED (SELECT i, j, ${tdiv("m", "s")} AS m FROM m0, msc), " +
+      s"v0 AS MATERIALIZED (SELECT t.k AS k, CAST(1 AS BIGINT) AS v FROM range(0, $Dim) t(k)), " +
+      iters + ", " +
+      s"proj AS (SELECT e.label, e.vec_id, CAST(sum(v$PcaIters.v * " +
+      s"CAST(floor(list_extract(e.embedding, v$PcaIters.k + 1)::DOUBLE * 10000) AS BIGINT)) AS BIGINT) AS score " +
+      s"FROM embeddings e, v$PcaIters GROUP BY e.label, e.vec_id) " +
+      "SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs, " +
+      "min(score) AS min_score, max(score) AS max_score, " +
+      "CAST(sum(score) AS BIGINT) AS sum_score " +
+      "FROM proj GROUP BY label ORDER BY label"
+  }
+
   private def pqFor(dir: String, e: DataFrame, xsub: DataFrame): Entries =
     cachedArtifact(s"$dir#pq-$PqM-$PqK-$PqIters")(pqCodebookEntries(e, xsub))
 
@@ -640,6 +729,37 @@ object Similarity {
         .orderBy(asc("label"))
     }),
 
+    // Leading-principal-direction projection (PCA axis 1) — INTEGER power
+    // iteration, so the direction is bit-identical across engines and the
+    // whole operator is oracle-checkable in SQL (no float matvec whose
+    // summation order could drift). Pipeline: exact e4-quantized moment
+    // sums → integer scatter matrix M = n·S_ij − S_i·S_j → uniform
+    // decimal-magnitude rescale (digit-count, the engine-neutral log10) →
+    // PcaIters unrolled matvec+rescale rounds from the fixed ones vector →
+    // per-vector projection score = Σ v_k·x_k (exact BIGINT, order-free).
+    // The moment pass is the only corpus-scale step (map-side combined to
+    // Dim² groups); M and v are tiny driver artifacts cached per corpus
+    // (the IVF/PQ offline-index discipline), and the projection is one
+    // codegen'd 64-term map expression. Headroom: BIGINT moments are exact
+    // to ~7·10⁵ vectors at |x|≤0.6; beyond that the moment aggregation
+    // moves to DECIMAL(38,0) with the same downstream integers.
+    "embedding_pca_project" -> ((s, d) => {
+      val e = emb(s, d)
+      val v = pcaDirection(d, e)
+      val terms = (0 until Dim).map(k =>
+        s"${v(k)}L * CAST(floor(CAST(element_at(embedding, ${k + 1}) AS DOUBLE) * 10000) AS BIGINT)")
+        .mkString(" + ")
+      e.selectExpr("label", s"($terms) AS score")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"),
+          sum(col("score")).cast("bigint").as("sum_score"))
+        .selectExpr("CAST(label AS BIGINT) AS label", "n_vecs",
+          "min_score", "max_score", "sum_score")
+        .orderBy(asc("label"))
+    }),
+
     // Covariance matrix of the leading CovDims embedding dimensions — the
     // PCA/whitening precursor (dimension-collapse detection, quantizer
     // design). Components are e4-quantized so every moment sum is an exact
@@ -770,6 +890,8 @@ object Similarity {
         "SELECT coh.label, n_vecs, cohesion_e10, nn_label, nn_sep_e10, " +
         "CAST((cohesion_e10 * 10000) // greatest(nn_sep_e10, 1) AS BIGINT) AS compactness_bp " +
         "FROM coh JOIN sep ON coh.label = sep.label ORDER BY coh.label"),
+
+    "embedding_pca_project" -> pcaOracleSql,
 
     "embedding_covariance" ->
       (s"WITH q AS (SELECT pi.i AS i, pj.j AS j, " +

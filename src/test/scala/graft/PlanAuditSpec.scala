@@ -658,4 +658,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       "census lost its partial (map-side combine) phase")
   }
+
+  test("embedding_pca_project: projection is one codegen'd map pass (direction is a cached artifact)") {
+    val p = planOf("embedding_pca_project")
+    assert(!p.contains("Join"), "projection must be join-free — v is a literal")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one embeddings scan")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "label stats lost their partial (map-side combine) phase")
+    // the 64-term integer dot product must be inline literals, not a
+    // second relation
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -136,6 +136,60 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("embedding_pca_project") {
+    it("matches an independent Scala integer power iteration and captures the top eigendirection") {
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("label", "embedding").as[(Int, Seq[Float])].collect().toSeq
+      val dim = 64
+      val q = vecs.map { case (l, v) =>
+        (l, v.map(x => math.floor(x.toDouble * 10000).toLong).toArray)
+      }
+
+      // independent integer pipeline: moments -> scatter -> rescale ->
+      // 6 matvec rounds from ones
+      val n = q.size.toLong
+      val s1 = Array.tabulate(dim)(i => q.map(_._2(i)).sum)
+      val m = Array.tabulate(dim, dim) { (i, j) =>
+        n * q.map(r => r._2(i) * r._2(j)).sum - s1(i) * s1(j)
+      }
+      def rescale(maxAbs: Long): Long =
+        math.pow(10, math.max(maxAbs.toString.length - 6, 0).toDouble).toLong
+      val sM = rescale(m.flatten.map(math.abs).max)
+      val ms = m.map(_.map(_ / sM))
+      var v = Array.fill(dim)(1L)
+      for (_ <- 1 to 12) {
+        val u = Array.tabulate(dim)(i => (0 until dim).map(j => ms(i)(j) * v(j)).sum)
+        val sU = rescale(u.map(math.abs).max)
+        v = u.map(_ / sU)
+      }
+      val expected = q.groupBy(_._1).toSeq
+        .map { case (l, rows) =>
+          val scores = rows.map(r => (0 until dim).map(k => v(k) * r._2(k)).sum)
+          (l.toLong, rows.size.toLong, scores.min, scores.max, scores.sum)
+        }.sortBy(_._1)
+
+      val got = Similarity.queries("embedding_pca_project")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+
+      // PCA quality: the integer direction's Rayleigh quotient must reach
+      // >= 90% of the double-precision power-iteration eigenvalue
+      val cov = Array.tabulate(dim, dim)((i, j) => m(i)(j).toDouble)
+      var w = Array.fill(dim)(1.0)
+      for (_ <- 1 to 50) {
+        val u = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * w(j)).sum)
+        val norm = math.sqrt(u.map(x => x * x).sum)
+        w = u.map(_ / norm)
+      }
+      def rayleigh(x: Array[Double]): Double = {
+        val cx = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * x(j)).sum)
+        (0 until dim).map(i => x(i) * cx(i)).sum / x.map(a => a * a).sum
+      }
+      val vd = v.map(_.toDouble)
+      rayleigh(vd) should be >= 0.9 * rayleigh(w)
+    }
+  }
+
   describe("media_dedup_report") {
     it("matches a Scala recomputation of the content-hash census") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
