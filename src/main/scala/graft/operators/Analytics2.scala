@@ -124,6 +124,32 @@ object Analytics2 {
           count(col("mp")).as("n_purchased"))
     }),
 
+    // Open-order backlog over time: +1 on the order date, −1 on the
+    // order's LAST ship date, cumulative sum = orders in flight. Two
+    // corpus-scale map-side-combined groupBys (orders→day; lineitem→per-
+    // order last ship, co-partitioned with orders on the key at scale),
+    // then the delta stream collapses to the ~active-days grid before the
+    // single running-sum window. Emits only days with activity — the
+    // backlog value at those days is exact regardless.
+    "orders_backlog_timeline" -> ((s, d) => {
+      val epoch = "DATE'1970-01-01'"
+      val opened = t(s, d, "orders")
+        .selectExpr(s"CAST(datediff(CAST(o_orderdate AS DATE), $epoch) AS BIGINT) AS day")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_opened"))
+      val closed = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(expr(s"CAST(datediff(CAST(l_shipdate AS DATE), $epoch) AS BIGINT)")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_closed"))
+      val run = Window.orderBy(asc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opened.join(closed, Seq("day"), "full_outer")
+        .na.fill(0L, Seq("n_opened", "n_closed"))
+        .withColumn("open_backlog",
+          sum(col("n_opened") - col("n_closed")).over(run))
+        .selectExpr("day", "n_opened", "n_closed", "open_backlog")
+        .orderBy(asc("day"))
+    }),
+
     // Funnel with CONVERSION WINDOWS: click must land within 24 h of the
     // first view, purchase within 24 h of that click — the attribution-
     // window semantics real funnels carry (the unbounded variant above
@@ -336,6 +362,21 @@ object Analytics2 {
           "AND epoch_us(e.ts) > c.first_click_after_view GROUP BY c.user_id) " +
           "SELECT (SELECT count(*) FROM v) AS n_viewed, (SELECT count(*) FROM c) AS n_clicked, " +
           "(SELECT count(*) FROM p) AS n_purchased"),
+      "orders_backlog_timeline" ->
+        ("WITH o AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders), " +
+          "op AS (SELECT day, count(*) AS n_opened FROM o GROUP BY day), " +
+          "ls AS (SELECT l_orderkey, max(CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)) AS day " +
+          "FROM lineitem GROUP BY l_orderkey), " +
+          "cl AS (SELECT day, count(*) AS n_closed FROM ls GROUP BY day), " +
+          "j AS (SELECT coalesce(op.day, cl.day) AS day, " +
+          "CAST(coalesce(n_opened, 0) AS BIGINT) AS n_opened, " +
+          "CAST(coalesce(n_closed, 0) AS BIGINT) AS n_closed " +
+          "FROM op FULL OUTER JOIN cl ON op.day = cl.day) " +
+          "SELECT day, n_opened, n_closed, " +
+          "CAST(sum(n_opened - n_closed) OVER (ORDER BY day " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_backlog " +
+          "FROM j ORDER BY day"),
+
       "events_funnel_windowed" ->
         ("WITH v AS (SELECT user_id, min(epoch_us(ts)) AS first_view FROM events " +
           "WHERE event_type = 'view' GROUP BY user_id), " +

@@ -122,6 +122,33 @@ object Sessions {
         .selectExpr("cohort_day", "day_offset", "n_users", "cohort_size",
           "(n_users * 10000) div cohort_size AS retained_bp")
         .orderBy(asc("cohort_day"), asc("day_offset"))
+    }),
+
+    // First-order Markov next-step model of the behavior log: the top-3
+    // most likely next event types per current type, with exact
+    // basis-point conditional probabilities. One user_id exchange builds
+    // the (type, next) transition census (map-side combined); totals,
+    // ranks and probabilities all run on the |types|² grid. The rank
+    // window is WindowGroupLimit-prunable (rank ≤ 3). Complements
+    // events_transition_rank (walk centrality) with the conditional
+    // distribution a sequence model actually consumes.
+    "events_markov_next" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("event_id"))
+      val pairs = EventFinders.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type"))
+      pairs
+        .withColumn("total", sum(col("n")).over(byType))
+        .withColumn("rank", row_number().over(
+          byType.orderBy(desc("n"), asc("next_type"))))
+        .filter(col("rank") <= 3)
+        .selectExpr("event_type", "CAST(rank AS BIGINT) AS rank", "next_type",
+          "n", "(n * 10000) div total AS p_bp")
+        .orderBy(asc("event_type"), asc("rank"))
     })
   )
 
@@ -170,6 +197,18 @@ object Sessions {
         "OVER (PARTITION BY cohort_day) AS cohort_size FROM cells) " +
         "SELECT cohort_day, day_offset, n_users, cohort_size, " +
         "(n_users * 10000) // cohort_size AS retained_bp " +
-        "FROM w ORDER BY cohort_day, day_offset")
+        "FROM w ORDER BY cohort_day, day_offset"),
+
+    "events_markov_next" ->
+      ("WITH b AS (SELECT user_id, event_id, event_type FROM events), " +
+        "l AS (SELECT event_type, lead(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY event_id) AS next_type FROM b), " +
+        "p AS (SELECT event_type, next_type, count(*) AS n FROM l " +
+        "WHERE next_type IS NOT NULL GROUP BY event_type, next_type), " +
+        "w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY n DESC, next_type) AS rank FROM p) " +
+        "SELECT event_type, CAST(rank AS BIGINT) AS rank, next_type, n, " +
+        "(n * 10000) // total AS p_bp " +
+        "FROM w WHERE rank <= 3 ORDER BY event_type, rank")
   )
 }

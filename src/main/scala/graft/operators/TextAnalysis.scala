@@ -398,7 +398,29 @@ object TextAnalysis {
           "(n_docs * 10000) div lang_docs AS doc_share_bp",
           "(cum_docs * 10000) div lang_docs AS cum_share_bp")
         .orderBy(asc("lang"), asc("bucket"))
-    })
+    }),
+
+    // Frequency-of-frequencies census (the Zipf/Good-Turing profile): how
+    // many distinct token types occur k times, k in decimal-magnitude
+    // buckets. Vocabulary pruning and smoothing both read this shape. Two
+    // map-side-combined groupBys — corpus → per-(lang, token) tf
+    // (vocabulary-sized), then tf digit-bucket census (|langs|·19 rows).
+    "text_freq_of_freq" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .selectExpr("lang", "tf",
+          "CAST(length(CAST(tf AS STRING)) AS BIGINT) AS bucket")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("occurrences"))
+        .withColumn("vocab", sum(col("n_types")).over(Window.partitionBy(col("lang"))))
+        .selectExpr("lang", "bucket",
+          "CAST(power(10, bucket - 1) AS BIGINT) AS lo_tf",
+          "CAST(power(10, bucket) AS BIGINT) - 1 AS hi_tf",
+          "n_types", "occurrences",
+          "(n_types * 10000) div vocab AS type_share_bp")
+        .orderBy(asc("lang"), asc("bucket")))
   )
 
   def oracles: Map[String, String] = {
@@ -559,6 +581,17 @@ object TextAnalysis {
           "CAST(power(10, bucket) AS BIGINT) - 1 AS hi_tokens, n_docs, tokens, " +
           "(n_docs * 10000) // lang_docs AS doc_share_bp, " +
           "(cum_docs * 10000) // lang_docs AS cum_share_bp " +
+          "FROM w ORDER BY lang, bucket"),
+      "text_freq_of_freq" ->
+        (s"WITH tok AS (SELECT lang, unnest($toks) AS tok FROM documents), " +
+          "tf AS (SELECT lang, tok, count(*) AS tf FROM tok GROUP BY lang, tok), " +
+          "b AS (SELECT lang, tf, CAST(length(CAST(tf AS VARCHAR)) AS BIGINT) AS bucket FROM tf), " +
+          "g AS (SELECT lang, bucket, count(*) AS n_types, CAST(sum(tf) AS BIGINT) AS occurrences " +
+          "FROM b GROUP BY lang, bucket), " +
+          "w AS (SELECT *, CAST(sum(n_types) OVER (PARTITION BY lang) AS BIGINT) AS vocab FROM g) " +
+          "SELECT lang, bucket, CAST(power(10, bucket - 1) AS BIGINT) AS lo_tf, " +
+          "CAST(power(10, bucket) AS BIGINT) - 1 AS hi_tf, n_types, occurrences, " +
+          "(n_types * 10000) // vocab AS type_share_bp " +
           "FROM w ORDER BY lang, bucket")
     )
   }

@@ -382,6 +382,51 @@ object FactStateStreams {
       }
   }
 
+  /** A funnel stage completion on the live stream. */
+  final case class FunnelStage(userId: Long, stage: String, tsUs: Long)
+
+  /** Per-user funnel chain state: first-view / first-qualifying-click /
+    * first-qualifying-purchase times (Long.MaxValue = not reached). */
+  final case class FunnelChain(mv: Long, mc: Long, mp: Long)
+
+  /** Streaming twin of the batch `events_funnel_windowed`: view →
+    * click within 24 h of the first view → purchase within 24 h of that
+    * click, evaluated live with three longs of state per user. Parity
+    * contract: per-user event-TIME order in the feed (exactly what the
+    * store's position-ordered subscribe delivers) — then the incremental
+    * chain equals the batch min-chain, because each stage's anchor is set
+    * by the first qualifying event and never moves. Out-of-order feeds
+    * need the batch operator as the repair path (same discipline as
+    * dailyAutocorr's late-event drop). */
+  def funnelStages(spark: SparkSession, events: DataFrame): Dataset[FunnelStage] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    val U = Long.MaxValue
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelChain, FunnelStage](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var st = state.getOption.getOrElse(FunnelChain(U, U, U))
+        val out = Seq.newBuilder[FunnelStage]
+        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, ts) =>
+          typ match {
+            case "view" if ts < st.mv =>
+              st = st.copy(mv = ts); out += FunnelStage(uid, "view", ts)
+            case "click" if st.mv != U && ts > st.mv && ts <= st.mv + DayUs && ts < st.mc =>
+              st = st.copy(mc = ts); out += FunnelStage(uid, "click_24h", ts)
+            case "purchase" if st.mc != U && ts > st.mc && ts <= st.mc + DayUs && ts < st.mp =>
+              st = st.copy(mp = ts); out += FunnelStage(uid, "purchase_24h", ts)
+            case _ => ()
+          }
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** Fold a fact stream (fact-log schema — e.g.
     * `SparkFactStore.subscribeStream`) into per-subject running state.
     * Emits the updated state for every subject touched by a micro-batch. */

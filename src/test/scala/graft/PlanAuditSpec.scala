@@ -659,6 +659,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "census lost its partial (map-side combine) phase")
   }
 
+  test("events_markov_next: one user_id exchange builds the census; ranks run on the type grid") {
+    val p = planOf("events_markov_next")
+    assert(!p.contains("Join"), "transition census must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one events scan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      "lead window must be the only corpus-scale exchange")
+    assert(p.contains("partial_count"),
+      "census lost its partial (map-side combine) phase")
+  }
+
+  test("orders_backlog_timeline: both sides reduce to day grids before the full-outer join") {
+    val p = planOf("orders_backlog_timeline")
+    assert(!p.contains("CartesianProduct"), "cartesian in the plan")
+    assert(p.contains("FullOuter"), "delta streams must merge with a full-outer join")
+    assert("partial_count".r.findAllIn(p).nonEmpty && "partial_max".r.findAllIn(p).nonEmpty,
+      "day/last-ship reductions lost their partial (map-side combine) phase")
+    // pruning: the scans need only the date columns + orderkey
+    assert(!p.contains("o_totalprice") && !p.contains("l_extendedprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("text_freq_of_freq: vocabulary-first aggregation, join-free") {
+    val p = planOf("text_freq_of_freq")
+    assert(!p.contains("Join"), "census must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected one documents scan")
+    assert(p.contains("partial_count"),
+      "tf census lost its partial (map-side combine) phase")
+  }
+
   test("embedding_pca_project: projection is one codegen'd map pass (direction is a cached artifact)") {
     val p = planOf("embedding_pca_project")
     assert(!p.contains("Join"), "projection must be join-free — v is a literal")

@@ -247,6 +247,80 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("events_markov_next") {
+    it("matches transition probabilities recomputed from the raw log") {
+      val ev = Tables.read(spark, sf, "events")
+        .selectExpr("user_id", "event_id", "event_type")
+        .as[(Long, Long, String)].collect().toSeq
+      val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(_._2).map(_._3)
+        sorted.zip(sorted.drop(1))
+      }.toSeq
+      val expected = pairs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (typ, ps) =>
+          val total = ps.size.toLong
+          ps.groupBy(_._2).toSeq
+            .map { case (nxt, xs) => (nxt, xs.size.toLong) }
+            .sortBy { case (nxt, n) => (-n, nxt) }
+            .take(3).zipWithIndex
+            .map { case ((nxt, n), i) =>
+              (typ, (i + 1).toLong, nxt, n, n * 10000 / total)
+            }
+      }
+      val got = Sessions.queries("events_markov_next")(spark, sf)
+        .as[(String, Long, String, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
+  describe("orders_backlog_timeline") {
+    it("matches a Scala recomputation and the orders-minus-shipped invariant") {
+      val opened = Tables.read(spark, sf, "orders")
+        .selectExpr("CAST(o_orderdate AS DATE) AS d").as[java.sql.Date].collect()
+        .map(_.toLocalDate.toEpochDay)
+      val lastShip = Tables.read(spark, sf, "lineitem")
+        .selectExpr("l_orderkey", "CAST(l_shipdate AS DATE) AS d")
+        .as[(Long, java.sql.Date)].collect().toSeq
+        .groupBy(_._1).values.map(_.map(_._2.toLocalDate.toEpochDay).max).toSeq
+      val deltas = (opened.map(d => (d, (1L, 0L))) ++ lastShip.map(d => (d, (0L, 1L))))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (d, xs) => (d, xs.map(_._2._1).sum, xs.map(_._2._2).sum) }
+      val expected = deltas.scanLeft((0L, 0L, 0L, 0L)) {
+        case ((_, _, _, cum), (d, o, c)) => (d, o, c, cum + o - c)
+      }.drop(1)
+      val got = Analytics2.queries("orders_backlog_timeline")(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // invariant: every order eventually ships in TPC-H-ish data with
+      // lineitems for all orders — final backlog is #orders − #shipped
+      got.last._4 shouldBe (opened.size.toLong - lastShip.size.toLong)
+    }
+  }
+
+  describe("text_freq_of_freq") {
+    it("matches the Zipf census recomputed in Scala") {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("lang", "text").as[(String, String)].collect().toSeq
+      val tf = docs.flatMap { case (lang, text) =>
+        text.split(" ", -1).filter(_.nonEmpty).map(t => (lang, t))
+      }.groupBy(identity).toSeq.map { case ((lang, _), xs) => (lang, xs.size.toLong) }
+      val expected = tf.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (lang, rows) =>
+        val vocab = rows.size.toLong
+        rows.map { case (_, f) => (f.toString.length.toLong, f) }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (b, xs) =>
+            (lang, b,
+              math.pow(10, (b - 1).toDouble).toLong,
+              math.pow(10, b.toDouble).toLong - 1,
+              xs.size.toLong, xs.map(_._2).sum, xs.size.toLong * 10000 / vocab)
+          }
+      }
+      val got = TextAnalysis.queries("text_freq_of_freq")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("sample_temperature") {
     it("keeps everything from the smallest source and matches recomputed keeps") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
