@@ -17,6 +17,9 @@ object Analytics2 {
 
   private val dec = "decimal(18,4)"
 
+  /** Modulus shared by the bloom-semijoin hash pair (CrossHash.P). */
+  private val BloomP = graft.functions.CrossHash.P
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP over (lang, source): the Expand operator; grand totals
     // included. COALESCE pins the null grouping rows for the oracle sort.
@@ -122,6 +125,94 @@ object Analytics2 {
           count(col("mv")).as("n_viewed"),
           count(col("mc")).as("n_clicked"),
           count(col("mp")).as("n_purchased"))
+    }),
+
+    // Multi-metric supplier scorecard: exact revenue, return share, and
+    // p90 ship delay per supplier, graded and top-20 by revenue. The
+    // delay percentile reuses the bounded-domain histogram pattern —
+    // per-supplier (delay → n) cells are an entity-keyed grid (linear in
+    // suppliers, NOT in lineitems), so the percentile never sorts fact
+    // rows; revenue/returns ride the same grid cells. Supplier names
+    // attach by broadcast; the final top-20 is a TakeOrderedAndProject.
+    "supplier_scorecard" -> ((s, d) => {
+      val rev = "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+        "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)"
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .selectExpr("l_suppkey", s"$rev AS rev_e8",
+          "CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END AS ret",
+          "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT) AS delay")
+      val hist = li.groupBy(col("l_suppkey"), col("delay"))
+        .agg(count(lit(1)).as("n"), sum(col("rev_e8")).as("rev_e8"),
+          sum(col("ret")).as("n_ret"))
+      val run = Window.partitionBy(col("l_suppkey")).orderBy(asc("delay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = hist
+        .withColumn("cum", sum(col("n")).over(run))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy(col("l_suppkey"))))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("total")).as("n_items"),
+          sum(col("rev_e8")).as("revenue_e8"),
+          sum(col("n_ret")).as("n_returns"),
+          min(when(expr("cum * 10 >= total * 9"), col("delay"))).as("p90_delay_days"))
+      scored
+        .join(broadcast(t(s, d, "supplier").selectExpr("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .selectExpr("s_suppkey", "s_name", "n_items", "revenue_e8",
+          "(n_returns * 10000) div n_items AS return_bp", "p90_delay_days",
+          """CASE WHEN (n_returns * 10000) div n_items <= 2500 AND p90_delay_days <= 100 THEN 'A'
+             WHEN (n_returns * 10000) div n_items <= 3500 THEN 'B'
+             ELSE 'C' END AS grade""")
+        .orderBy(desc("revenue_e8"), asc("s_suppkey")).limit(20)
+    }),
+
+    // Bloom-filter runtime semijoin, measured: build a compact bit filter
+    // over the urgent-order keys, broadcast it, pre-filter lineitem rows
+    // BEFORE any join, and report the filter's exact effectiveness
+    // (pass / true-match / false-positive counts). This is the analytics
+    // twin of the store's bloom+page-index probe path and the pattern
+    // that prunes a 100 TB probe side down to ~the matching rows before
+    // the shuffle join. The filter is deterministic integer hashing
+    // (pinned (a·k+b) mod P pair) packed 63 bits/word — the sign bit
+    // stays clear so shifted words never overflow on either engine. The
+    // exact semijoin here is MEASUREMENT (it prices the fp rate); a
+    // production plan applies the bloom as a map-side filter and lets
+    // the real join handle survivors.
+    "orders_bloom_semijoin" -> ((s, d) => {
+      val M = 65520L // 1040 words × 63 usable bits
+      def h(c: String, a: Long, b: Long) =
+        s"(((($c) % ${BloomP}L) * ${a}L + ${b}L) % ${BloomP}L) % ${M}L"
+      // persisted: the key set feeds the word build AND the exact-check
+      // set — without sharing, each consumer re-scans orders
+      val build = CacheScope.persist(t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .selectExpr("o_orderkey AS k"))
+      val words = build
+        .selectExpr(s"stack(2, ${h("k", 2654435761L, 97L)}, ${h("k", 982451653L, 541L)}) AS (pos)")
+        .selectExpr("pos div 63 AS w", "shiftleft(1L, CAST(pos % 63 AS INT)) AS b")
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      val probe = t(s, d, "lineitem").selectExpr("l_orderkey AS k",
+        s"${h("k", 2654435761L, 97L)} AS p1", s"${h("k", 982451653L, 541L)} AS p2")
+      val w1 = words.selectExpr("w AS w1", "bits AS bits1")
+      val w2 = words.selectExpr("w AS w2", "bits AS bits2")
+      probe
+        .join(broadcast(w1), expr("p1 div 63 = w1"), "left")
+        .join(broadcast(w2), expr("p2 div 63 = w2"), "left")
+        .selectExpr("k",
+          """CASE WHEN bits1 IS NOT NULL AND (bits1 & shiftleft(1L, CAST(p1 % 63 AS INT))) != 0
+                   AND bits2 IS NOT NULL AND (bits2 & shiftleft(1L, CAST(p2 % 63 AS INT))) != 0
+             THEN 1L ELSE 0L END AS pass""")
+        .join(broadcast(build.distinct().selectExpr("k AS bk")),
+          col("k") === col("bk"), "left")
+        .selectExpr("pass", "CASE WHEN bk IS NOT NULL THEN 1L ELSE 0L END AS is_match")
+        .agg(count(lit(1)).as("n_probe_rows"),
+          sum(col("pass")).as("n_bloom_pass"),
+          sum(col("is_match")).as("n_exact_match"),
+          sum(expr("pass * (1 - is_match)")).as("n_false_pos"))
+        .selectExpr("n_probe_rows", "n_bloom_pass", "n_exact_match", "n_false_pos",
+          "(n_false_pos * 10000) div greatest(n_probe_rows - n_exact_match, 1L) AS fp_bp")
     }),
 
     // Open-order backlog over time: +1 on the order date, −1 on the
@@ -362,6 +453,58 @@ object Analytics2 {
           "AND epoch_us(e.ts) > c.first_click_after_view GROUP BY c.user_id) " +
           "SELECT (SELECT count(*) FROM v) AS n_viewed, (SELECT count(*) FROM c) AS n_clicked, " +
           "(SELECT count(*) FROM p) AS n_purchased"),
+      "supplier_scorecard" ->
+        ("WITH li AS (SELECT l_suppkey, " +
+          "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+          "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+          "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS rev_e8, " +
+          "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret, " +
+          "CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+          "h AS (SELECT l_suppkey, delay, count(*) AS n, CAST(sum(rev_e8) AS BIGINT) AS rev_e8, " +
+          "CAST(sum(ret) AS BIGINT) AS n_ret FROM li GROUP BY l_suppkey, delay), " +
+          "c AS (SELECT *, CAST(sum(n) OVER (PARTITION BY l_suppkey ORDER BY delay " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          "CAST(sum(n) OVER (PARTITION BY l_suppkey) AS BIGINT) AS total FROM h), " +
+          "sc AS (SELECT l_suppkey, max(total) AS n_items, CAST(sum(rev_e8) AS BIGINT) AS revenue_e8, " +
+          "CAST(sum(n_ret) AS BIGINT) AS n_returns, " +
+          "min(CASE WHEN cum * 10 >= total * 9 THEN delay END) AS p90_delay_days " +
+          "FROM c GROUP BY l_suppkey) " +
+          "SELECT s_suppkey, s_name, n_items, revenue_e8, " +
+          "(n_returns * 10000) // n_items AS return_bp, p90_delay_days, " +
+          "CASE WHEN (n_returns * 10000) // n_items <= 2500 AND p90_delay_days <= 100 THEN 'A' " +
+          "WHEN (n_returns * 10000) // n_items <= 3500 THEN 'B' ELSE 'C' END AS grade " +
+          "FROM sc JOIN supplier ON l_suppkey = s_suppkey " +
+          "ORDER BY revenue_e8 DESC, s_suppkey LIMIT 20"),
+
+      "orders_bloom_semijoin" -> {
+        val M = 65520L
+        def h(c: String, a: Long, b: Long) =
+          s"(((($c) % ${BloomP}) * $a + $b) % ${BloomP}) % $M"
+        s"WITH build AS (SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+          s"pos AS (SELECT ${h("k", 2654435761L, 97L)} AS pos FROM build " +
+          s"UNION ALL SELECT ${h("k", 982451653L, 541L)} FROM build), " +
+          "words AS (SELECT pos // 63 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits " +
+          "FROM pos GROUP BY pos // 63), " +
+          s"probe AS (SELECT l_orderkey AS k, ${h("l_orderkey", 2654435761L, 97L)} AS p1, " +
+          s"${h("l_orderkey", 982451653L, 541L)} AS p2 FROM lineitem), " +
+          "px AS (SELECT p.k, CASE WHEN w1.bits IS NOT NULL " +
+          "AND (w1.bits & (CAST(1 AS BIGINT) << CAST(p.p1 % 63 AS INT))) != 0 " +
+          "AND w2.bits IS NOT NULL " +
+          "AND (w2.bits & (CAST(1 AS BIGINT) << CAST(p.p2 % 63 AS INT))) != 0 " +
+          "THEN 1 ELSE 0 END AS pass FROM probe p " +
+          "LEFT JOIN words w1 ON p.p1 // 63 = w1.w " +
+          "LEFT JOIN words w2 ON p.p2 // 63 = w2.w), " +
+          "bs AS (SELECT DISTINCT k FROM build), " +
+          "j AS (SELECT px.pass, CASE WHEN bs.k IS NOT NULL THEN 1 ELSE 0 END AS is_match " +
+          "FROM px LEFT JOIN bs ON px.k = bs.k) " +
+          "SELECT count(*) AS n_probe_rows, CAST(sum(pass) AS BIGINT) AS n_bloom_pass, " +
+          "CAST(sum(is_match) AS BIGINT) AS n_exact_match, " +
+          "CAST(sum(pass * (1 - is_match)) AS BIGINT) AS n_false_pos, " +
+          "(CAST(sum(pass * (1 - is_match)) AS BIGINT) * 10000) // " +
+          "greatest(count(*) - CAST(sum(is_match) AS BIGINT), 1) AS fp_bp FROM j"
+      },
+
       "orders_backlog_timeline" ->
         ("WITH o AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders), " +
           "op AS (SELECT day, count(*) AS n_opened FROM o GROUP BY day), " +

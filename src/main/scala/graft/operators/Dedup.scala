@@ -236,6 +236,27 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashVerified(s, d).orderBy(asc("doc_a"), asc("doc_b"))),
 
+    // Threshold tuning curve: pair/doc counts per Jaccard band (70/80/90/
+    // exact) and the cumulative pairs-at-least-threshold column a dedup
+    // operator sweeps to pick its cutoff. Reads the per-corpus verified-
+    // pair artifact (built once per session) — the grid is pair-band-sized,
+    // so the whole query costs one artifact scan at any corpus size.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      val b = minhashVerified(s, d)
+        .selectExpr("doc_a", "doc_b", "jaccard_bp div 1000 AS bucket")
+      val pairs = b.groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      val docsAff = b.selectExpr("bucket", "doc_a AS d")
+        .union(b.selectExpr("bucket", "doc_b"))
+        .groupBy(col("bucket")).agg(countDistinct(col("d")).as("n_docs"))
+      pairs.join(docsAff, Seq("bucket"))
+        .withColumn("cum_pairs_at_least", sum(col("n_pairs")).over(
+          Window.orderBy(desc("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .selectExpr("bucket", "bucket * 1000 AS threshold_bp",
+          "n_pairs", "n_docs", "cum_pairs_at_least")
+        .orderBy(asc("bucket"))
+    }),
+
     // Paragraph-level dedup (C4/Gopher line-dedup shape): sub-document
     // granularity — fixed 16-token windows hashed per doc, windows shared
     // across >= 2 docs are boilerplate, and each doc reports its duplicate-
@@ -565,6 +586,19 @@ object Dedup {
         (s"WITH $minhashVerifiedCtes " +
           "SELECT doc_a, doc_b, n_common, n_union, jaccard_bp " +
           "FROM pairs ORDER BY doc_a, doc_b"),
+      "dedup_threshold_sweep" ->
+        (s"WITH $minhashVerifiedCtes, " +
+          "bk AS (SELECT doc_a, doc_b, jaccard_bp // 1000 AS bucket FROM pairs), " +
+          "pg AS (SELECT bucket, count(*) AS n_pairs FROM bk GROUP BY bucket), " +
+          "dg AS (SELECT bucket, count(DISTINCT d) AS n_docs FROM " +
+          "(SELECT bucket, doc_a AS d FROM bk UNION ALL SELECT bucket, doc_b FROM bk) " +
+          "GROUP BY bucket), " +
+          "w AS (SELECT pg.bucket, n_pairs, n_docs, " +
+          "CAST(sum(n_pairs) OVER (ORDER BY pg.bucket DESC " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pairs_at_least " +
+          "FROM pg JOIN dg USING (bucket)) " +
+          "SELECT bucket, bucket * 1000 AS threshold_bp, n_pairs, n_docs, cum_pairs_at_least " +
+          "FROM w ORDER BY bucket"),
       "dedup_paragraphs" ->
         (s"WITH base AS (SELECT doc_id, ${tokensDuck("text")} AS toks FROM documents), " +
           "win AS (SELECT doc_id, " +

@@ -144,6 +144,40 @@ object Sketches {
         .orderBy(asc("lang"))
     }),
 
+    // The distributed-combine law, demonstrated as a query: shard the
+    // hash stream 8 ways (decorrelated from the register index by the
+    // coin scramble), build per-shard HLL registers, max-merge them, and
+    // show the merged estimate EQUALS the single-pass global estimate —
+    // the property that lets 1000 executors sketch independently and
+    // combine losslessly at 100 TB. merge_exact is part of the oracle'd
+    // output, so a regression in mergeability fails the hash gate, not
+    // just a unit test.
+    "text_hll_shard_merge" -> ((s, d) => {
+      val tok = langShingleHashes(s, d)
+        .withColumn("shard", expr(s"h * ${CrossHash.CoinScramble} % $P % 8"))
+      val perShard = tok
+        .select(col("lang"), col("shard"), expr(s"h % $HllM").as("j"),
+          expr(rankCase(s"(h div $HllM)")).as("r"))
+        .groupBy(col("lang"), col("shard"), col("j"))
+        .agg(max(col("r")).as("m"))
+      def estimate(regs: DataFrame): DataFrame = regs
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("present"), sum(expr(termCase("m"))).as("s_present"))
+        .selectExpr("lang",
+          s"CAST(floor(($HllAlphaM2 / (s_present + CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) AS est_e4")
+      val merged = estimate(
+        perShard.groupBy(col("lang"), col("j")).agg(max(col("m")).as("m")))
+        .withColumnRenamed("est_e4", "merged_est_e4")
+      val global = estimate(hllRegistersOf(tok.select(col("lang"), col("h"))))
+        .withColumnRenamed("est_e4", "global_est_e4")
+      val shards = tok.groupBy(col("lang"))
+        .agg(countDistinct(col("shard")).as("n_shards"))
+      shards.join(merged, Seq("lang")).join(global, Seq("lang"))
+        .selectExpr("lang", "n_shards", "merged_est_e4", "global_est_e4",
+          "CASE WHEN merged_est_e4 = global_est_e4 THEN 1L ELSE 0L END AS merge_exact")
+        .orderBy(asc("lang"))
+    }),
+
     "text_cms_sketch" -> ((s, d) =>
       sketch(s, d)
         .groupBy(col("depth"))
@@ -232,6 +266,24 @@ object Sketches {
           "AS hll_est_e4 FROM est), " +
           "x AS (SELECT lang, count(DISTINCT h) AS n_exact FROM tok GROUP BY lang) " +
           "SELECT x.lang, x.n_exact, e.hll_est_e4 FROM x JOIN e USING (lang) ORDER BY lang"),
+      "text_hll_shard_merge" ->
+        (s"WITH tok AS ($langTok), " +
+          s"sh AS (SELECT lang, h, h * ${CrossHash.CoinScramble} % $P % 8 AS shard FROM tok), " +
+          s"ps AS (SELECT lang, shard, h % $HllM AS j, max(${rankCase(s"(h // $HllM)")}) AS m " +
+          "FROM sh GROUP BY lang, shard, h % " + HllM + "), " +
+          "mg AS (SELECT lang, j, max(m) AS m FROM ps GROUP BY lang, j), " +
+          s"me AS (SELECT lang, count(*) AS present, sum(${termCase("m")}) AS s_present FROM mg GROUP BY lang), " +
+          s"merged AS (SELECT lang, CAST(floor(($HllAlphaM2 / " +
+          s"(s_present + CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) AS merged_est_e4 FROM me), " +
+          s"gr AS (SELECT lang, h % $HllM AS j, max(${rankCase(s"(h // $HllM)")}) AS m " +
+          s"FROM tok GROUP BY lang, h % $HllM), " +
+          s"ge AS (SELECT lang, count(*) AS present, sum(${termCase("m")}) AS s_present FROM gr GROUP BY lang), " +
+          s"gest AS (SELECT lang, CAST(floor(($HllAlphaM2 / " +
+          s"(s_present + CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) AS global_est_e4 FROM ge), " +
+          "ns AS (SELECT lang, count(DISTINCT shard) AS n_shards FROM sh GROUP BY lang) " +
+          "SELECT ns.lang, ns.n_shards, merged.merged_est_e4, gest.global_est_e4, " +
+          "CAST(CASE WHEN merged_est_e4 = global_est_e4 THEN 1 ELSE 0 END AS BIGINT) AS merge_exact " +
+          "FROM ns JOIN merged USING (lang) JOIN gest USING (lang) ORDER BY ns.lang"),
       "text_cms_sketch" ->
         (s"WITH tok AS ($tok), cells AS ($cells), " +
           "grid AS (SELECT depth, cell, count(*) AS n FROM cells GROUP BY depth, cell) " +

@@ -688,6 +688,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "tf census lost its partial (map-side combine) phase")
   }
 
+  test("orders_bloom_semijoin: filter words broadcast, probe side never shuffle-joins") {
+    val p = planOf("orders_bloom_semijoin")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "bloom words / key set must broadcast — the probe side stays in place")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      "expected word-table (×2) + exact-check broadcasts")
+    assert(p.contains("InMemoryTableScan"),
+      "build key set not shared — each consumer re-scans orders")
+  }
+
+  test("text_hll_shard_merge: register grids only — corpus work is the one explode+groupBy per path") {
+    val p = planOf("text_hll_shard_merge")
+    assert(!p.contains("SortMergeJoin") || !p.contains("CartesianProduct"))
+    assert(p.contains("partial_max"),
+      "register max lost its partial (map-side combine) phase")
+  }
+
+  test("supplier_scorecard: entity-grid percentile, broadcast dim, distributed top-20") {
+    val p = planOf("supplier_scorecard")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 lost the distributed top-k (global sort instead)")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      "supplier name attach must broadcast")
+    assert(p.contains("partial_count"),
+      "delay histogram lost its partial (map-side combine) phase")
+  }
+
   test("embedding_pca_project: projection is one codegen'd map pass (direction is a cached artifact)") {
     val p = planOf("embedding_pca_project")
     assert(!p.contains("Join"), "projection must be join-free — v is a literal")

@@ -321,6 +321,106 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("orders_bloom_semijoin") {
+    it("matches a Scala bloom recomputation; no false negatives by construction") {
+      val P = CrossHash.P
+      val M = 65520L
+      def h(k: Long, a: Long, b: Long): Long = ((k % P) * a + b) % P % M
+      val build = Tables.read(spark, sf, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .selectExpr("o_orderkey").as[Long].collect().toSeq
+      val bits = scala.collection.mutable.Set[Long]()
+      build.foreach { k =>
+        bits += h(k, 2654435761L, 97L); bits += h(k, 982451653L, 541L)
+      }
+      val buildSet = build.toSet
+      val probe = Tables.read(spark, sf, "lineitem")
+        .selectExpr("l_orderkey").as[Long].collect().toSeq
+      val pass = probe.count(k =>
+        bits(h(k, 2654435761L, 97L)) && bits(h(k, 982451653L, 541L)))
+      val matches = probe.count(buildSet)
+      val fp = probe.count(k => !buildSet(k) &&
+        bits(h(k, 2654435761L, 97L)) && bits(h(k, 982451653L, 541L)))
+      val got = Analytics2.queries("orders_bloom_semijoin")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      got shouldBe ((probe.size.toLong, pass.toLong, matches.toLong, fp.toLong,
+        fp.toLong * 10000 / math.max(probe.size.toLong - matches, 1L)))
+      // a bloom never loses a true match
+      (got._2 >= got._3) shouldBe true
+    }
+  }
+
+  describe("text_hll_shard_merge") {
+    it("max-merged shard registers give EXACTLY the global estimate") {
+      val got = Sketches.queries("text_hll_shard_merge")(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got should not be empty
+      got.foreach { case (lang, nShards, merged, global, exact) =>
+        withClue(s"$lang: ") {
+          nShards should be > 1L   // the shard split actually happened
+          merged shouldBe global   // lossless distributed combine
+          exact shouldBe 1L
+        }
+      }
+    }
+  }
+
+  describe("dedup_threshold_sweep") {
+    it("is consistent with the verified pair list it summarizes") {
+      val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+        .selectExpr("doc_a", "doc_b", "jaccard_bp")
+        .as[(Long, Long, Long)].collect().toSeq
+      val expected = pairs.groupBy(_._3 / 1000).toSeq.sortBy(_._1).map {
+        case (bucket, ps) =>
+          val docs = (ps.map(_._1) ++ ps.map(_._2)).distinct.size.toLong
+          val cum = pairs.count(_._3 / 1000 >= bucket).toLong
+          (bucket, bucket * 1000, ps.size.toLong, docs, cum)
+      }
+      val got = Dedup.queries("dedup_threshold_sweep")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // every verified pair sits at or above the 70% verify cutoff
+      got.map(_._1).min should be >= 7L
+    }
+  }
+
+  describe("supplier_scorecard") {
+    it("matches revenue / returns / p90 recomputed from the raw rows") {
+      val li = Tables.read(spark, sf, "lineitem")
+        .selectExpr("l_suppkey", "l_orderkey",
+          "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+            "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+            "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT) AS rev_e8",
+          "CASE WHEN l_returnflag = 'R' THEN 1L ELSE 0L END AS ret",
+          "CAST(l_shipdate AS DATE) AS sd")
+        .as[(Long, Long, Long, Long, java.sql.Date)].collect().toSeq
+      val od = Tables.read(spark, sf, "orders")
+        .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS od")
+        .as[(Long, java.sql.Date)].collect().toMap
+      val names = Tables.read(spark, sf, "supplier")
+        .selectExpr("s_suppkey", "s_name").as[(Long, String)].collect().toMap
+
+      val rows = li.map { case (sk, ok, rev, ret, sd) =>
+        (sk, rev, ret, sd.toLocalDate.toEpochDay - od(ok).toLocalDate.toEpochDay)
+      }
+      val expected = rows.groupBy(_._1).toSeq.map { case (sk, xs) =>
+        val n = xs.size.toLong
+        val sorted = xs.map(_._4).sorted
+        val p90 = sorted.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1).toLong * 10 >= n * 9 => v
+        }.get
+        val retBp = xs.map(_._3).sum * 10000 / n
+        val grade =
+          if (retBp <= 2500 && p90 <= 100) "A" else if (retBp <= 3500) "B" else "C"
+        (sk, names(sk), n, xs.map(_._2).sum, retBp, p90, grade)
+      }.sortBy(r => (-r._4, r._1)).take(20)
+
+      val got = Analytics2.queries("supplier_scorecard")(spark, sf)
+        .as[(Long, String, Long, Long, Long, Long, String)].collect().toSeq
+      got shouldBe expected
+    }
+  }
+
   describe("sample_temperature") {
     it("keeps everything from the smallest source and matches recomputed keeps") {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
