@@ -37,6 +37,49 @@ object Tokenize {
     spark.read.parquet(s"$dir/documents.parquet")
   }
 
+  /** Unrolled BPE training rounds for `bpe_train_merges`. */
+  val BpeRounds = 3
+
+  /** One exact BPE merge round on a vocab relation (tok, freq, syms):
+    * global best adjacent pair by weighted count (ties: pair asc), then
+    * greedy LEFT-TO-RIGHT non-overlapping application — the textbook
+    * trainer semantics, done relationally. Overlap runs (e.g. "aaa" under
+    * (a,a)) are resolved by run-parity: match positions sharing a
+    * `pos − index` group are a consecutive run, and every other member
+    * starting from the first is applied. Returns (best-pair 1-row
+    * relation, merged vocab). Everything here is vocabulary-sized — the
+    * corpus was collapsed to (tok, freq) before round 1. */
+  private def bpeRound(v: DataFrame): (DataFrame, DataFrame) = {
+    val best = v.filter(expr("size(syms) >= 2"))
+      .selectExpr("freq",
+        """explode(transform(sequence(1, size(syms) - 1),
+           i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))) AS p""")
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pair_weight"))
+      .orderBy(desc("pair_weight"), asc("a"), asc("b")).limit(1)
+    val applied = v.crossJoin(broadcast(best))
+      .selectExpr("tok", "freq", "syms",
+        """CASE WHEN size(syms) >= 2 THEN
+             filter(sequence(1, size(syms) - 1),
+               i -> element_at(syms, i) = a AND element_at(syms, i + 1) = b)
+           ELSE array() END AS mpos""")
+      // pos − 0-based-index is constant within a consecutive match run
+      .selectExpr("tok", "freq", "syms", "mpos",
+        "transform(mpos, (x, i) -> x - i) AS mgrp")
+      // keep every other member of each run, starting at its first
+      .selectExpr("tok", "freq", "syms",
+        """filter(mpos, (x, k) ->
+           ((k - (array_position(mgrp, element_at(mgrp, k + 1)) - 1)) % 2) = 0) AS sel""")
+      .selectExpr("tok", "freq",
+        """filter(transform(sequence(1, size(syms)), p ->
+             CASE WHEN array_contains(sel, p)
+                    THEN concat(element_at(syms, p), element_at(syms, p + 1))
+                  WHEN array_contains(sel, p - 1) THEN CAST(NULL AS STRING)
+                  ELSE element_at(syms, p) END),
+           x -> x IS NOT NULL) AS syms""")
+    (best, applied)
+  }
+
   /** Chunk geometry: 256-char windows every 192 chars (64-char overlap so a
     * sentence cut by one boundary is whole in the neighbor — the standard
     * retrieval-chunking discipline). A doc of length L yields
@@ -78,7 +121,35 @@ object Tokenize {
           "explode(transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))) AS pair")
         .groupBy(col("pair"))
         .agg(sum(col("freq")).as("n_occ"), countDistinct(col("tok")).as("n_types"))
-        .orderBy(desc("n_occ"), asc("pair")).limit(20))
+        .orderBy(desc("n_occ"), asc("pair")).limit(20)),
+
+    // BPE TRAINING, not just pair stats: BpeRounds exact merge rounds
+    // (argmax pair → greedy non-overlapping application → recount),
+    // unrolled. Output is the learned merge table with the corpus-wide
+    // symbol count before/after each round — the compression trajectory a
+    // tokenizer build monitors. The only corpus-scale step is the initial
+    // (tok, freq) collapse; every round runs on the vocabulary, so 100 TB
+    // of repeated text trains at vocab cost (the bpe_pair_stats argument,
+    // iterated). Each round's vocab is persisted — the next round's pair
+    // census AND the symbol counters share it.
+    "bpe_train_merges" -> ((s, d) => {
+      var v = CacheScope.persist(docs(s, d)
+        .select(explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .selectExpr("tok", "freq", "filter(split(tok, ''), x -> x != '') AS syms"))
+      val rows = (1 to BpeRounds).map { r =>
+        val (best, applied) = bpeRound(v)
+        val before = v.agg(sum(expr("freq * size(syms)")).as("sb"))
+        val nv = CacheScope.persist(applied)
+        val after = nv.agg(sum(expr("freq * size(syms)")).as("sa"))
+        v = nv
+        best.crossJoin(broadcast(before)).crossJoin(broadcast(after))
+          .selectExpr(s"CAST($r AS BIGINT) AS round", "a AS sym_a", "b AS sym_b",
+            "concat(a, b) AS merged", "pair_weight",
+            "CAST(sb AS BIGINT) AS symbols_before", "CAST(sa AS BIGINT) AS symbols_after")
+      }
+      rows.reduce(_.union(_)).orderBy(asc("round"))
+    })
   )
 
   def oracles: Map[String, String] = {
@@ -102,7 +173,47 @@ object Tokenize {
           "FROM v, unnest(range(1, length(v.tok))) AS t(i) WHERE length(v.tok) >= 2) " +
           "SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occ, " +
           "count(DISTINCT tok) AS n_types " +
-          "FROM p GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20")
+          "FROM p GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20"),
+
+      "bpe_train_merges" -> bpeTrainOracle
     )
+  }
+
+  /** DuckDB twin of the unrolled BPE trainer — every stage MATERIALIZED
+    * (the PCA-oracle lesson: inlined CTEs re-expand the chain
+    * exponentially across rounds). DuckDB lambda indexes are 1-based where
+    * Spark's are 0-based; the `i - 1` shifts below pin the same values. */
+  private def bpeTrainOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val pv = s"v${r - 1}"
+      s"p$r AS MATERIALIZED (SELECT list_extract(syms, i.i::INT) AS a, " +
+        s"list_extract(syms, i.i::INT + 1) AS b, CAST(sum(freq) AS BIGINT) AS pair_weight " +
+        s"FROM $pv, unnest(range(1, len(syms))) AS i(i) GROUP BY 1, 2), " +
+        s"b$r AS MATERIALIZED (SELECT a, b, pair_weight FROM p$r " +
+        "ORDER BY pair_weight DESC, a, b LIMIT 1), " +
+        s"m$r AS MATERIALIZED (SELECT tok, freq, syms, " +
+        s"list_filter(range(1, len(syms)), i -> list_extract(syms, i::INT) = b$r.a " +
+        s"AND list_extract(syms, i::INT + 1) = b$r.b) AS mpos FROM $pv, b$r), " +
+        s"g$r AS MATERIALIZED (SELECT *, list_transform(mpos, (x, i) -> x - (i - 1)) AS mgrp FROM m$r), " +
+        s"s$r AS MATERIALIZED (SELECT tok, freq, syms, " +
+        "list_filter(mpos, (x, k) -> ((k - 1) - (list_position(mgrp, list_extract(mgrp, k::INT)) - 1)) % 2 = 0) AS sel " +
+        s"FROM g$r), " +
+        s"v$r AS MATERIALIZED (SELECT tok, freq, " +
+        "list_filter(list_transform(range(1, len(syms) + 1), p -> " +
+        "CASE WHEN list_contains(sel, p) THEN list_extract(syms, p::INT) || list_extract(syms, p::INT + 1) " +
+        "WHEN list_contains(sel, p - 1) THEN NULL " +
+        s"ELSE list_extract(syms, p::INT) END), x -> x IS NOT NULL) AS syms FROM s$r), " +
+        s"sb$r AS MATERIALIZED (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS sb FROM ${pv}), " +
+        s"sa$r AS MATERIALIZED (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS sa FROM v$r), " +
+        s"r$r AS (SELECT CAST($r AS BIGINT) AS round, b$r.a AS sym_a, b$r.b AS sym_b, " +
+        s"b$r.a || b$r.b AS merged, b$r.pair_weight, sb$r.sb AS symbols_before, " +
+        s"sa$r.sa AS symbols_after FROM b$r, sb$r, sa$r)"
+    }.mkString(", ")
+    val unioned = (1 to BpeRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+    s"WITH tok AS (SELECT unnest(${tokensDuck("text")}) AS tok FROM documents), " +
+      "v0 AS MATERIALIZED (SELECT tok, count(*) AS freq, " +
+      "list_filter(string_split(tok, ''), x -> x != '') AS syms FROM tok GROUP BY tok), " +
+      rounds + " " +
+      s"SELECT * FROM ($unioned) ORDER BY round"
   }
 }

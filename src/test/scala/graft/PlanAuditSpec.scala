@@ -705,6 +705,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "register max lost its partial (map-side combine) phase")
   }
 
+  test("bpe_train_merges: rounds run on the persisted vocabulary, argmax is a distributed top-1") {
+    val p = planOf("bpe_train_merges")
+    assert(p.contains("InMemoryTableScan"),
+      "vocab not persisted — each round would re-collapse the corpus")
+    assert(p.contains("TakeOrderedAndProject"),
+      "best-pair argmax lost the distributed top-1 (global sort instead)")
+    assert(!p.contains("SortMergeJoin"),
+      "best-pair attach must broadcast (1 row), not shuffle")
+  }
+
   test("supplier_scorecard: entity-grid percentile, broadcast dim, distributed top-20") {
     val p = planOf("supplier_scorecard")
     assert(p.contains("TakeOrderedAndProject"),

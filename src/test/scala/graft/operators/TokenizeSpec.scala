@@ -98,4 +98,46 @@ class TokenizeSpec extends AnyFunSpec with Matchers {
       got shouldBe expected
     }
   }
+
+  describe("bpe_train_merges") {
+    it("matches an independent Scala BPE trainer (argmax + greedy apply) round for round") {
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").as[String].collect()
+      var vocab: Map[Vector[String], Long] = texts.flatMap(tokens)
+        .groupBy(identity).map { case (t, g) =>
+          t.split("").filter(_.nonEmpty).toVector -> g.length.toLong
+        }
+
+      def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2 // greedy left-to-right, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+
+      val expected = (1 to Tokenize.BpeRounds).map { r =>
+        val before = vocab.map { case (s2, f) => s2.size * f }.sum
+        val pairCounts = vocab.toSeq.flatMap { case (s2, f) =>
+          s2.zip(s2.drop(1)).map(p => (p, f))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        val ((a, b), wt) = pairCounts.toSeq
+          .sortBy { case ((a0, b0), w) => (-w, a0, b0) }.head
+        vocab = vocab.toSeq
+          .map { case (s2, f) => (applyMerge(s2, a, b), f) }
+          .groupBy(_._1).map { case (s2, xs) => (s2, xs.map(_._2).sum) }
+        val after = vocab.map { case (s2, f) => s2.size * f }.sum
+        (r.toLong, a, b, a + b, wt, before, after)
+      }
+
+      val got = Tokenize.queries("bpe_train_merges")(spark, sf)
+        .as[(Long, String, String, String, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // compression must be monotone: each round strictly reduces symbols
+      got.foreach { r => r._7 should be < r._6 }
+    }
+  }
 }
