@@ -382,6 +382,36 @@ object FactStateStreams {
       }
   }
 
+  /** One observed behavior-log transition (prev type → next type). */
+  final case class Transition(userId: Long, prevType: String, nextType: String, tsUs: Long)
+
+  /** Live twin of the batch `events_markov_next` census: one string of
+    * state per user (the last event type); each arriving event emits the
+    * (prev → current) transition it completes. Downstream, a windowed
+    * count of (prevType, nextType) IS the Markov census — transitions are
+    * emitted exactly once, so any aggregation over this stream matches
+    * the batch lead()-census over the same prefix (position-ordered feed,
+    * the store's subscribe contract). */
+  def transitions(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, Transition](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var prev = state.getOption.orNull
+        val out = Seq.newBuilder[Transition]
+        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, ts) =>
+          if (prev != null) out += Transition(uid, prev, typ, ts)
+          prev = typ
+        }
+        if (prev != null) state.update(prev)
+        out.result().iterator
+      }
+  }
+
   /** A funnel stage completion on the live stream. */
   final case class FunnelStage(userId: Long, stage: String, tsUs: Long)
 
