@@ -440,9 +440,12 @@ object Dedup {
         .orderBy(asc("doc_a"), asc("doc_b"))
     }),
 
-    // Embedding-cosine near-dup within label partitions (cluster-blocked:
-    // at corpus scale the block key is the ANN bucket — see Similarity's
-    // ann_lsh_pairs for the unpartitioned path).
+    // Embedding-cosine near-dup, blocked by the LEARNED IVF coarse cell
+    // (2-cell multi-assignment) — candidates are within-cell pairs, the
+    // SemDeDup shape. Cell count grows with the corpus (K ≈ n / target
+    // cell size), so the pair stream stays n·cellSize — linear in n —
+    // where any fixed-cardinality block key (label, language) would grow
+    // the blocks linearly and the pair stream quadratically.
     "dedup_embedding_cosine" -> ((s, d) =>
       cosineVerified(s, d).orderBy(asc("vec_a"), asc("vec_b"))),
 
@@ -529,17 +532,37 @@ object Dedup {
     })
   )
 
-  /** Verified cosine near-dup pairs (vec_a < vec_b, cosine >= 0.4), label-
-    * blocked — shared by dedup_embedding_cosine and its cluster closure. */
-  private def cosineVerified(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+  /** Verified cosine near-dup pairs (vec_a < vec_b, cosine >= 0.4) —
+    * shared by dedup_embedding_cosine and its cluster closure, cached per
+    * (session, corpus dir) under the same verified-pair-artifact
+    * discipline as [[minhashVerified]].
+    *
+    * Candidate generation is blocked by the learned IVF coarse cell
+    * ([[Similarity.coarseCells]]: hash-seeded Lloyd k-means, 2-nearest
+    * multi-assignment) — the SemDeDup candidate shape. The cell count is
+    * the knob that keeps this sub-quadratic: production sizes K ≈
+    * n / targetCellSize so blocks stay bounded and the pair stream is
+    * n·cellSize (linear in n); multi-assignment recovers the pairs that
+    * straddle a cell boundary. Every candidate is then verified with the
+    * EXACT cosine (pinned vec_dot/vec_norm2 kernels), so blocking only
+    * affects recall, never precision. */
+  private def cosineVerified(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent(s"cos#${System.identityHashCode(s)}#$d",
+      _ => cosineVerifiedBuild(s, d).localCheckpoint(true))
+
+  private def cosineVerifiedBuild(s: SparkSession, d: String): DataFrame = {
+    val raw = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
-      .selectExpr("vec_id", "label", "embedding AS v",
-        "vec_norm2(embedding) AS n2")
       .transform(CacheScope.persist)
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
+    val cells = Similarity.coarseCells(d, raw)
+    // a pair sharing BOTH assigned cells would appear twice → distinct
+    val cand = cells.as("x").join(cells.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
+    val e = raw.selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+    cand.join(e.as("a"), col("va") === col("a.vec_id"))
+      .join(e.as("b"), col("vb") === col("b.vec_id"))
+      .selectExpr("va AS vec_a", "vb AS vec_b",
         """CAST(floor(vec_dot(a.v, b.v)
             / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
       .filter(col("cos_ppm") >= 400000)
@@ -570,13 +593,18 @@ object Dedup {
         "pairs AS (SELECT doc_a, doc_b, n_common, n_union, " +
         "(n_common * 10000) // n_union AS jaccard_bp " +
         "FROM verified WHERE (n_common * 10000) // n_union >= 7000)"
-    // CTE chain ending in `cpairs` = the verified cosine near-dup pairs
+    // CTE chain ending in `cpairs` = the verified cosine near-dup pairs —
+    // candidates from the learned-IVF cell multi-assignment (`cassign`,
+    // the oracle twin of Similarity.coarseCells), exact-cosine verified
     val cosineVerifiedCtes =
-      s"e AS (SELECT vec_id, label, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
+      s"${Similarity.coarseCellsDuckCtes}, " +
+        "ccand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb " +
+        "FROM cassign x JOIN cassign y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+        s"e AS (SELECT vec_id, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
         "FROM embeddings), " +
-        "cpairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "cpairs AS (SELECT va AS vec_a, vb AS vec_b, " +
         s"CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
-        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "FROM ccand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id " +
         s"WHERE CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) >= 400000)"
     Map(
       "dedup_exact" ->

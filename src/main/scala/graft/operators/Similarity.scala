@@ -242,6 +242,21 @@ object Similarity {
   private def coarseFor(dir: String, e: DataFrame): Entries =
     cachedArtifact(s"$dir#coarse-$CoarseK-$CoarseIters")(coarseCentroids(e))
 
+  /** Corpus-side (vec_id, cell) under the learned coarse quantizer with
+    * 2-cell multi-assignment — the blocking relation Dedup's embedding
+    * near-dup shares (SemDeDup shape: candidate pairs live within a cell;
+    * multi-assignment buys back pairs straddling a cell boundary). `e`
+    * must expose `vec_id` + `embedding`. The codebook is the same cached
+    * offline artifact the ann_ivf_* family serves from — blocking costs
+    * one codegen'd best-two pass over the corpus, no extra training. */
+  private[graft] def coarseCells(dir: String, e: DataFrame): DataFrame =
+    coarseAssign(e, coarseFor(dir, e))
+
+  /** Oracle twin of [[coarseCells]]: CTE chain whose `cassign` member is
+    * the (vec_id, cell) multi-assignment (also defines `qprob`, unused by
+    * blocking-only callers — DuckDB prunes unreferenced CTEs). */
+  private[graft] def coarseCellsDuckCtes: String = coarseDuckCtes
+
   // --- integer power-iteration PCA ---------------------------------------
 
   /** Unrolled matvec+rescale rounds (mirrored as CTE stages in the oracle). */
@@ -277,10 +292,25 @@ object Similarity {
         .agg(count(lit(1)).as("n"), sum(col("xi")).as("sxi"),
           sum(col("xj")).as("sxj"), sum(expr("xi * xj")).as("sxixj"))
         .collect()
+      // Loud-overflow guard on the documented ~7·10⁵-vector headroom: the
+      // moment SUMS are int64-safe to ~10¹¹ vectors, but the scatter
+      // products n·S_ij and S_i·S_j grow with n² — beyond headroom a
+      // plain `*` wraps silently under non-ANSI arithmetic and the
+      // direction is garbage with no error (while the DuckDB twin would
+      // raise, breaking parity asymmetrically). multiplyExact/
+      // subtractExact turn that wrap into an immediate ArithmeticException
+      // pointing at the DECIMAL(38,0) migration path.
+      def exact(n: Long, sxixj: Long, sxi: Long, sxj: Long): Long =
+        try Math.subtractExact(Math.multiplyExact(n, sxixj), Math.multiplyExact(sxi, sxj))
+        catch {
+          case e: ArithmeticException => throw new ArithmeticException(
+            s"pcaDirection scatter entry exceeds int64 at n=$n vectors — " +
+              "re-aggregate the moments as DECIMAL(38,0) (see headroom note): " + e.getMessage)
+        }
       val m = Array.ofDim[Long](Dim, Dim)
       rows.foreach { r =>
         val (i, j) = (r.getInt(0), r.getInt(1))
-        val entry = r.getLong(2) * r.getLong(5) - r.getLong(3) * r.getLong(4)
+        val entry = exact(r.getLong(2), r.getLong(5), r.getLong(3), r.getLong(4))
         m(i)(j) = entry; m(j)(i) = entry // scatter matrix is symmetric
       }
       val sM = rescaleFactor(m.flatten.map(math.abs).max)
@@ -785,10 +815,22 @@ object Similarity {
         .agg(count(lit(1)).as("n"),
           sum(col("xi")).as("sxi"), sum(col("xj")).as("sxj"),
           sum(expr("xi * xj")).as("sxixj"))
+        // int64 guard on the n²-growing products (runs on k(k+1)/2 group
+        // rows, not the corpus): each |term| must fit in int64/2 so the
+        // difference cannot wrap either. Beyond the headroom Spark's
+        // non-ANSI `*` wraps SILENTLY while the DuckDB twin raises —
+        // raise_error here makes the failure loud and symmetric; the
+        // migration path is DECIMAL(38,0) moments (same downstream ints).
+        .selectExpr("i", "j", "n", "sxi", "sxj", "sxixj",
+          """CASE WHEN abs(sxixj) <= 4611686018427387903L div greatest(n, 1L)
+                   AND abs(sxi) <= 4611686018427387903L div greatest(abs(sxj), 1L)
+             THEN true
+             ELSE raise_error('embedding_covariance: moment product exceeds int64 — re-aggregate moments as DECIMAL(38,0)')
+             END AS _ok""")
         .selectExpr("CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j",
           "n", "sxi", "sxj", "sxixj",
-          "n * sxixj - sxi * sxj AS cov_num_e8",
-          """CAST(floor(CAST(n * sxixj - sxi * sxj AS DOUBLE) /
+          "IF(_ok, n * sxixj - sxi * sxj, NULL) AS cov_num_e8",
+          """CAST(floor(CAST(IF(_ok, n * sxixj - sxi * sxj, NULL) AS DOUBLE) /
              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS cov_e8""")
         .orderBy(asc("i"), asc("j")))
   )

@@ -38,11 +38,15 @@ final class RestServer(store: FactStore, port: Int = 0) {
 
   def boundPort: Int = server.getAddress.getPort
 
+  // non-daemon pool: must be shut down in stop() or an embedding
+  // application's JVM never exits after closing the server
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   def start(): RestServer = {
     server.createContext("/api/v1/stores", (ex: HttpExchange) => safely(ex)(route))
     server.createContext("/api/v1/info", (ex: HttpExchange) => safely(ex)(info))
     server.createContext("/", (ex: HttpExchange) => safely(ex)(explorer))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.setExecutor(pool)
     server.start()
     this
   }
@@ -69,8 +73,49 @@ final class RestServer(store: FactStore, port: Int = 0) {
         // quarkus-smallrye-openapi /q/openapi (factstore-server/
         // build.gradle.kts:20); static because the surface is static
         serveResource(ex, "/openapi.json", "application/json", head)
+      case ("GET", "/q/health" | "/q/health/ready") =>
+        // SmallRye-Health-shaped readiness (reference deployments get
+        // /q/health from the Quarkus platform for free): UP only if the
+        // store catalog is reachable — the one dependency a deployment's
+        // readiness gate must cover. 503 + DOWN on failure, like SmallRye.
+        health(ex, ready = true, head)
+      case ("GET", "/q/health/live") =>
+        health(ex, ready = false, head)
       case _ => sendError(ex, 404, "not_found", path)
     }
+  }
+
+  /** Health report in the SmallRye/MicroProfile shape
+    * ({"status","checks":[{name,status,data}]}): liveness is process-up;
+    * readiness additionally probes the store catalog (listStores), the
+    * backing dependency. */
+  private def health(ex: HttpExchange, ready: Boolean, head: Boolean): Unit = {
+    val o = mapper.createObjectNode()
+    val checks = mapper.createArrayNode()
+    val live = mapper.createObjectNode()
+    live.put("name", "graft-server-live"); live.put("status", "UP")
+    checks.add(live)
+    var up = true
+    if (ready) {
+      val cat = mapper.createObjectNode()
+      cat.put("name", "store-catalog")
+      try {
+        val n = store.listStores().size
+        cat.put("status", "UP")
+        cat.putObject("data").put("stores", n)
+      } catch {
+        case e: Throwable =>
+          up = false
+          cat.put("status", "DOWN")
+          cat.putObject("data").put("error", String.valueOf(e.getMessage))
+      }
+      checks.add(cat)
+    }
+    o.put("status", if (up) "UP" else "DOWN")
+    o.set[ObjectNode]("checks", checks)
+    val code = if (up) 200 else 503
+    if (head) { ex.sendResponseHeaders(code, -1); () }
+    else send(ex, code, o)
   }
 
   /** Serve a classpath resource (GET body or HEAD headers-only). */
@@ -99,7 +144,7 @@ final class RestServer(store: FactStore, port: Int = 0) {
     send(ex, 200, o)
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   // --- routing ---------------------------------------------------------------
 

@@ -390,20 +390,26 @@ object FactStateStreams {
     * (prev → current) transition it completes. Downstream, a windowed
     * count of (prevType, nextType) IS the Markov census — transitions are
     * emitted exactly once, so any aggregation over this stream matches
-    * the batch lead()-census over the same prefix (position-ordered feed,
-    * the store's subscribe contract). */
+    * the batch lead()-census over the same prefix.
+    *
+    * Input must carry `event_id` — the log position of the subscribe
+    * contract (storage order). Rows within a micro-batch fold in
+    * event_id order, which is exactly the order a position-ordered feed
+    * delivers: ts ties (or non-monotone ts per user) and micro-batch
+    * boundary placement can then never reorder the transition sequence
+    * vs the batch lead()-over-event_id census. */
   def transitions(spark: SparkSession, events: DataFrame): Dataset[Transition] = {
     import spark.implicits._
     events
-      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
-      .as[(Long, String, Long)]
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[String, Transition](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
         var prev = state.getOption.orNull
         val out = Seq.newBuilder[Transition]
-        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, ts) =>
+        rows.toSeq.sortBy(_._4).foreach { case (_, typ, ts, _) =>
           if (prev != null) out += Transition(uid, prev, typ, ts)
           prev = typ
         }
@@ -421,29 +427,31 @@ object FactStateStreams {
 
   /** Streaming twin of the batch `events_funnel_windowed`: view →
     * click within 24 h of the first view → purchase within 24 h of that
-    * click, evaluated live with three longs of state per user. Parity
-    * contract: per-user event-TIME order in the feed (exactly what the
-    * store's position-ordered subscribe delivers) — then the incremental
-    * chain equals the batch min-chain, because each stage's anchor is set
-    * by the first qualifying event and never moves. Out-of-order feeds
-    * need the batch operator as the repair path (same discipline as
-    * dailyAutocorr's late-event drop). */
+    * click, evaluated live with three longs of state per user. Input must
+    * carry `event_id` (log position); rows within a micro-batch fold in
+    * that order — the subscribe contract's storage order — so ts ties and
+    * micro-batch boundaries never reorder the chain. Parity contract:
+    * per-user event-time order in the feed; an out-of-order EARLIER view
+    * is dropped (anchors fire at most once and never move — re-anchoring
+    * would silently invalidate an already-emitted click_24h
+    * qualification), same late-event discipline as dailyAutocorr, with
+    * the batch operator as the repair path. */
   def funnelStages(spark: SparkSession, events: DataFrame): Dataset[FunnelStage] = {
     import spark.implicits._
     val DayUs = 86400L * 1000000
     val U = Long.MaxValue
     events
-      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
-      .as[(Long, String, Long)]
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(Long, String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelChain, FunnelStage](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
         var st = state.getOption.getOrElse(FunnelChain(U, U, U))
         val out = Seq.newBuilder[FunnelStage]
-        rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, ts) =>
+        rows.toSeq.sortBy(_._4).foreach { case (_, typ, ts, _) =>
           typ match {
-            case "view" if ts < st.mv =>
+            case "view" if st.mv == U =>
               st = st.copy(mv = ts); out += FunnelStage(uid, "view", ts)
             case "click" if st.mv != U && ts > st.mv && ts <= st.mv + DayUs && ts < st.mc =>
               st = st.copy(mc = ts); out += FunnelStage(uid, "click_24h", ts)

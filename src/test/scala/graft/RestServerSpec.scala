@@ -330,4 +330,31 @@ class RestServerSpec extends AnyFunSuite {
       assert(get(c, s"$root/q/openapi").statusCode() == 200)
     }
   }
+
+  test("GET /q/health: SmallRye-shaped liveness + store-catalog readiness") {
+    withServer { (base, c) =>
+      val root = base.stripSuffix("/api/v1")
+      post(c, s"$base/stores", """{"name":"health-probe"}""")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val r = get(c, s"$root/q/health")
+      assert(r.statusCode() == 200)
+      val doc = m.readTree(r.body())
+      assert(doc.path("status").asText() == "UP")
+      val names = (0 until doc.path("checks").size())
+        .map(doc.path("checks").get(_).path("name").asText()).toSet
+      assert(names == Set("graft-server-live", "store-catalog"), s"got $names")
+      val cat = (0 until doc.path("checks").size()).map(doc.path("checks").get(_))
+        .find(_.path("name").asText() == "store-catalog").get
+      assert(cat.path("data").path("stores").asInt() >= 1)
+      // readiness alias and liveness-only endpoint
+      assert(get(c, s"$root/q/health/ready").statusCode() == 200)
+      val live = m.readTree(get(c, s"$root/q/health/live").body())
+      assert(live.path("status").asText() == "UP" && live.path("checks").size() == 1)
+      // HEAD probes (k8s-style) see status without a body
+      val head = c.send(HttpRequest.newBuilder(URI.create(s"$root/q/health"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(head.statusCode() == 200 && head.body().isEmpty)
+    }
+  }
 }

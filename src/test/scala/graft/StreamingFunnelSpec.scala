@@ -19,9 +19,9 @@ class StreamingFunnelSpec extends AnyFunSuite {
   private def run(batches: Seq[Seq[(Long, String, Long)]]): Seq[(Long, String, Long)] = {
     val s = spark
     import s.implicits._
-    val input = MemoryStream[(Long, String, Long)](s)
-    val events = input.toDF().toDF("user_id", "event_type", "ts_us")
-      .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts")
+    val input = MemoryStream[(Long, String, Long, Long)](s)
+    val events = input.toDF().toDF("user_id", "event_type", "ts_us", "event_id")
+      .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts", "event_id")
     val out = FactStateStreams.funnelStages(s, events)
     val dir = java.nio.file.Files.createTempDirectory("stream-funnel").toString
     val name = s"funnel_${System.nanoTime()}"
@@ -32,7 +32,12 @@ class StreamingFunnelSpec extends AnyFunSuite {
       .trigger(Trigger.ProcessingTime(50))
       .start()
     try {
-      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // event_id = feed order (the log position of the subscribe contract)
+      var seq = 0L
+      batches.foreach { b =>
+        input.addData(b.map { case (u, ty, ts) => seq += 1; (u, ty, ts, seq) }: _*)
+        q.processAllAvailable()
+      }
       s.table(name).as[(Long, String, Long)].collect().toSeq
         .sortBy(r => (r._1, r._3))
     } finally q.stop()
@@ -80,5 +85,20 @@ class StreamingFunnelSpec extends AnyFunSuite {
     val got = run(Seq(Seq(
       (5L, "view", T0), (5L, "purchase", T0 + 1000L))))
     assert(got == Seq((5L, "view", T0)), s"got $got")
+  }
+
+  test("out-of-order earlier view is dropped: anchors fire once and never move") {
+    // An earlier-ts view arriving AFTER the anchor view must not re-emit
+    // 'view' or move the anchor (which would silently invalidate the
+    // already-emitted click_24h qualification) — late events fall to the
+    // batch repair path, same discipline as dailyAutocorr.
+    val got = run(Seq(
+      Seq((6L, "view", T0 + 1000L), (6L, "click", T0 + 2000L)),
+      Seq((6L, "view", T0)),                      // late: dropped
+      Seq((6L, "purchase", T0 + 3000L))))         // still qualifies off T0+2000
+    assert(got == Seq(
+      (6L, "view", T0 + 1000L),
+      (6L, "click_24h", T0 + 2000L),
+      (6L, "purchase_24h", T0 + 3000L)), s"got $got")
   }
 }

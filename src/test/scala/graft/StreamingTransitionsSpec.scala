@@ -19,9 +19,9 @@ class StreamingTransitionsSpec extends AnyFunSuite {
   private def run(batches: Seq[Seq[(Long, String, Long)]]): Seq[(Long, String, String, Long)] = {
     val s = spark
     import s.implicits._
-    val input = MemoryStream[(Long, String, Long)](s)
-    val events = input.toDF().toDF("user_id", "event_type", "ts_us")
-      .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts")
+    val input = MemoryStream[(Long, String, Long, Long)](s)
+    val events = input.toDF().toDF("user_id", "event_type", "ts_us", "event_id")
+      .selectExpr("user_id", "event_type", "timestamp_micros(ts_us) AS ts", "event_id")
     val out = FactStateStreams.transitions(s, events)
     val dir = java.nio.file.Files.createTempDirectory("stream-trans").toString
     val name = s"trans_${System.nanoTime()}"
@@ -32,7 +32,12 @@ class StreamingTransitionsSpec extends AnyFunSuite {
       .trigger(Trigger.ProcessingTime(50))
       .start()
     try {
-      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // event_id = feed order (the log position of the subscribe contract)
+      var seq = 0L
+      batches.foreach { b =>
+        input.addData(b.map { case (u, ty, ts) => seq += 1; (u, ty, ts, seq) }: _*)
+        q.processAllAvailable()
+      }
       s.table(name).as[(Long, String, String, Long)].collect().toSeq
         .sortBy(r => (r._1, r._4))
     } finally q.stop()
@@ -69,5 +74,18 @@ class StreamingTransitionsSpec extends AnyFunSuite {
     assert(got == Map(
       ("view", "click") -> 2,
       ("click", "view") -> 1), s"got $got")
+  }
+
+  test("equal timestamps fold in event_id (position) order, stable across batch splits") {
+    // Three events share one ts; the feed order (= event_id) is a, b, c.
+    // A (ts, type)-sorted fold would emit a→b, b→c only by the accident
+    // of alphabetical order — shuffle the types so position order and
+    // type order disagree, and check batch-boundary invariance too.
+    val tied = Seq((7L, "c", T0), (7L, "a", T0), (7L, "b", T0))
+    val oneBatch = run(Seq(tied))
+    val multiBatch = run(tied.map(Seq(_)))
+    assert(oneBatch == Seq(
+      (7L, "c", "a", T0), (7L, "a", "b", T0)), s"got $oneBatch")
+    assert(oneBatch == multiBatch, s"one=$oneBatch multi=$multiBatch")
   }
 }
