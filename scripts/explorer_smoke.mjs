@@ -81,7 +81,7 @@ for (const t of ["query", "tagquery", "replay", "live"]) {
 makeEl("div", "status"); makeEl("table", "facts"); makeEl("tbody", "rows");
 makeEl("div", "empty");
 for (const id of ["q-tag", "q-subject", "q-from", "q-to", "q-limit", "q-dir",
-  "tq-body", "r-after", "r-keep", "l-from", "l-btn"])
+  "tq-body", "r-after", "r-keep", "r-page", "r-first", "r-next", "l-from", "l-btn"])
   makeEl("input", id);
 byId.get("l-from").value = "beginning"; // stream view catches up from the start
 byId.get("q-limit").value = "100";
@@ -168,7 +168,41 @@ if (!lastText.includes("SMOKE_EVENT") || !lastText.includes(marker))
 // textContent-only rule: the row builder must never have set innerHTML
 if (rows.some(r => r._html !== undefined)) fail("fact row used innerHTML");
 
+// --- Browse pager: position-order pages via replay?after&limit -------------
+// switch to the replay tab first: its handler stops the live stream, so
+// later appends can't race the pager's rendered rows
+document.querySelectorAll("#tabs button").find(b => b.dataset.tab === "replay").onclick();
+await sleep(200);
+// three more facts -> 4 total in the store; page size 3 must give a full
+// first page, then a 1-fact final page with the Next button disabled.
+for (let i = 0; i < 3; i++) {
+  const r = await fetch(base + "/api/v1/stores/" + storeName + "/facts", {
+    method: "POST",
+    body: JSON.stringify({ facts: [{ type: "PAGE_EVENT", subject: "page/" + i,
+      data: Buffer.from("p" + i).toString("base64") }] }),
+  });
+  if (!r.ok) fail("pager append failed: " + r.status);
+}
+byId.get("r-page").value = "3";
+byId.get("r-after").value = "";
+await byId.get("r-first").onclick();
+let pageRows = byId.get("rows").children;
+if (pageRows.length !== 3) fail("browse page 1: expected 3 rows, got " + pageRows.length);
+const statusText = byId.get("status").textContent;
+if (!statusText.includes("page 1")) fail("browse status missing page 1: " + statusText);
+// detail pane renders the full envelope + payload through textContent only
+const detail = pageRows[0].textContent;
+if (!detail.includes("position") || !detail.includes("payload"))
+  fail("detail pane missing envelope fields: " + detail);
+if (pageRows.some(r => r._html !== undefined)) fail("detail pane used innerHTML");
+await byId.get("r-next").onclick();
+pageRows = byId.get("rows").children;
+if (pageRows.length !== 1) fail("browse page 2: expected 1 row, got " + pageRows.length);
+if (!byId.get("r-next").disabled) fail("Next not disabled on the final short page");
+if (!pageRows[0].textContent.includes("PAGE_EVENT"))
+  fail("page 2 row missing fact fields: " + pageRows[0].textContent);
+
 console.log("EXPLORER SMOKE OK: route -> store '" + storeName +
   "' live view, stream attached, " + rows.length + " rows, last row has " +
-  "SMOKE_EVENT/" + marker);
+  "SMOKE_EVENT/" + marker + "; pager 3+1 rows with detail panes");
 process.exit(0);

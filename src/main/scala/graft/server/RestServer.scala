@@ -353,7 +353,14 @@ final class RestServer(store: FactStore, port: Int = 0) {
   }
 
   private def replay(ex: HttpExchange, s: String): Unit = {
-    val after = params(ex).get("after").flatMap(_.headOption)
+    val q = params(ex)
+    val after = q.get("after").flatMap(_.headOption)
+    // ?limit=N closes the stream after N facts — with `after` this is
+    // cursor pagination in position order (page k+1 = after last id of
+    // page k), the shape the explorer's Browse pager uses. Bounded here
+    // so a page request never drains the whole log over the wire.
+    val limit = q.get("limit").flatMap(_.headOption).map(_.toLong).getOrElse(Long.MaxValue)
+    require(limit > 0, "limit must be positive")
     val start = after.fold(ReplayStart.Beginning: ReplayStart)(ReplayStart.After(_))
     store.replay(s, start) match {
       case Left(StreamError.StoreNotFound) => sendError(ex, 404, "store_not_found", s)
@@ -363,8 +370,14 @@ final class RestServer(store: FactStore, port: Int = 0) {
         ex.getResponseHeaders.set("Content-Type", framing.contentType)
         ex.sendResponseHeaders(200, 0)
         val os = ex.getResponseBody
-        batches.foreach { batch =>
-          batch.foreach(f => framing.write(os, f.id, mapper.writeValueAsBytes(factJson(f))))
+        var sent = 0L
+        batches.takeWhile(_ => sent < limit).foreach { batch =>
+          batch.foreach { f =>
+            if (sent < limit) {
+              framing.write(os, f.id, mapper.writeValueAsBytes(factJson(f)))
+              sent += 1
+            }
+          }
           os.flush()
         }
         os.close()

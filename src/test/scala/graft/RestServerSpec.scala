@@ -130,6 +130,17 @@ class RestServerSpec extends AnyFunSuite {
       assert(tq.statusCode() == 200 &&
         tq.body().contains("\"type\":\"T1\"") && tq.body().contains("\"type\":\"T2\"") &&
         !tq.body().contains("\"type\":\"T3\""))
+      // ?limit bounds the replay stream; with ?after it is cursor
+      // pagination in position order (the explorer Browse pager protocol)
+      val page1 = get(c, s"$base/stores/s3/facts/replay?limit=2")
+        .body().split('\n').filter(_.nonEmpty)
+      assert(page1.length == 2 && page1(1).contains("\"position\":2"))
+      val cursor = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(page1(1)).path("id").asText()
+      val page2 = get(c, s"$base/stores/s3/facts/replay?after=$cursor&limit=2")
+        .body().split('\n').filter(_.nonEmpty)
+      assert(page2.length == 1 && page2(0).contains("\"position\":3"))
+      assert(get(c, s"$base/stores/s3/facts/replay?limit=0").statusCode() == 400)
     }
   }
 
