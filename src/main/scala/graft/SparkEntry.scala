@@ -30,7 +30,8 @@ object SparkEntry {
       (DataQuality.queries, DataQuality.oracles),
       (Graph.queries, Graph.oracles),
       (Timeseries.queries, Timeseries.oracles),
-      (Layout.queries, Layout.oracles)
+      (Layout.queries, Layout.oracles),
+      (Curation.queries, Curation.oracles)
     )
 
   /** Query names declared by more than one module. `queries`/`oracleSql`

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Corpus-curation scoring operators — the model-shaped filters a
+  * large-scale training-data pipeline runs between raw crawl and
+  * tokenization (the reference stores the facts; these are the analytics a
+  * curation deployment layers on the same corpus):
+  *
+  *  - `text_quality_classifier`: hashed-bag-of-words linear classifier
+  *    (fastText shape — the CCNet / FineWeb-style learned quality filter),
+  *    with pinned integer bucket weights so both engines score
+  *    bit-identically.
+  *  - `text_lm_surprisal`: unigram language-model scoring trained on the
+  *    corpus itself (the KenLM-filter shape): per-language token
+  *    frequencies → add-one-smoothed integer surprisal bits per token →
+  *    per-document mean, reported as a per-language histogram.
+  *  - `text_dup_span_coverage`: duplicated-substring census — the fraction
+  *    of each document covered by word-3-gram spans that also occur in
+  *    another document (the span metric behind suffix-array dedup in Lee
+  *    et al., "Deduplicating Training Data Makes Language Models Better").
+  *  - `source_scorecard`: per-source (domain analogue) curation scorecard
+  *    — volume, language spread, exact-dup share, quality-gate pass share.
+  *
+  * Every ratio is exact integer arithmetic (basis points / millibits), all
+  * hashes are the shared CrossHash kernels, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark) // codegen'd hash kernels
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+
+  /** Classifier geometry: hashed bag-of-words into `Buckets` weight
+    * buckets; weight(b) = scrambled(b) mod 2001 − 1000 ∈ [−1000, 1000] —
+    * a pinned pseudo-random projection standing in for trained weights
+    * (production swaps in a learned table broadcast the same way; the
+    * plan shape — one codegen'd map pass, zero joins — is identical). */
+  private val Buckets = 4096L
+
+  private def bucketWeightSpark(h: String): String =
+    s"((($h % $Buckets) * $CoinScramble) % $P) % 2001 - 1000"
+  private def bucketWeightDuck(h: String): String =
+    s"((($h % $Buckets) * $CoinScramble) % $P) % 2001 - 1000"
+
+  /** floor(log2(q)) for q >= 1 as the engine-neutral binary digit count —
+    * the base-2 twin of the digit-count log10 idiom (both engines render
+    * bin() without leading zeros). */
+  private def log2Spark(q: String): String = s"(length(bin($q)) - 1)"
+  private def log2Duck(q: String): String = s"(length(bin($q)) - 1)"
+
+  /** Span window for the duplicated-substring census: 8 tokens. The
+    * 3-gram dedup shingles are too short here — on a small vocabulary
+    * every 3-gram occurs in many documents by chance and the metric
+    * saturates; 8-token windows (vocab⁸ space) only collide on genuinely
+    * copied text, which is the suffix-array-dedup semantics this census
+    * approximates. (Lee et al. use 50-token windows at web scale — same
+    * construction, one constant.) */
+  private val SpanK = 8
+
+  /** Rolling ((…(w_i·31 + w_{i+1}) % P)·31 + …) window hash over SpanK
+    * word hashes starting at 1-based index `i` — mod-P each step, the
+    * same combine discipline as the 3-gram shingle kernel. */
+  private def spanHashesSpark(wh: String): String = {
+    val comb = (1 until SpanK).foldLeft(s"element_at($wh, i)") { (acc, k) =>
+      s"($acc * 31 + element_at($wh, i + $k)) % $P"
+    }
+    // sequence(1, n) DESCENDS when n < 1 (Spark semantics) — short docs
+    // must yield an empty span list, not a bogus [1, 0] index walk
+    s"if(size($wh) < $SpanK, array(), " +
+      s"transform(sequence(1, size($wh) - ${SpanK - 1}), i -> $comb))"
+  }
+
+  private def spanHashesDuck(wh: String): String = {
+    val comb = (1 until SpanK).foldLeft(s"list_extract($wh, i)") { (acc, k) =>
+      s"($acc * 31 + list_extract($wh, i + $k)) % $P"
+    }
+    s"list_transform(range(1, greatest(len($wh) - ${SpanK - 1}, 0) + 1), i -> $comb)"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Linear quality classifier over hashed token buckets. Pure map-side:
+    // tokenize + hash + weight-sum is ONE whole-stage-codegen projection
+    // per document (the weight is a formula of the hash, so there is no
+    // weight-table join at all); the per-language census is a map-side
+    // combined groupBy over ~|langs| keys. At 100 TB this is the cheapest
+    // possible filter shape — exactly why hashed linear classifiers are
+    // the curation workhorse.
+    "text_quality_classifier" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("lang", s"${wordHashesSpark("text")} AS wh")
+        .selectExpr("lang",
+          s"aggregate(wh, 0L, (a, h) -> a + ${bucketWeightSpark("h")}) AS sw",
+          "CAST(size(wh) AS BIGINT) AS n")
+        .filter(col("n") > 0)
+        .selectExpr("lang", "(sw * 1000) div n AS mean_mb")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mean_mb") >= 0, 1L).otherwise(0L)).as("kept_docs"),
+          min(col("mean_mb")).as("min_mb"),
+          max(col("mean_mb")).as("max_mb"),
+          sum(col("mean_mb")).as("sum_mb"))
+        .selectExpr("lang", "n_docs", "kept_docs",
+          "(kept_docs * 10000) div n_docs AS kept_bp",
+          "sum_mb div n_docs AS avg_mb", "min_mb", "max_mb")
+        .orderBy(asc("lang"))),
+
+    // Unigram LM surprisal, trained on the corpus itself. Two corpus
+    // passes: (1) the (lang, token) frequency census — map-side combined,
+    // vocabulary-sized output; (2) per-document scoring via a join AT
+    // VOCABULARY GRANULARITY: each doc first collapses to its distinct
+    // (token, count) multiset rows, so the join input is corpus tokens
+    // deduplicated per doc, and repeated tokens cost one row. Surprisal
+    // is integer: bits = floor(log2((T_lang + V_lang) div (freq + 1)))
+    // (add-one smoothing), document score = token-count-weighted mean in
+    // basis points of a bit. Output: per-language histogram over integer
+    // mean bits — constant-width regardless of corpus size.
+    "text_lm_surprisal" -> ((s, d) => {
+      val toks = docs(s, d)
+        .selectExpr("doc_id", "lang", s"explode(${tokensSpark("text")}) AS tok")
+      val perDoc = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .transform(CacheScope.persist)
+      val freq = perDoc.groupBy(col("lang"), col("tok"))
+        .agg(sum(col("c")).as("f"))
+      val langTot = freq.groupBy(col("lang"))
+        .agg(sum(col("f")).as("t"), count(lit(1)).as("v"))
+      val scored = perDoc
+        .join(freq, Seq("lang", "tok"))
+        .join(broadcast(langTot), Seq("lang"))
+        .selectExpr("doc_id", "lang", "c",
+          s"CAST(${log2Spark("(t + v) div (f + 1)")} AS BIGINT) AS bits")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(expr("c * bits")).as("sb"), sum(col("c")).as("n"))
+        .selectExpr("lang", "(sb * 10000) div n AS mean_bits_bp")
+      scored
+        .groupBy(col("lang"), expr("mean_bits_bp div 10000").as("bits_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("mean_bits_bp")).as("min_bp"),
+          max(col("mean_bits_bp")).as("max_bp"))
+        .orderBy(asc("lang"), asc("bits_bucket"))
+    }),
+
+    // Duplicated-substring coverage. SpanK-token window hashes carry
+    // their token position (array index), so a span shared with ANOTHER
+    // document marks tokens [i, i+SpanK) as duplicated; the per-doc
+    // covered-token count is the union length of those intervals —
+    // gaps-and-islands over a window partitioned by doc (per-doc width,
+    // never corpus-wide). The cross-doc test is a distinct-doc-count >= 2
+    // census on the span hash — one map-side-combined shuffle — joined
+    // back at span granularity. At 100 TB both shuffles key on the span
+    // hash (uniform by construction); nothing is quadratic.
+    "text_dup_span_coverage" -> ((s, d) => {
+      val sh = docs(s, d)
+        .selectExpr("doc_id", "lang",
+          s"${spanHashesSpark(wordHashesSpark("text"))} AS sh")
+        .filter(expr("size(sh) > 0"))
+        .transform(CacheScope.persist)
+      val nTok = sh.selectExpr("doc_id", "lang",
+        s"CAST(size(sh) + ${SpanK - 1} AS BIGINT) AS n_tokens")
+      val pos = sh.selectExpr("doc_id", "posexplode(sh) AS (i, shv)")
+      val dup = pos.groupBy(col("shv"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("shv"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(asc("i"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val covered = pos.join(dup, Seq("shv"), "left_semi")
+        .withColumn("prev_end", max(col("i") + SpanK).over(w))
+        .selectExpr("doc_id",
+          s"greatest(CAST(i + $SpanK AS BIGINT) - greatest(CAST(i AS BIGINT), coalesce(prev_end, 0L)), 0L) AS contrib")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).as("covered"))
+      nTok.join(covered, Seq("doc_id"), "left")
+        .selectExpr("lang",
+          "(coalesce(covered, 0L) * 10000) div n_tokens AS cov_bp")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cov_bp") > 0, 1L).otherwise(0L)).as("dup_docs"),
+          sum(when(col("cov_bp") >= 5000, 1L).otherwise(0L)).as("heavy_docs"),
+          sum(col("cov_bp")).as("sum_bp"),
+          max(col("cov_bp")).as("max_bp"))
+        .selectExpr("lang", "n_docs", "dup_docs", "heavy_docs",
+          "sum_bp div n_docs AS avg_bp", "max_bp")
+        .orderBy(asc("lang"))
+    }),
+
+    // Per-source curation scorecard: the per-domain table every curation
+    // run publishes (volume, language spread, exact-dup share, gate pass
+    // share). One scan; the exact-dup flag is a content-hash window count
+    // (the dedup_exact key), everything else folds in the same groupBy.
+    "source_scorecard" -> ((s, d) => {
+      val base = docs(s, d)
+        .selectExpr("doc_id", "source", "lang", "n_chars", "md5(text) AS h",
+          s"${tokensSpark("text")} AS toks")
+        .selectExpr("doc_id", "source", "lang", "n_chars", "h",
+          "CAST(size(toks) AS BIGINT) AS n_tokens",
+          s"${TextAnalysis.qualityOkSpark("toks")} AS ok_q")
+      base
+        .withColumn("dup_n", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("dup_n") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+          sum(when(col("ok_q"), 1L).otherwise(0L)).as("ok_docs"))
+        .selectExpr("source", "n_docs", "n_langs", "total_chars",
+          "total_tokens",
+          "(dup_docs * 10000) div n_docs AS dup_bp",
+          "(ok_docs * 10000) div n_docs AS ok_bp")
+        .orderBy(asc("source"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      (s"WITH wh AS (SELECT lang, ${wordHashesDuck(tokensDuck("text"))} AS wh FROM documents), " +
+        "sc AS (SELECT lang, " +
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(wh, h -> CAST(${bucketWeightDuck("h")} AS BIGINT))), (a, x) -> a + x) AS sw, " +
+        "CAST(len(wh) AS BIGINT) AS n FROM wh WHERE len(wh) > 0), " +
+        "m AS (SELECT lang, (sw * 1000) // n AS mean_mb FROM sc) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "sum(CASE WHEN mean_mb >= 0 THEN 1 ELSE 0 END)::BIGINT AS kept_docs, " +
+        "(sum(CASE WHEN mean_mb >= 0 THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*) AS kept_bp, " +
+        "sum(mean_mb)::BIGINT // count(*) AS avg_mb, " +
+        "min(mean_mb) AS min_mb, max(mean_mb) AS max_mb " +
+        "FROM m GROUP BY lang ORDER BY lang"),
+    "text_lm_surprisal" ->
+      (s"WITH tk AS (SELECT doc_id, lang, unnest(${tokensDuck("text")}) AS tok FROM documents), " +
+        "pd AS (SELECT doc_id, lang, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2, 3), " +
+        "fr AS (SELECT lang, tok, sum(c)::BIGINT AS f FROM pd GROUP BY 1, 2), " +
+        "lt AS (SELECT lang, sum(f)::BIGINT AS t, count(*)::BIGINT AS v FROM fr GROUP BY 1), " +
+        "sc AS (SELECT doc_id, pd.lang, " +
+        s"sum(c * CAST(${log2Duck("(t + v) // (f + 1)")} AS BIGINT))::BIGINT AS sb, " +
+        "sum(c)::BIGINT AS n " +
+        "FROM pd JOIN fr USING (lang, tok) JOIN lt USING (lang) GROUP BY 1, 2), " +
+        "m AS (SELECT lang, (sb * 10000) // n AS mean_bits_bp FROM sc) " +
+        "SELECT lang, mean_bits_bp // 10000 AS bits_bucket, count(*) AS n_docs, " +
+        "min(mean_bits_bp) AS min_bp, max(mean_bits_bp) AS max_bp " +
+        "FROM m GROUP BY 1, 2 ORDER BY lang, bits_bucket"),
+    "text_dup_span_coverage" ->
+      (s"WITH sh AS (SELECT doc_id, lang, ${spanHashesDuck(wordHashesDuck(tokensDuck("text")))} AS sh FROM documents), " +
+        "nz AS (SELECT * FROM sh WHERE len(sh) > 0), " +
+        s"nt AS (SELECT doc_id, lang, CAST(len(sh) + ${SpanK - 1} AS BIGINT) AS n_tokens FROM nz), " +
+        "pos0 AS (SELECT doc_id, unnest(list_transform(sh, (x, i) -> {'i': i - 1, 'shv': x})) AS u FROM nz), " +
+        "pos AS (SELECT doc_id, u.i AS i, u.shv AS shv FROM pos0), " +
+        "dup AS (SELECT shv FROM (SELECT shv, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1) _ WHERE df >= 2), " +
+        "dp AS (SELECT doc_id, i FROM pos WHERE shv IN (SELECT shv FROM dup)), " +
+        s"isl AS (SELECT doc_id, greatest(CAST(i + $SpanK AS BIGINT) - greatest(CAST(i AS BIGINT), " +
+        s"coalesce(max(i + $SpanK) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT), 0::BIGINT) AS contrib FROM dp), " +
+        "cov AS (SELECT doc_id, sum(contrib)::BIGINT AS covered FROM isl GROUP BY 1), " +
+        "pc AS (SELECT lang, (coalesce(covered, 0) * 10000) // n_tokens AS cov_bp " +
+        "FROM nt LEFT JOIN cov USING (doc_id)) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "sum(CASE WHEN cov_bp > 0 THEN 1 ELSE 0 END)::BIGINT AS dup_docs, " +
+        "sum(CASE WHEN cov_bp >= 5000 THEN 1 ELSE 0 END)::BIGINT AS heavy_docs, " +
+        "sum(cov_bp)::BIGINT // count(*) AS avg_bp, max(cov_bp) AS max_bp " +
+        "FROM pc GROUP BY lang ORDER BY lang"),
+    "source_scorecard" ->
+      (s"WITH b AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +
+        "b2 AS (SELECT doc_id, source, lang, n_chars, h, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        s"${TextAnalysis.qualityOkDuck("toks")} AS ok_q FROM b), " +
+        "b3 AS (SELECT *, count(*) OVER (PARTITION BY h) AS dup_n FROM b2) " +
+        "SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, " +
+        "sum(n_chars)::BIGINT AS total_chars, sum(n_tokens)::BIGINT AS total_tokens, " +
+        "(sum(CASE WHEN dup_n >= 2 THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*) AS dup_bp, " +
+        "(sum(CASE WHEN ok_q THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*) AS ok_bp " +
+        "FROM b3 GROUP BY source ORDER BY source")
+  )
+}
