@@ -192,6 +192,80 @@ object Curation {
         .orderBy(asc("lang"))
     }),
 
+    // Bigram LM surprisal — the conditional next-token version of
+    // text_lm_surprisal: bits = floor(log2((f(prev) + V_lang) div
+    // (f(prev, cur) + 1))), add-one smoothing against the per-language
+    // vocabulary. Same two-pass scale shape: bigram/unigram censuses are
+    // map-side combined to vocabulary² / vocabulary size, documents join
+    // at their DISTINCT-bigram granularity (repeated bigrams cost one
+    // row), and the output is a constant-width per-language histogram.
+    // Word hashes (not strings) key every shuffle.
+    "text_lm_bigram_surprisal" -> ((s, d) => {
+      val wh = docs(s, d)
+        .selectExpr("doc_id", "lang", s"${wordHashesSpark("text")} AS wh")
+        .filter(expr("size(wh) >= 2"))
+      val bi = wh
+        .selectExpr("doc_id", "lang",
+          "explode(transform(sequence(2, size(wh)), i -> struct(element_at(wh, i - 1) AS a, element_at(wh, i) AS b))) AS p")
+        .selectExpr("doc_id", "lang", "p.a AS a", "p.b AS b")
+        .groupBy(col("doc_id"), col("lang"), col("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .transform(CacheScope.persist)
+      val bfreq = bi.groupBy(col("lang"), col("a"), col("b"))
+        .agg(sum(col("c")).as("fb"))
+      val pfreq = bfreq.groupBy(col("lang"), col("a"))
+        .agg(sum(col("fb")).as("fp"))
+      val vocab = docs(s, d)
+        .selectExpr("lang", s"explode(${wordHashesSpark("text")}) AS h")
+        .groupBy(col("lang")).agg(countDistinct(col("h")).as("v"))
+      bi.join(bfreq, Seq("lang", "a", "b"))
+        .join(pfreq, Seq("lang", "a"))
+        .join(broadcast(vocab), Seq("lang"))
+        .selectExpr("doc_id", "lang", "c",
+          s"CAST(${log2Spark("(fp + v) div (fb + 1)")} AS BIGINT) AS bits")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(expr("c * bits")).as("sb"), sum(col("c")).as("n"))
+        .selectExpr("lang", "(sb * 10000) div n AS mean_bits_bp")
+        .groupBy(col("lang"), expr("mean_bits_bp div 10000").as("bits_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("mean_bits_bp")).as("min_bp"),
+          max(col("mean_bits_bp")).as("max_bp"))
+        .orderBy(asc("lang"), asc("bits_bucket"))
+    }),
+
+    // Data-mixing token budget planner: given the tokens available per
+    // language and target mixture weights (pinned here; production
+    // passes a learned/chosen table), find the largest total budget the
+    // corpus can serve at those weights — the binding language is the one
+    // with the smallest avail/weight ratio — and each language's sampling
+    // rate against its pool. This is the mixture table every multi-source
+    // training run plans with. All integer (basis points); the budget
+    // scalar is a 1-row broadcast join, never a window over the corpus.
+    "mixture_token_plan" -> ((s, d) => {
+      val weights = "map('de', 1250, 'en', 5000, 'es', 1250, 'fr', 1250, 'zh', 1250)"
+      val avail = docs(s, d)
+        .selectExpr("lang", s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n")
+        .groupBy(col("lang")).agg(sum(col("n")).as("avail_tokens"))
+        .selectExpr("lang", "avail_tokens",
+          s"CAST(element_at($weights, lang) AS BIGINT) AS weight_bp")
+      val budget = avail
+        .selectExpr("(avail_tokens * 10000) div weight_bp AS cap")
+        .agg(min(col("cap")).as("budget_tokens"))
+      // planned = budget·weight_bp/10000, split exactly as
+      // (b div 1e4)·w + ((b mod 1e4)·w) div 1e4 so the product never
+      // exceeds ~budget·1 — a direct b·w would overflow int64 once the
+      // budget passes ~1.8e15 tokens (a real 100 TB corpus)
+      avail.crossJoin(broadcast(budget))
+        .selectExpr("lang", "avail_tokens", "weight_bp", "budget_tokens",
+          "(budget_tokens div 10000) * weight_bp + ((budget_tokens % 10000) * weight_bp) div 10000 AS planned_tokens")
+        .selectExpr("lang", "avail_tokens", "weight_bp", "budget_tokens",
+          "planned_tokens",
+          "(planned_tokens * 10000) div avail_tokens AS rate_bp")
+        .withColumn("is_binding",
+          expr("(avail_tokens * 10000) div weight_bp = budget_tokens"))
+        .orderBy(asc("lang"))
+    }),
+
     // Per-source curation scorecard: the per-domain table every curation
     // run publishes (volume, language spread, exact-dup share, gate pass
     // share). One scan; the exact-dup flag is a content-hash window count
@@ -264,6 +338,36 @@ object Curation {
         "sum(CASE WHEN cov_bp >= 5000 THEN 1 ELSE 0 END)::BIGINT AS heavy_docs, " +
         "sum(cov_bp)::BIGINT // count(*) AS avg_bp, max(cov_bp) AS max_bp " +
         "FROM pc GROUP BY lang ORDER BY lang"),
+    "text_lm_bigram_surprisal" ->
+      (s"WITH wh AS (SELECT doc_id, lang, ${wordHashesDuck(tokensDuck("text"))} AS wh FROM documents), " +
+        "nz AS (SELECT * FROM wh WHERE len(wh) >= 2), " +
+        "bi0 AS (SELECT doc_id, lang, unnest(list_transform(range(2, len(wh) + 1), " +
+        "i -> {'a': list_extract(wh, i - 1), 'b': list_extract(wh, i)})) AS p FROM nz), " +
+        "bi AS (SELECT doc_id, lang, p.a AS a, p.b AS b, count(*)::BIGINT AS c FROM bi0 GROUP BY 1, 2, 3, 4), " +
+        "bf AS (SELECT lang, a, b, sum(c)::BIGINT AS fb FROM bi GROUP BY 1, 2, 3), " +
+        "pf AS (SELECT lang, a, sum(fb)::BIGINT AS fp FROM bf GROUP BY 1, 2), " +
+        "vc AS (SELECT lang, count(DISTINCT h)::BIGINT AS v FROM " +
+        s"(SELECT lang, unnest(${wordHashesDuck(tokensDuck("text"))}) AS h FROM documents) _ GROUP BY 1), " +
+        "sc AS (SELECT doc_id, bi.lang, " +
+        s"sum(c * CAST(${log2Duck("(fp + v) // (fb + 1)")} AS BIGINT))::BIGINT AS sb, sum(c)::BIGINT AS n " +
+        "FROM bi JOIN bf USING (lang, a, b) JOIN pf USING (lang, a) JOIN vc USING (lang) GROUP BY 1, 2), " +
+        "m AS (SELECT lang, (sb * 10000) // n AS mean_bits_bp FROM sc) " +
+        "SELECT lang, mean_bits_bp // 10000 AS bits_bucket, count(*) AS n_docs, " +
+        "min(mean_bits_bp) AS min_bp, max(mean_bits_bp) AS max_bp " +
+        "FROM m GROUP BY 1, 2 ORDER BY lang, bits_bucket"),
+    "mixture_token_plan" ->
+      ("WITH av AS (SELECT lang, sum(n)::BIGINT AS avail_tokens FROM " +
+        s"(SELECT lang, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n FROM documents) _ GROUP BY lang), " +
+        "aw AS (SELECT lang, avail_tokens, CAST(CASE lang WHEN 'de' THEN 1250 WHEN 'en' THEN 5000 " +
+        "WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250 WHEN 'zh' THEN 1250 END AS BIGINT) AS weight_bp FROM av), " +
+        "bd AS (SELECT min((avail_tokens * 10000) // weight_bp)::BIGINT AS budget_tokens FROM aw), " +
+        "pl AS (SELECT lang, avail_tokens, weight_bp, budget_tokens, " +
+        "(budget_tokens // 10000) * weight_bp + ((budget_tokens % 10000) * weight_bp) // 10000 AS planned_tokens " +
+        "FROM aw CROSS JOIN bd) " +
+        "SELECT lang, avail_tokens, weight_bp, budget_tokens, planned_tokens, " +
+        "(planned_tokens * 10000) // avail_tokens AS rate_bp, " +
+        "(avail_tokens * 10000) // weight_bp = budget_tokens AS is_binding " +
+        "FROM pl ORDER BY lang"),
     "source_scorecard" ->
       (s"WITH b AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +
         "b2 AS (SELECT doc_id, source, lang, n_chars, h, CAST(len(toks) AS BIGINT) AS n_tokens, " +

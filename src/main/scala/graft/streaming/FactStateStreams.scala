@@ -485,4 +485,55 @@ object FactStateStreams {
           next
       }
   }
+
+  /** One slot of a per-language streaming reservoir (seq = that
+    * language's update counter; downstream keeps the max-seq emission). */
+  final case class ReservoirSlot(
+      lang: String, seq: Long, rank: Long, docId: Long, coin: Long, nTokens: Long)
+
+  // parallel Seq[Long]s rather than Seq[tuple]: nested product element
+  // types break the state encoder's codegen
+  final case class ResState(
+      seq: Long, coins: Seq[Long], ids: Seq[Long], toks: Seq[Long]) {
+    def slots: Seq[(Long, Long, Long)] =
+      coins.lazyZip(ids).lazyZip(toks).map((c, i, t) => (c, i, t))
+  }
+
+  /** Streaming twin of the batch `sample_reservoir`: a DETERMINISTIC
+    * k-slot reservoir per language — keep the k documents with the
+    * smallest (scrambled-hash coin, doc_id). Because the keep rule is a
+    * pure order statistic of a deterministic coin (not RNG), the stream
+    * state after any prefix equals the batch operator over that prefix:
+    * arrival order, micro-batch boundaries, and restarts cannot change
+    * it, and the whole reservoir re-emits (with a bumped per-language
+    * seq) only when a batch actually changes it. State is k slots per
+    * language — constant width, sharded by language (stratum) across
+    * executors. Input must carry `doc_id`, `lang`, `n_tokens`; the coin
+    * is computed here with the shared CrossHash kernel so parity with
+    * the batch query is by construction. */
+  def reservoirSample(spark: SparkSession, docs: DataFrame, k: Int): Dataset[ReservoirSlot] = {
+    import spark.implicits._
+    graft.functions.TextHashFunctions.register(spark)
+    docs
+      .selectExpr("doc_id", "lang", "n_tokens",
+        s"${graft.functions.CrossHash.coinSpark("CAST(doc_id AS STRING)")} AS coin")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[ResState, ReservoirSlot](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (lang, rows, state) =>
+        val prev = state.getOption.getOrElse(ResState(0L, Seq.empty, Seq.empty, Seq.empty))
+        val merged = (prev.slots ++ rows.map(r => (r._4, r._1, r._3)))
+          .distinct.sortBy(s => (s._1, s._2)).take(k)
+        if (merged == prev.slots) Iterator.empty
+        else {
+          val next = ResState(prev.seq + 1,
+            merged.map(_._1), merged.map(_._2), merged.map(_._3))
+          state.update(next)
+          merged.iterator.zipWithIndex.map { case ((coin, docId, nTok), i) =>
+            ReservoirSlot(lang, next.seq, i + 1L, docId, coin, nTok)
+          }
+        }
+      }
+  }
 }

@@ -99,6 +99,50 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("text_lm_bigram_surprisal matches a plain-Scala bigram LM") {
+    def log2(q: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    val docBi = corpus.map { case (id, text, lang, _, _) =>
+      (id, lang, tokens(text).map(charHash).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq)
+    }.filter(_._3.nonEmpty)
+    val bfreq = docBi.flatMap { case (_, lang, bs) => bs.map(b => (lang, b)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pfreq = bfreq.groupBy { case ((lang, (a, _)), _) => (lang, a) }
+      .map { case (k, m) => k -> m.values.sum }
+    val vocab = corpus.flatMap { case (_, text, lang, _, _) =>
+      tokens(text).map(charHash).map(h => (lang, h))
+    }.distinct.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val perDoc = docBi.map { case (_, lang, bs) =>
+      val sb = bs.map { case (a, b) =>
+        log2((pfreq((lang, a)) + vocab(lang)) / (bfreq((lang, (a, b))) + 1))
+      }.sum
+      (lang, sb * 10000 / bs.size.toLong)
+    }
+    val expected = perDoc.groupBy { case (lang, bp) => (lang, bp / 10000) }
+      .map { case (k, vs) => k -> vs.size.toLong }
+    val got = Curation.queries("text_lm_bigram_surprisal")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    graft.operators.CacheScope.releaseAll()
+  }
+
+  test("mixture_token_plan matches a plain-Scala budget computation") {
+    val weights = Map("de" -> 1250L, "en" -> 5000L, "es" -> 1250L, "fr" -> 1250L, "zh" -> 1250L)
+    val avail = corpus.groupBy(_._3).view
+      .mapValues(_.map { case (_, text, _, _, _) => tokens(text).size.toLong }.sum).toMap
+    val budget = avail.map { case (lang, a) => a * 10000 / weights(lang) }.min
+    val expected = avail.map { case (lang, a) =>
+      val w = weights(lang)
+      val planned = (budget / 10000) * w + (budget % 10000) * w / 10000
+      lang -> (a, w, budget, planned, planned * 10000 / a,
+        a * 10000 / w == budget)
+    }
+    val got = Curation.queries("mixture_token_plan")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("source_scorecard matches a plain-Scala per-source census") {
     def contentHash(t: String): String =
       java.security.MessageDigest.getInstance("MD5")
