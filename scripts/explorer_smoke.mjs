@@ -142,6 +142,11 @@ await sleep(1500); // loadStores + route + SSE catch-up
 
 const fail = msg => { console.error("SMOKE FAIL: " + msg); process.exit(1); };
 
+// header health badge populated from /q/health
+const health = byId.get("health");
+if (!health || !health.textContent.includes("healthy"))
+  fail("health badge not healthy: " + (health && health.textContent));
+
 const selStore = document.querySelector("nav li.sel");
 if (!selStore || selStore.textContent !== storeName)
   fail("store not selected by route: " + (selStore && selStore.textContent));

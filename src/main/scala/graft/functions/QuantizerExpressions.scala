@@ -177,3 +177,85 @@ case class NearestTwoCodes(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): NearestTwoCodes =
     copy(left = newLeft, right = newRight)
 }
+
+/** The k nearest codebook entries in rank order — the generalization of
+  * [[NearestTwoCodes]] the round-9 verdict's dedup-blocking fix needs
+  * (3-cell multi-assignment recovers boundary-straddling near-dup pairs
+  * that best-two misses; measured 0.71 → 0.93 recall at sf0.1). Ties
+  * resolve to the LOWER code: insertion uses strict `<` and codes are
+  * scanned in ascending order, mirroring the oracle's
+  * `ORDER BY dist, cell`. One codegen'd pass, k-slot insertion — k is a
+  * compile-time constant embedded in the generated loop. */
+case class NearestKCodes(left: Expression, right: Expression,
+    cb: QuantizerCodebook.Entries, k: Int)
+    extends BinaryExpression with QuantizerCodegen {
+  require(k >= 1, "k must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = s"quantizer_nearest_$k"
+
+  override protected def nullSafeEval(v: Any, m: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mi = m.asInstanceOf[Int]
+    val codes = cb.codes(mi); val cvs = cb.cvs(mi); val n2s = cb.n2s(mi)
+    val bd = Array.fill(k)(Double.PositiveInfinity)
+    val bc = Array.fill(k)(-1)
+    var j = 0
+    while (j < codes.length) {
+      var acc = 0.0
+      val off = j * cb.subDim
+      var i = 0
+      while (i < cb.subDim) { acc += get(arr, i) * cvs(off + i); i += 1 }
+      val s = n2s(j) - 2 * acc
+      if (s < bd(k - 1)) {
+        var t = k - 1
+        while (t > 0 && s < bd(t - 1)) { bd(t) = bd(t - 1); bc(t) = bc(t - 1); t -= 1 }
+        bd(t) = s; bc(t) = codes(j)
+      }
+      j += 1
+    }
+    var nv = 0
+    while (nv < k && bc(nv) != -1) nv += 1
+    new GenericArrayData(bc.take(nv))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codesRef = ctx.addReferenceObj("qcodes", cb.codes, "int[][]")
+    val cvsRef = ctx.addReferenceObj("qcvs", cb.cvs, "double[][]")
+    val n2sRef = ctx.addReferenceObj("qn2s", cb.n2s, "double[][]")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, (v, m) => {
+      val (codes, cvs, n2s) = (ctx.freshName("codes"), ctx.freshName("cvs"), ctx.freshName("n2s"))
+      val (bd, bc, j, i, t, acc, off, s, nv, out) = (ctx.freshName("bd"), ctx.freshName("bc"),
+        ctx.freshName("j"), ctx.freshName("i"), ctx.freshName("t"), ctx.freshName("acc"),
+        ctx.freshName("off"), ctx.freshName("s"), ctx.freshName("nv"), ctx.freshName("out"))
+      s"""
+         |int[] $codes = $codesRef[$m]; double[] $cvs = $cvsRef[$m]; double[] $n2s = $n2sRef[$m];
+         |double[] $bd = new double[$k]; int[] $bc = new int[$k];
+         |for (int $t = 0; $t < $k; $t++) { $bd[$t] = Double.POSITIVE_INFINITY; $bc[$t] = -1; }
+         |for (int $j = 0; $j < $codes.length; $j++) {
+         |  double $acc = 0.0;
+         |  int $off = $j * ${cb.subDim};
+         |  for (int $i = 0; $i < ${cb.subDim}; $i++) {
+         |    $acc += ${getterJava(v, i)} * $cvs[$off + $i];
+         |  }
+         |  double $s = $n2s[$j] - 2 * $acc;
+         |  if ($s < $bd[$k - 1]) {
+         |    int $t = $k - 1;
+         |    while ($t > 0 && $s < $bd[$t - 1]) { $bd[$t] = $bd[$t - 1]; $bc[$t] = $bc[$t - 1]; $t--; }
+         |    $bd[$t] = $s; $bc[$t] = $codes[$j];
+         |  }
+         |}
+         |int $nv = 0;
+         |while ($nv < $k && $bc[$nv] != -1) $nv++;
+         |int[] $out = new int[$nv];
+         |System.arraycopy($bc, 0, $out, 0, $nv);
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestKCodes =
+    copy(left = newLeft, right = newRight)
+}

@@ -65,17 +65,12 @@ object Curation {
   private val SpanK = 8
 
   /** Rolling ((…(w_i·31 + w_{i+1}) % P)·31 + …) window hash over SpanK
-    * word hashes starting at 1-based index `i` — mod-P each step, the
-    * same combine discipline as the 3-gram shingle kernel. */
-  private def spanHashesSpark(wh: String): String = {
-    val comb = (1 until SpanK).foldLeft(s"element_at($wh, i)") { (acc, k) =>
-      s"($acc * 31 + element_at($wh, i + $k)) % $P"
-    }
-    // sequence(1, n) DESCENDS when n < 1 (Spark semantics) — short docs
-    // must yield an empty span list, not a bogus [1, 0] index walk
-    s"if(size($wh) < $SpanK, array(), " +
-      s"transform(sequence(1, size($wh) - ${SpanK - 1}), i -> $comb))"
-  }
+    * word hashes — the native codegen'd span kernel
+    * (TextHashExpressions.SpanHashes): the HOF rendering re-evaluated
+    * its input per element (no CSE inside lambdas) and cost 7.5 s of a
+    * 9.8 s sf0.1 query. */
+  private def spanHashesSpark(wh: String): String =
+    s"span_hashes($wh, $SpanK)"
 
   private def spanHashesDuck(wh: String): String = {
     val comb = (1 until SpanK).foldLeft(s"list_extract($wh, i)") { (acc, k) =>

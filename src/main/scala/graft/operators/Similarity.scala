@@ -171,6 +171,13 @@ object Similarity {
       org.apache.spark.sql.GraftColumns.expr(vec),
       org.apache.spark.sql.GraftColumns.expr(lit(0)), cb))
 
+  private def nearestK(vec: org.apache.spark.sql.Column, cb: Entries,
+      k: Int): org.apache.spark.sql.Column =
+    if (k == 2) nearestTwo(vec, cb) // identical semantics; shared codegen
+    else org.apache.spark.sql.GraftColumns.of(graft.functions.NearestKCodes(
+      org.apache.spark.sql.GraftColumns.expr(vec),
+      org.apache.spark.sql.GraftColumns.expr(lit(0)), cb, k))
+
   /** The e10-floored mean re-aggregation — the ONE arithmetic the
     * cross-engine training determinism rests on (integer component sums
     * fully determine the centroid doubles), shared by the coarse and PQ
@@ -239,23 +246,31 @@ object Similarity {
   /** Test hook: force cold builds (IvfPqRecallSpec timing, cache hygiene). */
   private[graft] def clearArtifacts(): Unit = artifactCache.clear()
 
-  private def coarseFor(dir: String, e: DataFrame): Entries =
+  private[graft] def coarseFor(dir: String, e: DataFrame): Entries =
     cachedArtifact(s"$dir#coarse-$CoarseK-$CoarseIters")(coarseCentroids(e))
 
   /** Corpus-side (vec_id, cell) under the learned coarse quantizer with
-    * 2-cell multi-assignment — the blocking relation Dedup's embedding
-    * near-dup shares (SemDeDup shape: candidate pairs live within a cell;
-    * multi-assignment buys back pairs straddling a cell boundary). `e`
-    * must expose `vec_id` + `embedding`. The codebook is the same cached
-    * offline artifact the ann_ivf_* family serves from — blocking costs
-    * one codegen'd best-two pass over the corpus, no extra training. */
-  private[graft] def coarseCells(dir: String, e: DataFrame): DataFrame =
-    coarseAssign(e, coarseFor(dir, e))
+    * `assignK`-cell multi-assignment — the blocking relation Dedup's
+    * embedding near-dup shares (SemDeDup shape: candidate pairs live
+    * within a cell; multi-assignment buys back pairs straddling a cell
+    * boundary — the dedup consumer uses depth 3, measured 0.71 → 0.93
+    * recall of the exact near-dup truth at sf0.1; ANN keeps best-two).
+    * `e` must expose `vec_id` + `embedding`. The codebook is the same
+    * cached offline artifact the ann_ivf_* family serves from — blocking
+    * costs one codegen'd best-k pass over the corpus, no extra training. */
+  private[graft] def coarseCells(dir: String, e: DataFrame,
+      assignK: Int = MultiAssign): DataFrame = {
+    val cb = coarseFor(dir, e)
+    e.select(col("vec_id"),
+      explode(nearestK(col("embedding"), cb, assignK)).as("cell"))
+  }
 
   /** Oracle twin of [[coarseCells]]: CTE chain whose `cassign` member is
-    * the (vec_id, cell) multi-assignment (also defines `qprob`, unused by
-    * blocking-only callers — DuckDB prunes unreferenced CTEs). */
-  private[graft] def coarseCellsDuckCtes: String = coarseDuckCtes
+    * the (vec_id, cell) multi-assignment at depth `assignK` (also defines
+    * `qprob`, unused by blocking-only callers — DuckDB prunes
+    * unreferenced CTEs). */
+  private[graft] def coarseCellsDuckCtes(assignK: Int = MultiAssign): String =
+    coarseDuckCtes(assignK)
 
   // --- integer power-iteration PCA ---------------------------------------
 
@@ -465,7 +480,7 @@ object Similarity {
     * unrolled Lloyd rounds → final centroids, plus the corpus-side
     * 2-nearest multi-assignment (`cassign`) and the query-side probe
     * (`qprob`). */
-  private def coarseDuckCtes: String = {
+  private def coarseDuckCtes(assignK: Int = MultiAssign): String = {
     val sb = new StringBuilder
     sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
       "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
@@ -483,7 +498,7 @@ object Similarity {
       prev = s"ccent$i"
     }
     sb ++= "cassign AS (SELECT vec_id, unnest(cells) AS cell FROM (SELECT vec_id, " +
-      s"(list(cell ORDER BY dist, cell))[1:$MultiAssign] AS cells FROM " +
+      s"(list(cell ORDER BY dist, cell))[1:$assignK] AS cells FROM " +
       s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
       s"FROM embeddings e CROSS JOIN $prev c) _sa GROUP BY vec_id) _ga), "
     sb ++= "qprob AS (SELECT query_id, cell FROM (SELECT query_id, cell, " +
@@ -855,7 +870,7 @@ object Similarity {
         "FROM b AS a JOIN b AS b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id " +
         s"WHERE ${cosPpmDuck("a.v", "b2.v")} >= 100000 ORDER BY vec_a, vec_b"),
     "ann_ivf_probe" ->
-      (s"WITH $coarseDuckCtes, " +
+      (s"WITH ${coarseDuckCtes()}, " +
         "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
         "JOIN qprob p ON a.cell = p.cell), " +
         "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
@@ -876,7 +891,7 @@ object Similarity {
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
         "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
     "ann_ivf_pq" ->
-      (s"WITH $coarseDuckCtes, " +
+      (s"WITH ${coarseDuckCtes()}, " +
         s"$pqDuckCtes, " +
         "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
         "JOIN qprob p ON a.cell = p.cell), " +
@@ -889,7 +904,7 @@ object Similarity {
         "SELECT query_id, rank, vec_id AS neighbor_id, adc_e10 " +
         "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"),
     "ann_ivf_pq_refined" ->
-      (s"WITH $coarseDuckCtes, " +
+      (s"WITH ${coarseDuckCtes()}, " +
         s"$pqDuckCtes, " +
         "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
         "JOIN qprob p ON a.cell = p.cell), " +

@@ -82,13 +82,20 @@ object Sketches {
   private def sketch(s: SparkSession, d: String): DataFrame =
     sketchOf(tokenHashes(s, d))
 
+  /** Pre-aggregation (lang, j, r) projection over any (lang, h) relation —
+    * register index + rank per hash, shared verbatim by the batch registers
+    * below and the streaming HLL face (FactStateStreams.hllDistinct), so
+    * stream/batch parity is by construction, not by duplicated CASE chains. */
+  private[graft] def hllJR(langHashes: DataFrame): DataFrame =
+    langHashes
+      .select(col("lang"), expr(s"h % $HllM").as("j"),
+        expr(rankCase(s"(h div $HllM)")).as("r"))
+
   /** Per-(lang, register) max-rank relation for HLL over any (lang, h)
     * relation. Package-visible for the merge-law test: registers(A ∪ B) =
     * register-wise max of registers(A), registers(B). */
   private[graft] def hllRegistersOf(langHashes: DataFrame): DataFrame =
-    langHashes
-      .select(col("lang"), expr(s"h % $HllM").as("j"),
-        expr(rankCase(s"(h div $HllM)")).as("r"))
+    hllJR(langHashes)
       .groupBy(col("lang"), col("j")).agg(max(col("r")).as("m"))
 
   /** The documents→(lang, shingle-hash) stream the HLL query estimates. */
@@ -107,8 +114,8 @@ object Sketches {
   // bits), hence order-independent across Spark's parallel aggregation.
   // No small-range correction — it needs ln(), which is not cross-engine
   // bit-stable; the raw estimator is the oracle-pinned contract.
-  private val HllM = 256
-  private val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+  private[graft] val HllM = 256
+  private[graft] val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
 
   /** CLZ-based rank of the 22-bit field, as a CASE chain valid in both
     * Spark SQL and DuckDB. v in [2^i, 2^(i+1)) has rank 22-i; v=0 → 23. */

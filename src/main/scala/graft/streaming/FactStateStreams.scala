@@ -511,6 +511,60 @@ object FactStateStreams {
     * executors. Input must carry `doc_id`, `lang`, `n_tokens`; the coin
     * is computed here with the shared CrossHash kernel so parity with
     * the batch query is by construction. */
+  /** One per-language HLL snapshot emission (seq = that language's
+    * change counter; downstream keeps the max-seq emission). `regsFnv`
+    * is an FNV-1a fold over the 256 register maxima so a parity spec can
+    * pin the full register STATE, not just the scalar estimate. */
+  final case class HllUpdate(
+      lang: String, seq: Long, present: Long, estE4: Long, regsFnv: Long)
+
+  final case class HllState(seq: Long, regs: Seq[Long])
+
+  /** Streaming twin of the batch `text_hll_distinct`: per-language HLL
+    * registers as managed state — constant width (256 longs per
+    * language), sharded by language across executors, never growing with
+    * the stream. Input is any streaming (lang, h) relation; the
+    * (register, rank) projection is the SAME `Sketches.hllJR` kernel the
+    * batch query aggregates, and max is commutative/idempotent, so state
+    * after any prefix equals the batch registers over that prefix under
+    * any arrival order, micro-batch split, or at-least-once re-delivery.
+    * The estimate reuses the batch float discipline — each 2^-m term is
+    * an exact power of two and the 256-term sum is exact in double, so
+    * the emitted estE4 equals the batch hll_est_e4 bit-for-bit. A batch
+    * that raises no register emits nothing (seq stays put). */
+  def hllDistinct(spark: SparkSession, langHashes: DataFrame): Dataset[HllUpdate] = {
+    import spark.implicits._
+    val m = graft.operators.Sketches.HllM
+    val alphaM2 = graft.operators.Sketches.HllAlphaM2
+    graft.operators.Sketches.hllJR(langHashes)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllState, HllUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (lang, rows, state) =>
+        val prev = state.getOption.getOrElse(HllState(0L, Seq.fill(m)(0L)))
+        val regs = prev.regs.toArray
+        var changed = false
+        rows.foreach { r =>
+          val j = r._2.toInt
+          if (r._3 > regs(j)) { regs(j) = r._3; changed = true }
+        }
+        if (!changed) Iterator.empty
+        else {
+          val next = HllState(prev.seq + 1, regs.toSeq)
+          state.update(next)
+          // registers hold m ≤ 23 so 1.0/(1L<<m) is the exact 2^-m the
+          // batch termCase emits; m = 0 (absent) contributes exactly 1.0
+          val sAll = regs.foldLeft(0.0)((a, mm) => a + 1.0 / (1L << mm))
+          val est = math.floor((alphaM2 / sAll) * 10000.0).toLong
+          val fnv = regs.foldLeft(-3750763034362895579L)(
+            (a, mm) => (a ^ mm) * 1099511628211L)
+          Iterator.single(
+            HllUpdate(lang, next.seq, regs.count(_ > 0).toLong, est, fnv))
+        }
+      }
+  }
+
   def reservoirSample(spark: SparkSession, docs: DataFrame, k: Int): Dataset[ReservoirSlot] = {
     import spark.implicits._
     graft.functions.TextHashFunctions.register(spark)

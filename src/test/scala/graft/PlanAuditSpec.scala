@@ -248,6 +248,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "LSH candidate join lost its (band, bkey) equi-key")
   }
 
+  test("dedup_embedding_cosine: block key is the learned cell, never a fixed-cardinality column") {
+    // audit the BUILD (the public path serves a localCheckpoint artifact
+    // that hides the join). Blocking by `label`/`lang` — any key whose
+    // cardinality does NOT grow with the corpus — makes the pair stream
+    // quadratic at 100×; the learned IVF cell count scales with n.
+    val built = graft.operators.Dedup.cosineVerifiedBuild(spark, sf)
+    // the leaf scan may carry `label` in its schema; what must never come
+    // back is a JOIN keyed on it
+    val joins = built.queryExecution.analyzed.toString
+      .linesIterator.filter(_.contains("Join ")).toSeq
+    assert(joins.nonEmpty, "candidate generation lost its join structure")
+    assert(!joins.exists(_.contains("label")),
+      "embedding near-dup candidates are blocked by the fixed-cardinality label again")
+    assert(joins.exists(_.contains("cell")),
+      "learned-cell block key missing from the candidate join")
+    val p = built.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation lost its cell equi-key")
+    graft.operators.CacheScope.releaseAll()
+  }
+
   test("dedup_edit_distance: Levenshtein only inside shingle-blocked candidates") {
     val p = planOf("dedup_edit_distance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
