@@ -538,21 +538,26 @@ object Dedup {
     * discipline as [[minhashVerified]].
     *
     * Candidate generation is blocked by the learned IVF coarse cell
-    * ([[Similarity.coarseCells]]: hash-seeded Lloyd k-means, 3-nearest
-    * multi-assignment) — the SemDeDup candidate shape. The cell count is
-    * the knob that keeps this sub-quadratic: production sizes K ≈
-    * n / targetCellSize so blocks stay bounded and the pair stream is
-    * k·n·cellSize (linear in n); multi-assignment recovers the pairs that
-    * straddle a cell boundary — depth 3 (vs ANN's probe depth 2) measured
-    * 0.93 recall of the exact all-pairs cosine truth at sf0.1 where
-    * best-two sat at 0.71 (EmbeddingBlockingRecallSpec pins ≥ 0.9).
-    * Every candidate is then verified with the EXACT cosine (pinned
-    * vec_dot/vec_norm2 kernels), so blocking only affects recall, never
-    * precision. */
+    * ([[Similarity.coarseCells]]: hash-seeded Lloyd k-means, 4-nearest
+    * multi-assignment) — the SemDeDup candidate shape. The cell count
+    * SCALES WITH n ([[Similarity.blockingCellCount]]: K = max(10,
+    * n/100), the same formula the oracle derives as a scalar subquery),
+    * so expected cell size is constant and the pair stream is
+    * k·n·cellSize — linear in n; multi-assignment recovers the pairs
+    * that straddle a cell boundary — depth 4 over the n-scaled cells
+    * measured 0.939 recall of the exact all-pairs cosine truth at sf0.1
+    * where best-two sat at 0.71 (EmbeddingBlockingRecallSpec pins
+    * ≥ 0.9). Every candidate is then verified with the EXACT cosine
+    * (pinned vec_dot/vec_norm2 kernels), so blocking only affects
+    * recall, never precision. */
   /** Blocking assignment depth for near-dup candidates (ANN probing stays
     * at 2 — recall there is rescued by the exact rerank tier; dedup has no
-    * rerank to fall back on, a missed pair is simply an undetected dup). */
-  private val DedupAssignK = 3
+    * rerank to fall back on, a missed pair is simply an undetected dup).
+    * Depth 4 pairs with the n-scaled cell count (CellRecallPeek at sf0.1,
+    * K = 20 learned cells): recall 0.939 of the exact truth with FEWER
+    * candidates (1.6M) than depth 3 over K = 10 fixed cells (0.930 at
+    * 1.8M) — the frontier point that also carries the linear-in-n law. */
+  private val DedupAssignK = 4
 
   private def cosineVerified(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent(s"cos#${System.identityHashCode(s)}#$d",
@@ -564,7 +569,11 @@ object Dedup {
     val raw = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .transform(CacheScope.persist)
-    val cells = Similarity.coarseCells(d, raw, assignK = DedupAssignK)
+    // K scales with the corpus (max(10, n/100), mirrored as a scalar
+    // subquery in the oracle) — the knob that keeps cell size, and so the
+    // candidate stream per vector, CONSTANT as n grows
+    val k = Similarity.blockingCellCount(raw.count())
+    val cells = Similarity.coarseCells(d, raw, assignK = DedupAssignK, cells = k)
     // a pair sharing more than one assigned cell would appear twice → distinct
     val cand = cells.as("x").join(cells.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
@@ -607,7 +616,7 @@ object Dedup {
     // candidates from the learned-IVF cell multi-assignment (`cassign`,
     // the oracle twin of Similarity.coarseCells), exact-cosine verified
     val cosineVerifiedCtes =
-      s"${Similarity.coarseCellsDuckCtes(DedupAssignK)}, " +
+      s"${Similarity.coarseCellsDuckCtes(DedupAssignK, Similarity.blockingCellCountDuck)}, " +
         "ccand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb " +
         "FROM cassign x JOIN cassign y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
         s"e AS (SELECT vec_id, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +

@@ -249,6 +249,24 @@ object Similarity {
   private[graft] def coarseFor(dir: String, e: DataFrame): Entries =
     cachedArtifact(s"$dir#coarse-$CoarseK-$CoarseIters")(coarseCentroids(e))
 
+  /** Corpus-sized cell count for near-dup BLOCKING: K = max(10, n div
+    * TargetCellVectors). This is the knob that makes the pair stream
+    * linear — at fixed K, 10× the vectors means 10× the cell size and
+    * 100× the within-cell pairs (measured: the 3.7× wall ratio in the
+    * round-10 scaling table before this); with K ∝ n the expected cell
+    * size is CONSTANT and candidates grow as k·n·cellSize. The SAME
+    * formula is rendered into the oracle as a scalar subquery, so both
+    * engines derive K from the data. ANN keeps the fixed CoarseK probe
+    * geometry — its recall floor is enforced by the exact rerank tier. */
+  private[graft] val TargetCellVectors = 100L
+  private[graft] def blockingCellCount(n: Long): Int =
+    math.max(10L, n / TargetCellVectors).toInt
+  private[graft] def blockingCellCountDuck: String =
+    s"greatest(10, (SELECT count(*) // $TargetCellVectors FROM embeddings))"
+
+  private[graft] def coarseForK(dir: String, e: DataFrame, k: Int): Entries =
+    cachedArtifact(s"$dir#coarse-$k-$CoarseIters")(coarseCentroids(e, k))
+
   /** Corpus-side (vec_id, cell) under the learned coarse quantizer with
     * `assignK`-cell multi-assignment — the blocking relation Dedup's
     * embedding near-dup shares (SemDeDup shape: candidate pairs live
@@ -259,18 +277,20 @@ object Similarity {
     * cached offline artifact the ann_ivf_* family serves from — blocking
     * costs one codegen'd best-k pass over the corpus, no extra training. */
   private[graft] def coarseCells(dir: String, e: DataFrame,
-      assignK: Int = MultiAssign): DataFrame = {
-    val cb = coarseFor(dir, e)
+      assignK: Int = MultiAssign, cells: Int = CoarseK): DataFrame = {
+    val cb = if (cells == CoarseK) coarseFor(dir, e) else coarseForK(dir, e, cells)
     e.select(col("vec_id"),
       explode(nearestK(col("embedding"), cb, assignK)).as("cell"))
   }
 
   /** Oracle twin of [[coarseCells]]: CTE chain whose `cassign` member is
-    * the (vec_id, cell) multi-assignment at depth `assignK` (also defines
+    * the (vec_id, cell) multi-assignment at depth `assignK` over `kSql`
+    * cells (a SQL expression — constant or scalar subquery; also defines
     * `qprob`, unused by blocking-only callers — DuckDB prunes
     * unreferenced CTEs). */
-  private[graft] def coarseCellsDuckCtes(assignK: Int = MultiAssign): String =
-    coarseDuckCtes(assignK)
+  private[graft] def coarseCellsDuckCtes(assignK: Int = MultiAssign,
+      kSql: String = CoarseK.toString): String =
+    coarseDuckCtes(assignK, kSql)
 
   // --- integer power-iteration PCA ---------------------------------------
 
@@ -398,8 +418,8 @@ object Similarity {
     * plan depth stays O(1) without checkpoints. At 100 TB the standard
     * refinement is to train on a hash-coin sample and assign the full
     * corpus once — same code path with a sampled `e`. */
-  private def coarseCentroids(e: DataFrame): Entries = {
-    var cb = collectCoarse(hashSeeds(e, CoarseK, "cell")
+  private def coarseCentroids(e: DataFrame, k: Int = CoarseK): Entries = {
+    var cb = collectCoarse(hashSeeds(e, k, "cell")
       .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .selectExpr("cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv"))
     for (_ <- 1 to CoarseIters) {
@@ -480,11 +500,12 @@ object Similarity {
     * unrolled Lloyd rounds → final centroids, plus the corpus-side
     * 2-nearest multi-assignment (`cassign`) and the query-side probe
     * (`qprob`). */
-  private def coarseDuckCtes(assignK: Int = MultiAssign): String = {
+  private def coarseDuckCtes(assignK: Int = MultiAssign,
+      kSql: String = CoarseK.toString): String = {
     val sb = new StringBuilder
     sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
       "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
-      s"ORDER BY $scrambleSql, vec_id LIMIT $CoarseK), "
+      s"ORDER BY $scrambleSql, vec_id LIMIT ($kSql)), "
     sb ++= "ccmp AS (SELECT vec_id, p.range AS pos, " +
       "CAST(floor(list_extract(embedding, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
       s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) p), "

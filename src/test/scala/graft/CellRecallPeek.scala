@@ -7,7 +7,9 @@ object CellRecallPeek {
     graft.functions.VectorFunctions.register(s)
     val d = "/root/testdata/sf0.1"
     val e = s.read.parquet(s"$d/embeddings.parquet")
-    val cb = graft.operators.Similarity.coarseFor(d, e)
+    val nVec = e.count()
+    val kCells = graft.operators.Similarity.blockingCellCount(nVec)
+    val cb = graft.operators.Similarity.coarseForK(d, e, kCells)
     val cvs = cb.cvs(0); val n2s = cb.n2s(0); val codes = cb.codes(0)
     val dim = cb.subDim
     val vecs = e.select("vec_id", "embedding").collect()
