@@ -81,7 +81,52 @@ final class RestServer(store: FactStore, port: Int = 0) {
         health(ex, ready = true, head)
       case ("GET", "/q/health/live") =>
         health(ex, ready = false, head)
+      case ("GET", "/q/metrics") =>
+        metrics(ex, head)
       case _ => sendError(ex, 404, "not_found", path)
+    }
+  }
+
+  private val startedAtNanos = System.nanoTime()
+  private val requestsTotal = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Prometheus text exposition (reference deployments get /q/metrics from
+    * quarkus-micrometer for free): process gauges plus, when the backing
+    * store is the Spark engine, the metadata-only per-store diagnostics
+    * (head position, commit-suffix depth, data/index bytes — storeStats
+    * never scans data, so scraping stays cheap at any store size). */
+  private def metrics(ex: HttpExchange, head: Boolean): Unit = {
+    val sb = new StringBuilder
+    def gauge(name: String, help: String, rows: Seq[(String, Long)]): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n")
+      rows.foreach { case (labels, v) => sb.append(s"$name$labels $v\n") }
+    }
+    gauge("graft_uptime_seconds", "Seconds since server start",
+      Seq(("", (System.nanoTime() - startedAtNanos) / 1000000000L)))
+    sb.append("# HELP graft_http_requests_total Requests handled\n")
+    sb.append("# TYPE graft_http_requests_total counter\n")
+    sb.append(s"graft_http_requests_total ${requestsTotal.get()}\n")
+    val stores = store.listStores()
+    gauge("graft_stores", "Stores in the catalog", Seq(("", stores.size.toLong)))
+    store match {
+      case s: graft.store.SparkFactStore =>
+        val stats = stores.flatMap(md => s.storeStats(md.name).map(md.name -> _))
+        def per(metric: String, help: String, f: s.StoreStats => Long): Unit =
+          gauge(metric, help, stats.map { case (n, st) => (s"""{store="$n"}""", f(st)) })
+        per("graft_store_head_position", "Head position (= facts stored)", _.headPosition)
+        per("graft_store_commit_suffix", "Uncompacted commit records", _.commitSuffix.toLong)
+        per("graft_store_buckets", "Compacted data buckets", _.nBuckets.toLong)
+        per("graft_store_data_bytes", "On-disk data bytes", _.dataBytes)
+        per("graft_store_index_bytes", "Bloom + entry-index bytes", _.indexBytes)
+      case _ => ()
+    }
+    val bytes = sb.toString.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+    if (head) { ex.sendResponseHeaders(200, -1); () }
+    else {
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
     }
   }
 
@@ -173,7 +218,7 @@ final class RestServer(store: FactStore, port: Int = 0) {
   }
 
   private def safely(ex: HttpExchange)(f: HttpExchange => Unit): Unit =
-    try f(ex)
+    try { requestsTotal.incrementAndGet(); f(ex) }
     catch {
       case e: IllegalArgumentException => sendError(ex, 400, "invalid_request", e.getMessage)
       // an unparseable request body is the caller's error, not ours

@@ -248,6 +248,19 @@ final class FactLog(val storeDir: Path) {
     }
   }
 
+  /** Metadata-only retention: delete all but the newest `n` checkpoint
+    * FILES. Readers only ever open the latest checkpoint; the short kept
+    * tail covers snapshot holders that resolved theirs just before a
+    * publish. Data files are never touched — slices referenced only by a
+    * dropped checkpoint become janitor-collectable after its grace
+    * period. */
+  def vacuumCheckpointsKeepLast(n: Int): Unit = {
+    if (!Files.exists(checkpointsDir)) return
+    val seqs = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong).toSeq).sorted
+    seqs.dropRight(n).foreach(sq => Files.deleteIfExists(checkpointPath(sq)))
+  }
+
   /** Delete checkpoint records older than `keepSeq`. With `deleteFiles`
     * their compacted files go too (full compaction rewrote everything);
     * without it only the metadata goes (incremental compaction's new

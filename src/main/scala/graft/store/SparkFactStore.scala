@@ -147,7 +147,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
         // and committed-suffix state is folded here, concurrently across
         // writers. Inside the lock, advance() folds only commits that land
         // between now and the CAS — O(delta), not O(store).
-        var cond = new IncrementalCondition(log, request.condition)
+        var cond = new IncrementalCondition(log, md.id, request.condition)
         cond.advance()
         lockFor(md.id).synchronized {
           var result: AppendResult = null
@@ -155,7 +155,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
             val head = log.headState()
             val headPos = head.lastPosition
             if (!cond.advance()) { // vacuumed under us: rebase and re-fold
-              cond = new IncrementalCondition(log, request.condition)
+              cond = new IncrementalCondition(log, md.id, request.condition)
               cond.advance()
             }
             if (log.idempotencyKeys().contains(request.idempotencyKey))
@@ -385,6 +385,28 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     *
     * Returns the number of commit records folded into the checkpoint (0 =
     * nothing new to fold, or CAS lost). */
+  /** Tier fan-out: a size class is merged once it holds this many slices. */
+  private val TierFan = 8
+
+  /** Checkpoint metadata files retained after each compaction. */
+  private val KeepCheckpoints = 4
+
+  /** Split a checkpoint's files into (rewrite-now, carry-forward) by size
+    * class. Slices at or above a full bucket are always carried (they are
+    * done — rewriting them again would make compaction O(store)); below
+    * that, any log2-span class with >= TierFan members is rewritten whole
+    * so the merge output graduates to the next class. */
+  private def tierPartition(files: Seq[FileMeta],
+      rowsPerBucket: Long): (Seq[FileMeta], Seq[FileMeta]) = {
+    def rows(f: FileMeta): Long = f.maxPos - f.minPos + 1
+    val (big, small) = files.partition(rows(_) >= rowsPerBucket)
+    val fullClasses = small.groupBy(f => 63 - java.lang.Long.numberOfLeadingZeros(rows(f)))
+      .filter(_._2.size >= TierFan)
+    val rewrite = fullClasses.values.flatten.toSeq
+    val rewriteSet = rewrite.map(_.path).toSet
+    (rewrite, big ++ small.filterNot(f => rewriteSet.contains(f.path)))
+  }
+
   def compact(storeName: String, rowsPerBucket: Long = 1L << 20,
       vacuum: Boolean = false, full: Boolean = false,
       takeLock: Boolean = true): Int =
@@ -408,10 +430,23 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
             .getOrElse(HeadState(0L, 0L, Long.MinValue))
           val keys = prevCkpt.map(_.idempotencyKeys).getOrElse(Set.empty[String]) ++
             recs.iterator.map(_.idempotencyKey)
+          // Size-tiered slice merge (LSM discipline): each incremental
+          // cycle adds one small slice per touched bucket; left alone the
+          // slice count — and with it every bloom/index probe list and the
+          // checkpoint metadata — grows linearly forever. Whenever a size
+          // class (log2 of the slice's contiguous row span) accumulates
+          // TierFan members, those members are rewritten together into one
+          // slice of the next class, so each fact is rewritten O(log_TierFan)
+          // times total and the slice count stays O(TierFan · log(store)).
+          val (rewrite, carriedMetas) =
+            if (full) (Seq.empty[FileMeta], Seq.empty[FileMeta])
+            else prevCkpt.map(c => tierPartition(c.files, rowsPerBucket))
+              .getOrElse((Seq.empty[FileMeta], Seq.empty[FileMeta]))
           val input =
             if (full) (prevCkpt.toSeq.flatMap(_.files.map(_.path)) ++ recs.flatMap(_.files))
               .map(f => log.resolve(f).toString)
-            else recs.flatMap(_.files).map(f => log.resolve(f).toString)
+            else (rewrite.map(_.path) ++ recs.flatMap(_.files))
+              .map(f => log.resolve(f).toString)
           val df = FactLog.read(spark, input)
             .withColumn("bucket", expr(s"(position - 1) div ${rowsPerBucket}L"))
           // NOT dot-prefixed: Spark silently ignores hidden paths on read
@@ -497,7 +532,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
           }.toSeq
           deleteRecursively(tmp)
           deleteRecursively(tmpIdx)
-          val carried = if (full) Seq.empty else prevCkpt.map(_.files).getOrElse(Seq.empty)
+          val carried = if (full) Seq.empty else carriedMetas
           val ckpt = Checkpoint(state.seq, state.lastPosition, state.appendedAtNanos,
             keys, carried ++ files)
           if (log.tryPublishCheckpoint(ckpt)) {
@@ -505,6 +540,12 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
               log.vacuum(state.seq)
               log.vacuumCheckpoints(state.seq, deleteFiles = full)
             }
+            // Superseded checkpoint METADATA is bounded unconditionally
+            // (readers only ever open the latest; a short tail covers
+            // in-flight snapshot holders). Data files are untouched here —
+            // tier-merged slices referenced only by dropped checkpoints
+            // become janitor-collectable after its grace period.
+            log.vacuumCheckpointsKeepLast(KeepCheckpoints)
             recs.size
           } else {
             files.foreach { f =>
@@ -568,7 +609,42 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     * checkpoint) `advance()` returns false and the caller builds a fresh
     * evaluator from the new checkpoint.
     */
-  private final class IncrementalCondition(log: FactLog, cond: AppendCondition) {
+  /** Per-store memo of each subject's last (position, id) as of a commit
+    * seq. ExpectedLastFact's expensive part — the checkpoint-bucket probe
+    * behind its initial state — used to run on EVERY conditional append,
+    * and its cost grows with the number of compaction slices: the round-10
+    * soak measured p90 climbing 380 → 1050 ms over ten minutes from
+    * exactly this re-probe. With the memo the probe runs once per
+    * (store, subject); every later evaluation folds only the commits the
+    * memo hasn't seen (bloom-pruned, O(new commits)), so conditional-
+    * append latency is flat in both store size and slice count.
+    *
+    * Correctness: commit records are immutable and compaction never
+    * changes logical content, so an entry (best, cursor) is permanently
+    * valid for seqs <= cursor; answers always fold the contiguous commit
+    * suffix after the cursor first, and a chain broken by a vacuum falls
+    * back to the full bucket probe. Bounded LRU — eviction only costs the
+    * next probe a re-probe. Keyed by store id, so remove/recreate cycles
+    * can never serve stale heads. */
+  private final class SubjectHeads {
+    private val Cap = 65536
+    private val m =
+      new java.util.LinkedHashMap[String, (Option[(Long, String)], Long)](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Option[(Long, String)], Long)]): Boolean =
+          size > Cap
+      }
+    def get(s: String): Option[(Option[(Long, String)], Long)] =
+      synchronized(Option(m.get(s)))
+    def put(s: String, v: (Option[(Long, String)], Long)): Unit =
+      synchronized { m.put(s, v); () }
+  }
+  private val subjectHeads =
+    new java.util.concurrent.ConcurrentHashMap[String, SubjectHeads]()
+  private def subjectHeadsFor(storeId: String): SubjectHeads =
+    subjectHeads.computeIfAbsent(storeId, _ => new SubjectHeads)
+
+  private final class IncrementalCondition(log: FactLog, storeId: String, cond: AppendCondition) {
     private def ckptRefs(ckpt: Option[Checkpoint], minPosExclusive: Long = Long.MinValue): Seq[FileRef] =
       ckpt.toSeq.flatMap(_.files.collect {
         case f if f.maxPos > minPosExclusive =>
@@ -593,20 +669,61 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
     }
 
     private final class ElfEv(subject: String, expected: Option[String]) extends Ev {
-      // exact (max position, id at it) so far; checkpoint part answered by
-      // the entry index (bloom-pruned), never by scanning a bucket
-      private var best: Option[(Long, String)] = {
+      private val memo = subjectHeadsFor(storeId)
+      // how far `best` covers (commit seq); starts at the outer cursor and
+      // may run AHEAD of it via the memo — fold() dedups on it, and ahead
+      // is safe because max-accumulators are refold-idempotent anyway
+      private var folded: Long = seen
+      // exact (max position, id at it) so far: memo fast path folds only
+      // the commits after the memo cursor; cold/broken paths take the
+      // bucket probe (entry index, bloom-pruned — never a bucket scan)
+      private var best: Option[(Long, String)] = memo.get(subject) match {
+        case Some((b0, upto)) =>
+          try {
+            val recs = log.commitsAfter(upto)
+            val reached = recs.lastOption.map(_.seq).getOrElse(upto)
+            // the chain must cover everything the buckets do (seq <= seen,
+            // = the checkpoint seq here): a break means a vacuum folded
+            // part of the uncovered range into buckets — re-probe. A very
+            // stale cursor (long-idle subject) also re-probes: the bucket
+            // probe is bounded by slice count, folding thousands of
+            // commits is not.
+            if (reached < seen || recs.size > 512) probeBuckets()
+            else {
+              var b = b0
+              recs.foreach { r =>
+                if (Blooms.mightContainSubject(r.bloom, subject))
+                  b = (b ++ lastPosIdIn(recPaths(r), subject)).maxByOption(_._1)
+              }
+              folded = reached
+              memo.put(subject, (b, reached))
+              b
+            }
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException =>
+              probeBuckets()
+          }
+        case None => probeBuckets()
+      }
+      private def probeBuckets(): Option[(Long, String)] = {
         val refs = ckptRefs(ckpt0).filter(f => Blooms.mightContainSubject(f.bloom, subject))
         val (ix, plain) = refs.partition(_.index.isDefined)
         val fromIdx = LocalParquet
           .indexLookup(ix.flatMap(_.index), Blooms.subjectEntry(subject))
           .map(h => (h.maxPos, h.lastId))
-        (fromIdx ++ lastPosIdIn(plain.map(_.path), subject)).maxByOption(_._1)
+        val r = (fromIdx ++ lastPosIdIn(plain.map(_.path), subject)).maxByOption(_._1)
+        folded = seen
+        memo.put(subject, (r, seen))
+        r
       }
       def fold(rec: CommitRecord): Unit =
-        if (Blooms.mightContainSubject(rec.bloom, subject)) {
-          val hit = lastPosIdIn(recPaths(rec), subject)
-          best = (best ++ hit).maxByOption(_._1)
+        if (rec.seq > folded) {
+          if (Blooms.mightContainSubject(rec.bloom, subject)) {
+            val hit = lastPosIdIn(recPaths(rec), subject)
+            best = (best ++ hit).maxByOption(_._1)
+          }
+          folded = rec.seq
+          memo.put(subject, (best, folded))
         }
       def holds: Boolean = best.map(_._2) == expected
     }

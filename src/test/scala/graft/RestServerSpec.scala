@@ -368,4 +368,29 @@ class RestServerSpec extends AnyFunSuite {
       assert(head.statusCode() == 200 && head.body().isEmpty)
     }
   }
+
+  test("GET /q/metrics: Prometheus text gauges incl. per-store stats") {
+    withServer { (base, c) =>
+      val root = base.stripSuffix("/api/v1")
+      post(c, s"$base/stores", """{"name":"metrics-probe"}""")
+      val app = post(c, s"$base/stores/metrics-probe/facts",
+        """{"facts":[{"type":"M","subject":"s","data":""}]}""")
+      assert(app.statusCode() == 200, app.body())
+      val r = get(c, s"$root/q/metrics")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").orElse("").startsWith("text/plain"))
+      val body = r.body()
+      // process gauges + the counter that counted this very scrape
+      assert(body.contains("# TYPE graft_uptime_seconds gauge"), body.take(400))
+      assert(body.contains("# TYPE graft_http_requests_total counter"))
+      val reqs = body.linesIterator
+        .find(_.startsWith("graft_http_requests_total ")).get.split(" ")(1).toLong
+      assert(reqs >= 3, s"requests counter $reqs") // create + append + scrape
+      assert(body.linesIterator.exists(_.matches("graft_stores [0-9]+")))
+      // Spark-backed store: metadata-only per-store diagnostics with labels
+      assert(body.contains("""graft_store_head_position{store="metrics-probe"} 1"""), body)
+      assert(body.contains("""graft_store_commit_suffix{store="metrics-probe"}"""))
+      assert(body.contains("""graft_store_data_bytes{store="metrics-probe"}"""))
+    }
+  }
 }
