@@ -23,6 +23,10 @@ import graft.functions.CrossHash._
   *    of each document covered by word-3-gram spans that also occur in
   *    another document (the span metric behind suffix-array dedup in Lee
   *    et al., "Deduplicating Training Data Makes Language Models Better").
+  *  - `curation_dsir_weights`: DSIR importance weights (Xie et al.,
+  *    NeurIPS 2023) — p_target/p_raw under hashed-unigram models as an
+  *    exact linearized-log ppm ratio, keep anchored at the corpus mean,
+  *    rolled up to a per-source keep-share scorecard.
   *  - `source_scorecard`: per-source (domain analogue) curation scorecard
   *    — volume, language spread, exact-dup share, quality-gate pass share.
   *
@@ -54,6 +58,11 @@ object Curation {
     * bin() without leading zeros). */
   private def log2Spark(q: String): String = s"(length(bin($q)) - 1)"
   private def log2Duck(q: String): String = s"(length(bin($q)) - 1)"
+
+  /** DSIR target-domain stand-in: the `en` slice plays the curated seed
+    * corpus (production swaps in a real seed set the same way the
+    * classifier swaps in learned weights). */
+  private val DsirTargetLang = "en"
 
   /** Span window for the duplicated-substring census: 8 tokens. The
     * 3-gram dedup shingles are too short here — on a small vocabulary
@@ -261,6 +270,67 @@ object Curation {
         .orderBy(asc("lang"))
     }),
 
+    // DSIR importance weights (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling", NeurIPS 2023): score every
+    // document by p_target(x)/p_raw(x) under two hashed-unigram
+    // bag-of-words models — the target model trained on the seed domain
+    // (here the `en` slice stands in for a curated seed corpus; production
+    // swaps the filter), the raw model on the whole corpus. The per-token
+    // weight is the LINEARIZED log-ratio in exact integer ppm,
+    // (p_t/p_r − 1)·10⁶ = ((f_t+1)(N_r+B)·10⁶) div ((f_r+1)(N_t+B)) − 10⁶
+    // (first-order-equal to ln p_t/p_r for the near-1 ratios unigram
+    // models produce, and computable exactly — whole-bit floor-log2 would
+    // quantize every proportional-vocabulary token to 0). Add-one
+    // smoothing deflates p̂_t more than p̂_r on small corpora, so the
+    // resample-keep rule self-calibrates at the corpus mean rather than
+    // at 0: keep iff w_doc·N_occ ≥ W_total·n_doc (per-token mean above
+    // global mean, cross-multiplied in DECIMAL(38,0) — exact at any
+    // corpus size; w_doc itself is ≤ ~10⁹ ppm per token so int64 holds to
+    // ~10⁹ tokens per doc). Scale shape: ONE corpus-scale explode feeds
+    // map-side-combined bucket censuses of fixed width (B = 4096 rows,
+    // broadcast everywhere after), the per-doc sum rides a broadcast join
+    // + one doc-keyed groupBy (map-side combined — a doc's tokens explode
+    // inside its input partition), the mean anchor is a 1-row broadcast,
+    // and the scorecard is |sources| rows. No shuffle ever carries more
+    // than corpus-token rows once.
+    "curation_dsir_weights" -> ((s, d) => {
+      val base = docs(s, d)
+      val occ = CacheScope.persist(base
+        .selectExpr("doc_id", "lang",
+          s"explode(transform(${wordHashesSpark("text")}, h -> h % $Buckets)) AS b"))
+      val fr = occ.groupBy(col("b")).agg(count(lit(1)).as("f_r"))
+      val ft = occ.filter(col("lang") === DsirTargetLang)
+        .groupBy(col("b")).agg(count(lit(1)).as("f_t"))
+      val nr = occ.agg(count(lit(1)).as("n_r"))
+      val nt = occ.filter(col("lang") === DsirTargetLang)
+        .agg(count(lit(1)).as("n_t"))
+      val delta = fr.join(ft, Seq("b"), "left").na.fill(0L, Seq("f_t"))
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+        .selectExpr("b",
+          s"CAST((CAST(f_t + 1 AS DECIMAL(38,0)) * (n_r + $Buckets) * 1000000) div " +
+            s"(CAST(f_r + 1 AS DECIMAL(38,0)) * (n_t + $Buckets)) - 1000000 AS BIGINT) AS w_ppm")
+      val perDoc = occ.join(broadcast(delta), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_ppm")).as("w"))
+      val tot = perDoc.agg(sum(col("w")).as("w_tot"), sum(col("n_toks")).as("n_tot"))
+      base.select(col("doc_id"), col("source"))
+        .join(perDoc, Seq("doc_id"), "left").na.fill(0L, Seq("w", "n_toks"))
+        .crossJoin(broadcast(tot))
+        .withColumn("is_keep", expr(
+          "CASE WHEN CAST(w AS DECIMAL(38,0)) * n_tot >= CAST(w_tot AS DECIMAL(38,0)) * n_toks " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_keep")).as("n_keep"),
+          sum(col("w")).as("sum_w_ppm"),
+          min(col("w")).as("min_w_ppm"),
+          max(col("w")).as("max_w_ppm"))
+        .selectExpr("source", "n_docs", "n_keep",
+          "(n_keep * 10000) div n_docs AS keep_bp",
+          "sum_w_ppm", "min_w_ppm", "max_w_ppm")
+        .orderBy(asc("source"))
+    }),
+
     // Per-source curation scorecard: the per-domain table every curation
     // run publishes (volume, language spread, exact-dup share, gate pass
     // share). One scan; the exact-dup flag is a content-hash window count
@@ -363,6 +433,30 @@ object Curation {
         "(planned_tokens * 10000) // avail_tokens AS rate_bp, " +
         "(avail_tokens * 10000) // weight_bp = budget_tokens AS is_binding " +
         "FROM pl ORDER BY lang"),
+    "curation_dsir_weights" ->
+      (s"WITH tokh AS (SELECT doc_id, lang, source, " +
+        s"list_transform(${wordHashesDuck(tokensDuck("text"))}, h -> h % $Buckets) AS bs FROM documents), " +
+        "occ AS MATERIALIZED (SELECT doc_id, lang, unnest(bs) AS b FROM tokh), " +
+        "fr AS (SELECT b, count(*) AS f_r FROM occ GROUP BY b), " +
+        s"ft AS (SELECT b, count(*) AS f_t FROM occ WHERE lang = '$DsirTargetLang' GROUP BY b), " +
+        "nr AS (SELECT count(*) AS n_r FROM occ), " +
+        s"nt AS (SELECT count(*) AS n_t FROM occ WHERE lang = '$DsirTargetLang'), " +
+        "delta AS (SELECT fr.b, CAST(((coalesce(f_t, 0) + 1)::HUGEINT * " +
+        s"(n_r + $Buckets) * 1000000) // ((f_r + 1)::HUGEINT * (n_t + $Buckets)) " +
+        "- 1000000 AS BIGINT) AS w_ppm " +
+        "FROM fr LEFT JOIN ft ON ft.b = fr.b CROSS JOIN nr CROSS JOIN nt), " +
+        "pd AS (SELECT o.doc_id, count(*) AS n_toks, CAST(sum(d.w_ppm) AS BIGINT) AS w " +
+        "FROM occ o JOIN delta d ON d.b = o.b GROUP BY o.doc_id), " +
+        "tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot, CAST(sum(n_toks) AS BIGINT) AS n_tot FROM pd), " +
+        "ad AS (SELECT dd.source, coalesce(pd.w, 0) AS w, coalesce(pd.n_toks, 0) AS n_toks " +
+        "FROM documents dd LEFT JOIN pd ON pd.doc_id = dd.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN w::HUGEINT * t.n_tot >= t.w_tot::HUGEINT * n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "(CAST(sum(CASE WHEN w::HUGEINT * t.n_tot >= t.w_tot::HUGEINT * n_toks THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS keep_bp, " +
+        "CAST(sum(w) AS BIGINT) AS sum_w_ppm, CAST(min(w) AS BIGINT) AS min_w_ppm, " +
+        "CAST(max(w) AS BIGINT) AS max_w_ppm " +
+        "FROM ad CROSS JOIN tot t GROUP BY source ORDER BY source"),
+
     "source_scorecard" ->
       (s"WITH b AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +
         "b2 AS (SELECT doc_id, source, lang, n_chars, h, CAST(len(toks) AS BIGINT) AS n_tokens, " +

@@ -174,6 +174,48 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("lag"))
     }),
 
+    // Integer EWMA anomaly detection per event type — the adaptive-
+    // threshold twin of the median/MAD detector: level e and mean absolute
+    // deviation v track the series recursively (e_d = (n_d + 3·e_{d-1})
+    // div 4, v_d = (|n_d − e_{d-1}| + 3·v_{d-1}) div 4 — α = 1/4 in exact
+    // integer arithmetic), and a day is anomalous when its deviation from
+    // the PRIOR level exceeds 3·v_{d-1} (and a floor of 3, so a flat
+    // series doesn't alarm on noise of ±1). The recursion runs as ONE
+    // codegen'd `aggregate` HOF over each type's sorted day array: after
+    // the single corpus-scale groupBy the per-type state is the zero-
+    // filled day span (calendar-sized, bounded by the corpus's time range,
+    // NOT its row count), so 100 TB of events still folds |days| elements
+    // per type. First day seeds the level and emits nothing.
+    "events_ewma_anomaly" -> ((s, d) => {
+      val g = dayGrid(s, d)
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("ds"))
+      g.filter(expr("size(ds) >= 2"))
+        .selectExpr("event_type",
+          """aggregate(
+               slice(ds, 2, size(ds) - 1),
+               named_struct(
+                 'e', element_at(ds, 1).n,
+                 'v', CAST(0 AS BIGINT),
+                 'rows', CAST(array() AS ARRAY<STRUCT<day: BIGINT, n: BIGINT,
+                   ewma_prev: BIGINT, dev: BIGINT, is_anomaly: BIGINT>>)),
+               (acc, x) -> named_struct(
+                 'e', (x.n + 3 * acc.e) div 4,
+                 'v', (abs(x.n - acc.e) + 3 * acc.v) div 4,
+                 'rows', concat(acc.rows, array(named_struct(
+                   'day', x.day, 'n', x.n, 'ewma_prev', acc.e,
+                   'dev', abs(x.n - acc.e),
+                   'is_anomaly', CASE WHEN abs(x.n - acc.e) > 3 * acc.v
+                                       AND abs(x.n - acc.e) > 3
+                                      THEN 1L ELSE 0L END)))),
+               acc -> acc.rows) AS rows""")
+        .select(col("event_type"), explode(col("rows")).as("r"))
+        .selectExpr("event_type", "r.day AS day", "r.n AS n",
+          "r.ewma_prev AS ewma_prev", "r.dev AS dev",
+          "r.is_anomaly AS is_anomaly")
+        .orderBy(asc("event_type"), asc("day"))
+    }),
+
     // CUSUM change-point per event type: on the zero-filled grid, the
     // drift statistic G_d = |cumsum_d·N − T·d| (cross-multiplied — exact
     // integers, no T/N fraction) peaks at the most likely level shift;
@@ -272,6 +314,28 @@ object Timeseries {
           "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
           "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) END AS r_ppm " +
           "FROM m ORDER BY event_type, lag"),
+
+      "events_ewma_anomaly" ->
+        // the EWMA recursion as a recursive CTE stepping day+1 on the
+        // zero-filled grid; rec rows carry (e, v) AND the prior (e, v),
+        // so the emitted deviation/flag is against the PRE-update level,
+        // matching the Spark fold
+        (s"WITH RECURSIVE b AS ($base), $zeroFilledGrid, " +
+          "rec(event_type, day, n, e, v, prev_e, prev_v, d1) AS (" +
+          "SELECT z.event_type, z.day, z.n, z.n, CAST(0 AS BIGINT), " +
+          "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), s.d1 " +
+          "FROM z JOIN span s ON s.event_type = z.event_type AND z.day = s.d0 " +
+          "UNION ALL " +
+          "SELECT r.event_type, z.day, z.n, " +
+          "(z.n + 3 * r.e) // 4, (abs(z.n - r.e) + 3 * r.v) // 4, " +
+          "r.e, r.v, r.d1 " +
+          "FROM rec r JOIN z ON z.event_type = r.event_type AND z.day = r.day + 1 " +
+          "WHERE r.day < r.d1) " +
+          "SELECT event_type, day, n, prev_e AS ewma_prev, " +
+          "abs(n - prev_e) AS dev, " +
+          "CAST(CASE WHEN abs(n - prev_e) > 3 * prev_v " +
+          "AND abs(n - prev_e) > 3 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly " +
+          "FROM rec WHERE prev_e IS NOT NULL ORDER BY event_type, day"),
 
       "events_cusum" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

@@ -23,6 +23,11 @@ import graft.functions.CrossHash._
   *   - `doc_chunks` is a narrow scan + generate — zero shuffles except the
   *     oracle's final order; chunk rows scale linearly with corpus bytes and
   *     never concentrate (a doc's chunks stay in its input partition).
+  *   - `bpe_encode_census` re-derives the trained vocabulary and encodes
+  *     the corpus against it at DISTINCT-(lang, token) granularity — the
+  *     per-language compression audit of the learned merge table; repeated
+  *     tokens cost one census row, so encoding cost tracks vocabulary, not
+  *     corpus bytes.
   *   - `bpe_pair_stats` aggregates the corpus to its VOCABULARY first (one
   *     map-side-combined groupBy — the only corpus-sized pass), then explodes
   *     character pairs from vocab rows only: pair counting costs
@@ -149,6 +154,38 @@ object Tokenize {
             "CAST(sb AS BIGINT) AS symbols_before", "CAST(sa AS BIGINT) AS symbols_after")
       }
       rows.reduce(_.union(_)).orderBy(asc("round"))
+    }),
+
+    // ENCODING under the learned tokenizer: re-run the BpeRounds merge
+    // rounds to their final vocabulary, then measure what the trained
+    // merges buy per language — token occurrences, distinct vocabulary,
+    // symbols before (characters) and after the merges, and the exact
+    // compression ratio in basis points. This is the apply-side of
+    // bpe_train_merges: a tokenizer build trains globally and then audits
+    // compression per language slice to catch a merge table that only
+    // serves the dominant language. ONE corpus-scale pass (the (lang,
+    // tok) census); the global vocab folds from that census, every merge
+    // round is vocabulary-sized, and the encode itself is a vocab⨝census
+    // join at distinct-token granularity — repeated tokens cost one row,
+    // so 100 TB of repeated text encodes at vocab cost.
+    "bpe_encode_census" -> ((s, d) => {
+      val lc = CacheScope.persist(docs(s, d)
+        .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq")))
+      var v = CacheScope.persist(lc
+        .groupBy(col("tok")).agg(sum(col("freq")).as("freq"))
+        .selectExpr("tok", "freq", "filter(split(tok, ''), x -> x != '') AS syms"))
+      for (_ <- 1 to BpeRounds) v = CacheScope.persist(bpeRound(v)._2)
+      lc.join(v.selectExpr("tok", "CAST(size(syms) AS BIGINT) AS n_syms"), Seq("tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("freq")).as("n_token_occ"),
+          count(lit(1)).as("vocab_size"),
+          sum(expr("freq * length(tok)")).as("symbols_before"),
+          sum(expr("freq * n_syms")).as("symbols_after"))
+        .selectExpr("lang", "n_token_occ", "vocab_size",
+          "symbols_before", "symbols_after",
+          "(symbols_after * 10000) div symbols_before AS compression_bp")
+        .orderBy(asc("lang"))
     })
   )
 
@@ -175,15 +212,31 @@ object Tokenize {
           "count(DISTINCT tok) AS n_types " +
           "FROM p GROUP BY pair ORDER BY n_occ DESC, pair LIMIT 20"),
 
-      "bpe_train_merges" -> bpeTrainOracle
+      "bpe_train_merges" -> bpeTrainOracle,
+
+      // the trained-vocab CTE chain, then encode = census ⨝ final vocab
+      "bpe_encode_census" ->
+        (s"WITH $bpeVocabChain, " +
+          s"lt AS (SELECT lang, unnest(${tokensDuck("text")}) AS tok FROM documents), " +
+          "lc AS MATERIALIZED (SELECT lang, tok, count(*) AS freq FROM lt GROUP BY lang, tok) " +
+          "SELECT lang, CAST(sum(lc.freq) AS BIGINT) AS n_token_occ, " +
+          "count(*) AS vocab_size, " +
+          "CAST(sum(lc.freq * length(lc.tok)) AS BIGINT) AS symbols_before, " +
+          s"CAST(sum(lc.freq * len(v$BpeRounds.syms)) AS BIGINT) AS symbols_after, " +
+          s"(CAST(sum(lc.freq * len(v$BpeRounds.syms)) AS BIGINT) * 10000) // " +
+          "CAST(sum(lc.freq * length(lc.tok)) AS BIGINT) AS compression_bp " +
+          s"FROM lc JOIN v$BpeRounds ON v$BpeRounds.tok = lc.tok " +
+          "GROUP BY lang ORDER BY lang")
     )
   }
 
-  /** DuckDB twin of the unrolled BPE trainer — every stage MATERIALIZED
+  /** DuckDB twin of the unrolled BPE vocabulary chain (tok census → v0 →
+    * per-round argmax/apply CTEs p/b/m/g/s/v) — every stage MATERIALIZED
     * (the PCA-oracle lesson: inlined CTEs re-expand the chain
     * exponentially across rounds). DuckDB lambda indexes are 1-based where
-    * Spark's are 0-based; the `i - 1` shifts below pin the same values. */
-  private def bpeTrainOracle: String = {
+    * Spark's are 0-based; the `i - 1` shifts below pin the same values.
+    * Shared by the trainer and encoder oracles. */
+  private def bpeVocabChain: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val pv = s"v${r - 1}"
       s"p$r AS MATERIALIZED (SELECT list_extract(syms, i.i::INT) AS a, " +
@@ -202,18 +255,27 @@ object Tokenize {
         "list_filter(list_transform(range(1, len(syms) + 1), p -> " +
         "CASE WHEN list_contains(sel, p) THEN list_extract(syms, p::INT) || list_extract(syms, p::INT + 1) " +
         "WHEN list_contains(sel, p - 1) THEN NULL " +
-        s"ELSE list_extract(syms, p::INT) END), x -> x IS NOT NULL) AS syms FROM s$r), " +
-        s"sb$r AS MATERIALIZED (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS sb FROM ${pv}), " +
+        s"ELSE list_extract(syms, p::INT) END), x -> x IS NOT NULL) AS syms FROM s$r)"
+    }.mkString(", ")
+    s"tok AS (SELECT unnest(${tokensDuck("text")}) AS tok FROM documents), " +
+      "v0 AS MATERIALIZED (SELECT tok, count(*) AS freq, " +
+      "list_filter(string_split(tok, ''), x -> x != '') AS syms FROM tok GROUP BY tok), " +
+      rounds
+  }
+
+  /** Trainer oracle: the vocab chain plus per-round symbol counters and
+    * the merge-table projection. */
+  private def bpeTrainOracle: String = {
+    val counters = (1 to BpeRounds).map { r =>
+      val pv = s"v${r - 1}"
+      s"sb$r AS MATERIALIZED (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS sb FROM ${pv}), " +
         s"sa$r AS MATERIALIZED (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS sa FROM v$r), " +
         s"r$r AS (SELECT CAST($r AS BIGINT) AS round, b$r.a AS sym_a, b$r.b AS sym_b, " +
         s"b$r.a || b$r.b AS merged, b$r.pair_weight, sb$r.sb AS symbols_before, " +
         s"sa$r.sa AS symbols_after FROM b$r, sb$r, sa$r)"
     }.mkString(", ")
     val unioned = (1 to BpeRounds).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
-    s"WITH tok AS (SELECT unnest(${tokensDuck("text")}) AS tok FROM documents), " +
-      "v0 AS MATERIALIZED (SELECT tok, count(*) AS freq, " +
-      "list_filter(string_split(tok, ''), x -> x != '') AS syms FROM tok GROUP BY tok), " +
-      rounds + " " +
+    s"WITH $bpeVocabChain, $counters " +
       s"SELECT * FROM ($unioned) ORDER BY round"
   }
 }

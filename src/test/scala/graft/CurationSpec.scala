@@ -160,4 +160,50 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(got == expected, s"got $got\nexpected $expected")
   }
+
+  test("curation_dsir_weights matches a plain-Scala two-model scorer") {
+    val B = 4096L
+    val occ = corpus.flatMap { case (id, text, lang, src, _) =>
+      tokens(text).map(t => (id, lang, src, charHash(t) % B))
+    }
+    val fR = occ.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val tgt = occ.filter(_._2 == "en")
+    val fT = tgt.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val nR = occ.size.toLong
+    val nT = tgt.size.toLong
+    // linearized log-ratio in ppm, exact BigInt floor division
+    def wPpm(b: Long): Long =
+      ((BigInt(fT.getOrElse(b, 0L) + 1) * (nR + B) * 1000000) /
+        (BigInt(fR(b) + 1) * (nT + B)) - 1000000).toLong
+    val perDoc = corpus.map { case (id, text, lang, src, _) =>
+      val ws = tokens(text).map(t => wPpm(charHash(t) % B))
+      (src, lang, ws.sum, ws.size.toLong)
+    }
+    val wTot = perDoc.map(_._3).sum
+    val nTot = perDoc.map(_._4).sum
+    def isKeep(w: Long, n: Long): Boolean = BigInt(w) * nTot >= BigInt(wTot) * n
+    val expected = perDoc.groupBy(_._1).map { case (src, rows) =>
+      val w = rows.map(_._3)
+      val keep = rows.count(r => isKeep(r._3, r._4)).toLong
+      src -> (rows.size.toLong, keep, keep * 10000 / rows.size, w.sum, w.min, w.max)
+    }
+    val got = Curation.queries("curation_dsir_weights")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the weighting must separate: the keep set is a strict, non-empty
+    // subset, and the target slice (en — the corpus the target model was
+    // trained on) keeps at a strictly higher rate than the rest —
+    // otherwise the two models degenerated into one and the operator is
+    // a no-op
+    val keepAll = expected.values.map(_._2).sum * 10000 / expected.values.map(_._1).sum
+    assert(keepAll > 0 && keepAll < 10000, s"degenerate keep rate $keepAll")
+    val (enKeep, enN) = (perDoc.filter(_._2 == "en").count(r => isKeep(r._3, r._4)),
+      perDoc.count(_._2 == "en"))
+    val (otKeep, otN) = (perDoc.filter(_._2 != "en").count(r => isKeep(r._3, r._4)),
+      perDoc.count(_._2 != "en"))
+    assert(enKeep.toLong * 10000 / enN > otKeep.toLong * 10000 / otN,
+      s"target slice not preferred: en $enKeep/$enN vs other $otKeep/$otN")
+  }
 }

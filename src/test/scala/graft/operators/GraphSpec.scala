@@ -94,4 +94,48 @@ class GraphSpec extends AnyFunSpec with Matchers {
       total should be > (scale * 95) / 100
     }
   }
+
+  describe("graph_kcore") {
+    it("peels the pendant-plus-triangle fixture to nothing under k=3") {
+      // degrees 1:3, 2:2, 3:2, 4:1 — only node 1 survives round 1's
+      // degree test, no induced edges remain, round 2 empties the core
+      val got = Graph.queries("graph_kcore")(spark, fixtureDir)
+        .as[(Long, Long, Long)].collect().toSeq
+      got shouldBe Seq((1L, 1L, 0L), (2L, 0L, 0L), (3L, 0L, 0L),
+        (4L, 0L, 0L), (5L, 0L, 0L), (6L, 0L, 0L))
+    }
+
+    it("keeps a K4 core stable after shedding its pendant") {
+      // complete graph on {1,2,3,4} (every pair in two orders) plus a
+      // support-2 pendant edge 1-5: round 1 drops node 5 (degree 1) and
+      // keeps all of K4 (degrees ≥ 3); from round 2 the trajectory is the
+      // fixpoint (4 nodes, 6 edges) — the 3-core
+      val pairs = (for {
+        a <- 1L to 4L; b <- (a + 1) to 4L
+      } yield (a, b)) ++ Seq((1L, 5L))
+      val rows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq((2 * i.toLong + 1, a), (2 * i.toLong + 1, b),
+          (2 * i.toLong + 2, a), (2 * i.toLong + 2, b))
+      }
+      val dir = Files.createTempDirectory("kcore-fixture").toFile
+      dir.deleteOnExit()
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "lineitem.parquet").toString)
+      val got = Graph.queries("graph_kcore")(spark, dir.toString)
+        .as[(Long, Long, Long)].collect().toSeq
+      got.head shouldBe ((1L, 4L, 6L))
+      got.tail shouldBe (2L to 6L).map(r => (r, 4L, 6L))
+    }
+
+    it("reaches its fixpoint within the unrolled rounds on testdata") {
+      val got = Graph.queries("graph_kcore")(spark, "/root/testdata/sf0.001")
+        .as[(Long, Long, Long)].collect().toSeq
+      got should have size 6
+      // the trajectory the oracle unrolls must have stabilized — PeelRounds
+      // is enough for the census-built graph, and the tail IS the 3-core
+      got(4)._2 shouldBe got(5)._2
+      got(4)._3 shouldBe got(5)._3
+    }
+  }
 }

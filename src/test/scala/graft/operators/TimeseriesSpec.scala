@@ -119,4 +119,37 @@ class TimeseriesSpec extends AnyFunSpec with Matchers {
       got shouldBe Seq(("view", 3L, 64L, 8L, 24L, 10000L, Some(50000L)))
     }
   }
+
+  describe("events_ewma_anomaly") {
+    it("tracks the level recursively and flags only the constructed spike") {
+      // 'click': 4/day on days 0-7, a 20-event spike on day 8, 4 on day 9.
+      // Seed e=4, v=0; flat days emit dev=0; day 8 deviates 16 > max(3v,3)
+      // → anomaly, and pulls the level to (20+12) div 4 = 8 and v to 4;
+      // day 9's dev 4 ≤ 3·4 → NOT an anomaly (the adaptive threshold
+      // absorbed the spike).
+      val d = dirWith(
+        (0L to 7L).flatMap(day => Seq.fill(4)((1L, "click", day, 0L))) ++
+          Seq.fill(20)((1L, "click", 8L, 0L)) ++
+          Seq.fill(4)((1L, "click", 9L, 0L)))
+      val got = Timeseries.queries("events_ewma_anomaly")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe
+        (1L to 7L).map(day => ("click", day, 4L, 4L, 0L, 0L)) ++
+          Seq(("click", 8L, 20L, 4L, 16L, 1L),
+            ("click", 9L, 4L, 8L, 4L, 0L))
+    }
+
+    it("zero-fills gaps so an absent day reads as n=0 against the level") {
+      // 'view': 8 events day 0, nothing day 1, 8 on day 2. The gap day
+      // must appear with n=0, dev=8 > 3 → anomaly; its pull lowers the
+      // level to (0+24) div 4 = 6 and v to 2, so day 2's dev 2 ≤ 6 passes.
+      val d = dirWith(
+        Seq.fill(8)((1L, "view", 0L, 0L)) ++ Seq.fill(8)((1L, "view", 2L, 0L)))
+      val got = Timeseries.queries("events_ewma_anomaly")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(
+        ("view", 1L, 0L, 8L, 8L, 1L),
+        ("view", 2L, 8L, 6L, 2L, 0L))
+    }
+  }
 }

@@ -140,4 +140,60 @@ class TokenizeSpec extends AnyFunSpec with Matchers {
       got.foreach { r => r._7 should be < r._6 }
     }
   }
+
+  describe("bpe_encode_census") {
+    it("matches an independent train-then-encode per-language census") {
+      val rows = spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("lang", "text").as[(String, String)].collect()
+
+      def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+
+      // train the merge list on the GLOBAL vocabulary (same reference
+      // trainer as the bpe_train_merges spec)
+      var vocab: Map[Vector[String], Long] = rows.flatMap(r => tokens(r._2))
+        .groupBy(identity).map { case (t, g) =>
+          t.split("").filter(_.nonEmpty).toVector -> g.length.toLong
+        }
+      val merges = (1 to Tokenize.BpeRounds).map { _ =>
+        val pairCounts = vocab.toSeq.flatMap { case (s2, f) =>
+          s2.zip(s2.drop(1)).map(p => (p, f))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        val ((a, b), _) = pairCounts.toSeq
+          .sortBy { case ((a0, b0), w) => (-w, a0, b0) }.head
+        vocab = vocab.toSeq
+          .map { case (s2, f) => (applyMerge(s2, a, b), f) }
+          .groupBy(_._1).map { case (s2, xs) => (s2, xs.map(_._2).sum) }
+        (a, b)
+      }
+
+      def encodedLen(tok: String): Long =
+        merges.foldLeft(tok.split("").filter(_.nonEmpty).toVector) {
+          case (s2, (a, b)) => applyMerge(s2, a, b)
+        }.size.toLong
+
+      val census = rows.flatMap { case (lang, text) => tokens(text).map((lang, _)) }
+        .groupBy(identity).map { case ((lang, tok), g) => (lang, tok, g.size.toLong) }
+      val expected = census.groupBy(_._1).toSeq.map { case (lang, ts) =>
+        val before = ts.map(t => t._3 * cpLen(t._2)).sum
+        val after = ts.map(t => t._3 * encodedLen(t._2)).sum
+        (lang, ts.map(_._3).sum, ts.size.toLong, before, after,
+          after * 10000 / before)
+      }.sortBy(_._1)
+
+      val got = Tokenize.queries("bpe_encode_census")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // the learned merges must actually compress every language slice
+      got.foreach { r => r._5 should be < r._4 }
+    }
+  }
 }
