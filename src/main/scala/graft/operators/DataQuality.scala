@@ -130,6 +130,47 @@ object DataQuality {
         .orderBy(asc("rule"))
     }),
 
+    // Distribution-drift audit between two eras of the order stream (the
+    // "did the upstream distribution shift under us" gate a training
+    // pipeline runs before mixing a new crawl into an old corpus). Two
+    // bin families — categorical priority and order-value decimal-digit
+    // magnitude — are censused per era in ONE scan (the 2× bin fan-out is
+    // an in-row explode, so corpus-scale work is a single map-side-
+    // combined groupBy to the family×bin×era grid); proportions and the
+    // per-bin quadratic drift score are exact integer ppm arithmetic on
+    // the grid, with per-family totals attached by a grid-sized window.
+    // The digit-magnitude binning (length of the truncated integer part)
+    // is engine-neutral exact where any log-based binning would not be.
+    "dq_distribution_drift" -> ((s, d) => {
+      // era boundary: 1998-01-01 UTC, as epoch micros — integer compare,
+      // no timezone or date-type coupling
+      val cutUs = 883612800000000L
+      val binned = t(s, d, "orders")
+        .selectExpr(
+          s"CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) < ${cutUs}L AS INT) AS era_a",
+          "o_orderpriority",
+          "length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING)) AS pd")
+        .selectExpr("era_a",
+          "explode(array(" +
+            "struct('priority' AS family, o_orderpriority AS bin), " +
+            "struct('price_digits' AS family, concat('digits_', pd) AS bin))) AS fb")
+        .selectExpr("fb.family AS family", "fb.bin AS bin", "era_a")
+      val grid = binned.groupBy(col("family"), col("bin"))
+        .agg(sum(col("era_a")).cast("long").as("n_a"),
+          sum(expr("1 - era_a")).cast("long").as("n_b"))
+      val byFamily = org.apache.spark.sql.expressions.Window.partitionBy(col("family"))
+      grid
+        .withColumn("tot_a", sum(col("n_a")).over(byFamily))
+        .withColumn("tot_b", sum(col("n_b")).over(byFamily))
+        .selectExpr("family", "bin", "n_a", "n_b",
+          "(n_a * 1000000) div tot_a AS p_a_ppm",
+          "(n_b * 1000000) div tot_b AS p_b_ppm")
+        .selectExpr("family", "bin", "n_a", "n_b", "p_a_ppm", "p_b_ppm",
+          "p_a_ppm - p_b_ppm AS delta_ppm",
+          "(p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) AS drift_ppm2")
+        .orderBy(asc("family"), asc("bin"))
+    }),
+
     // Cross-table temporal consistency: a lineitem must not ship before
     // its order is placed. One orderkey equi-join (co-located under a
     // bucketed layout), integer epoch-day lag arithmetic, constant-width
@@ -211,6 +252,29 @@ object DataQuality {
           SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
             CAST((n_violations * 10000) // n_rows AS BIGINT) AS viol_bp
           FROM u ORDER BY rule"""),
+
+      "dq_distribution_drift" ->
+        ("""WITH b AS (SELECT
+              CASE WHEN epoch_us(o_orderdate) < 883612800000000 THEN 1 ELSE 0 END AS era_a,
+              o_orderpriority,
+              length(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR)) AS pd
+            FROM orders),
+          u AS (
+            SELECT 'priority' AS family, o_orderpriority AS bin, era_a FROM b
+            UNION ALL
+            SELECT 'price_digits', 'digits_' || pd, era_a FROM b),
+          g AS (SELECT family, bin,
+              CAST(sum(era_a) AS BIGINT) AS n_a,
+              CAST(sum(1 - era_a) AS BIGINT) AS n_b
+            FROM u GROUP BY family, bin),
+          p AS (SELECT family, bin, n_a, n_b,
+              (n_a * 1000000) // CAST(sum(n_a) OVER (PARTITION BY family) AS BIGINT) AS p_a_ppm,
+              (n_b * 1000000) // CAST(sum(n_b) OVER (PARTITION BY family) AS BIGINT) AS p_b_ppm
+            FROM g)
+          SELECT family, bin, n_a, n_b, p_a_ppm, p_b_ppm,
+            p_a_ppm - p_b_ppm AS delta_ppm,
+            (p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) AS drift_ppm2
+          FROM p ORDER BY family, bin"""),
 
       "dq_temporal_consistency" ->
         ("""WITH j AS (SELECT epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS lag_days

@@ -369,6 +369,46 @@ object Dedup {
         .orderBy(asc("lang"))
     }),
 
+    // SoftDeDup: instead of the hard keep-one-per-cluster rule, every doc
+    // survives with probability 1/|its near-dup cluster| via a
+    // deterministic scrambled coin (h(doc_id) mod cluster_size == 0) —
+    // expected surviving mass per cluster is ONE doc, but WHICH doc is an
+    // unbiased draw, so the kept corpus preserves the cluster-internal
+    // diversity that keep-min/keep-best throws away (the soft-dedup
+    // sampling discipline for repeated-content corpora). Singletons have
+    // cluster size 1 and always survive. Physical shape: the cluster-size
+    // attach is a component-graph-sized join (vertices of the PAIR graph,
+    // not the corpus); the corpus side is one scan + one map-side-combined
+    // per-language rollup; the coin is exact integer arithmetic both
+    // engines replay bit-for-bit.
+    "sample_soft_dedup" -> ((s, d) => {
+      val labels = connectedComponents(
+        minhashVerified(s, d).select(col("doc_a"), col("doc_b")))
+      val csize = labels.join(
+          labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize")),
+          Seq("cluster_id"))
+        .select(col("doc_id").as("cdoc"), col("csize"))
+      docs(s, d)
+        .selectExpr("doc_id", "lang",
+          s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n_tokens")
+        .join(csize, col("doc_id") === col("cdoc"), "left")
+        .selectExpr("lang", "n_tokens", "coalesce(csize, 1L) AS csize",
+          s"(${charHashSpark("CAST(doc_id AS STRING)")} * ${CoinScramble}L) % ${P}L AS h")
+        .selectExpr("lang", "n_tokens", "csize",
+          "CAST(h % csize = 0 AS INT) AS keep")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("keep")).cast("long").as("n_kept"),
+          sum(when(col("csize") > 1 && col("keep") === 1, 1L).otherwise(0L)).as("n_kept_dup"),
+          sum(col("n_tokens")).cast("long").as("tokens_total"),
+          sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .selectExpr("lang", "n_docs", "n_dup_docs", "n_kept", "n_kept_dup",
+          "tokens_total", "tokens_kept",
+          "(n_kept * 10000) div n_docs AS retention_bp")
+        .orderBy(asc("lang"))
+    }),
+
     // Asymmetric containment: |A∩B| / min(|A|,|B|) — catches subset
     // relationships (quotes, excerpts, one doc embedded in another) that
     // Jaccard structurally misses when sizes differ (a 10%-of-B excerpt
@@ -724,6 +764,29 @@ object Dedup {
           "CAST(sum(CASE WHEN is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality, " +
           "CAST(sum(CASE WHEN NOT is_dup AND NOT is_lowq THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "CAST(sum(CASE WHEN NOT is_dup AND NOT is_lowq THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
+          "FROM f GROUP BY lang ORDER BY lang"),
+      "sample_soft_dedup" ->
+        (s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.v), " +
+          "lab AS (SELECT u AS cdoc, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          "cs AS (SELECT cdoc, count(*) OVER (PARTITION BY cluster_id) AS csize FROM lab), " +
+          s"base AS (SELECT doc_id, lang, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens, " +
+          s"(${charHashDuck("CAST(doc_id AS VARCHAR)")} * $CoinScramble) % $P AS h FROM documents), " +
+          "f AS (SELECT b.lang, b.n_tokens, COALESCE(c.csize, 1) AS csize, " +
+          "CASE WHEN b.h % COALESCE(c.csize, 1) = 0 THEN 1 ELSE 0 END AS keep " +
+          "FROM base b LEFT JOIN cs c ON b.doc_id = c.cdoc) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+          "CAST(sum(keep) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN csize > 1 AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_dup, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS tokens_total, " +
+          "CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+          "(CAST(sum(keep) AS BIGINT) * 10000) // count(*) AS retention_bp " +
           "FROM f GROUP BY lang ORDER BY lang"),
       "dedup_containment" ->
         (s"WITH shingled AS ($shingledSql), " +

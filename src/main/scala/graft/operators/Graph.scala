@@ -34,6 +34,9 @@ import org.apache.spark.sql.functions._
   *    induce), each a node-sized aggregate + two semi-joins on the
   *    SHRINKING edge relation — cost decreases per round, and the round
   *    trajectory is itself the declared (oracle-checked) result.
+  *  - '''jaccard links''': common-neighbor Jaccard over non-adjacent
+  *    2-hop pairs (link prediction); wedge enumeration capped at
+  *    deg ≤ WedgeCap centers, so the pair stream is bounded per node.
   *  - '''pagerank''': ranks are a NODE-sized relation; each of the 5
   *    iterations is one edge⨝rank hash join (partitioned by source) + one
   *    map-side-combined groupBy(dst), with the adjacency (+ out-degree)
@@ -62,6 +65,9 @@ object Graph {
     * wrong one. */
   private val CoreK = 3
   private val PeelRounds = 6
+
+  /** Wedge-center degree cap for graph_jaccard_links (see its comment). */
+  private val WedgeCap = 64
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(spark, dir, name)
@@ -188,6 +194,37 @@ object Graph {
       rows.reduce(_.union(_)).orderBy(asc("round"))
     }),
 
+    // Link prediction by neighbor-set Jaccard: for every non-adjacent
+    // 2-hop pair, |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in basis points, top-20 —
+    // the classic "customers who bought these also bought" candidate
+    // generator. Common neighbors are counted by wedge enumeration, and
+    // wedges fan out from CENTERS, so the cost driver is Σ deg(w)²; the
+    // declared semantics cap wedge centers at deg ≤ WedgeCap (mirrored in
+    // the oracle) — a super-hub's wedges are both quadratic to enumerate
+    // and near-zero Jaccard signal (its degree inflates every union), so
+    // the cap is the standard mitigation, same bound class as ItemCap at
+    // the order level. Top-20 via orderBy+limit = TakeOrdered (per-
+    // partition heaps + driver merge of 20-row heads, never a full sort).
+    "graph_jaccard_links" -> ((s, d) => {
+      val e = edges(s, d)
+      val (adj, deg) = adjWithDeg(e)
+      val centers = deg.filter(col("deg") <= WedgeCap)
+        .select(col("node").as("src"))
+      val cadj = adj.join(centers, Seq("src"), "left_semi")
+      val w = cadj.as("x").join(cadj.as("y"),
+          col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+        .groupBy(col("x.dst").as("u"), col("y.dst").as("v"))
+        .agg(count(lit(1)).as("n_common"))
+      w.join(e, Seq("u", "v"), "left_anti")
+        .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+        .selectExpr("u", "v", "n_common",
+          "deg_u + deg_v - n_common AS n_union",
+          "(n_common * 10000) div (deg_u + deg_v - n_common) AS jaccard_bp")
+        .orderBy(desc("jaccard_bp"), desc("n_common"), asc("u"), asc("v"))
+        .limit(20)
+    }),
+
     // Fixed-point PageRank, 5 iterations at damping 0.85, e12-scaled
     // integer arithmetic; top-20 parts by rank with total tiebreak. The
     // converged rank relation is an offline index (same artifact
@@ -269,6 +306,19 @@ object Graph {
         "SELECT * FROM (" +
         (1 to PeelRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ") +
         ") ORDER BY round"),
+
+    "graph_jaccard_links" ->
+      (edgeCte +
+        s", cadj AS (SELECT a.src, a.dst FROM adj a JOIN deg c ON c.node = a.src AND c.deg <= $WedgeCap), " +
+        "w AS (SELECT x.dst AS u, y.dst AS v, count(*) AS n_common FROM cadj x " +
+        "JOIN cadj y ON x.src = y.src AND x.dst < y.dst GROUP BY u, v), " +
+        "na AS (SELECT w.u, w.v, n_common FROM w LEFT JOIN e ON e.u = w.u AND e.v = w.v " +
+        "WHERE e.u IS NULL), " +
+        "j AS (SELECT na.u, na.v, n_common, du.deg + dv.deg - n_common AS n_union, " +
+        "(n_common * 10000) // (du.deg + dv.deg - n_common) AS jaccard_bp " +
+        "FROM na JOIN deg du ON du.node = na.u JOIN deg dv ON dv.node = na.v) " +
+        "SELECT u, v, n_common, n_union, jaccard_bp FROM j " +
+        "ORDER BY jaccard_bp DESC, n_common DESC, u, v LIMIT 20"),
 
     "graph_degree_stats" ->
       (edgeCte + ", hist AS (SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg), " +

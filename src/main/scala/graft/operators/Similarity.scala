@@ -749,6 +749,70 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // Lloyd training trajectory as a declared, oracle-checked result (the
+    // "training as a query" pattern bpe_train_merges set): per refinement
+    // round, each cell's population and its exact e10-integer component
+    // mass Σ_members Σ_pos floor(x·10¹⁰) — the un-normalized centroid
+    // numerator, the integer that fully determines the next round's
+    // centroid doubles. An engine drifting on tie-break or mean
+    // arithmetic diverges HERE first, one round before it would corrupt
+    // the served ANN artifacts — this is the cross-engine regression
+    // canary for the whole learned-quantizer family. Each round is one
+    // codegen'd argmin map pass + a map-side-combined census; only K-row
+    // codebooks ever reach the driver, so the trajectory costs the same
+    // as the IVF build it mirrors (at 100 TB: train on a hash-coin
+    // sample, same code path).
+    "embedding_kmeans_rounds" -> ((s, d) => {
+      val e = emb(s, d)
+      var cb = collectCoarse(hashSeeds(e, CoarseK, "cell")
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .selectExpr("cell", "transform(embedding, x -> CAST(x AS DOUBLE)) AS cv"))
+      val rounds = (1 to CoarseIters).map { r =>
+        val asn = CacheScope.persist(e.select(
+          nearestCode(col("embedding"), lit(0), cb).as("cell"), col("embedding")))
+        val census = asn
+          .select(col("cell"), posexplode(col("embedding")))
+          .selectExpr("cell",
+            "CAST(floor(CAST(col AS DOUBLE) * 10000000000) AS BIGINT) AS xe10")
+          .groupBy(col("cell"))
+          .agg(expr(s"count(1) div ${Dim}L").as("n_members"),
+            sum(col("xe10")).as("mass_e10"))
+          .selectExpr(s"CAST($r AS BIGINT) AS round",
+            "CAST(cell AS BIGINT) AS cell", "n_members", "mass_e10")
+        cb = collectCoarse(e10Means(asn, "embedding", Seq("cell")))
+        census
+      }
+      rounds.reduce(_.union(_)).orderBy(asc("round"), asc("cell"))
+    }),
+
+    // Index-quality evaluation as a query: each ANN tier's returned
+    // neighbor set scored against the exact top-10 truth — overlap count
+    // and hit rate per (tier, query). This is the "recall dashboard" a
+    // production vector index ships alongside itself; declaring it as an
+    // oracle-checked query means BOTH engines recompute the whole
+    // tier-vs-truth comparison and must agree on every count. Composes
+    // the existing tier queries verbatim (same artifacts, same caches),
+    // so the eval can never drift from the tiers it measures. Truth and
+    // tier results are 5×10-row relations — every join here is
+    // driver-trivial; the corpus-scale work happens inside the tier
+    // queries themselves, whose plans are audited separately.
+    "ann_recall_eval" -> ((s, d) => {
+      val truth = queries("ann_bruteforce_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val methods = Seq("ivf_probe" -> "ann_ivf_probe", "ivf_pq" -> "ann_ivf_pq",
+        "ivf_pq_refined" -> "ann_ivf_pq_refined")
+      methods.map { case (label, name) =>
+        queries(name)(s, d).select(col("query_id"), col("neighbor_id"))
+          .join(truth.withColumn("hit", lit(1L)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_returned"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .selectExpr(s"'$label' AS method", "query_id", "n_returned", "n_hits",
+            "(n_hits * 10000) div n_returned AS hit_bp")
+      }.reduce(_ union _).orderBy(asc("method"), asc("query_id"))
+    }),
+
     // Per-vector norms + per-label norm envelope (no float summation —
     // min/max only, deterministic).
     "vector_stats" -> ((s, d) =>
@@ -871,7 +935,38 @@ object Similarity {
         .orderBy(asc("i"), asc("j")))
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    baseOracles + ("ann_recall_eval" -> annRecallEvalOracle)
+
+  /** Index-quality evaluation as a query: the ANN tiers scored against the
+    * exact top-10 truth they approximate. Built by embedding the tier
+    * oracles as derived tables so the eval can NEVER drift from the tiers
+    * it measures — a change to any tier's oracle changes this one in
+    * lockstep. */
+  private lazy val annRecallEvalOracle: String = {
+    def sub(name: String, alias: String) =
+      s"$alias AS (SELECT query_id, neighbor_id FROM (${baseOracles(name)}) _$alias)"
+    def scored(label: String, rel: String) =
+      s"SELECT '$label' AS method, $rel.query_id AS query_id, " +
+        "count(*) AS n_returned, " +
+        "CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+        s"FROM $rel LEFT JOIN truth t ON $rel.query_id = t.query_id " +
+        s"AND $rel.neighbor_id = t.neighbor_id GROUP BY $rel.query_id"
+    "WITH " + Seq(
+      sub("ann_bruteforce_topk", "truth"),
+      sub("ann_ivf_probe", "rp"),
+      sub("ann_ivf_pq", "rq"),
+      sub("ann_ivf_pq_refined", "rr2")).mkString(", ") + ", " +
+      "sc AS (" + Seq(
+        scored("ivf_probe", "rp"),
+        scored("ivf_pq", "rq"),
+        scored("ivf_pq_refined", "rr2")).mkString(" UNION ALL ") + ") " +
+      "SELECT method, query_id, n_returned, n_hits, " +
+      "(n_hits * 10000) // n_returned AS hit_bp " +
+      "FROM sc ORDER BY method, query_id"
+  }
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "ann_bruteforce_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
         "scored AS (SELECT query_id, e.vec_id AS neighbor_id, " +
@@ -943,6 +1038,35 @@ object Similarity {
         "JOIN qq ON qq.query_id = s.query_id) " +
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM rr WHERE rank <= 10 " +
         "ORDER BY query_id, rank"),
+    // the Lloyd chain unrolled (seed → assign → e10-mean), emitting each
+    // round's per-cell census from the SAME cagg relation the next
+    // centroid is folded from
+    "embedding_kmeans_rounds" -> {
+      val sb = new StringBuilder("WITH ")
+      sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
+        "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
+        s"ORDER BY $scrambleSql, vec_id LIMIT $CoarseK), "
+      sb ++= "ccmp AS (SELECT vec_id, p.range AS pos, " +
+        "CAST(floor(list_extract(embedding, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
+        s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) p), "
+      var prev = "cseed"
+      for (i <- 1 to CoarseIters) {
+        sb ++= s"casn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM " +
+          s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
+          s"FROM embeddings e CROSS JOIN $prev c) _s$i) _r$i WHERE rk = 1), "
+        sb ++= duckMeanCtes("c", i, "cell", s"casn$i JOIN ccmp USING (vec_id)")
+        prev = s"ccent$i"
+      }
+      val unions = (1 to CoarseIters).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, CAST(cell AS BIGINT) AS cell, " +
+          s"max(cnt) AS n_members, CAST(sum(sx) AS BIGINT) AS mass_e10 " +
+          s"FROM cagg$i GROUP BY cell").mkString(" UNION ALL ")
+      sb ++= s"fin AS ($unions) " +
+        "SELECT round, cell, n_members, mass_e10 FROM fin ORDER BY round, cell"
+      sb.toString
+    },
+
     "vector_stats" ->
       (s"SELECT label, count(*) AS n, " +
         s"min(CAST(floor(sqrt(${norm2Duck("embedding", Dim)}) * 1000000) AS BIGINT)) AS min_norm_ppm, " +

@@ -216,6 +216,44 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("day"))
     }),
 
+    // Holt's linear-trend forecast per event type, integer-exact: level
+    // l_d = (n_d + 3(l+t)) div 4 (α=1/4) and trend t_d = ((l_d − l) + 7t)
+    // div 8 (β=1/8) fold over the zero-filled day grid (both engines
+    // truncate integer division toward zero, so signed trends are safe);
+    // the declared result is the NEXT WEEK's volume forecast per type
+    // (f_{T+h} = l_T + h·t_T, h = 1..7) plus the one-step backtest MAE
+    // ×10⁴ over the observed span — forecast quality and the forecast
+    // itself in one 7·|types|-row answer. The fold carries four integers
+    // (no per-day row accumulation), so per-type state is O(1) and the
+    // only corpus-scale work is dayGrid's single groupBy.
+    "events_holt_winters" -> ((s, d) => {
+      val g = dayGrid(s, d)
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("ds"))
+      g.filter(expr("size(ds) >= 2"))
+        .selectExpr("event_type",
+          """aggregate(
+               slice(ds, 2, size(ds) - 1),
+               named_struct(
+                 'l', element_at(ds, 1).n,
+                 't', CAST(0 AS BIGINT),
+                 'sae', CAST(0 AS BIGINT),
+                 'cnt', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'l', (x.n + 3 * (acc.l + acc.t)) div 4,
+                 't', (((x.n + 3 * (acc.l + acc.t)) div 4 - acc.l) + 7 * acc.t) div 8,
+                 'sae', acc.sae + abs(x.n - (acc.l + acc.t)),
+                 'cnt', acc.cnt + 1L),
+               acc -> acc) AS st""")
+        .selectExpr("event_type", "st.l AS level", "st.t AS trend",
+          "(st.sae * 10000) div st.cnt AS mae_e4")
+        .selectExpr("event_type", "explode(sequence(1, 7)) AS h",
+          "level", "trend", "mae_e4")
+        .selectExpr("event_type", "CAST(h AS BIGINT) AS horizon",
+          "level + h * trend AS forecast", "level", "trend", "mae_e4")
+        .orderBy(asc("event_type"), asc("horizon"))
+    }),
+
     // CUSUM change-point per event type: on the zero-filled grid, the
     // drift statistic G_d = |cumsum_d·N − T·d| (cross-multiplied — exact
     // integers, no T/N fraction) peaks at the most likely level shift;
@@ -336,6 +374,27 @@ object Timeseries {
           "CAST(CASE WHEN abs(n - prev_e) > 3 * prev_v " +
           "AND abs(n - prev_e) > 3 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly " +
           "FROM rec WHERE prev_e IS NOT NULL ORDER BY event_type, day"),
+
+      "events_holt_winters" ->
+        // the Holt (level, trend, sum-abs-err) fold as a recursive CTE on
+        // the zero-filled grid; both engines truncate integer division
+        // toward zero, so the signed trend recursion agrees exactly
+        (s"WITH RECURSIVE b AS ($base), $zeroFilledGrid, " +
+          "rec(event_type, day, l, t, sae, cnt, d1) AS (" +
+          "SELECT z.event_type, z.day, z.n, CAST(0 AS BIGINT), " +
+          "CAST(0 AS BIGINT), CAST(0 AS BIGINT), s.d1 " +
+          "FROM z JOIN span s ON s.event_type = z.event_type AND z.day = s.d0 " +
+          "UNION ALL " +
+          "SELECT r.event_type, z.day, " +
+          "(z.n + 3 * (r.l + r.t)) // 4, " +
+          "(((z.n + 3 * (r.l + r.t)) // 4 - r.l) + 7 * r.t) // 8, " +
+          "r.sae + abs(z.n - (r.l + r.t)), r.cnt + 1, r.d1 " +
+          "FROM rec r JOIN z ON z.event_type = r.event_type AND z.day = r.day + 1 " +
+          "WHERE r.day < r.d1) " +
+          "SELECT event_type, h.horizon AS horizon, l + h.horizon * t AS forecast, " +
+          "l AS level, t AS trend, (sae * 10000) // cnt AS mae_e4 " +
+          "FROM rec, unnest(range(1, 8)) AS h(horizon) " +
+          "WHERE day = d1 AND cnt > 0 ORDER BY event_type, horizon"),
 
       "events_cusum" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

@@ -382,6 +382,78 @@ object FactStateStreams {
       }
   }
 
+  /** One closed grid day's EWMA anomaly verdict — identical columns and
+    * arithmetic to a batch `events_ewma_anomaly` row. */
+  final case class EwmaUpdate(
+      eventType: String, day: Long, n: Long,
+      ewmaPrev: Long, dev: Long, isAnomaly: Long)
+
+  /** Streaming per-type EWMA state: the open day plus the recursion's two
+    * integers (level e, mean-abs-deviation v) — O(1) per event type. */
+  final case class EwmaState(
+      curDay: Long, curCount: Long, seeded: Boolean, e: Long, v: Long)
+
+  /** Live twin of the batch `events_ewma_anomaly` (fourteenth face): the
+    * integer EWMA recursion e_d = (n_d + 3e) div 4, v_d = (|n_d − e| + 3v)
+    * div 4 folds per event type as each grid day CLOSES (first event of a
+    * later day arrives). Zero days between active days are grid rows in
+    * the batch semantics, so the quiet run emits one row per zero day and
+    * advances the recursion the same way — the run length is bounded by
+    * the CALENDAR span, not the stream volume, and state stays two
+    * integers through any quiet period. The first observed day seeds the
+    * level and emits nothing (batch parity); late events for already-
+    * closed days are dropped — dailyAutocorr's watermark discipline, the
+    * batch operator is the repair path. All arithmetic is non-negative,
+    * so Scala `/` and SQL `div` truncate identically. */
+  def ewmaAnomaly(spark: SparkSession, events: DataFrame): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val out = Seq.newBuilder[EwmaUpdate]
+        var st = state.getOption.orNull
+        rows.toSeq.map(_._2 / DayUs).sorted.foreach { day =>
+          st match {
+            case null =>
+              st = EwmaState(day, 1L, seeded = false, 0L, 0L)
+            case s if day == s.curDay =>
+              st = s.copy(curCount = s.curCount + 1)
+            case s if day > s.curDay =>
+              var (e, v) = (s.e, s.v)
+              var seeded = s.seeded
+              if (!seeded) { e = s.curCount; v = 0L; seeded = true }
+              else {
+                val dev = math.abs(s.curCount - e)
+                out += EwmaUpdate(typ, s.curDay, s.curCount, e, dev,
+                  if (dev > 3 * v && dev > 3) 1L else 0L)
+                val e2 = (s.curCount + 3 * e) / 4
+                v = (dev + 3 * v) / 4
+                e = e2
+              }
+              var zd = s.curDay + 1
+              while (zd < day) { // zero grid days, in order
+                val dev = e
+                out += EwmaUpdate(typ, zd, 0L, e, dev,
+                  if (dev > 3 * v && dev > 3) 1L else 0L)
+                val e2 = (3 * e) / 4
+                v = (dev + 3 * v) / 4
+                e = e2
+                zd += 1
+              }
+              st = EwmaState(day, 1L, seeded, e, v)
+            case s => st = s // late event for a closed day: dropped
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** One observed behavior-log transition (prev type → next type). */
   final case class Transition(userId: Long, prevType: String, nextType: String, tsUs: Long)
 

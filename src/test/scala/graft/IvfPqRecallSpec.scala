@@ -90,4 +90,26 @@ class IvfPqRecallSpec extends AnyFunSuite {
     // pinned above the compressed tiers' 0.62-0.64.
     assert(r >= 0.65, f"refined recall lost the rerank benefit: $r%.3f")
   }
+
+  test("ann_recall_eval matches set-arithmetic recomputation of tier-vs-truth overlap") {
+    val truth = topSet("ann_bruteforce_topk")
+    val methods = Seq("ivf_probe" -> "ann_ivf_probe", "ivf_pq" -> "ann_ivf_pq",
+      "ivf_pq_refined" -> "ann_ivf_pq_refined")
+    val expected = methods.flatMap { case (label, name) =>
+      val res = topSet(name)
+      res.toSeq.sortBy(_._1).map { case (q, set) =>
+        val hits = (set & truth(q)).size.toLong
+        (label, q, set.size.toLong, hits, hits * 10000 / set.size)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("ann_recall_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    graft.operators.CacheScope.releaseAll()
+    assert(got == expected, s"eval drifted from set arithmetic:\n got=$got\n exp=$expected")
+    // the declared dashboard must agree with the recall floors pinned above
+    val refined = got.filter(_._1 == "ivf_pq_refined")
+    val overall = refined.map(_._4).sum * 10000 / refined.map(_._3).sum
+    assert(overall >= 6000, s"refined overall hit_bp $overall below floor")
+  }
 }

@@ -756,4 +756,72 @@ class PlanAuditSpec extends AnyFunSuite {
     // second relation
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("graph_jaccard_links: wedge join is an equi-join on centers; top-20 is rank-pruned") {
+    val p = planOf("graph_jaccard_links")
+    assert(!p.contains("CartesianProduct"), "cartesian in the wedge census")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "wedge or adjacency join fell back to a nested-loop shape")
+    // orderBy+limit must compile to per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 lost its TakeOrdered shape (global sort at corpus scale)")
+    assert(!p.contains("Scan parquet"),
+      "graph queries must run on the checkpointed edge artifact, not re-mine lineitem")
+  }
+
+  test("embedding_kmeans_rounds: each round is a codegen'd map pass + map-side-combined census, zero joins") {
+    val p = planOf("embedding_kmeans_rounds")
+    // assignment is the literal-codebook kernel, not a K-row join relation
+    assert(p.contains("quantizer_nearest_code"),
+      "assignment lost the native nearest-code kernel")
+    assert(!p.contains("Join"), "kmeans census must be join-free at execution time")
+    assert(p.contains("partial_sum"), "census lost its partial (map-side combine) phase")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_holt_winters: fold runs on the cached day grid; one corpus-scale groupBy") {
+    val p = planOf("events_holt_winters")
+    assert(!p.contains("CartesianProduct"))
+    // dayGrid's (event_type, day) census is the only corpus-scale work —
+    // both the span aggregate and the zero-fill join read its cache
+    assert(p.contains("InMemoryTableScan"), "dayGrid cache not reused")
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      "extra events scans beyond the cached grid's materialization plan")
+    // the per-type fold collects a bounded day vector on the grid, with a
+    // partial phase so the grid shuffle carries combined buffers
+    assert(p.contains("partial_collect_list"),
+      "grid fold lost its partial (map-side combine) phase")
+  }
+
+  test("dq_distribution_drift: join-free single scan; bin fan-out in-row; windows on the grid") {
+    val p = planOf("dq_distribution_drift")
+    assert(!p.contains("Join"), "drift census must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "expected exactly one orders scan")
+    assert(p.contains("Generate explode"), "bin fan-out must be an in-row explode")
+    assert(p.contains("partial_sum"), "era census lost its partial (map-side combine) phase")
+  }
+
+  test("sample_soft_dedup: cluster sizes attach to ONE corpus scan; no cross join") {
+    val p = planOf("sample_soft_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-language rollup lost its partial (map-side combine) phase")
+  }
+
+  test("ann_recall_eval: tier-vs-truth joins never cartesian") {
+    val p = planOf("ann_recall_eval")
+    assert(!p.contains("CartesianProduct"), "cartesian in the recall eval")
+  }
+
+  test("decontaminate_minhash: bench band index and shingle sets broadcast; no cross join") {
+    val p = planOf("decontaminate_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be an equi-join on (band, bkey)")
+    // the bench side rides broadcast hints (pinned regardless of size
+    // estimates): band probe + bench shingle attach
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "bench side lost its broadcast joins")
+    assert(p.contains("InMemoryTableScan"),
+      "signature relation must be shared via the CacheScope persist")
+  }
 }

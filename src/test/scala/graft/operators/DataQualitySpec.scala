@@ -103,6 +103,28 @@ class DataQualitySpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("dq_distribution_drift") {
+    it("computes exact ppm proportions and quadratic drift per bin on a constructed shift") {
+      def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      // era A (<1998): URGENT x3 / LOW x1; price digits 3 x2, 4 x2
+      // era B (>=1998): URGENT x1 / LOW x3; price digits 3 x3, 4 x1
+      val a = ts("1997-06-01T00:00:00Z"); val b = ts("1999-06-01T00:00:00Z")
+      val orders = Seq(
+        (1L, a, "1-URGENT", 999.9), (2L, a, "1-URGENT", 999.9),
+        (3L, a, "1-URGENT", 1000.0), (4L, a, "5-LOW", 1000.0),
+        (5L, b, "1-URGENT", 999.9), (6L, b, "5-LOW", 999.9),
+        (7L, b, "5-LOW", 999.9), (8L, b, "5-LOW", 1000.0)
+      ).toDF("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      val got = DataQuality.queries("dq_distribution_drift")(spark, dirWith("orders" -> orders))
+        .as[(String, String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(
+        ("price_digits", "digits_3", 2L, 3L, 500000L, 750000L, -250000L, 62500000000L),
+        ("price_digits", "digits_4", 2L, 1L, 500000L, 250000L, 250000L, 62500000000L),
+        ("priority", "1-URGENT", 3L, 1L, 750000L, 250000L, 500000L, 250000000000L),
+        ("priority", "5-LOW", 1L, 3L, 250000L, 750000L, -500000L, 250000000000L))
+    }
+  }
+
   private implicit class RuleRows(rows: Array[(String, Long, Long, Long)]) {
     def toMap2: Map[String, (Long, Long, Long)] =
       rows.map { case (r, a, b, c) => r -> (a, b, c) }.toMap

@@ -138,4 +138,16 @@ class GraphSpec extends AnyFunSpec with Matchers {
       got(4)._3 shouldBe got(5)._3
     }
   }
+
+  describe("graph_jaccard_links") {
+    it("predicts the non-adjacent 2-hop pairs with exact Jaccard") {
+      // wedges through node 1 (nbrs 2,3,4): (2,3) is adjacent — excluded;
+      // (2,4) and (3,4) share exactly neighbor 1. deg(2)=deg(3)=2,
+      // deg(4)=1 → union 2, jaccard 5000 bp for both. No other pair has a
+      // common neighbor (centers 2/3 wedge only the adjacent (1,3)/(1,2)).
+      val got = Graph.queries("graph_jaccard_links")(spark, fixtureDir)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq((2L, 4L, 1L, 2L, 5000L), (3L, 4L, 1L, 2L, 5000L))
+    }
+  }
 }

@@ -452,4 +452,76 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
         Some(toks.count(_._2 == smallest).toLong)
     }
   }
+
+  describe("sample_soft_dedup") {
+    it("matches an independent Scala recomputation of the soft-dedup coin census") {
+      val clusterSize = Dedup.queries("dedup_clusters")(spark, sf)
+        .select("doc_id", "cluster_size").as[(Long, Long)].collect().toMap
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "lang", "text").as[(Long, String, String)].collect().toSeq
+      val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (lang, ds) =>
+        val rows = ds.map { case (id, _, text) =>
+          val nTokens = text.split(" ", -1).count(_.nonEmpty).toLong
+          val csize = clusterSize.getOrElse(id, 1L)
+          val keep = polyHash(id.toString) * CrossHash.CoinScramble % CrossHash.P % csize == 0
+          (nTokens, csize, keep)
+        }
+        (lang, rows.size.toLong,
+          rows.count(_._2 > 1).toLong,
+          rows.count(_._3).toLong,
+          rows.count(r => r._2 > 1 && r._3).toLong,
+          rows.map(_._1).sum,
+          rows.filter(_._3).map(_._1).sum,
+          rows.count(_._3).toLong * 10000 / rows.size)
+      }
+      val got = Dedup.queries("sample_soft_dedup")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      CacheScope.releaseAll()
+      got shouldBe expected
+      // singletons (cluster size 1) always survive: h % 1 == 0
+      val nDocs = got.map(_._2).sum; val nDup = got.map(_._3).sum
+      got.map(_._4).sum should be >= (nDocs - nDup)
+    }
+  }
+
+  describe("decontaminate_minhash") {
+    it("flags the exact-copy leak on a constructed fixture and nothing else") {
+      // doc 0 (id % FuzzyBenchMod == 0 → benchmark) and doc 1 (corpus) share the
+      // exact text → identical shingle sets → identical signatures → every
+      // band collides → candidate, and containment is exactly 10000 bp.
+      // doc 2 shares no vocabulary: even if a spurious band collided, the
+      // exact verify keeps it out.
+      val dir = java.nio.file.Files.createTempDirectory("decon-fixture").toFile
+      dir.deleteOnExit()
+      val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+      val other = (1 to 12).map(i => s"else$i").mkString(" ")
+      Seq((0L, "en", shared), (1L, "en", shared), (2L, "en", other))
+        .toDF("doc_id", "lang", "text")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "documents.parquet").toString)
+      val got = TrainingPipeline.queries("decontaminate_minhash")(spark, dir.toString)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      CacheScope.releaseAll()
+      got shouldBe Seq((1L, 0L, 10L, 10L, 10000L))
+    }
+
+    it("contains every cross-split verified near-dup pair (containment >= jaccard)") {
+      // dedup_minhash_lsh verifies jaccard >= 0.7 over the SAME band
+      // candidates; for a pair straddling the benchmark split, containment
+      // of the bench side >= jaccard >= 0.7 >= the 0.5 gate — so each such
+      // pair MUST be flagged. (The reverse need not hold.)
+      val dup = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+        .selectExpr("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+      val m = TrainingPipeline.FuzzyBenchMod
+      val cross = dup.collect {
+        case (a, b) if a % m == 0 && b % m != 0 => (b, a)
+        case (a, b) if a % m != 0 && b % m == 0 => (a, b)
+      }
+      cross should not be empty
+      val flagged = TrainingPipeline.queries("decontaminate_minhash")(spark, sf)
+        .selectExpr("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+      CacheScope.releaseAll()
+      cross.foreach(p => flagged should contain(p))
+    }
+  }
 }

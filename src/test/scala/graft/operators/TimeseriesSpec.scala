@@ -152,4 +152,32 @@ class TimeseriesSpec extends AnyFunSpec with Matchers {
         ("view", 2L, 8L, 6L, 2L, 0L))
     }
   }
+
+  describe("events_holt_winters") {
+    it("folds the integer level/trend recursion and forecasts 7 days out") {
+      // 'A': 40/80/120 events on days 0/1/2 — hand-rolled fold:
+      //   seed l=40, t=0
+      //   day1 n=80 : f=40, l=(80+120) div 4=50, t=(10+0) div 8=1, sae=40
+      //   day2 n=120: f=51, l=(120+153) div 4=68, t=((68-50)+7) div 8=3,
+      //               sae=40+69=109
+      // mae_e4 = 109·10⁴ div 2 = 545000; forecasts 68+3h for h=1..7.
+      val d = dirWith(
+        Seq.fill(40)((1L, "A", 0L, 0L)) ++ Seq.fill(80)((1L, "A", 1L, 0L)) ++
+          Seq.fill(120)((1L, "A", 2L, 0L)))
+      val got = Timeseries.queries("events_holt_winters")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe (1L to 7L).map(h => ("A", h, 68L + 3 * h, 68L, 3L, 545000L))
+    }
+
+    it("keeps a declining series's trend negative (both engines truncate)") {
+      // 'B': 120/40 on days 0/1: l=(40+360) div 4=100, t=(-20) div 8 = -2
+      // (truncation toward zero — -2.5 floors to -3, truncates to -2),
+      // sae=80, mae_e4=800000; forecasts 100-2h.
+      val d = dirWith(
+        Seq.fill(120)((1L, "B", 0L, 0L)) ++ Seq.fill(40)((1L, "B", 1L, 0L)))
+      val got = Timeseries.queries("events_holt_winters")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe (1L to 7L).map(h => ("B", h, 100L - 2 * h, 100L, -2L, 800000L))
+    }
+  }
 }
