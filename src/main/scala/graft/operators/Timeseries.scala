@@ -254,6 +254,31 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("horizon"))
     }),
 
+    // Day-of-week seasonality profile per event type: the zero-filled
+    // grid folds to a 7-row-per-type dow census (dow = (epochday + 4) % 7,
+    // 0 = Sunday — pure integer arithmetic, no date functions to disagree
+    // across engines), with exact per-dow mean (×100), share (ppm of the
+    // type's events) and peak rank. The weekly-periodicity twin of
+    // events_hourly_profile: grid days with NO events count toward the
+    // dow's day denominator, so a type active only on weekdays shows true
+    // zero-mean weekends rather than a survivor-biased flat profile.
+    // Corpus-scale work is dayGrid's single groupBy; everything here runs
+    // on the 7×|types| grid.
+    "events_dow_seasonality" -> ((s, d) => {
+      val g = dayGrid(s, d)
+        .selectExpr("event_type", "pmod(day + 4, 7) AS dow", "n")
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      val byType = Window.partitionBy(col("event_type"))
+      g.withColumn("tot", sum(col("n_events")).over(byType))
+        .selectExpr("event_type", "dow", "n_days", "n_events",
+          "(n_events * 100) div n_days AS mean_e2",
+          "(n_events * 1000000) div tot AS share_ppm")
+        .withColumn("peak_rank", row_number().over(
+          byType.orderBy(desc("mean_e2"), asc("dow"))).cast("bigint"))
+        .orderBy(asc("event_type"), asc("dow"))
+    }),
+
     // CUSUM change-point per event type: on the zero-filled grid, the
     // drift statistic G_d = |cumsum_d·N − T·d| (cross-multiplied — exact
     // integers, no T/N fraction) peaks at the most likely level shift;
@@ -395,6 +420,18 @@ object Timeseries {
           "l AS level, t AS trend, (sae * 10000) // cnt AS mae_e4 " +
           "FROM rec, unnest(range(1, 8)) AS h(horizon) " +
           "WHERE day = d1 AND cnt > 0 ORDER BY event_type, horizon"),
+
+      "events_dow_seasonality" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "gg AS (SELECT event_type, (day + 4) % 7 AS dow, count(*) AS n_days, " +
+          "CAST(sum(n) AS BIGINT) AS n_events FROM z GROUP BY event_type, dow), " +
+          "p AS (SELECT event_type, dow, n_days, n_events, " +
+          "(n_events * 100) // n_days AS mean_e2, " +
+          "(n_events * 1000000) // CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm " +
+          "FROM gg) " +
+          "SELECT event_type, dow, n_days, n_events, mean_e2, share_ppm, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY mean_e2 DESC, dow) AS peak_rank " +
+          "FROM p ORDER BY event_type, dow"),
 
       "events_cusum" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

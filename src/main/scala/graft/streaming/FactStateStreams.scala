@@ -454,6 +454,71 @@ object FactStateStreams {
       }
   }
 
+  /** One closed grid day's Holt snapshot: the updated level/trend, the
+    * one-step-ahead forecast they imply, and the running backtest MAE —
+    * the same integer recursion as the batch `events_holt_winters`. */
+  final case class HoltUpdate(
+      eventType: String, day: Long, n: Long,
+      level: Long, trend: Long, forecast: Long, maeE4: Long)
+
+  /** Streaming per-type Holt state: the open day plus the fold's four
+    * integers (level, trend, Σ|err|, day count) — O(1) per type. */
+  final case class HoltState(
+      curDay: Long, curCount: Long, seeded: Boolean,
+      l: Long, t: Long, sae: Long, cnt: Long)
+
+  /** Live twin of the batch `events_holt_winters` fold (fifteenth face):
+    * level l = (n + 3(l+t)) div 4 and trend t = ((l' − l) + 7t) div 8
+    * update as each grid day closes, emitting the refreshed one-step
+    * forecast (l + t) and running backtest MAE — a forecast that is
+    * always current without re-folding history. Quiet days are grid rows
+    * (n = 0) exactly as in the batch zero-fill; the first observed day
+    * seeds the level and emits nothing; late events for closed days are
+    * dropped (batch is the repair path). Both engines' integer division
+    * truncates toward zero, so signed trends agree bit-for-bit with the
+    * batch fold over any prefix. */
+  def holtForecast(spark: SparkSession, events: DataFrame): Dataset[HoltUpdate] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, HoltUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val out = Seq.newBuilder[HoltUpdate]
+        var st = state.getOption.orNull
+        def fold(s: HoltState, day: Long, n: Long): HoltState = {
+          // one batch-fold step for a CLOSED grid day (seeded state only)
+          val l2 = (n + 3 * (s.l + s.t)) / 4
+          val t2 = ((l2 - s.l) + 7 * s.t) / 8
+          val sae2 = s.sae + math.abs(n - (s.l + s.t))
+          val cnt2 = s.cnt + 1
+          out += HoltUpdate(typ, day, n, l2, t2, l2 + t2, sae2 * 10000 / cnt2)
+          s.copy(l = l2, t = t2, sae = sae2, cnt = cnt2)
+        }
+        rows.toSeq.map(_._2 / DayUs).sorted.foreach { day =>
+          st match {
+            case null =>
+              st = HoltState(day, 1L, seeded = false, 0L, 0L, 0L, 0L)
+            case s if day == s.curDay =>
+              st = s.copy(curCount = s.curCount + 1)
+            case s if day > s.curDay =>
+              var cur =
+                if (!s.seeded) s.copy(seeded = true, l = s.curCount, t = 0L)
+                else fold(s, s.curDay, s.curCount)
+              var zd = s.curDay + 1
+              while (zd < day) { cur = fold(cur, zd, 0L); zd += 1 }
+              st = cur.copy(curDay = day, curCount = 1L)
+            case s => st = s // late event for a closed day: dropped
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** One observed behavior-log transition (prev type → next type). */
   final case class Transition(userId: Long, prevType: String, nextType: String, tsUs: Long)
 

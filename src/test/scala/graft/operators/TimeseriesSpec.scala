@@ -153,6 +153,28 @@ class TimeseriesSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("events_dow_seasonality") {
+    it("censuses the zero-filled grid by integer day-of-week with exact means and ranks") {
+      // 'A' span days 0..7 (dows 4,5,6,0,1,2,3,4): 10 events day0 + 20
+      // day7 (both dow 4), 6 events day3 (dow 0); all other grid days
+      // zero. tot=36. dow4: 2 days, 30 events, mean 1500, share 833333,
+      // peak. dow0: 1 day, 6 events, mean 600, share 166666, rank 2.
+      val d = dirWith(
+        Seq.fill(10)((1L, "A", 0L, 0L)) ++ Seq.fill(6)((1L, "A", 3L, 0L)) ++
+          Seq.fill(20)((1L, "A", 7L, 0L)))
+      val got = Timeseries.queries("events_dow_seasonality")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(
+        ("A", 0L, 1L, 6L, 600L, 166666L, 2L),
+        ("A", 1L, 1L, 0L, 0L, 0L, 3L),
+        ("A", 2L, 1L, 0L, 0L, 0L, 4L),
+        ("A", 3L, 1L, 0L, 0L, 0L, 5L),
+        ("A", 4L, 2L, 30L, 1500L, 833333L, 1L),
+        ("A", 5L, 1L, 0L, 0L, 0L, 6L),
+        ("A", 6L, 1L, 0L, 0L, 0L, 7L))
+    }
+  }
+
   describe("events_holt_winters") {
     it("folds the integer level/trend recursion and forecasts 7 days out") {
       // 'A': 40/80/120 events on days 0/1/2 — hand-rolled fold:
