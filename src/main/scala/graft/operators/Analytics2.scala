@@ -21,6 +21,45 @@ object Analytics2 {
   private val BloomP = graft.functions.CrossHash.P
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-type user-concentration census: the exact Gini coefficient of
+    // per-user activity — the "is our data coming from everyone or from
+    // ten power users" number a pipeline monitors before trusting
+    // engagement-weighted sampling. Exact integer rank formula
+    // G = (2W − (n+1)S) / (nS) with W = Σ i·x_(i) over users sorted by
+    // activity ascending — computed WITHOUT a global per-user sort: users
+    // collapse to a count-of-counts histogram (distinct activity levels —
+    // vocabulary-sized), a run of f users at level x occupying ranks
+    // cum_before+1..cum_before+f contributes x·(f·cum_before + f(f+1)/2)
+    // to W in closed form, and the rank window runs over the HISTOGRAM
+    // (partitioned by type, ordered by level), never over the entity set.
+    // Wide cross-products ride DECIMAL(38,0)/HUGEINT (the Stats moment
+    // discipline: n·S ≈ 1e21 at 100 TB — beyond int64, 17 orders below
+    // the decimal ceiling); declared outputs downcast to BIGINT.
+    "events_user_gini" -> ((s, d) => {
+      val ux = EventFinders.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val hist = ux.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("f"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(asc("x"))
+      hist
+        .withColumn("cumf", sum(col("f")).over(byType))
+        .selectExpr("event_type", "x", "f", "cumf - f AS cum_before")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("f")).as("n_users"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * f")).as("s"),
+          sum(expr("""CAST(x AS DECIMAL(38,0)) *
+            (CAST(f AS DECIMAL(38,0)) * cum_before +
+             (CAST(f AS DECIMAL(38,0)) * (f + 1)) div 2)""")).as("w"))
+        .selectExpr("event_type",
+          "CAST(n_users AS BIGINT) AS n_users",
+          "CAST(s AS BIGINT) AS n_events",
+          """CAST(((2 * w - (CAST(n_users AS DECIMAL(38,0)) + 1) * s) * 1000000)
+             div (CAST(n_users AS DECIMAL(38,0)) * s) AS BIGINT) AS gini_ppm""")
+        .orderBy(asc("event_type"))
+    }),
+
     // ROLLUP over (lang, source): the Expand operator; grand totals
     // included. COALESCE pins the null grouping rows for the oracle sort.
     "rollup_corpus" -> ((s, d) =>
@@ -406,6 +445,20 @@ object Analytics2 {
   def oracles: Map[String, String] = {
     val toks = tokensDuck("text")
     Map(
+      "events_user_gini" ->
+        ("WITH ux AS (SELECT event_type, user_id, count(*) AS x FROM events " +
+          "GROUP BY event_type, user_id), " +
+          "h AS (SELECT event_type, x, count(*) AS f FROM ux GROUP BY event_type, x), " +
+          "e AS (SELECT event_type, x, f, " +
+          "CAST(sum(f) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) - f AS cum_before FROM h), " +
+          "a AS (SELECT event_type, CAST(sum(f) AS BIGINT) AS n_users, " +
+          "sum(CAST(x AS HUGEINT) * f) AS s, " +
+          "sum(CAST(x AS HUGEINT) * (CAST(f AS HUGEINT) * cum_before + " +
+          "(CAST(f AS HUGEINT) * (f + 1)) // 2)) AS w FROM e GROUP BY event_type) " +
+          "SELECT event_type, n_users, CAST(s AS BIGINT) AS n_events, " +
+          "CAST(((2 * w - (CAST(n_users AS HUGEINT) + 1) * s) * 1000000) " +
+          "// (CAST(n_users AS HUGEINT) * s) AS BIGINT) AS gini_ppm " +
+          "FROM a ORDER BY event_type"),
       "rollup_corpus" ->
         ("SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source, " +
           "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars " +

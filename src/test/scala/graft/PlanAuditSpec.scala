@@ -793,6 +793,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "grid fold lost its partial (map-side combine) phase")
   }
 
+  test("events_user_gini: rank window runs on the count histogram, never the entity set") {
+    val p = planOf("events_user_gini")
+    assert(!p.contains("Join"), "gini census must be join-free")
+    assert("Scan parquet".r.findAllIn(p).length <= 1, "expected one events scan")
+    assert(p.contains("partial_count"), "entity census lost its partial phase")
+    // corpus-scale shuffles: per-user census + histogram + window-on-type —
+    // the global user SORT the naive rank formula needs must not appear
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex <= 3, s"$ex hash exchanges — histogram collapse lost")
+    assert(!p.contains("Exchange rangepartitioning(x"),
+      "global sort by activity level crept in — Gini must come from the histogram closed form")
+  }
+
   test("dq_distribution_drift: join-free single scan; bin fan-out in-row; windows on the grid") {
     val p = planOf("dq_distribution_drift")
     assert(!p.contains("Join"), "drift census must be join-free")

@@ -453,6 +453,29 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("events_user_gini") {
+    it("computes the exact rank-formula Gini from the count histogram") {
+      // type 'g': users with activity 1,1,2,4 → sorted W = 1+2+6+16 = 25,
+      // n=4, S=8, G = (50-40)/32 = 0.3125 → 312500 ppm.
+      // type 'eq': three users at 3 each → G = 0.
+      val dir = java.nio.file.Files.createTempDirectory("gini-fixture").toFile
+      dir.deleteOnExit()
+      val rows =
+        Seq((1L, "g")) ++ Seq((2L, "g")) ++ Seq.fill(2)((3L, "g")) ++ Seq.fill(4)((4L, "g")) ++
+          (1 to 3).flatMap(u => Seq.fill(3)((u.toLong, "eq")))
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, i.toLong * 1000000L, u, t, 1.0, "{}")
+      }.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .selectExpr("event_id", "CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ) AS ts",
+          "user_id", "event_type", "value", "props")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "events.parquet").toString)
+      val got = Analytics2.queries("events_user_gini")(spark, dir.toString)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(("eq", 3L, 9L, 0L), ("g", 4L, 8L, 312500L))
+    }
+  }
+
   describe("sample_soft_dedup") {
     it("matches an independent Scala recomputation of the soft-dedup coin census") {
       val clusterSize = Dedup.queries("dedup_clusters")(spark, sf)
