@@ -793,6 +793,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "grid fold lost its partial (map-side combine) phase")
   }
 
+  test("corpus_pipeline_v3: one persisted corpus base; graph/contamination sides are bucket joins") {
+    val p = planOf("corpus_pipeline_v3")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "funnel attach joins must be equi-joins")
+    assert(p.contains("InMemoryTableScan"),
+      "base relation not persisted — funnel would re-scan the corpus per stage")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "bench-side band/shingle relations lost their broadcast joins")
+  }
+
   test("events_user_gini: rank window runs on the count histogram, never the entity set") {
     val p = planOf("events_user_gini")
     assert(!p.contains("Join"), "gini census must be join-free")

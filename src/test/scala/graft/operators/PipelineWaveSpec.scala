@@ -507,6 +507,40 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("corpus_pipeline_v3") {
+    it("matches a plain-Scala funnel built from its component operators") {
+      val clusterSize = Dedup.queries("dedup_clusters")(spark, sf)
+        .select("doc_id", "cluster_size").as[(Long, Long)].collect().toMap
+      val flagged = TrainingPipeline.queries("decontaminate_minhash")(spark, sf)
+        .select("doc_id").as[Long].collect().toSet
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "lang", "text").as[(Long, String, String)].collect().toSeq
+      val m = TrainingPipeline.FuzzyBenchMod
+      val expected = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (lang, ds) =>
+        val staged = ds.map { case (id, _, text) =>
+          val toks = text.split(" ", -1).filter(_.nonEmpty)
+          val nTokens = toks.length.toLong
+          val ttr = toks.distinct.length.toLong * 10000 / math.max(toks.length, 1)
+          val s1 = ttr >= 5000
+          val csize = clusterSize.getOrElse(id, 1L)
+          val keep = polyHash(id.toString) * CrossHash.CoinScramble % CrossHash.P % csize == 0
+          val clean = id % m != 0 && !flagged.contains(id)
+          (nTokens, s1, s1 && keep, s1 && keep && clean)
+        }
+        (lang, staged.size.toLong,
+          staged.count(!_._2).toLong,
+          staged.count(r => r._2 && !r._3).toLong,
+          staged.count(r => r._3 && !r._4).toLong,
+          staged.count(_._4).toLong,
+          staged.filter(_._4).map(_._1).sum)
+      }
+      val got = Dedup.queries("corpus_pipeline_v3")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      CacheScope.releaseAll()
+      got shouldBe expected
+    }
+  }
+
   describe("decontaminate_minhash") {
     it("flags the exact-copy leak on a constructed fixture and nothing else") {
       // doc 0 (id % FuzzyBenchMod == 0 → benchmark) and doc 1 (corpus) share the
