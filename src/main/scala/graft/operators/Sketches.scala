@@ -129,6 +129,49 @@ object Sketches {
       .mkString(s"CASE $m ", " ", " END")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HLL set algebra across sketches: for every language PAIR, the union
+    // estimate from register-wise max-merge and the intersection estimate
+    // by inclusion-exclusion (est_A + est_B − est_A∪B) — the overlap
+    // answer a sketch-only pipeline can give WITHOUT revisiting the data,
+    // next to the exact |A∩B| so the error is part of the declared,
+    // oracle-pinned result. Everything past the shared per-lang registers
+    // runs on the registers×pairs grid (≤ langs²·256 rows); the exact
+    // intersection is an equi-join on the hash over the distinct
+    // (lang, h) relation — at most |langs| rows per key, so no skew.
+    "text_hll_set_algebra" -> ((s, d) => {
+      val tok = CacheScope.persist(langShingleHashes(s, d))
+      val regs = CacheScope.persist(hllRegistersOf(tok))
+      def estFrom(df: DataFrame, keys: Seq[String], out: String): DataFrame = df
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("present"), sum(expr(termCase("m"))).as("s_present"))
+        .selectExpr(keys :+ (s"CAST(floor(($HllAlphaM2 / (s_present + " +
+          s"CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) AS $out"): _*)
+      val langs = regs.select(col("lang")).distinct()
+      val pairs = langs.as("x").join(langs.as("y"), col("x.lang") < col("y.lang"))
+        .select(col("x.lang").as("la"), col("y.lang").as("lb"))
+      val uni = pairs.join(regs, col("la") === col("lang"))
+        .select(col("la"), col("lb"), col("j"), col("m"))
+        .union(pairs.join(regs, col("lb") === col("lang"))
+          .select(col("la"), col("lb"), col("j"), col("m")))
+        .groupBy(col("la"), col("lb"), col("j")).agg(max(col("m")).as("m"))
+      val estU = estFrom(uni, Seq("la", "lb"), "hll_union_e4")
+      val estL = estFrom(regs, Seq("lang"), "est_e4")
+      val dx = tok.select(col("lang"), col("h")).distinct()
+      val exact = dx.as("p").join(dx.as("q"),
+          col("p.h") === col("q.h") && col("p.lang") < col("q.lang"))
+        .groupBy(col("p.lang").as("la"), col("q.lang").as("lb"))
+        .agg(count(lit(1)).as("n_common_exact"))
+      pairs
+        .join(exact, Seq("la", "lb"), "left").na.fill(0L, Seq("n_common_exact"))
+        .join(estL.select(col("lang").as("la"), col("est_e4").as("hll_a_e4")), Seq("la"))
+        .join(estL.select(col("lang").as("lb"), col("est_e4").as("hll_b_e4")), Seq("lb"))
+        .join(estU, Seq("la", "lb"))
+        .selectExpr("la AS lang_a", "lb AS lang_b", "n_common_exact",
+          "hll_a_e4", "hll_b_e4", "hll_union_e4",
+          "hll_a_e4 + hll_b_e4 - hll_union_e4 AS hll_inter_e4")
+        .orderBy(asc("lang_a"), asc("lang_b"))
+    }),
+
     // Distinct-shingle cardinality per language: the corpus vocabulary is a
     // fixed 31 tokens at every SF, but 3-gram shingles number in the
     // thousands per language — real HLL territory (raw estimator needs
@@ -262,6 +305,35 @@ object Sketches {
     val langTok = "SELECT lang, unnest(" +
       CrossHash.shingleHashesDuck(wh) + ") AS h FROM documents"
     Map(
+      "text_hll_set_algebra" ->
+        (s"WITH tok AS ($langTok), " +
+          s"regs AS (SELECT lang, h % $HllM AS j, ${rankCase(s"(h // $HllM)")} AS r FROM tok), " +
+          "mx AS (SELECT lang, j, max(r) AS m FROM regs GROUP BY lang, j), " +
+          "langs AS (SELECT DISTINCT lang FROM mx), " +
+          "pairs AS (SELECT x.lang AS la, y.lang AS lb FROM langs x JOIN langs y ON x.lang < y.lang), " +
+          "uni AS (SELECT la, lb, j, max(m) AS m FROM (" +
+          "SELECT la, lb, j, m FROM pairs JOIN mx ON la = mx.lang " +
+          "UNION ALL SELECT la, lb, j, m FROM pairs JOIN mx ON lb = mx.lang) " +
+          "GROUP BY la, lb, j), " +
+          s"ue0 AS (SELECT la, lb, count(*) AS present, sum(${termCase("m")}) AS s_present " +
+          "FROM uni GROUP BY la, lb), " +
+          s"ue AS (SELECT la, lb, CAST(floor(($HllAlphaM2 / " +
+          s"(s_present + CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) AS hll_union_e4 FROM ue0), " +
+          s"le0 AS (SELECT lang, count(*) AS present, sum(${termCase("m")}) AS s_present " +
+          "FROM mx GROUP BY lang), " +
+          s"le AS (SELECT lang, CAST(floor(($HllAlphaM2 / " +
+          s"(s_present + CAST($HllM - present AS DOUBLE))) * 10000.0) AS BIGINT) AS est_e4 FROM le0), " +
+          "dx AS (SELECT DISTINCT lang, h FROM tok), " +
+          "ex AS (SELECT p.lang AS la, q.lang AS lb, count(*) AS n_common_exact " +
+          "FROM dx p JOIN dx q ON p.h = q.h AND p.lang < q.lang GROUP BY p.lang, q.lang) " +
+          "SELECT pairs.la AS lang_a, pairs.lb AS lang_b, " +
+          "CAST(COALESCE(ex.n_common_exact, 0) AS BIGINT) AS n_common_exact, " +
+          "a.est_e4 AS hll_a_e4, b.est_e4 AS hll_b_e4, ue.hll_union_e4, " +
+          "a.est_e4 + b.est_e4 - ue.hll_union_e4 AS hll_inter_e4 " +
+          "FROM pairs LEFT JOIN ex ON pairs.la = ex.la AND pairs.lb = ex.lb " +
+          "JOIN le a ON a.lang = pairs.la JOIN le b ON b.lang = pairs.lb " +
+          "JOIN ue ON ue.la = pairs.la AND ue.lb = pairs.lb " +
+          "ORDER BY lang_a, lang_b"),
       "text_hll_distinct" ->
         (s"WITH tok AS ($langTok), " +
           s"regs AS (SELECT lang, h % $HllM AS j, ${rankCase(s"(h // $HllM)")} AS r FROM tok), " +

@@ -117,4 +117,25 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(math.abs(evenTokens / total - 0.25) < 0.06,
       s"realized even-source share ${evenTokens / total} far from 0.25")
   }
+
+  test("HLL set algebra: union dominates both sides; intersection tracks exact overlap") {
+    val rows = SparkEntry.queries("text_hll_set_algebra")(spark, sf).collect()
+    graft.operators.CacheScope.releaseAll()
+    assert(rows.length == 10, s"expected C(5,2)=10 language pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("hll_a_e4"); val b = r.getAs[Long]("hll_b_e4")
+      val u = r.getAs[Long]("hll_union_e4")
+      // theorem, not heuristic: union registers are register-wise >= each
+      // side's, so the raw estimate cannot shrink
+      assert(u >= math.max(a, b),
+        s"union estimate below a side: $r")
+      // inclusion-exclusion error budget: raw-HLL relative error at m=256
+      // is ~6.5% per sketch; three sketches compound. Bound the
+      // intersection miss by 20% of the UNION estimate (scale-relative).
+      val exact = r.getAs[Long]("n_common_exact").toDouble
+      val inter = r.getAs[Long]("hll_inter_e4") / 10000.0
+      assert(math.abs(inter - exact) <= 0.20 * (u / 10000.0) + 1,
+        s"intersection estimate off by more than 20% of union scale: $r")
+    }
+  }
 }
