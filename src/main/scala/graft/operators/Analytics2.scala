@@ -60,6 +60,47 @@ object Analytics2 {
         .orderBy(asc("event_type"))
     }),
 
+    // Revenue-concentration Gini across customers, per market segment —
+    // the continuous-value companion to events_user_gini. The histogram
+    // closed form needs DISCRETE levels, so per-customer revenue (exact
+    // e4 integer) is quantized to 3 significant digits as part of the
+    // DECLARED semantics: ≤900 levels per decade ≈ a few thousand levels
+    // total at ANY corpus size, which is what keeps the level histogram
+    // (and its ordering window) bounded where raw e4 values would be
+    // near-unique and degenerate back into an entity-sized sort. The
+    // quantization perturbs each value < 0.1%, far under Gini's
+    // measurement noise. Fact side collapses to per-customer sums before
+    // the dim join (the referential-integrity discipline); customers
+    // without orders are out of scope (no revenue rank).
+    "orders_value_gini" -> ((s, d) => {
+      val e4 = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+      val pw = (0 to 16).map(i => s"WHEN $i THEN ${"1" + "0" * i}L")
+        .mkString("CASE greatest(length(CAST(x AS STRING)) - 3, 0) ", " ", " ELSE 1L END")
+      val cust = t(s, d, "orders").selectExpr("o_custkey", s"$e4 AS v")
+        .groupBy(col("o_custkey")).agg(sum(col("v")).cast("bigint").as("x"))
+        .join(t(s, d, "customer").selectExpr("c_custkey", "c_mktsegment AS segment"),
+          col("o_custkey") === col("c_custkey"))
+      val hist = cust.selectExpr("segment", s"(x div ($pw)) * ($pw) AS q")
+        .groupBy(col("segment"), col("q")).agg(count(lit(1)).as("f"))
+      val bySeg = Window.partitionBy(col("segment")).orderBy(asc("q"))
+      hist
+        .withColumn("cumf", sum(col("f")).over(bySeg))
+        .selectExpr("segment", "q", "f", "cumf - f AS cum_before")
+        .groupBy(col("segment"))
+        .agg(
+          sum(col("f")).as("n_customers"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * f")).as("s"),
+          sum(expr("""CAST(q AS DECIMAL(38,0)) *
+            (CAST(f AS DECIMAL(38,0)) * cum_before +
+             (CAST(f AS DECIMAL(38,0)) * (f + 1)) div 2)""")).as("w"))
+        .selectExpr("segment",
+          "CAST(n_customers AS BIGINT) AS n_customers",
+          "CAST(s AS BIGINT) AS total_rev_e4",
+          """CAST(((2 * w - (CAST(n_customers AS DECIMAL(38,0)) + 1) * s) * 1000000)
+             div (CAST(n_customers AS DECIMAL(38,0)) * s) AS BIGINT) AS gini_ppm""")
+        .orderBy(asc("segment"))
+    }),
+
     // ROLLUP over (lang, source): the Expand operator; grand totals
     // included. COALESCE pins the null grouping rows for the oracle sort.
     "rollup_corpus" -> ((s, d) =>
@@ -445,6 +486,26 @@ object Analytics2 {
   def oracles: Map[String, String] = {
     val toks = tokensDuck("text")
     Map(
+      "orders_value_gini" -> {
+        val pwDuck = (0 to 16).map(i => s"WHEN $i THEN ${"1" + "0" * i}")
+          .mkString("CASE greatest(length(CAST(x AS VARCHAR)) - 3, 0) ", " ", " ELSE 1 END")
+        "WITH cust AS (SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * " +
+          "CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY o_custkey), " +
+          "seg AS (SELECT c.c_mktsegment AS segment, " +
+          s"(cust.x // ($pwDuck)) * ($pwDuck) AS q " +
+          "FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey), " +
+          "h AS (SELECT segment, q, count(*) AS f FROM seg GROUP BY segment, q), " +
+          "e AS (SELECT segment, q, f, " +
+          "CAST(sum(f) OVER (PARTITION BY segment ORDER BY q) AS BIGINT) - f AS cum_before FROM h), " +
+          "a AS (SELECT segment, CAST(sum(f) AS BIGINT) AS n_customers, " +
+          "sum(CAST(q AS HUGEINT) * f) AS s, " +
+          "sum(CAST(q AS HUGEINT) * (CAST(f AS HUGEINT) * cum_before + " +
+          "(CAST(f AS HUGEINT) * (f + 1)) // 2)) AS w FROM e GROUP BY segment) " +
+          "SELECT segment, n_customers, CAST(s AS BIGINT) AS total_rev_e4, " +
+          "CAST(((2 * w - (CAST(n_customers AS HUGEINT) + 1) * s) * 1000000) " +
+          "// (CAST(n_customers AS HUGEINT) * s) AS BIGINT) AS gini_ppm " +
+          "FROM a ORDER BY segment"
+      },
       "events_user_gini" ->
         ("WITH ux AS (SELECT event_type, user_id, count(*) AS x FROM events " +
           "GROUP BY event_type, user_id), " +

@@ -803,6 +803,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "bench-side band/shingle relations lost their broadcast joins")
   }
 
+  test("orders_value_gini: fact collapses per customer before the dim join; window on quantized levels") {
+    val p = planOf("orders_value_gini")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"), "per-customer census lost its partial phase")
+    assert(!p.contains("Exchange rangepartitioning(q"),
+      "global sort by revenue level — Gini must come from the bounded quantized histogram")
+  }
+
   test("events_user_gini: rank window runs on the count histogram, never the entity set") {
     val p = planOf("events_user_gini")
     assert(!p.contains("Join"), "gini census must be join-free")

@@ -507,6 +507,24 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("orders_value_gini") {
+    it("quantizes per-customer revenue to 3 significant digits and applies the exact rank formula") {
+      val dir = java.nio.file.Files.createTempDirectory("vgini-fixture").toFile
+      dir.deleteOnExit()
+      Seq((1L, "S"), (2L, "S"), (3L, "S")).toDF("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(new java.io.File(dir, "customer.parquet").toString)
+      // e4 revenues 1000000, 1000000, 1234500 → q = 1000000, 1000000,
+      // 1230000 (3-sig-digit floor). Sorted W = 1e6 + 2e6 + 3.69e6;
+      // G = (2W − 4S)/(3S) = 460000/9690000 → 47471 ppm.
+      Seq((10L, 1L, 100.00), (11L, 2L, 100.00), (12L, 3L, 123.45))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(new java.io.File(dir, "orders.parquet").toString)
+      val got = Analytics2.queries("orders_value_gini")(spark, dir.toString)
+        .as[(String, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(("S", 3L, 3230000L, 47471L))
+    }
+  }
+
   describe("corpus_pipeline_v3") {
     it("matches a plain-Scala funnel built from its component operators") {
       val clusterSize = Dedup.queries("dedup_clusters")(spark, sf)
