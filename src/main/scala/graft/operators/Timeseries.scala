@@ -254,6 +254,32 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("horizon"))
     }),
 
+    // Burstiness census per event type: the Fano factor (variance/mean of
+    // the zero-filled daily counts, ×10⁶) — the dispersion diagnostic
+    // that separates Poisson-like steady traffic (F ≈ 1e6) from bursty
+    // arrivals (F ≫ 1e6); a quiet-day-heavy type can't hide because the
+    // zero-filled grid is the population. Exact cross-multiplied
+    // integers: F = (n·Σx² − (Σx)²) / (n·Σx); the wide products ride
+    // DECIMAL(38,0)/HUGEINT (Σx² ≈ 3e20 at 100 TB). One grid-sized
+    // aggregate over the shared dayGrid cache.
+    "events_burstiness" -> ((s, d) => {
+      dayGrid(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("sx"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("sxx"))
+        .selectExpr("event_type",
+          "CAST(n_days AS BIGINT) AS n_days",
+          "CAST(sx AS BIGINT) AS n_events",
+          "(sx * 100) div n_days AS mean_e2",
+          """CASE WHEN sx = 0 THEN CAST(NULL AS BIGINT) ELSE
+             CAST(((CAST(n_days AS DECIMAL(38,0)) * sxx -
+                    CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) * 1000000)
+             div (CAST(n_days AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))) AS BIGINT)
+             END AS fano_e6""")
+        .orderBy(asc("event_type"))
+    }),
+
     // Day-of-week seasonality profile per event type: the zero-filled
     // grid folds to a 7-row-per-type dow census (dow = (epochday + 4) % 7,
     // 0 = Sunday — pure integer arithmetic, no date functions to disagree
@@ -420,6 +446,16 @@ object Timeseries {
           "l AS level, t AS trend, (sae * 10000) // cnt AS mae_e4 " +
           "FROM rec, unnest(range(1, 8)) AS h(horizon) " +
           "WHERE day = d1 AND cnt > 0 ORDER BY event_type, horizon"),
+
+      "events_burstiness" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "a AS (SELECT event_type, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS sx, " +
+          "sum(CAST(n AS HUGEINT) * n) AS sxx FROM z GROUP BY event_type) " +
+          "SELECT event_type, n_days, sx AS n_events, (sx * 100) // n_days AS mean_e2, " +
+          "CASE WHEN sx = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "CAST(((CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) * 1000000) " +
+          "// (CAST(n_days AS HUGEINT) * sx) AS BIGINT) END AS fano_e6 " +
+          "FROM a ORDER BY event_type"),
 
       "events_dow_seasonality" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

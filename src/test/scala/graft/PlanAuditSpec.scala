@@ -597,7 +597,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("events_autocorr / events_cusum: one corpus groupBy, zero-fill join is grid-sized") {
-    Seq("events_autocorr", "events_cusum", "events_dow_seasonality").foreach { q =>
+    Seq("events_autocorr", "events_cusum", "events_dow_seasonality",
+        "events_burstiness").foreach { q =>
       val p = planOf(q)
       // the counts grid is persisted and BOTH consumers (span aggregate +
       // zero-fill join) read the one InMemoryRelation — the corpus parquet

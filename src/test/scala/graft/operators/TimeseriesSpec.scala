@@ -153,6 +153,21 @@ class TimeseriesSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("events_burstiness") {
+    it("computes the exact cross-multiplied Fano factor over the zero-filled grid") {
+      // 'A': 4 events day0 + 4 day3, zero days 1-2 → n=4, Σx=8, Σx²=32,
+      //   F = (4·32−64)·1e6 / (4·8) = 2e6.  'B': 2/2/2 → variance 0.
+      val d = dirWith(
+        Seq.fill(4)((1L, "A", 0L, 0L)) ++ Seq.fill(4)((1L, "A", 3L, 0L)) ++
+          (0L to 2L).flatMap(day => Seq.fill(2)((1L, "B", day, 0L))))
+      val got = Timeseries.queries("events_burstiness")(spark, d)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq(
+        ("A", 4L, 8L, 200L, 2000000L),
+        ("B", 3L, 6L, 200L, 0L))
+    }
+  }
+
   describe("events_dow_seasonality") {
     it("censuses the zero-filled grid by integer day-of-week with exact means and ranks") {
       // 'A' span days 0..7 (dows 4,5,6,0,1,2,3,4): 10 events day0 + 20
