@@ -519,6 +519,65 @@ object FactStateStreams {
       }
   }
 
+  /** One closed grid day's updated day-of-week slot: the dow census row
+    * the batch `events_dow_seasonality` would hold for this dow over the
+    * closed prefix (share/rank need all seven slots and are grid-side
+    * derivations; the live face emits the slot's running census). */
+  final case class DowUpdate(
+      eventType: String, day: Long, dow: Long, dayN: Long,
+      nDaysDow: Long, nEventsDow: Long, meanE2: Long)
+
+  /** Streaming per-type dow state: the open day plus seven fixed slots. */
+  final case class DowState(
+      curDay: Long, curCount: Long, days: Seq[Long], events: Seq[Long])
+
+  /** Live twin of the batch `events_dow_seasonality` census (sixteenth
+    * face): as each grid day closes — quiet days included, exactly the
+    * batch zero-fill — its day-of-week slot ((epochday+4) % 7) accrues
+    * one day and the day's count, and the face emits that slot's running
+    * (n_days, n_events, mean). State is FIXED width (7 slots + the open
+    * day) per event type; unlike the seeded folds, every grid day counts
+    * from the first (the batch census has no seed day). Late events for
+    * closed days are dropped (batch repairs). */
+  def dowProfile(spark: SparkSession, events: DataFrame): Dataset[DowUpdate] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DowState, DowUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val out = Seq.newBuilder[DowUpdate]
+        var st = state.getOption.orNull
+        def close(s: DowState, day: Long, n: Long): DowState = {
+          val dw = ((day + 4) % 7).toInt
+          val d2 = s.days.updated(dw, s.days(dw) + 1)
+          val e2 = s.events.updated(dw, s.events(dw) + n)
+          out += DowUpdate(typ, day, dw.toLong, n,
+            d2(dw), e2(dw), e2(dw) * 100 / d2(dw))
+          s.copy(days = d2, events = e2)
+        }
+        rows.toSeq.map(_._2 / DayUs).sorted.foreach { day =>
+          st match {
+            case null =>
+              st = DowState(day, 1L, Seq.fill(7)(0L), Seq.fill(7)(0L))
+            case s if day == s.curDay =>
+              st = s.copy(curCount = s.curCount + 1)
+            case s if day > s.curDay =>
+              var cur = close(s, s.curDay, s.curCount)
+              var zd = s.curDay + 1
+              while (zd < day) { cur = close(cur, zd, 0L); zd += 1 }
+              st = cur.copy(curDay = day, curCount = 1L)
+            case s => st = s // late event for a closed day: dropped
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** One observed behavior-log transition (prev type → next type). */
   final case class Transition(userId: Long, prevType: String, nextType: String, tsUs: Long)
 
