@@ -148,6 +148,31 @@ object TrainingPipeline {
         .orderBy(asc("doc_id"), asc("bench_id"))
     }),
 
+    // Per-benchmark-item leakage report — the view an eval owner reads:
+    // for every benchmark doc, how many training docs leak it (fuzzy
+    // containment ≥ threshold), the worst containment, and whether the
+    // eval item is compromised at all. LEFT join from the bench split so
+    // clean eval items appear with zero counts — absence of evidence is
+    // part of the declared answer. Same asymmetric band-probe machinery
+    // as decontaminate_minhash; the report aggregation runs on the
+    // flagged-pair relation (candidate-sized).
+    "decontaminate_report" -> ((s, d) => {
+      val flagged = queries("decontaminate_minhash")(s, d)
+      val bench = docs(s, d)
+        .filter(col("doc_id") % FuzzyBenchMod === 0)
+        .selectExpr("doc_id AS bench_id",
+          s"CAST(size(array_distinct(${shingleHashesSpark(wordHashesSpark("text"))})) AS BIGINT) AS n_shingles")
+      bench.join(
+          flagged.groupBy(col("bench_id"))
+            .agg(count(lit(1)).as("n_leaks"),
+              max(col("containment_bp")).as("max_containment_bp")),
+          Seq("bench_id"), "left")
+        .na.fill(0L, Seq("n_leaks", "max_containment_bp"))
+        .selectExpr("bench_id", "n_shingles", "n_leaks", "max_containment_bp",
+          "CAST(CASE WHEN n_leaks > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_compromised")
+        .orderBy(asc("bench_id"))
+    }),
+
     // Deterministic train/val/test split: bucket = content-independent
     // doc_id hash mod 100 -> 90/5/5. Pure projection + one aggregation;
     // identical assignment on any engine (no rand()).
@@ -342,6 +367,22 @@ object TrainingPipeline {
     val toks = tokensDuck("text")
     val sh = s"list_distinct(${shingleHashesDuck(wordHashesDuck(toks))})"
     val docHash = charHashDuck("CAST(doc_id AS VARCHAR)")
+    // shared by decontaminate_minhash and decontaminate_report (the report
+    // embeds this as a derived table so the two can never drift)
+    val deconMinhashSql =
+      s"WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents), " +
+        s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
+        s"bands AS (SELECT doc_id, r.range AS band, ${bandKeyDuck("sig", "r.range")} AS bkey " +
+        s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
+        "cand AS (SELECT DISTINCT c.doc_id AS cd, b.doc_id AS bd FROM bands c " +
+        "JOIN bands b ON c.band = b.band AND c.bkey = b.bkey " +
+        s"AND c.doc_id % $FuzzyBenchMod <> 0 AND b.doc_id % $FuzzyBenchMod = 0) " +
+        "SELECT cd AS doc_id, bd AS bench_id, " +
+        "len(list_intersect(l.sh, r.sh)) AS n_common, len(r.sh) AS n_bench, " +
+        "(len(list_intersect(l.sh, r.sh)) * 10000) // len(r.sh) AS containment_bp " +
+        "FROM cand JOIN sigs l ON cd = l.doc_id JOIN sigs r ON bd = r.doc_id " +
+        s"WHERE (len(list_intersect(l.sh, r.sh)) * 10000) // len(r.sh) >= $FuzzyContainmentMinBp " +
+        "ORDER BY doc_id, bench_id"
     Map(
       "pack_sequences" ->
         (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
@@ -361,20 +402,18 @@ object TrainingPipeline {
           "SELECT c.doc_id AS doc_id, count(*) AS n_overlap " +
           "FROM corpus c JOIN bench b ON c.lang = b.lang AND c.shv = b.shv " +
           s"GROUP BY c.doc_id HAVING count(*) >= $ContaminationMinOverlap ORDER BY doc_id"),
-      "decontaminate_minhash" ->
-        (s"WITH shingled AS (SELECT doc_id, $sh AS sh FROM documents), " +
-          s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
-          s"bands AS (SELECT doc_id, r.range AS band, ${bandKeyDuck("sig", "r.range")} AS bkey " +
-          s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
-          "cand AS (SELECT DISTINCT c.doc_id AS cd, b.doc_id AS bd FROM bands c " +
-          "JOIN bands b ON c.band = b.band AND c.bkey = b.bkey " +
-          s"AND c.doc_id % $FuzzyBenchMod <> 0 AND b.doc_id % $FuzzyBenchMod = 0) " +
-          "SELECT cd AS doc_id, bd AS bench_id, " +
-          "len(list_intersect(l.sh, r.sh)) AS n_common, len(r.sh) AS n_bench, " +
-          "(len(list_intersect(l.sh, r.sh)) * 10000) // len(r.sh) AS containment_bp " +
-          "FROM cand JOIN sigs l ON cd = l.doc_id JOIN sigs r ON bd = r.doc_id " +
-          s"WHERE (len(list_intersect(l.sh, r.sh)) * 10000) // len(r.sh) >= $FuzzyContainmentMinBp " +
-          "ORDER BY doc_id, bench_id"),
+      "decontaminate_minhash" -> deconMinhashSql,
+      "decontaminate_report" ->
+        (s"WITH fl AS (SELECT bench_id, containment_bp FROM ($deconMinhashSql) _f), " +
+          s"bench AS (SELECT doc_id AS bench_id, CAST(len($sh) AS BIGINT) AS n_shingles " +
+          s"FROM documents WHERE doc_id % $FuzzyBenchMod = 0), " +
+          "ag AS (SELECT bench_id, count(*) AS n_leaks, " +
+          "CAST(max(containment_bp) AS BIGINT) AS max_containment_bp FROM fl GROUP BY bench_id) " +
+          "SELECT b.bench_id AS bench_id, b.n_shingles, " +
+          "CAST(COALESCE(ag.n_leaks, 0) AS BIGINT) AS n_leaks, " +
+          "CAST(COALESCE(ag.max_containment_bp, 0) AS BIGINT) AS max_containment_bp, " +
+          "CAST(CASE WHEN COALESCE(ag.n_leaks, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_compromised " +
+          "FROM bench b LEFT JOIN ag ON b.bench_id = ag.bench_id ORDER BY b.bench_id"),
       "sample_split" ->
         (s"WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n_tokens, " +
           s"$docHash % 100 AS bucket FROM documents), " +

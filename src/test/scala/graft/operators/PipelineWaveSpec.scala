@@ -576,8 +576,13 @@ class PipelineWaveSpec extends AnyFunSpec with Matchers {
         .parquet(new java.io.File(dir, "documents.parquet").toString)
       val got = TrainingPipeline.queries("decontaminate_minhash")(spark, dir.toString)
         .as[(Long, Long, Long, Long, Long)].collect().toSeq
-      CacheScope.releaseAll()
       got shouldBe Seq((1L, 0L, 10L, 10L, 10000L))
+      // the per-benchmark-item report over the same fixture: bench doc 0
+      // has 10 distinct shingles, one leak at full containment
+      val report = TrainingPipeline.queries("decontaminate_report")(spark, dir.toString)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      CacheScope.releaseAll()
+      report shouldBe Seq((0L, 10L, 1L, 10000L, 1L))
     }
 
     it("contains every cross-split verified near-dup pair (containment >= jaccard)") {
