@@ -163,8 +163,12 @@ object DataQuality {
         .withColumn("tot_a", sum(col("n_a")).over(byFamily))
         .withColumn("tot_b", sum(col("n_b")).over(byFamily))
         .selectExpr("family", "bin", "n_a", "n_b",
-          "(n_a * 1000000) div tot_a AS p_a_ppm",
-          "(n_b * 1000000) div tot_b AS p_b_ppm")
+          // zero-guarded: on a corpus entirely on one side of the era
+          // cutoff a family total is 0 — Spark's `div` would yield NULL
+          // while DuckDB's `//` raises, so make the NULL explicit in BOTH
+          // engines (see the mirrored CASE in the oracle)
+          "CASE WHEN tot_a = 0 THEN NULL ELSE (n_a * 1000000) div tot_a END AS p_a_ppm",
+          "CASE WHEN tot_b = 0 THEN NULL ELSE (n_b * 1000000) div tot_b END AS p_b_ppm")
         .selectExpr("family", "bin", "n_a", "n_b", "p_a_ppm", "p_b_ppm",
           "p_a_ppm - p_b_ppm AS delta_ppm",
           "(p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) AS drift_ppm2")
@@ -268,8 +272,10 @@ object DataQuality {
               CAST(sum(1 - era_a) AS BIGINT) AS n_b
             FROM u GROUP BY family, bin),
           p AS (SELECT family, bin, n_a, n_b,
-              (n_a * 1000000) // CAST(sum(n_a) OVER (PARTITION BY family) AS BIGINT) AS p_a_ppm,
-              (n_b * 1000000) // CAST(sum(n_b) OVER (PARTITION BY family) AS BIGINT) AS p_b_ppm
+              CASE WHEN sum(n_a) OVER (PARTITION BY family) = 0 THEN NULL
+                ELSE (n_a * 1000000) // CAST(sum(n_a) OVER (PARTITION BY family) AS BIGINT) END AS p_a_ppm,
+              CASE WHEN sum(n_b) OVER (PARTITION BY family) = 0 THEN NULL
+                ELSE (n_b * 1000000) // CAST(sum(n_b) OVER (PARTITION BY family) AS BIGINT) END AS p_b_ppm
             FROM g)
           SELECT family, bin, n_a, n_b, p_a_ppm, p_b_ppm,
             p_a_ppm - p_b_ppm AS delta_ppm,

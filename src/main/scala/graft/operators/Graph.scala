@@ -220,8 +220,14 @@ object Graph {
         .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
         .selectExpr("u", "v", "n_common",
           "deg_u + deg_v - n_common AS n_union",
-          "(n_common * 10000) div (deg_u + deg_v - n_common) AS jaccard_bp")
-        .orderBy(desc("jaccard_bp"), desc("n_common"), asc("u"), asc("v"))
+          // `capped` in the name because the ASYMMETRY is deliberate:
+          // n_common only counts wedges through centers with deg <=
+          // WedgeCap, while the union denominator uses full degrees — a
+          // pair whose shared neighbors are all hubs scores 0. That bias
+          // is the point (hub co-neighbors carry near-zero signal), but
+          // it means this is NOT true Jaccard, and the column says so.
+          "(n_common * 10000) div (deg_u + deg_v - n_common) AS jaccard_capped_bp")
+        .orderBy(desc("jaccard_capped_bp"), desc("n_common"), asc("u"), asc("v"))
         .limit(20)
     }),
 
@@ -315,10 +321,10 @@ object Graph {
         "na AS (SELECT w.u, w.v, n_common FROM w LEFT JOIN e ON e.u = w.u AND e.v = w.v " +
         "WHERE e.u IS NULL), " +
         "j AS (SELECT na.u, na.v, n_common, du.deg + dv.deg - n_common AS n_union, " +
-        "(n_common * 10000) // (du.deg + dv.deg - n_common) AS jaccard_bp " +
+        "(n_common * 10000) // (du.deg + dv.deg - n_common) AS jaccard_capped_bp " +
         "FROM na JOIN deg du ON du.node = na.u JOIN deg dv ON dv.node = na.v) " +
-        "SELECT u, v, n_common, n_union, jaccard_bp FROM j " +
-        "ORDER BY jaccard_bp DESC, n_common DESC, u, v LIMIT 20"),
+        "SELECT u, v, n_common, n_union, jaccard_capped_bp FROM j " +
+        "ORDER BY jaccard_capped_bp DESC, n_common DESC, u, v LIMIT 20"),
 
     "graph_degree_stats" ->
       (edgeCte + ", hist AS (SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg), " +

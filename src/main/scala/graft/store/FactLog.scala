@@ -264,7 +264,18 @@ final class FactLog(val storeDir: Path) {
   /** Delete checkpoint records older than `keepSeq`. With `deleteFiles`
     * their compacted files go too (full compaction rewrote everything);
     * without it only the metadata goes (incremental compaction's new
-    * checkpoint still references the old buckets). */
+    * checkpoint still references the old buckets).
+    *
+    * Scope note: this only sees checkpoints whose METADATA still exists.
+    * `vacuumCheckpointsKeepLast` runs after every publish and bounds that
+    * metadata to a short tail, so data files referenced exclusively by an
+    * already-dropped checkpoint (tier-merged-away slices) are invisible
+    * here even with `deleteFiles = true`. That is by design: the janitor
+    * is the sole reclaimer of tier-superseded slices — it diffs the
+    * directory listing against everything any live commit/checkpoint
+    * references, so it needs no metadata for the orphans, and its grace
+    * period protects in-flight snapshot holders. The cost is reclaim
+    * latency (up to the janitor grace period), never correctness. */
   def vacuumCheckpoints(keepSeq: Long, deleteFiles: Boolean): Unit = {
     if (!Files.exists(checkpointsDir)) return
     val old = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))

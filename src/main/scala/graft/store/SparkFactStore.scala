@@ -394,13 +394,21 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   /** Split a checkpoint's files into (rewrite-now, carry-forward) by size
     * class. Slices at or above a full bucket are always carried (they are
     * done — rewriting them again would make compaction O(store)); below
-    * that, any log2-span class with >= TierFan members is rewritten whole
-    * so the merge output graduates to the next class. */
+    * that, any log2-span class with >= TierFan members IN THE SAME BUCKET
+    * is rewritten whole so the merge output graduates to the next class.
+    * The class key must include the bucket: the rewrite repartitions by
+    * bucket, so only same-bucket slices can co-merge into a larger slice.
+    * A global class pool would sweep a closed bucket's lone slice into a
+    * 'full' class whenever TierFan same-class slices accumulated anywhere,
+    * rewrite it to byte-identical output, and re-admit it to the same
+    * class next cycle — repeated no-op rewrite IO that breaks the O(log)
+    * per-fact rewrite bound. */
   private def tierPartition(files: Seq[FileMeta],
       rowsPerBucket: Long): (Seq[FileMeta], Seq[FileMeta]) = {
     def rows(f: FileMeta): Long = f.maxPos - f.minPos + 1
     val (big, small) = files.partition(rows(_) >= rowsPerBucket)
-    val fullClasses = small.groupBy(f => 63 - java.lang.Long.numberOfLeadingZeros(rows(f)))
+    val fullClasses = small.groupBy(f => ((f.minPos - 1) / rowsPerBucket,
+        63 - java.lang.Long.numberOfLeadingZeros(rows(f))))
       .filter(_._2.size >= TierFan)
     val rewrite = fullClasses.values.flatten.toSeq
     val rewriteSet = rewrite.map(_.path).toSet
