@@ -1,0 +1,213 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.store.SparkFactStore
+import graft.streaming.FactStateStreams
+import graft.streaming.FactStateStreams._
+
+/** Checkpoint recovery for the STATEFUL streaming faces: each face runs on
+  * a live store subscription with a checkpoint dir, is stopped cleanly
+  * between micro-batches (Trigger.AvailableNow terminates once caught up —
+  * the store then keeps ingesting), and is restarted from the same
+  * checkpoint. The contract being pinned is the reference's resumable
+  * streams (factstore-server StreamResource.kt:23-63 Last-Event-ID;
+  * FdbFactStreamer.kt:209-243 cursor resolution) lifted to managed
+  * operator state: a restart must lose NEITHER the source cursor NOR the
+  * flatMapGroupsWithState state behind it.
+  *
+  * Four faces spanning the state shapes:
+  *   - hllDistinct        — per-key register arrays (merge-idempotent)
+  *   - funnelStages       — at-most-once anchors that must never re-fire
+  *   - nearDupCandidates  — band-bucket membership + caps
+  *   - stateIntervals     — one open interval per key
+  *
+  * Every scenario is built so the post-restart output is only correct if
+  * the pre-restart state actually survived (an anchor set before the stop
+  * gates an emission after it), and each asserts BOTH
+  *   (a) combined output across the restart == the uninterrupted run, and
+  *   (b) no emission is duplicated across the restart boundary. */
+class StreamingRecoverySpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  private def newStore(): (SparkFactStore, String) = {
+    val fs = new SparkFactStore(spark, Files.createTempDirectory("graft-recover-"))
+    fs.createStore("s")
+    (fs, "s")
+  }
+
+  /** Drain everything committed-and-unprocessed through `face` from the
+    * given checkpoint; AvailableNow stops cleanly between micro-batches.
+    * maxFilesPerTrigger=2 forces multiple micro-batches per drain (one
+    * commit = one stream file), so state crosses batch boundaries even
+    * within a single drain. */
+  private def drain[T](fs: SparkFactStore, store: String, ckpt: String,
+      mode: String)(face: DataFrame => Dataset[T]): Seq[T] = {
+    val Right(df) = fs.subscribeStream(store, StartPosition.Beginning,
+      maxFilesPerTrigger = Some(2)): @unchecked
+    val out = new ConcurrentLinkedQueue[T]()
+    val q = face(df).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[T], _: Long) => b.collect().foreach(out.add) }
+      .start()
+    assert(q.awaitTermination(180000), "drain did not terminate")
+    out.asScala.toSeq
+  }
+
+  /** Run `face` interrupted (phase1 facts → drain → stop → phase2 facts →
+    * restart from the same checkpoint → drain) and uninterrupted (all
+    * facts, one drain), returning (phase1Out, phase2Out, uninterrupted). */
+  private def runBoth[T](mode: String,
+      phase1: Seq[FactInput], phase2: Seq[FactInput])(
+      face: DataFrame => Dataset[T]): (Seq[T], Seq[T], Seq[T]) = {
+    val (fsI, sI) = newStore()
+    val ckpt = Files.createTempDirectory("graft-recover-ckpt-").toString
+    phase1.foreach(fsI.append(sI, _))
+    val out1 = drain(fsI, sI, ckpt, mode)(face)
+    phase2.foreach(fsI.append(sI, _))
+    val out2 = drain(fsI, sI, ckpt, mode)(face)
+    val (fsU, sU) = newStore()
+    val ckptU = Files.createTempDirectory("graft-recover-ckpt-").toString
+    (phase1 ++ phase2).foreach(fsU.append(sU, _))
+    val outU = drain(fsU, sU, ckptU, mode)(face)
+    (out1, out2, outU)
+  }
+
+  // -- hllDistinct: register-array state ------------------------------------
+
+  test("hllDistinct recovers its registers: estimate and register fingerprint " +
+      "match the uninterrupted run, seq strictly continues") {
+    // deterministic spread of hashes per language; phase 2 re-delivers a
+    // phase-1 hash too (must raise nothing) plus genuinely new ones
+    def hf(lang: String, h: Long) =
+      FactInput("h", lang, Array[Byte](1), tags = Map("h" -> h.toString))
+    val enH = (1 to 30).map(i => i * 2654435761L)
+    val deH = (1 to 20).map(i => i * 40503L + 7)
+    val phase1 = enH.take(15).map(hf("en", _)) ++ deH.take(10).map(hf("de", _))
+    val phase2 = enH.drop(15).map(hf("en", _)) ++ deH.drop(10).map(hf("de", _)) :+
+      hf("en", enH.head) // re-delivery across the restart
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(df =>
+      FactStateStreams.hllDistinct(spark,
+        df.selectExpr("subject AS lang", "CAST(tags['h'] AS BIGINT) AS h")))
+    def finalPer(rows: Seq[HllUpdate]): Map[String, (Long, Long, Long)] =
+      rows.groupBy(_.lang).map { case (l, rs) =>
+        val last = rs.maxBy(_.seq); l -> ((last.present, last.estE4, last.regsFnv))
+      }
+    // (a) final registers identical to the uninterrupted run
+    assert(finalPer(o1 ++ o2) == finalPer(oU))
+    // (b) seq continues across the restart — recovered state, not a reset —
+    // and no (lang, seq) emission repeats
+    o2.groupBy(_.lang).foreach { case (lang, rs) =>
+      val before = o1.filter(_.lang == lang).map(_.seq)
+      assert(before.nonEmpty && rs.map(_.seq).min > before.max,
+        s"$lang: seq did not continue across restart")
+    }
+    val all = o1 ++ o2
+    assert(all.map(u => (u.lang, u.seq)).distinct.size == all.size)
+  }
+
+  // -- funnelStages: at-most-once anchors -----------------------------------
+
+  test("funnelStages recovers its anchors: a pre-restart view gates the " +
+      "post-restart click/purchase and nothing re-fires") {
+    val T0 = 1700000000000000L
+    def ev(u: Long, ty: String, tsUs: Long) =
+      FactInput(ty, u.toString, Array[Byte](1), tags = Map("ts_us" -> tsUs.toString))
+    // user 1: anchor before the stop, conversion after — only fires if the
+    //         FunnelChain state survived the restart
+    // user 2: view+click before, purchase after; a second view after must
+    //         NOT re-fire (at-most-once across the boundary)
+    // user 3: full chain before the stop; repeats after → nothing new
+    val phase1 = Seq(
+      ev(1, "view", T0),
+      ev(2, "view", T0), ev(2, "click", T0 + 1000),
+      ev(3, "view", T0), ev(3, "click", T0 + 1000), ev(3, "purchase", T0 + 2000))
+    val phase2 = Seq(
+      ev(1, "click", T0 + 5000), ev(1, "purchase", T0 + 9000),
+      ev(2, "view", T0 + 5000), ev(2, "purchase", T0 + 9000),
+      ev(3, "click", T0 + 5000), ev(3, "purchase", T0 + 9000))
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(df =>
+      FactStateStreams.funnelStages(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS user_id", "fact_type AS event_type",
+        "timestamp_micros(CAST(tags['ts_us'] AS BIGINT)) AS ts",
+        "position AS event_id")))
+    def key(f: FunnelStage) = (f.userId, f.stage, f.tsUs)
+    assert((o1 ++ o2).map(key).sorted == oU.map(key).sorted)
+    // the recovered-state conversions really happened after the restart
+    assert(o2.map(key).contains((1L, "click_24h", T0 + 5000)))
+    assert(o2.map(key).contains((2L, "purchase_24h", T0 + 9000)))
+    // at-most-once: no stage fires twice for a user, across the boundary
+    val all = o1 ++ o2
+    assert(all.map(f => (f.userId, f.stage)).distinct.size == all.size,
+      s"anchor re-fired across restart: $all")
+  }
+
+  // -- nearDupCandidates: band-bucket membership ----------------------------
+
+  test("nearDupCandidates recovers its band buckets: a post-restart doc " +
+      "pairs with pre-restart bucket members, no pair re-emits") {
+    val text1 = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val text3 = "completely unrelated content about distributed query engines and shuffle plans"
+    def doc(id: Long, text: String) =
+      FactInput("doc", id.toString, text.getBytes("UTF-8"))
+    // docs 1,2 identical + 3 distinct before the stop → pair (1,2) before;
+    // doc 4 identical to 1/2 after → pairs (1,4),(2,4) ONLY if the bucket
+    // membership state survived the restart
+    val phase1 = Seq(doc(1, text1), doc(2, text1), doc(3, text3))
+    val phase2 = Seq(doc(4, text1))
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(df =>
+      FactStateStreams.nearDupCandidates(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS doc_id",
+        "CAST(payload_data AS STRING) AS text")))
+    // the same pair can surface from up to 4 band buckets — consumers dedup
+    // by (docA, docB); parity and the restart boundary are asserted on the
+    // deduped pair sets
+    def pairs(rows: Seq[NearDupCandidate]) = rows.map(c => (c.docA, c.docB)).toSet
+    assert(pairs(o1 ++ o2) == pairs(oU))
+    assert(pairs(o1) == Set((1L, 2L)))
+    assert(pairs(o2) == Set((1L, 4L), (2L, 4L)),
+      "bucket membership did not survive the restart")
+    assert((pairs(o1) & pairs(o2)).isEmpty)
+    // identical docs: full signature agreement
+    (o1 ++ o2).foreach(c => assert(c.estJaccardBp == 10000L))
+  }
+
+  // -- stateIntervals: one open interval per key ----------------------------
+
+  test("stateIntervals recovers the open interval: a run spanning the " +
+      "restart closes with its pre-restart start and full event count") {
+    val T0 = 1700000000000000L
+    def ev(u: Long, ty: String, tsUs: Long) =
+      FactInput(ty, u.toString, Array[Byte](1), tags = Map("ts_us" -> tsUs.toString))
+    // user 1: run of 'a' opens before the stop, closes after → the closed
+    //         interval's validFrom and nEvents prove the open state survived
+    // user 2: run STRADDLES the boundary ('a' before and after, then 'b')
+    val phase1 = Seq(
+      ev(1, "a", T0), ev(1, "a", T0 + 1000),
+      ev(2, "a", T0 + 500))
+    val phase2 = Seq(
+      ev(1, "b", T0 + 2000),
+      ev(2, "a", T0 + 2500), ev(2, "b", T0 + 3000))
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(df =>
+      FactStateStreams.stateIntervals(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS user_id", "fact_type AS event_type",
+        "timestamp_micros(CAST(tags['ts_us'] AS BIGINT)) AS ts")))
+    def key(c: ClosedInterval) = (c.userId, c.state, c.validFromUs, c.validToUs, c.nEvents)
+    assert((o1 ++ o2).map(key).sorted == oU.map(key).sorted)
+    assert(o1.isEmpty, s"nothing closes before the stop: $o1")
+    assert(o2.map(key).toSet == Set(
+      (1L, "a", T0, T0 + 2000, 2L),
+      (2L, "a", T0 + 500, T0 + 3000, 2L)),
+      "open-interval state did not survive the restart")
+  }
+}
