@@ -27,6 +27,7 @@ import graft.store.SparkFactStore
   *   graft.Cli --root DIR fact replay STORE [--after ID]
   *   graft.Cli --root DIR fact subscribe STORE [--from beginning|end] [--after ID] [--max N]
   *   graft.Cli --root DIR serve [--http-port N] [--grpc-port N]
+  *   graft.Cli --backend memory serve [...]   (non-persistent in-JVM engine, no Spark)
   *   graft.Cli analyze list
   *   graft.Cli analyze run QUERY --data DIR [--limit N] [--json]
   * }}}
@@ -67,18 +68,33 @@ object Cli {
         try run(client, flags, pos)
         finally client.close()
       case None =>
-        val root = flags.getOrElse("root",
-          fail("--root DIR (local engine) or --server host:port (wire mode) is required"))
-        val spark = SparkSession.builder()
-          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-          .config("spark.sql.shuffle.partitions", "4")
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("ERROR")
-        val fs = new SparkFactStore(spark, Paths.get(root))
-        try run(fs, flags, pos)
-        finally spark.stop()
+        // config-selected storage backend, the reference's
+        // FactStoreProvider shape (factstore-server config/
+        // FactStoreProvider.kt:23: memory vs FoundationDB by
+        // configuration, pinned by FactStoreConfigurationTest). `memory`
+        // boots the non-persistent in-JVM engine with NO Spark session —
+        // the wire servers take the FactStore trait, so `serve` (and any
+        // data command) runs identically on either backend.
+        flags.getOrElse("backend", "spark") match {
+          case "memory" =>
+            if (flags.contains("root"))
+              System.err.println("note: --backend memory is non-persistent; --root is ignored")
+            run(new graft.memory.MemoryFactStore(), flags, pos)
+          case "spark" =>
+            val root = flags.getOrElse("root",
+              fail("--root DIR (local engine) or --server host:port (wire mode) is required"))
+            val spark = SparkSession.builder()
+              .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+              .config("spark.sql.shuffle.partitions", "4")
+              .config("spark.sql.session.timeZone", "UTC")
+              .config("spark.ui.enabled", "false")
+              .getOrCreate()
+            spark.sparkContext.setLogLevel("ERROR")
+            val fs = new SparkFactStore(spark, Paths.get(root))
+            try run(fs, flags, pos)
+            finally spark.stop()
+          case other => fail(s"--backend must be 'memory' or 'spark', got '$other'")
+        }
     }
   }
 
@@ -99,7 +115,7 @@ object Cli {
         case s: SparkFactStore =>
           val full = flags.contains("full") // rewrite carried buckets too
           println(s"compacted ${s.compact(name, vacuum = true, full = full)} commits")
-        case _ => fail("store compact requires --root (local engine)")
+        case _ => fail("store compact requires the spark backend (--root DIR)")
       }
       case "store" :: "stats" :: name :: Nil => fs match {
         case s: SparkFactStore => s.storeStats(name) match {
@@ -109,7 +125,7 @@ object Cli {
               s"buckets=${st.nBuckets} dataBytes=${st.dataBytes} indexBytes=${st.indexBytes}")
           case None => fail(s"store not found: $name")
         }
-        case _ => fail("store stats requires --root (local engine)")
+        case _ => fail("store stats requires the spark backend (--root DIR)")
       }
       case "store" :: "janitor" :: name :: Nil => fs match {
         case s: SparkFactStore =>
@@ -118,7 +134,7 @@ object Cli {
             case Some(n) => println(s"removed $n abandoned artifacts")
             case None => fail(s"store not found: $name")
           }
-        case _ => fail("store janitor requires --root (local engine)")
+        case _ => fail("store janitor requires the spark backend (--root DIR)")
       }
       case "fact" :: "append" :: store :: tpe :: subject :: data :: rest =>
         val tags = rest.map(kv => kv.split("=", 2) match {
