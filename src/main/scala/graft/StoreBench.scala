@@ -66,6 +66,50 @@ object StoreBench {
     def pct(p: Double): Double = ls((p * (ls.size - 1)).round.toInt)
     val appendsPerSec = ls.size / wall
 
+    // --- the SAME shape through the wire (k6 → HTTP, reference apples-to-
+    // apples: the 500 ms envelope is measured at the HTTP layer,
+    // k6/single_append_with_condition.js → Quarkus; above we measure the
+    // engine API only) ------------------------------------------------------
+    val rest = new graft.server.RestServer(fs).start()
+    val httpLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val httpWall0 = System.nanoTime()
+    try {
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:${rest.boundPort}/api/v1/stores/bench/facts")
+      val data64 = java.util.Base64.getEncoder.encodeToString(Array.fill(64)(1: Byte))
+      val pool2 = Executors.newFixedThreadPool(vus)
+      val latch2 = new CountDownLatch(vus)
+      (1 to vus).foreach { vu =>
+        pool2.submit(new Runnable {
+          override def run(): Unit = {
+            val client = java.net.http.HttpClient.newHttpClient()
+            try (1 to perVu).foreach { i =>
+              val body =
+                s"""{"facts":[{"type":"LOAD","subject":"hvu-$vu","data":"$data64",
+                   |"tags":{"hvu":"$vu-$i-done"}}],
+                   |"idempotencyKey":"http-$vu-$i",
+                   |"condition":{"type":"tagQueryBased",
+                   |"query":{"items":[{"tags":{"hvu":"$vu-$i"}}]}}}""".stripMargin
+              val req = java.net.http.HttpRequest.newBuilder(url)
+                .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build()
+              val s = System.nanoTime()
+              val resp = client.send(req,
+                java.net.http.HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() != 200)
+                System.err.println(s"unexpected http ${resp.statusCode()}: ${resp.body()}")
+              httpLat.add((System.nanoTime() - s) / 1e9)
+            } finally latch2.countDown()
+          }
+        })
+      }
+      latch2.await(600, TimeUnit.SECONDS)
+      pool2.shutdown()
+    } finally rest.stop()
+    val httpWall = (System.nanoTime() - httpWall0) / 1e9
+    val hls = httpLat.asScala.toSeq.sorted
+    def hpct(p: Double): Double = hls((p * (hls.size - 1)).round.toInt)
+    val httpPerSec = hls.size / httpWall
+
     // --- bulk load + replay throughput ---------------------------------------
     val n = 200000L
     val bulk = spark.range(n).selectExpr(
@@ -100,6 +144,8 @@ object StoreBench {
     println(
       s"""{"metric":"store","unit":"sec","cond_append":{"n":${ls.size},"vus":$vus,""" +
       s""""p50":${pct(0.5)},"p90":${pct(0.9)},"p99":${pct(0.99)},"appends_per_sec":$appendsPerSec},""" +
+      s""""cond_append_http":{"n":${hls.size},"vus":$vus,""" +
+      s""""p50":${hpct(0.5)},"p90":${hpct(0.9)},"p99":${hpct(0.99)},"appends_per_sec":$httpPerSec},""" +
       s""""bulk_load":{"rows":$n,"sec":$bulkSec,"rows_per_sec":${n / bulkSec}},""" +
       s""""replay":{"rows":$drained,"batches":$batches,"sec":$replaySec,"rows_per_sec":${drained / replaySec}},""" +
       s""""subscribe_tail_ms":$tailMs}""")
