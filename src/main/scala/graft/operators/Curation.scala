@@ -335,6 +335,42 @@ object Curation {
     // run publishes (volume, language spread, exact-dup share, gate pass
     // share). One scan; the exact-dup flag is a content-hash window count
     // (the dedup_exact key), everything else folds in the same groupBy.
+    // Cross-source content overlap — "how much of source A's vocabulary of
+    // shingles also appears in source B" (directional containment, bp):
+    // the inter-source leakage census a mixture designer consults before
+    // weighting sources (two crawls of the same sites would light up
+    // here). Plan: the corpus collapses ONCE to the distinct
+    // (shingle, source) census — vocabulary × sources sized, never
+    // document sized — then each shingle's source set (bounded by the
+    // source count, a catalog-scale constant) explodes to its in-set
+    // pairs, so the pair stream is census-linear with constant fan-out;
+    // per-source shingle totals attach by broadcast. Both directions are
+    // reported per unordered pair; top-20 by containment.
+    "source_shingle_overlap" -> ((s, d) => {
+      val census = docs(s, d)
+        .selectExpr("source",
+          s"explode(array_distinct(${shingleHashesSpark(wordHashesSpark("text"))})) AS sh")
+        .distinct()
+      val perSource = census.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val pairs = census.groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .selectExpr("explode(srcs) AS src_a", "srcs")
+        .selectExpr("src_a", "explode(srcs) AS src_b")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(perSource.selectExpr("source AS src_a", "n_shingles AS sh_a")), Seq("src_a"))
+        .join(broadcast(perSource.selectExpr("source AS src_b", "n_shingles AS sh_b")), Seq("src_b"))
+        .selectExpr("src_a", "src_b", "n_common",
+          "(n_common * 10000) div sh_a AS a_in_b_bp",
+          "(n_common * 10000) div sh_b AS b_in_a_bp")
+        .orderBy(desc("n_common"), asc("src_a"), asc("src_b"))
+        .limit(20)
+    }),
+
     "source_scorecard" -> ((s, d) => {
       val base = docs(s, d)
         .selectExpr("doc_id", "source", "lang", "n_chars", "md5(text) AS h",
@@ -456,6 +492,21 @@ object Curation {
         "CAST(sum(w) AS BIGINT) AS sum_w_ppm, CAST(min(w) AS BIGINT) AS min_w_ppm, " +
         "CAST(max(w) AS BIGINT) AS max_w_ppm " +
         "FROM ad CROSS JOIN tot t GROUP BY source ORDER BY source"),
+
+    "source_shingle_overlap" ->
+      (s"WITH census AS (SELECT DISTINCT source, " +
+        s"unnest(list_distinct(${shingleHashesDuck(wordHashesDuck(tokensDuck("text")))})) AS sh " +
+        "FROM documents), " +
+        "per_source AS (SELECT source, count(*) AS n_shingles FROM census GROUP BY source), " +
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common " +
+        "FROM census a JOIN census b ON a.sh = b.sh AND a.source < b.source " +
+        "GROUP BY src_a, src_b) " +
+        "SELECT src_a, src_b, n_common, " +
+        "(n_common * 10000) // pa.n_shingles AS a_in_b_bp, " +
+        "(n_common * 10000) // pb.n_shingles AS b_in_a_bp " +
+        "FROM p JOIN per_source pa ON pa.source = src_a " +
+        "JOIN per_source pb ON pb.source = src_b " +
+        "ORDER BY n_common DESC, src_a, src_b LIMIT 20"),
 
     "source_scorecard" ->
       (s"WITH b AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +

@@ -560,6 +560,31 @@ object Dedup {
         .orderBy(asc("vec_id"))
     }),
 
+    // The DECISION census of semantic dedup — what keep-one-per-cluster
+    // actually does to the corpus: how many vectors are flagged (appear in
+    // ≥ 1 verified near-dup pair), how many clusters they collapse into,
+    // and the survivor count (unflagged + one representative per cluster).
+    // This is the number a pipeline owner acts on, and it is the metric
+    // that stays LINEAR at scale: the pair list grows quadratically on a
+    // densifying corpus (fixed clusters × growing n), so pair counts stop
+    // being comparable across scale while the decision census doesn't
+    // (EmbeddingBlockingScaleSpec pins decision recall ≥ 0.9 at 10×).
+    // Plan: the cached verified-pair artifact feeds the vertex-sized CC
+    // kernel; everything after is two single-row aggregates.
+    "dedup_decision_stats" -> ((s, d) => {
+      val pairs = cosineVerified(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val flagged = connectedComponents(pairs)
+        .agg(count(lit(1)).as("n_flagged"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+      val tot = embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+      flagged.crossJoin(broadcast(tot))
+        .selectExpr("n_vectors", "n_flagged", "n_clusters",
+          "n_vectors - n_flagged + n_clusters AS n_survivors",
+          "(n_flagged * 10000) div n_vectors AS flagged_bp",
+          "((n_flagged - n_clusters) * 10000) div n_vectors AS dropped_bp")
+    }),
+
     // The WHOLE curation funnel, one DAG, one corpus pass: quality gate →
     // exact dedup (keep min doc per content hash) → near-dup drop (verified
     // MinHash pair whose smaller-id side also survived exact dedup) →
@@ -947,6 +972,23 @@ object Dedup {
           "SELECT vec_id, cluster_id, " +
           "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
           "FROM lab ORDER BY vec_id"),
+      "dedup_decision_stats" ->
+        (s"WITH RECURSIVE $cosineVerifiedCtes, " +
+          "edges AS (SELECT vec_a AS u, vec_b AS v FROM cpairs " +
+          "UNION SELECT vec_b AS u, vec_a AS v FROM cpairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.v), " +
+          "lab AS (SELECT u AS vec_id, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          "f AS (SELECT count(*) AS n_flagged, " +
+          "count(DISTINCT cluster_id) AS n_clusters FROM lab), " +
+          "tot AS (SELECT count(*) AS n_vectors FROM embeddings) " +
+          "SELECT n_vectors, n_flagged, n_clusters, " +
+          "n_vectors - n_flagged + n_clusters AS n_survivors, " +
+          "(n_flagged * 10000) // n_vectors AS flagged_bp, " +
+          "((n_flagged - n_clusters) * 10000) // n_vectors AS dropped_bp " +
+          "FROM f CROSS JOIN tot"),
       "training_data_factory" ->
         (s"WITH $minhashVerifiedCtes, " +
           s"b0 AS (SELECT doc_id, lang, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +

@@ -240,6 +240,41 @@ object Graph {
       ranks(s, d)
         .orderBy(desc("rank_e12"), asc("part_key"))
         .limit(20)
+    }),
+
+    // Degree assortativity: Pearson r over the directed arcs of
+    // (deg(src), deg(dst)) — do hubs link to hubs (r > 0, social shape)
+    // or to leaves (r < 0, hub-and-spoke)? One arc-sized join attaches
+    // both endpoint degrees, then the five moment sums are ONE map-side-
+    // combined aggregate; products run on DECIMAL(38,0) (arc counts ×
+    // squared degrees overflow int64 at corpus scale) and only the final
+    // r collapses to the autocorr float discipline (floor ppm over one
+    // sqrt of an exact integer product). Arcs are both orientations of
+    // each edge, so sx = sy by symmetry — kept separate anyway so the
+    // output is self-evidently the textbook formula.
+    "graph_assortativity" -> ((s, d) => {
+      val (adj, deg) = adjWithDeg(edges(s, d))
+      adj
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+        .selectExpr("CAST(dx AS DECIMAL(38,0)) AS dx", "CAST(dy AS DECIMAL(38,0)) AS dy")
+        .agg(
+          count(lit(1)).cast("decimal(38,0)").as("n_arcs"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(expr("dx * dy")).as("sxy"),
+          sum(expr("dx * dx")).as("sxx"), sum(expr("dy * dy")).as("syy"))
+        .selectExpr("CAST(n_arcs AS BIGINT) AS n_arcs",
+          "CAST(n_arcs * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num",
+          "CAST(n_arcs * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num",
+          "CAST(n_arcs * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num")
+        // only bounded columns leave the query: the raw moment cross
+        // products stay DECIMAL(38,0) internals (they overflow int64 at
+        // corpus scale), r is ppm-bounded by construction
+        .selectExpr("n_arcs",
+          """CASE WHEN var_x_num = 0 OR var_y_num = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 /
+               sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT)
+             END AS r_ppm""")
     })
   )
 
@@ -325,6 +360,22 @@ object Graph {
         "FROM na JOIN deg du ON du.node = na.u JOIN deg dv ON dv.node = na.v) " +
         "SELECT u, v, n_common, n_union, jaccard_capped_bp FROM j " +
         "ORDER BY jaccard_capped_bp DESC, n_common DESC, u, v LIMIT 20"),
+
+    "graph_assortativity" ->
+      (edgeCte + ", arcs AS (SELECT CAST(du.deg AS DECIMAL(38,0)) AS dx, " +
+        "CAST(dv.deg AS DECIMAL(38,0)) AS dy FROM adj " +
+        "JOIN deg du ON du.node = adj.src JOIN deg dv ON dv.node = adj.dst), " +
+        "m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n_arcs, " +
+        "sum(dx) AS sx, sum(dy) AS sy, sum(dx * dy) AS sxy, " +
+        "sum(dx * dx) AS sxx, sum(dy * dy) AS syy FROM arcs), " +
+        "nums AS (SELECT CAST(n_arcs AS BIGINT) AS n_arcs, " +
+        "CAST(n_arcs * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num, " +
+        "CAST(n_arcs * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num, " +
+        "CAST(n_arcs * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num FROM m) " +
+        "SELECT n_arcs, CASE WHEN var_x_num = 0 OR var_y_num = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
+        "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) " +
+        "END AS r_ppm FROM nums"),
 
     "graph_degree_stats" ->
       (edgeCte + ", hist AS (SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg), " +

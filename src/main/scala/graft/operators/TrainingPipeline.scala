@@ -188,6 +188,26 @@ object TrainingPipeline {
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
         .orderBy(asc("split"))),
 
+    // Deterministic k-fold assignment census (cross-validation splits for
+    // the curation classifiers): fold = content-independent doc_id hash
+    // mod 5, reported as the fold × language balance sheet with each
+    // fold's share of its language's docs in basis points — the "are the
+    // folds actually balanced per language" check run before trusting a
+    // CV estimate. Same no-rand() discipline as sample_split; one
+    // map-side projection + a grid-sized aggregate + a grid window.
+    "sample_kfold" -> ((s, d) =>
+      tokenized(s, d)
+        .selectExpr("lang", "n_tokens",
+          s"${charHashSpark("CAST(doc_id AS STRING)")} % 5 AS fold")
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+        .withColumn("lang_docs",
+          sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+        .selectExpr("fold", "lang", "n_docs", "total_tokens",
+          "(n_docs * 10000) div lang_docs AS fold_share_bp")
+        .orderBy(asc("fold"), asc("lang"))),
+
     // Stratified downsampling with per-language keep rates (the standard
     // "rebalance the language mix" curation step): deterministic keep
     // decision from the same content-independent doc_id hash as
@@ -421,6 +441,14 @@ object TrainingPipeline {
           "ELSE 'test' END AS split FROM t) " +
           "SELECT split, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens " +
           "FROM s GROUP BY split ORDER BY split"),
+      "sample_kfold" ->
+        (s"WITH t AS (SELECT lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"$docHash % 5 AS fold FROM documents), " +
+          "g AS (SELECT fold, lang, count(*) AS n_docs, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t GROUP BY fold, lang) " +
+          "SELECT fold, lang, n_docs, total_tokens, " +
+          "(n_docs * 10000) // CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS fold_share_bp " +
+          "FROM g ORDER BY fold, lang"),
       "sample_stratified" ->
         (s"WITH t AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
           s"$docHash % 100 AS bucket FROM documents) " +

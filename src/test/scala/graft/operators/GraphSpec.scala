@@ -150,4 +150,16 @@ class GraphSpec extends AnyFunSpec with Matchers {
       got shouldBe Seq((2L, 4L, 1L, 2L, 5000L), (3L, 4L, 1L, 2L, 5000L))
     }
   }
+
+  describe("graph_assortativity") {
+    it("computes the exact arc-degree Pearson r (hand-checked)") {
+      // degrees: 1→3, 2→2, 3→2, 4→1; the 8 directed arcs give
+      // n=8, sx=sy=18, sxy=38, sxx=syy=44
+      // cov = 8·38 − 18² = −20; var = 8·44 − 18² = 28
+      // r = −20/28 → floor(−20·10⁶/28) = −714286 ppm (hub-and-spoke < 0)
+      val got = Graph.queries("graph_assortativity")(spark, fixtureDir)
+        .as[(Long, Long)].collect().toSeq
+      got shouldBe Seq((8L, -714286L))
+    }
+  }
 }
