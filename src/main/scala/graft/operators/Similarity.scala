@@ -79,16 +79,46 @@ object Similarity {
       s"if($dot > 0, ${1L << j}L, 0L)"
     }.mkString("(", " + ", ")")
 
-  private def lshBucketSpark(v: String): String = lshBucketSparkExpr(v, NPlanes)
+  /** n-ADAPTIVE plane count for the lsh_buckets/lsh_pairs pair: the
+    * smallest p ≥ NPlanes with 2^p ≥ n/100, so bucket population pins at
+    * ~100 as the corpus grows and the in-bucket pair stream stays LINEAR
+    * in n. A fixed plane count is a fixed-cardinality block key — bucket
+    * size n/2^NPlanes, pair stream n²/2^NPlanes, the same quadratic shape
+    * the dedup blocking killed in round 10 (measured: 10× rows grew the
+    * per-vector pair yield 10× at fixed planes). Engine-neutral integer
+    * formula: bit length of (n−1) div 100 — `length(bin(q))` in BOTH SQL
+    * dialects (unpadded in Spark and DuckDB), mirrored in the oracle as a
+    * scalar subquery over the same table. Identical to the fixed default
+    * at every test SF (planes = 8 up to n = 25 600), so this is purely
+    * the at-scale schedule. */
+  private[graft] def lshPlanesFor(n: Long): Int = {
+    val q = (n - 1) / 100
+    math.max(NPlanes, if (q <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q))
+  }
 
-  /** Same bucket id on the DuckDB side (identical literals). */
-  private def lshBucketDuck(v: String): String =
-    (0 until NPlanes).map { j =>
-      val dot = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-        s"range(1, ${Dim + 1}), i -> list_extract($v, i)::DOUBLE * list_extract([" +
-        (1 to Dim).map(i => s"${hyper(j, i)}::DOUBLE").mkString(",") + "], i))), (acc, x) -> acc + x)"
-      s"(CASE WHEN $dot > 0 THEN ${1L << j} ELSE 0 END)"
+  /** Oracle-side structural plane budget: terms above the scalar-subquery
+    * plane count are CASE'd to 0, so one static SQL string follows the
+    * adaptive schedule up to 2^24 buckets (n ≈ 1.6e9 at ~100/bucket). */
+  private val MaxOraclePlanes = 24
+
+  private def lshDotDuck(v: String, j: Int): String =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"range(1, ${Dim + 1}), i -> list_extract($v, i)::DOUBLE * list_extract([" +
+      (1 to Dim).map(i => s"${hyper(j, i)}::DOUBLE").mkString(",") + "], i))), (acc, x) -> acc + x)"
+
+  /** Adaptive-plane bucket id — same bucket on the DuckDB side (identical
+    * hyperplane literals): `np` must be a column in scope (see
+    * [[lshPlanesDuckCte]]). */
+  private def lshBucketDuckAdaptive(v: String): String =
+    (0 until MaxOraclePlanes).map { j =>
+      s"(CASE WHEN $j < np AND ${lshDotDuck(v, j)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** One-row CTE exposing the adaptive plane count as `np` — the oracle
+    * twin of [[lshPlanesFor]]. */
+  private def lshPlanesDuckCte: String =
+    s"npc AS (SELECT greatest($NPlanes, " +
+      "length(bin(greatest(1, (SELECT (count(*) - 1) // 100 FROM embeddings))))) AS np)"
 
   /** DuckDB cosine-ppm twin of the inline vec_dot/vec_norm2 renderings
     * (identical index-order double accumulation, so floor-ppm matches). */
@@ -588,7 +618,8 @@ object Similarity {
     // for any query are its bucket only — the equi-join scale path.
     "ann_lsh_buckets" -> ((s, d) =>
       emb(s, d)
-        .selectExpr("vec_id", "label", s"${lshBucketSpark("embedding")} AS bucket")
+        .selectExpr("vec_id", "label",
+          s"${lshBucketSparkExpr("embedding", lshPlanesFor(emb(s, d).count()))} AS bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"),
           min(col("vec_id")).as("min_vec_id"),
@@ -596,11 +627,14 @@ object Similarity {
           countDistinct(col("label")).as("n_labels"))
         .orderBy(asc("bucket"))),
 
-    // LSH-bucketed near-neighbor pairs: exact cosine only within buckets.
+    // LSH-bucketed near-neighbor pairs: exact cosine only within buckets,
+    // plane count on the n-adaptive schedule (lshPlanesFor) so bucket
+    // population — and with it the per-vector pair yield — pins as the
+    // corpus grows instead of tracking n/2^planes.
     "ann_lsh_pairs" -> ((s, d) => {
       val b = emb(s, d).selectExpr("vec_id", "embedding AS v",
         "vec_norm2(embedding) AS n2",
-        s"${lshBucketSpark("embedding")} AS bucket")
+        s"${lshBucketSparkExpr("embedding", lshPlanesFor(emb(s, d).count()))} AS bucket")
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",
@@ -976,12 +1010,16 @@ object Similarity {
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 10 " +
         "ORDER BY query_id, rank"),
     "ann_lsh_buckets" ->
-      (s"WITH b AS (SELECT vec_id, label, CAST(${lshBucketDuck("embedding")} AS BIGINT) AS bucket FROM embeddings) " +
+      (s"WITH $lshPlanesDuckCte, " +
+        s"b AS (SELECT vec_id, label, CAST(${lshBucketDuckAdaptive("embedding")} AS BIGINT) AS bucket " +
+        "FROM embeddings CROSS JOIN npc) " +
         "SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id, " +
         "max(vec_id) AS max_vec_id, count(DISTINCT label) AS n_labels " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
     "ann_lsh_pairs" ->
-      (s"WITH b AS (SELECT vec_id, embedding AS v, ${lshBucketDuck("embedding")} AS bucket FROM embeddings) " +
+      (s"WITH $lshPlanesDuckCte, " +
+        s"b AS (SELECT vec_id, embedding AS v, ${lshBucketDuckAdaptive("embedding")} AS bucket " +
+        "FROM embeddings CROSS JOIN npc) " +
         s"SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, ${cosPpmDuck("a.v", "b2.v")} AS cos_ppm " +
         "FROM b AS a JOIN b AS b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id " +
         s"WHERE ${cosPpmDuck("a.v", "b2.v")} >= 100000 ORDER BY vec_a, vec_b"),
