@@ -352,6 +352,38 @@ object TextAnalysis {
           max(col("n_tokens")).cast("bigint").as("max_tokens"))
         .orderBy(asc("lang"), asc("source"))),
 
+    // Vocabulary growth curve (Heaps' law): split the corpus into 10
+    // deterministic doc_id deciles, count each decile's tokens and the
+    // token TYPES first seen there, and report the cumulative
+    // type/token ratio — the saturation diagnostic that tells a curation
+    // run whether more crawl still buys vocabulary or only repetition
+    // (a flattening curve is the data-side signal dedup thresholds act
+    // on). Work is census-shaped: one exploded-token pass to (type →
+    // first decile) and (decile → token count); everything after is a
+    // 10-row grid with a cumulative window. The decile key derives from
+    // doc_id against the broadcast max — content-independent and exact
+    // on both engines.
+    "text_vocab_growth" -> ((s, d) => {
+      val toks = docs(s, d)
+        .selectExpr("doc_id", s"explode(${tokensSpark("text")}) AS tok")
+      val mx = docs(s, d).agg(max(col("doc_id")).as("max_doc"))
+      val b = toks.crossJoin(broadcast(mx))
+        .selectExpr("tok", "(doc_id * 10) div (max_doc + 1) AS decile")
+      val newTypes = b.groupBy(col("tok"))
+        .agg(min(col("decile")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+      val tokCount = b.groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+      val w = Window.orderBy(asc("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCount.join(newTypes, Seq("decile"), "left")
+        .selectExpr("decile", "n_tokens", "ifnull(new_types, 0L) AS new_types")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("cum_types", sum(col("new_types")).over(w))
+        .selectExpr("decile", "n_tokens", "new_types", "cum_tokens", "cum_types",
+          "(cum_types * 10000) div cum_tokens AS ttr_bp")
+        .orderBy(asc("decile"))
+    }),
+
     // Flesch reading-ease readability, integer-exact: words = whitespace
     // tokens, sentences = [.!?]+ runs, syllables ≈ vowel-group runs (the
     // standard heuristic). The score 206.835 − 1.015·W/S − 84.6·Y/W is
@@ -559,6 +591,21 @@ object TextAnalysis {
           s"CAST(sum(len($toks)) AS BIGINT) AS total_tokens, " +
           "CAST(sum(n_chars) AS BIGINT) AS total_chars, max(len(" + toks + ")) AS max_tokens " +
           "FROM documents GROUP BY lang, source ORDER BY lang, source"),
+      "text_vocab_growth" ->
+        (s"WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents), " +
+          "mx AS (SELECT max(doc_id) AS max_doc FROM documents), " +
+          "b AS (SELECT tok, (doc_id * 10) // (max_doc + 1) AS decile FROM tk CROSS JOIN mx), " +
+          "nt AS (SELECT decile, count(*) AS new_types FROM " +
+          "(SELECT tok, min(decile) AS decile FROM b GROUP BY tok) GROUP BY decile), " +
+          "tc AS (SELECT decile, count(*) AS n_tokens FROM b GROUP BY decile), " +
+          "g AS (SELECT tc.decile, n_tokens, COALESCE(new_types, 0) AS new_types " +
+          "FROM tc LEFT JOIN nt ON tc.decile = nt.decile), " +
+          "c AS (SELECT decile, n_tokens, new_types, " +
+          "CAST(sum(n_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens, " +
+          "CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types FROM g) " +
+          "SELECT decile, n_tokens, new_types, cum_tokens, cum_types, " +
+          "(cum_types * 10000) // cum_tokens AS ttr_bp FROM c ORDER BY decile"),
+
       "text_readability" ->
         (s"WITH c AS (SELECT doc_id, " +
           s"CAST(greatest(len($toks), 1) AS BIGINT) AS n_words, " +

@@ -122,6 +122,45 @@ object Timeseries {
     // points, per-type delta to the previous week, and each week's total
     // L1 drift — all on the weeks×types grid after one corpus-scale
     // groupBy.
+    // Inter-arrival statistics per event type, DAY-BUCKETED: gaps between
+    // consecutive events of a type within one epoch day (ts order,
+    // event_id tiebreak; cross-midnight gaps excluded by construction —
+    // the declared semantics, mirrored in the oracle). The day bucket is
+    // the skew guard: a lag window partitioned by type alone puts a whole
+    // event type — terabytes — on one task, while (type, day) partitions
+    // are bounded by daily volume. Gap moments are exact integers; the
+    // squared-gap sum rides DECIMAL(38,0) and the dispersion term
+    // quantizes gaps to MILLIS first (n·Σx²·10⁶ then provably fits
+    // 38 digits at any n, since per-day Σgap ≤ 86 400 000 ms). The gap
+    // index of dispersion (n·Σx²/(Σx)², ppm) separates Poisson-like
+    // arrivals from bursty clumping — the inter-arrival complement of
+    // events_burstiness's count-based dispersion.
+    "events_interarrival_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(asc("ts_us"), asc("event_id"))
+      EventFinders.events(s, d)
+        .selectExpr("event_type", "event_id", "ts div 1000 AS ts_us",
+          s"(ts div 1000) div ${DayUs}L AS day")
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .selectExpr("event_type", "ts_us - prev_us AS gap",
+          "CAST((ts_us - prev_us) div 1000 AS DECIMAL(38,0)) AS gap_ms")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sg"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          sum(col("gap_ms")).as("sg_ms"),
+          sum(expr("gap_ms * gap_ms")).as("sgg_ms"))
+        .selectExpr("event_type", "n_gaps",
+          "sg div n_gaps AS mean_gap_us",
+          "min_gap_us", "max_gap_us",
+          """CASE WHEN sg_ms = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST((n_gaps * sgg_ms * 1000000) div (sg_ms * sg_ms) AS BIGINT)
+             END AS dispersion_ppm""")
+        .orderBy(asc("event_type"))
+    }),
+
     "events_type_drift" -> ((s, d) => {
       val grid = byDay(s, d)
         .selectExpr("event_type", "day div 7 AS week")
@@ -370,6 +409,20 @@ object Timeseries {
           "SELECT event_type, hour, n, (n * 10000) // type_total AS share_bp, " +
           "CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_peak " +
           "FROM w ORDER BY event_type, hour"),
+
+      "events_interarrival_stats" ->
+        ("WITH b AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, " +
+          "epoch_us(ts) // 86400000000 AS day FROM events), " +
+          "l AS (SELECT event_type, ts_us - lag(ts_us, 1) OVER " +
+          "(PARTITION BY event_type, day ORDER BY ts_us, event_id) AS gap FROM b), " +
+          "g AS (SELECT event_type, gap, gap // 1000 AS gap_ms FROM l WHERE gap IS NOT NULL) " +
+          "SELECT event_type, count(*) AS n_gaps, " +
+          "CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us, " +
+          "min(gap) AS min_gap_us, max(gap) AS max_gap_us, " +
+          "CASE WHEN sum(gap_ms) = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((count(*) * sum(gap_ms * gap_ms) * 1000000) // " +
+          "(sum(gap_ms) * sum(gap_ms)) AS BIGINT) END AS dispersion_ppm " +
+          "FROM g GROUP BY event_type ORDER BY event_type"),
 
       "events_type_drift" ->
         (s"WITH b AS ($base), " +

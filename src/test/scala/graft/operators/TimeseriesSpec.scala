@@ -217,4 +217,22 @@ class TimeseriesSpec extends AnyFunSpec with Matchers {
       got shouldBe (1L to 7L).map(h => ("B", h, 100L - 2 * h, 100L, -2L, 800000L))
     }
   }
+
+  describe("events_interarrival_stats") {
+    it("day-buckets the gaps and computes the exact gap dispersion") {
+      // type 'a': day 0 hours 0,1,3 → gaps 1h and 2h; day 1 hour 0 starts
+      // a new bucket (the would-be 21h cross-midnight gap is excluded).
+      // gaps_ms = 3.6e6, 7.2e6: n=2, Σx = 10.8e6, Σx² = 64.8e12 →
+      // dispersion = floor(2·64.8e12·10⁶ / (10.8e6)²) = 1 111 111 ppm.
+      // type 'b' has a single event → no gaps → no output row.
+      val d = dirWith(Seq(
+        (1L, "a", 0L, 0L), (2L, "a", 0L, 1L), (1L, "a", 0L, 3L),
+        (1L, "a", 1L, 0L),
+        (1L, "b", 0L, 0L)))
+      val got = Timeseries.queries("events_interarrival_stats")(spark, d)
+        .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSeq
+      got shouldBe Seq(
+        ("a", 2L, 5400000000L, 3600000000L, 7200000000L, Some(1111111L)))
+    }
+  }
 }
