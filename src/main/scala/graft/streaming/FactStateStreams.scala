@@ -614,6 +614,67 @@ object FactStateStreams {
       }
   }
 
+  /** Running per-type inter-arrival snapshot (see [[interarrivalStats]]). */
+  final case class GapUpdate(eventType: String, nGaps: Long, meanGapUs: Long,
+      minGapUs: Long, maxGapUs: Long, dispersionPpm: Option[Long])
+
+  /** Managed state for one event type's gap moments: the current day and
+    * last timestamp (the fold cursor) plus exact integer moment sums —
+    * min/max seeded at Long extremes, ms-quantized square sum for the
+    * dispersion term (same quantization as the batch operator). */
+  final case class GapState(day: Long, lastTs: Long, n: Long, sg: Long,
+      mn: Long, mx: Long, sgMs: Long, sggMs: Long)
+
+  /** Streaming twin of the batch `events_interarrival_stats`
+    * (operators/Timeseries.scala): per event type, gaps between
+    * consecutive events WITHIN one epoch day (cross-midnight gaps
+    * excluded — the fold resets its cursor on a day change, exactly the
+    * batch day-bucketed lag window), folded into eight longs of state per
+    * type. Emits each type's running snapshot whenever a micro-batch adds
+    * gaps; the final emission over an in-order feed equals the batch
+    * query row for row (StreamingInterarrivalSpec pins it). Input must
+    * carry `event_id` — rows fold in that order, the subscribe contract's
+    * storage order, so micro-batch boundaries never reorder the gap
+    * sequence. State is fixed-width per type; 100 TB of events still
+    * holds |types| records. */
+  def interarrivalStats(spark: SparkSession, events: DataFrame): Dataset[GapUpdate] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        var st = state.getOption.getOrElse(
+          GapState(Long.MinValue, Long.MinValue, 0L, 0L, Long.MaxValue, Long.MinValue, 0L, 0L))
+        val n0 = st.n
+        rows.toSeq.sortBy(_._3).foreach { case (_, ts, _) =>
+          val day = ts / DayUs
+          if (st.day == day && st.lastTs != Long.MinValue) {
+            val gap = ts - st.lastTs
+            val gapMs = gap / 1000
+            st = st.copy(n = st.n + 1, sg = st.sg + gap,
+              mn = math.min(st.mn, gap), mx = math.max(st.mx, gap),
+              sgMs = st.sgMs + gapMs, sggMs = st.sggMs + gapMs * gapMs)
+          }
+          st = st.copy(day = day, lastTs = ts)
+        }
+        state.update(st)
+        if (st.n == n0 || st.n == 0) Iterator.empty
+        else {
+          // dispersion in BigInt: n·Σx²·10⁶ exceeds a long well before the
+          // moment sums themselves do (the batch side rides DECIMAL(38,0))
+          val disp =
+            if (st.sgMs == 0) None
+            else Some(((BigInt(st.n) * st.sggMs * 1000000) /
+              (BigInt(st.sgMs) * st.sgMs)).toLong)
+          Iterator.single(GapUpdate(typ, st.n, st.sg / st.n, st.mn, st.mx, disp))
+        }
+      }
+  }
+
   /** A funnel stage completion on the live stream. */
   final case class FunnelStage(userId: Long, stage: String, tsUs: Long)
 
