@@ -856,4 +856,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "signature relation must be shared via the CacheScope persist")
   }
+
+  test("source_shingle_overlap: per-source totals broadcast; pair stream from " +
+      "the census explode, never a shingle self-join shuffle or cross join") {
+    val p = planOf("source_shingle_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "per-source totals must attach by broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost rank pruning")
+  }
+
+  test("graph_assortativity: one aggregate over the arc-degree join; no window, " +
+      "partial (map-side) moment sums present") {
+    val p = planOf("graph_assortativity")
+    assert(!p.contains("Window"), "moment sums must be an aggregate, not a window")
+    assert(p.contains("partial_"), "moment sums lost map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_interarrival_stats: the lag window partitions by (type, day) — " +
+      "a type-only partition would put a whole type on one task") {
+    val p = planOf("events_interarrival_stats")
+    val winLine = p.linesIterator.find(_.contains("lag(")).getOrElse("")
+    assert(winLine.contains("event_type") && winLine.contains("day"),
+      s"lag window not day-bucketed: $winLine")
+  }
+
+  test("text_vocab_growth: decile key via 1-row broadcast; corpus-scale work " +
+      "is the exploded-token aggregates, cumulative window only on the grid") {
+    val p = planOf("text_vocab_growth")
+    // the only nested-loop allowed is the 1-row broadcast max attach
+    assert(!p.contains("CartesianProduct"), "cartesian in the decile attach")
+    assert(p.contains("partial_"), "token census lost map-side combine")
+  }
 }
