@@ -716,9 +716,9 @@ object Dedup {
     // signatures/bandsOf above, shared by the self-dedup chain and the
     // incremental (delta-vs-base) chain
     val sigBandCtes =
-      s"shingled AS ($shingledSql), " +
-        s"sigs AS (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
-        s"bands AS (SELECT doc_id, r.range AS band, " +
+      s"shingled AS MATERIALIZED ($shingledSql), " +
+        s"sigs AS MATERIALIZED (SELECT doc_id, sh, ${minhashSigDuck("sh")} AS sig FROM shingled WHERE len(sh) > 0), " +
+        s"bands AS MATERIALIZED (SELECT doc_id, r.range AS band, " +
         s"${bandKeyDuck("sig", "r.range")} AS bkey " +
         s"FROM sigs CROSS JOIN range(0, $Bands) r)"
     // CTE chain ending in `pairs` = the verified minhash near-dup pairs —
@@ -739,11 +739,11 @@ object Dedup {
     // the oracle twin of Similarity.coarseCells), exact-cosine verified
     val cosineVerifiedCtes =
       s"${Similarity.coarseCellsDuckCtes(DedupAssignK, Similarity.blockingCellCountDuck)}, " +
-        "ccand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb " +
+        "ccand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb " +
         "FROM cassign x JOIN cassign y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
-        s"e AS (SELECT vec_id, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
+        s"e AS MATERIALIZED (SELECT vec_id, embedding AS v, ${norm2Duck("embedding", 64)} AS n2 " +
         "FROM embeddings), " +
-        "cpairs AS (SELECT va AS vec_a, vb AS vec_b, " +
+        "cpairs AS MATERIALIZED (SELECT va AS vec_a, vb AS vec_b, " +
         s"CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
         "FROM ccand JOIN e a ON va = a.vec_id JOIN e b ON vb = b.vec_id " +
         s"WHERE CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) >= 400000)"

@@ -536,19 +536,19 @@ object Similarity {
     sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
       "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
       s"ORDER BY $scrambleSql, vec_id LIMIT ($kSql)), "
-    sb ++= "ccmp AS (SELECT vec_id, p.range AS pos, " +
+    sb ++= "ccmp AS MATERIALIZED (SELECT vec_id, p.range AS pos, " +
       "CAST(floor(list_extract(embedding, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
       s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) p), "
     var prev = "cseed"
     for (i <- 1 to CoarseIters) {
-      sb ++= s"casn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      sb ++= s"casn$i AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
         "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM " +
         s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
         s"FROM embeddings e CROSS JOIN $prev c) _s$i) _r$i WHERE rk = 1), "
       sb ++= duckMeanCtes("c", i, "cell", s"casn$i JOIN ccmp USING (vec_id)")
       prev = s"ccent$i"
     }
-    sb ++= "cassign AS (SELECT vec_id, unnest(cells) AS cell FROM (SELECT vec_id, " +
+    sb ++= "cassign AS MATERIALIZED (SELECT vec_id, unnest(cells) AS cell FROM (SELECT vec_id, " +
       s"(list(cell ORDER BY dist, cell))[1:$assignK] AS cells FROM " +
       s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
       s"FROM embeddings e CROSS JOIN $prev c) _sa GROUP BY vec_id) _ga), "
@@ -1084,12 +1084,12 @@ object Similarity {
       sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
         "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
         s"ORDER BY $scrambleSql, vec_id LIMIT $CoarseK), "
-      sb ++= "ccmp AS (SELECT vec_id, p.range AS pos, " +
+      sb ++= "ccmp AS MATERIALIZED (SELECT vec_id, p.range AS pos, " +
         "CAST(floor(list_extract(embedding, p.range)::DOUBLE * 10000000000) AS BIGINT) AS xe10 " +
         s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) p), "
       var prev = "cseed"
       for (i <- 1 to CoarseIters) {
-        sb ++= s"casn$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        sb ++= s"casn$i AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
           "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM " +
           s"(SELECT e.vec_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
           s"FROM embeddings e CROSS JOIN $prev c) _s$i) _r$i WHERE rk = 1), "
