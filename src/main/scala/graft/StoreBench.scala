@@ -102,11 +102,15 @@ object StoreBench {
           }
         })
       }
-      latch2.await(600, TimeUnit.SECONDS)
+      // a failed await or a short sample set must surface as a loud error,
+      // not percentiles computed over a still-growing or empty queue
+      require(latch2.await(600, TimeUnit.SECONDS), "HTTP bench VUs did not finish")
       pool2.shutdown()
     } finally rest.stop()
     val httpWall = (System.nanoTime() - httpWall0) / 1e9
     val hls = httpLat.asScala.toSeq.sorted
+    require(hls.size == vus * perVu,
+      s"HTTP bench lost samples: ${hls.size} of ${vus * perVu} (send failures above)")
     def hpct(p: Double): Double = hls((p * (hls.size - 1)).round.toInt)
     val httpPerSec = hls.size / httpWall
 

@@ -331,10 +331,6 @@ object Curation {
         .orderBy(asc("source"))
     }),
 
-    // Per-source curation scorecard: the per-domain table every curation
-    // run publishes (volume, language spread, exact-dup share, gate pass
-    // share). One scan; the exact-dup flag is a content-hash window count
-    // (the dedup_exact key), everything else folds in the same groupBy.
     // Cross-source content overlap — "how much of source A's vocabulary of
     // shingles also appears in source B" (directional containment, bp):
     // the inter-source leakage census a mixture designer consults before
@@ -371,6 +367,10 @@ object Curation {
         .limit(20)
     }),
 
+    // Per-source curation scorecard: the per-domain table every curation
+    // run publishes (volume, language spread, exact-dup share, gate pass
+    // share). One scan; the exact-dup flag is a content-hash window count
+    // (the dedup_exact key), everything else folds in the same groupBy.
     "source_scorecard" -> ((s, d) => {
       val base = docs(s, d)
         .selectExpr("doc_id", "source", "lang", "n_chars", "md5(text) AS h",

@@ -183,7 +183,14 @@ object Dedup {
     // (new ⨝ old, filter, count) job. (No overflow headroom issue: the sum
     // is at most n·maxId, and Spark raises on int64 overflow rather than
     // wrapping, so a pathological id domain fails loudly, not silently.)
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // an EMPTY pair graph (no verified near-dups — a small or
+    // near-orthogonal corpus) has no vertices: sum(label) is NULL and the
+    // loop below would NPE. Zero components is the correct answer, not a
+    // crash — the oracle's recursive closure returns zero rows there too.
+    val sum0 = labels.agg(sum(col("label"))).head
+    if (sum0.isNullAt(0))
+      return labels.select(col("vertex").as("doc_id"), col("label").as("cluster_id"))
+    var prevSum = sum0.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 64) {

@@ -96,6 +96,17 @@ object Similarity {
     math.max(NPlanes, if (q <= 0) 1 else 64 - java.lang.Long.numberOfLeadingZeros(q))
   }
 
+  private val lshPlanesCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** The adaptive plane count for a corpus, memoized per (session, dir) —
+    * deriving it at query-construction time runs a count() job, and an
+    * uncached one would fire on every construction (plan audits, each
+    * verify run) for a value that cannot change under the immutable-
+    * corpus-dir contract the other per-dir artifacts already assume. */
+  private def lshPlanesOf(s: SparkSession, d: String): Int =
+    lshPlanesCache.computeIfAbsent(s"${System.identityHashCode(s)}#$d",
+      _ => Integer.valueOf(lshPlanesFor(emb(s, d).count()))).intValue
+
   /** Oracle-side structural plane budget: terms above the scalar-subquery
     * plane count are CASE'd to 0, so one static SQL string follows the
     * adaptive schedule up to 2^24 buckets (n ≈ 1.6e9 at ~100/bucket). */
@@ -619,7 +630,7 @@ object Similarity {
     "ann_lsh_buckets" -> ((s, d) =>
       emb(s, d)
         .selectExpr("vec_id", "label",
-          s"${lshBucketSparkExpr("embedding", lshPlanesFor(emb(s, d).count()))} AS bucket")
+          s"${lshBucketSparkExpr("embedding", lshPlanesOf(s, d))} AS bucket")
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"),
           min(col("vec_id")).as("min_vec_id"),
@@ -634,7 +645,7 @@ object Similarity {
     "ann_lsh_pairs" -> ((s, d) => {
       val b = emb(s, d).selectExpr("vec_id", "embedding AS v",
         "vec_norm2(embedding) AS n2",
-        s"${lshBucketSparkExpr("embedding", lshPlanesFor(emb(s, d).count()))} AS bucket")
+        s"${lshBucketSparkExpr("embedding", lshPlanesOf(s, d))} AS bucket")
       b.as("a").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .selectExpr("a.vec_id AS vec_a", "b.vec_id AS vec_b",

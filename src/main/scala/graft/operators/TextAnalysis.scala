@@ -367,8 +367,11 @@ object TextAnalysis {
       val toks = docs(s, d)
         .selectExpr("doc_id", s"explode(${tokensSpark("text")}) AS tok")
       val mx = docs(s, d).agg(max(col("doc_id")).as("max_doc"))
-      val b = toks.crossJoin(broadcast(mx))
-        .selectExpr("tok", "(doc_id * 10) div (max_doc + 1) AS decile")
+      // persisted: BOTH aggregations below (by-token first-decile and
+      // by-decile token count) consume this relation — unshared, each
+      // would re-read and re-tokenize the whole corpus
+      val b = CacheScope.persist(toks.crossJoin(broadcast(mx))
+        .selectExpr("tok", "(doc_id * 10) div (max_doc + 1) AS decile"))
       val newTypes = b.groupBy(col("tok"))
         .agg(min(col("decile")).as("decile"))
         .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))

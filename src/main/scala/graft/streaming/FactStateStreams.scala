@@ -632,11 +632,18 @@ object FactStateStreams {
     * batch day-bucketed lag window), folded into eight longs of state per
     * type. Emits each type's running snapshot whenever a micro-batch adds
     * gaps; the final emission over an in-order feed equals the batch
-    * query row for row (StreamingInterarrivalSpec pins it). Input must
-    * carry `event_id` — rows fold in that order, the subscribe contract's
-    * storage order, so micro-batch boundaries never reorder the gap
-    * sequence. State is fixed-width per type; 100 TB of events still
-    * holds |types| records. */
+    * query row for row (StreamingInterarrivalSpec pins it). Rows fold in
+    * (ts, event_id) order — the batch lag window's exact sort — and an
+    * out-of-order LATE event (ts behind the fold cursor, possible only
+    * across micro-batch boundaries) is DROPPED rather than folded: a
+    * backwards gap would poison the moment sums permanently, so this
+    * face keeps the same late-event discipline as dailyAutocorr and
+    * funnelStages, with the batch operator as the repair path. Moment
+    * sums are overflow-LOUD (add/multiplyExact — the house discipline;
+    * the batch twin rides DECIMAL(38,0), and a silent Long wrap here
+    * would emit garbage dispersion after ~3.4 years of day-length gaps).
+    * State is fixed-width per type; 100 TB of events still holds |types|
+    * records. */
   def interarrivalStats(spark: SparkSession, events: DataFrame): Dataset[GapUpdate] = {
     import spark.implicits._
     val DayUs = 86400L * 1000000
@@ -650,16 +657,20 @@ object FactStateStreams {
         var st = state.getOption.getOrElse(
           GapState(Long.MinValue, Long.MinValue, 0L, 0L, Long.MaxValue, Long.MinValue, 0L, 0L))
         val n0 = st.n
-        rows.toSeq.sortBy(_._3).foreach { case (_, ts, _) =>
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _) =>
           val day = ts / DayUs
-          if (st.day == day && st.lastTs != Long.MinValue) {
-            val gap = ts - st.lastTs
-            val gapMs = gap / 1000
-            st = st.copy(n = st.n + 1, sg = st.sg + gap,
-              mn = math.min(st.mn, gap), mx = math.max(st.mx, gap),
-              sgMs = st.sgMs + gapMs, sggMs = st.sggMs + gapMs * gapMs)
+          // late event (behind the cursor): drop, never fold a negative gap
+          if (st.lastTs == Long.MinValue || ts >= st.lastTs) {
+            if (st.day == day && st.lastTs != Long.MinValue) {
+              val gap = ts - st.lastTs
+              val gapMs = gap / 1000
+              st = st.copy(n = st.n + 1, sg = Math.addExact(st.sg, gap),
+                mn = math.min(st.mn, gap), mx = math.max(st.mx, gap),
+                sgMs = Math.addExact(st.sgMs, gapMs),
+                sggMs = Math.addExact(st.sggMs, Math.multiplyExact(gapMs, gapMs)))
+            }
+            st = st.copy(day = day, lastTs = ts)
           }
-          st = st.copy(day = day, lastTs = ts)
         }
         state.update(st)
         if (st.n == n0 || st.n == 0) Iterator.empty

@@ -64,6 +64,23 @@ class StreamingInterarrivalSpec extends AnyFunSuite {
     graft.operators.CacheScope.releaseAll()
   }
 
+  test("rows fold in (ts, event_id) order and a late event across a batch " +
+      "boundary is dropped, never folded as a negative gap") {
+    // within one batch: event_ids arrive against ts order — the fold must
+    // sort by ts (the batch lag window's sort), giving gaps 10ms and 20ms
+    val inBatch = run(Seq(Seq(("a", 30000L, 1L), ("a", 0L, 2L), ("a", 10000L, 3L))))
+    val a = inBatch.maxBy(_.nGaps)
+    assert((a.nGaps, a.minGapUs, a.maxGapUs) == ((2L, 10000L, 20000L)), s"$inBatch")
+    // across batches: an event behind the cursor is dropped (late-event
+    // discipline), state stays valid and later in-order events still fold
+    val late = run(Seq(
+      Seq(("b", 100000L, 1L)),
+      Seq(("b", 40000L, 2L)),             // late: behind the cursor — dropped
+      Seq(("b", 160000L, 3L))))           // folds against the 100ms cursor
+    val b = late.maxBy(_.nGaps)
+    assert((b.nGaps, b.minGapUs, b.maxGapUs) == ((1L, 60000L, 60000L)), s"$late")
+  }
+
   test("cross-midnight gap is excluded and a gapless type emits nothing") {
     val DayUs = 86400L * 1000000
     val got = run(Seq(Seq(

@@ -35,6 +35,27 @@ class Round11WaveSpec extends AnyFunSpec with Matchers {
     }
   }
 
+  describe("dedup_decision_stats on a corpus with no near-dups") {
+    it("returns the zero census instead of crashing on the empty pair graph") {
+      // near-orthogonal one-hot vectors: no pair reaches cosine 0.4, so
+      // the CC input is EMPTY — the census must still answer (the oracle's
+      // recursive closure yields zero rows there too)
+      val dim = 64
+      val vecs = (0L until 12L).map { i =>
+        (i, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f), (i % 3).toInt)
+      }
+      val dir = Files.createTempDirectory("ortho-fixture").toFile
+      dir.deleteOnExit()
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "embeddings.parquet").toString)
+      val got = Dedup.queries("dedup_decision_stats")(spark, dir.toString)
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      got shouldBe ((12L, 0L, 0L, 12L, 0L, 0L))
+      CacheScope.releaseAll()
+    }
+  }
+
   describe("source_shingle_overlap") {
     it("reports directional containment on a fixture known by construction") {
       // word-3-gram shingles: docs A and B share both shingles of the
