@@ -392,7 +392,82 @@ object Curation {
           "(dup_docs * 10000) div n_docs AS dup_bp",
           "(ok_docs * 10000) div n_docs AS ok_bp")
         .orderBy(asc("source"))
-    })
+    }),
+
+    // Per-source distribution divergence — an integer-bits KL proxy:
+    // KL(source ‖ corpus) estimated as the difference between each
+    // source's token-weighted cross-entropy under the CORPUS unigram LM
+    // and its entropy under its OWN unigram LM, both in the whole-bit
+    // add-one-smoothed floor-log2 discipline of text_lm_surprisal (so the
+    // quantization bias mostly cancels in the difference; the residual is
+    // declared — this is a ranking signal, not a calibrated nat count).
+    // The mixture designer's "which sources are off-distribution" table.
+    // Scale shape: ONE corpus-scale tokenize/explode feeds a map-side-
+    // combined (source, token) census; the corpus census, totals, and all
+    // scoring joins run at VOCABULARY granularity (census rows, never
+    // document rows); per-source and corpus totals attach by broadcast.
+    "source_lm_divergence" -> ((s, d) => {
+      val srcFreq = docs(s, d)
+        .selectExpr("source", s"explode(${wordHashesSpark("text")}) AS h")
+        .groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("fs"))
+        .transform(CacheScope.persist)
+      val corpFreq = srcFreq.groupBy(col("h")).agg(sum(col("fs")).as("f"))
+      val corpTot = corpFreq.agg(sum(col("f")).as("t"), count(lit(1)).as("v"))
+      val srcTot = srcFreq.groupBy(col("source"))
+        .agg(sum(col("fs")).as("ts"), count(lit(1)).as("vs"))
+      srcFreq
+        .join(corpFreq, Seq("h"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(corpTot))
+        .selectExpr("source", "fs", "ts", "vs",
+          s"CAST(${log2Spark("(ts + vs) div (fs + 1)")} AS BIGINT) AS bits_self",
+          s"CAST(${log2Spark("(t + v) div (f + 1)")} AS BIGINT) AS bits_corpus")
+        .groupBy(col("source"))
+        .agg(max(col("ts")).as("n_tokens"), max(col("vs")).as("vocab"),
+          sum(expr("fs * bits_self")).as("sb_self"),
+          sum(expr("fs * bits_corpus")).as("sb_corpus"))
+        .selectExpr("source", "n_tokens", "vocab",
+          "(sb_self * 10000) div n_tokens AS h_self_bp",
+          "(sb_corpus * 10000) div n_tokens AS h_cross_bp",
+          "((sb_corpus - sb_self) * 10000) div n_tokens AS kl_bp")
+        .orderBy(desc("kl_bp"), asc("source"))
+    }),
+
+    // Quality-curriculum token plan: documents bucketed by their hashed-
+    // linear quality score into 10 fixed bins (score ∈ [−1000, 1000] mb →
+    // bin 0..9), served highest-quality-first with cumulative token
+    // accounting and a 3-phase curriculum assignment at thirds of the
+    // total budget — the "anneal on the best slice last" schedule every
+    // curriculum trainer plans with. Scale shape: scoring is the same
+    // zero-join codegen'd map pass as text_quality_classifier; the census
+    // groupBy is map-side combined to ≤10 rows; the cumulative window and
+    // phase math run on that fixed grid. The bin key is score-derived
+    // (bounded domain), never rank-derived — an ntile would need a global
+    // sort of the corpus.
+    "sample_curriculum" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr(s"${wordHashesSpark("text")} AS wh")
+        .selectExpr(
+          s"aggregate(wh, 0L, (a, h) -> a + ${bucketWeightSpark("h")}) AS sw",
+          "CAST(size(wh) AS BIGINT) AS n")
+        .filter(col("n") > 0)
+        .selectExpr("n", "(sw * 1000) div n AS mean_mb")
+        .selectExpr("n",
+          "least(greatest((mean_mb + 1000) div 200, 0L), 9L) AS bin")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+        .withColumn("cum_tokens", sum(col("tokens")).over(
+          Window.orderBy(desc("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_tokens", sum(col("tokens")).over(
+          Window.partitionBy()))
+        .selectExpr("bin", "n_docs", "tokens", "cum_tokens",
+          "(cum_tokens * 10000) div total_tokens AS cum_share_bp",
+          "CASE WHEN (cum_tokens * 3) <= total_tokens THEN 1L " +
+            "WHEN (cum_tokens * 3) <= total_tokens * 2 THEN 2L " +
+            "ELSE 3L END AS phase")
+        .orderBy(desc("bin")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -517,6 +592,38 @@ object Curation {
         "sum(n_chars)::BIGINT AS total_chars, sum(n_tokens)::BIGINT AS total_tokens, " +
         "(sum(CASE WHEN dup_n >= 2 THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*) AS dup_bp, " +
         "(sum(CASE WHEN ok_q THEN 1 ELSE 0 END)::BIGINT * 10000) // count(*) AS ok_bp " +
-        "FROM b3 GROUP BY source ORDER BY source")
+        "FROM b3 GROUP BY source ORDER BY source"),
+
+    "source_lm_divergence" ->
+      (s"WITH tk AS (SELECT source, unnest(${wordHashesDuck(tokensDuck("text"))}) AS h FROM documents), " +
+        "sf AS (SELECT source, h, count(*)::BIGINT AS fs FROM tk GROUP BY 1, 2), " +
+        "cf AS (SELECT h, sum(fs)::BIGINT AS f FROM sf GROUP BY 1), " +
+        "ct AS (SELECT sum(f)::BIGINT AS t, count(*)::BIGINT AS v FROM cf), " +
+        "st AS (SELECT source, sum(fs)::BIGINT AS ts, count(*)::BIGINT AS vs FROM sf GROUP BY 1), " +
+        "sc AS (SELECT sf.source, max(ts)::BIGINT AS n_tokens, max(vs)::BIGINT AS vocab, " +
+        s"sum(fs * CAST(${log2Duck("(ts + vs) // (fs + 1)")} AS BIGINT))::BIGINT AS sb_self, " +
+        s"sum(fs * CAST(${log2Duck("(t + v) // (f + 1)")} AS BIGINT))::BIGINT AS sb_corpus " +
+        "FROM sf JOIN cf USING (h) JOIN st USING (source) CROSS JOIN ct GROUP BY 1) " +
+        "SELECT source, n_tokens, vocab, " +
+        "(sb_self * 10000) // n_tokens AS h_self_bp, " +
+        "(sb_corpus * 10000) // n_tokens AS h_cross_bp, " +
+        "((sb_corpus - sb_self) * 10000) // n_tokens AS kl_bp " +
+        "FROM sc ORDER BY kl_bp DESC, source"),
+
+    "sample_curriculum" ->
+      (s"WITH wh AS (SELECT ${wordHashesDuck(tokensDuck("text"))} AS wh FROM documents), " +
+        "sc AS (SELECT " +
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(wh, h -> CAST(${bucketWeightDuck("h")} AS BIGINT))), (a, x) -> a + x) AS sw, " +
+        "CAST(len(wh) AS BIGINT) AS n FROM wh WHERE len(wh) > 0), " +
+        "bn AS (SELECT n, least(greatest(((sw * 1000) // n + 1000) // 200, 0), 9) AS bin FROM sc), " +
+        "cs AS (SELECT bin, count(*) AS n_docs, sum(n)::BIGINT AS tokens FROM bn GROUP BY bin), " +
+        "w AS (SELECT *, CAST(sum(tokens) OVER (ORDER BY bin DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, " +
+        "CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens FROM cs) " +
+        "SELECT bin, n_docs, tokens, cum_tokens, " +
+        "(cum_tokens * 10000) // total_tokens AS cum_share_bp, " +
+        "CAST(CASE WHEN cum_tokens * 3 <= total_tokens THEN 1 " +
+        "WHEN cum_tokens * 3 <= total_tokens * 2 THEN 2 ELSE 3 END AS BIGINT) AS phase " +
+        "FROM w ORDER BY bin DESC")
   )
 }

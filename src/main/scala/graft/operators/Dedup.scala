@@ -26,6 +26,12 @@ object Dedup {
     * before the inverted-index self-join (de-skews the hot keys). */
   val NgramDfCap = 64L
 
+  /** dedup_minhash_recall_eval sample size target: the n-adaptive coin
+    * rate is (EvalSampleTarget·10⁴) div n, so the exact all-pairs truth
+    * stays ~EvalSampleTarget²/2 pairs at ANY corpus size (a fixed rate
+    * would make the eval itself quadratic at 100 TB). */
+  val EvalSampleTarget = 500L
+
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashFunctions.register(spark) // codegen'd hash kernels
     spark.read.parquet(s"$dir/documents.parquet")
@@ -242,6 +248,50 @@ object Dedup {
     // ever computed for a doc with < 3 tokens on either engine.
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashVerified(s, d).orderBy(asc("doc_a"), asc("doc_b"))),
+
+    // MinHash-LSH recall/precision eval — the ann_recall_eval discipline
+    // applied to text dedup: on a BOUNDED deterministic sample (coin on
+    // doc_id, n-adaptive rate targeting ~500 docs so the exact truth stays
+    // fixed-size at any corpus scale), compute the exact all-pairs
+    // Jaccard ≥ 0.7 truth via the inverted shingle index (no DF cap — the
+    // sample bounds the skew) and the PRODUCTION band-bucket candidates
+    // (same signature/band construction as dedup_minhash_lsh, verbatim),
+    // then report recall and precision in exact ppm. One row; the number
+    // that justifies the 4×4 banding schedule stays measured, not assumed.
+    "dedup_minhash_recall_eval" -> ((s, d) => {
+      val base = shingled(s, d).filter(expr("size(sh) > 0"))
+      val nAll = base.agg(count(lit(1)).as("n_all"))
+      val sample = base.crossJoin(broadcast(nAll))
+        .filter(expr(s"(doc_id % $P) * $CoinScramble % $P % 10000 < " +
+          s"least(10000L, (${EvalSampleTarget}L * 10000) div n_all)"))
+        .select("doc_id", "sh")
+        .transform(CacheScope.persist)
+      val inv = sample.selectExpr("doc_id", "explode(sh) AS shv")
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      val truth = inv.as("l").join(inv.as("r"),
+          col("l.shv") === col("r.shv") && col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+          col("l.sz").as("sa"), col("r.sz").as("sb"))
+        .agg(count(lit(1)).as("nc"))
+        .filter(expr("(nc * 10000) div (sa + sb - nc) >= 7000"))
+        .select("da", "db")
+        .transform(CacheScope.persist)
+      val sig = sample.selectExpr("doc_id", s"${minhashSigSpark("sh")} AS sig")
+      val bands = bandsOf(sig)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+        .transform(CacheScope.persist)
+      val hits = cand.join(truth, Seq("da", "db"), "left_semi")
+      sample.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .selectExpr("n_docs", "n_truth", "n_cand", "n_hit",
+          "CASE WHEN n_truth = 0 THEN NULL ELSE (n_hit * 1000000) div n_truth END AS recall_ppm",
+          "CASE WHEN n_cand = 0 THEN NULL ELSE (n_hit * 1000000) div n_cand END AS precision_ppm")
+    }),
 
     // Threshold tuning curve: pair/doc counts per Jaccard band (70/80/90/
     // exact) and the cumulative pairs-at-least-threshold column a dedup
@@ -770,6 +820,34 @@ object Dedup {
         (s"WITH $minhashVerifiedCtes " +
           "SELECT doc_a, doc_b, n_common, n_union, jaccard_bp " +
           "FROM pairs ORDER BY doc_a, doc_b"),
+      "dedup_minhash_recall_eval" ->
+        (s"WITH shingled AS ($shingledSql), " +
+          "nz AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0), " +
+          "nall AS (SELECT count(*) AS n_all FROM nz), " +
+          "sample AS MATERIALIZED (SELECT doc_id, sh FROM nz CROSS JOIN nall " +
+          s"WHERE (doc_id % $P) * $CoinScramble % $P % 10000 < " +
+          s"least(10000, ($EvalSampleTarget * 10000) // n_all)), " +
+          "inv AS (SELECT doc_id, unnest(sh) AS shv FROM sample), " +
+          "sz AS (SELECT doc_id, count(*) AS sz FROM inv GROUP BY doc_id), " +
+          "common AS (SELECT l.doc_id AS da, r.doc_id AS db, count(*) AS nc " +
+          "FROM inv l JOIN inv r ON l.shv = r.shv AND l.doc_id < r.doc_id GROUP BY 1, 2), " +
+          "truth AS MATERIALIZED (SELECT da, db FROM common " +
+          "JOIN sz a ON da = a.doc_id JOIN sz b ON db = b.doc_id " +
+          "WHERE (nc * 10000) // (a.sz + b.sz - nc) >= 7000), " +
+          s"sigs AS (SELECT doc_id, ${minhashSigDuck("sh")} AS sig FROM sample), " +
+          "bands AS (SELECT doc_id, r.range AS band, " +
+          s"${bandKeyDuck("sig", "r.range")} AS bkey " +
+          s"FROM sigs CROSS JOIN range(0, $Bands) r), " +
+          "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a " +
+          "JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), " +
+          "cnts AS (SELECT (SELECT count(*) FROM sample) AS n_docs, " +
+          "(SELECT count(*) FROM truth) AS n_truth, " +
+          "(SELECT count(*) FROM cand) AS n_cand, " +
+          "(SELECT count(*) FROM cand JOIN truth USING (da, db)) AS n_hit) " +
+          "SELECT n_docs, n_truth, n_cand, n_hit, " +
+          "CASE WHEN n_truth = 0 THEN NULL ELSE (n_hit * 1000000) // n_truth END AS recall_ppm, " +
+          "CASE WHEN n_cand = 0 THEN NULL ELSE (n_hit * 1000000) // n_cand END AS precision_ppm " +
+          "FROM cnts"),
       "dedup_threshold_sweep" ->
         (s"WITH $minhashVerifiedCtes, " +
           "bk AS (SELECT doc_a, doc_b, jaccard_bp // 1000 AS bucket FROM pairs), " +

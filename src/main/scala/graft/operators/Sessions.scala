@@ -149,6 +149,64 @@ object Sessions {
         .selectExpr("event_type", "CAST(rank AS BIGINT) AS rank", "next_type",
           "n", "(n * 10000) div total AS p_bp")
         .orderBy(asc("event_type"), asc("rank"))
+    }),
+
+    // Peak concurrent sessions per day — the capacity-planning number
+    // (simultaneous live users) — by sweep-line over session endpoints,
+    // never a self-join of intervals. Sessions are the 30-min-gap spans
+    // (same build as events_session_spans), made half-open [start, end+1µs)
+    // and CLIPPED at midnight into per-day segments (sequence explode; a
+    // span crossing midnight re-opens as a day-start segment, so each
+    // day's sweep starts at zero and days are independent). Each segment
+    // yields a +1/−1 endpoint pair; ties at one instant process −1 before
+    // +1 (ORDER BY ts, delta) so back-to-back sessions never overlap.
+    // Scale shape: the endpoint stream is session-sized (events already
+    // collapsed by the gap rollup) and the sweep is TWO-LEVEL — per-
+    // (day, hour) delta sums roll up to a ≤24-row-per-day hour grid whose
+    // cumulative sum is each hour's carry-in, and the running count
+    // window partitions by (day, hour), so no single task ever sorts more
+    // than one hour of one day's endpoints. A one-level day window is the
+    // classic sweep-line skew trap at 100 TB (the busiest day lands on
+    // one task); the hour grid carry removes it for the price of one
+    // grid-sized broadcast join.
+    "events_peak_concurrency" -> ((s, d) => {
+      val dayUs = 86400L * 1000000
+      val hourUs = 3600L * 1000000
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
+      val spans = EventFinders.events(s, d)
+        .selectExpr("user_id", "event_id", "ts div 1000 AS ts_us")
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(w) > GapUs || lag(col("ts_us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(min(col("ts_us")).as("start_us"), (max(col("ts_us")) + 1L).as("end_us"))
+      val endpoints = spans
+        .withColumn("day", explode(expr(s"sequence(start_us div ${dayUs}L, (end_us - 1) div ${dayUs}L)")))
+        .selectExpr("day",
+          s"greatest(start_us, day * ${dayUs}L) AS seg_start",
+          s"least(end_us, (day + 1) * ${dayUs}L) AS seg_end")
+        .selectExpr("day",
+          "explode(array(struct(seg_start AS ts, 1L AS delta), struct(seg_end AS ts, -1L AS delta))) AS e")
+        .selectExpr("day", "e.ts AS ts", "e.delta AS delta",
+          s"(e.ts - day * ${dayUs}L) div ${hourUs}L AS hour")
+        .transform(CacheScope.persist)
+      val hourCarry = endpoints.groupBy(col("day"), col("hour"))
+        .agg(sum(col("delta")).as("hd"))
+        .withColumn("carry_in",
+          coalesce(sum(col("hd")).over(Window.partitionBy(col("day")).orderBy(asc("hour"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "hour", "carry_in")
+      val sweep = Window.partitionBy(col("day"), col("hour"))
+        .orderBy(asc("ts"), asc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      endpoints.join(broadcast(hourCarry), Seq("day", "hour"))
+        .withColumn("running", col("carry_in") + sum(col("delta")).over(sweep))
+        .groupBy(col("day"))
+        .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_segments"),
+          max(col("running")).as("peak_concurrent"))
+        .orderBy(asc("day"))
     })
   )
 
@@ -209,6 +267,34 @@ object Sessions {
         "row_number() OVER (PARTITION BY event_type ORDER BY n DESC, next_type) AS rank FROM p) " +
         "SELECT event_type, CAST(rank AS BIGINT) AS rank, next_type, n, " +
         "(n * 10000) // total AS p_bp " +
-        "FROM w WHERE rank <= 3 ORDER BY event_type, rank")
+        "FROM w WHERE rank <= 3 ORDER BY event_type, rank"),
+
+    "events_peak_concurrency" ->
+      ("WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+        "m AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 " +
+        "OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess " +
+        "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "sx AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM m), " +
+        "spans AS (SELECT user_id, session_idx, min(ts_us) AS start_us, " +
+        "max(ts_us) + 1 AS end_us FROM sx GROUP BY user_id, session_idx), " +
+        "seg AS (SELECT unnest(range(start_us // 86400000000, (end_us - 1) // 86400000000 + 1)) AS day, " +
+        "start_us, end_us FROM spans), " +
+        "segc AS (SELECT day, greatest(start_us, day * 86400000000) AS seg_start, " +
+        "least(end_us, (day + 1) * 86400000000) AS seg_end FROM seg), " +
+        "ep0 AS (SELECT day, unnest([{'ts': seg_start, 'delta': 1::BIGINT}, " +
+        "{'ts': seg_end, 'delta': (-1)::BIGINT}]) AS e FROM segc), " +
+        "ep AS (SELECT day, e.ts AS ts, e.delta AS delta, " +
+        "(e.ts - day * 86400000000) // 3600000000 AS hour FROM ep0), " +
+        "hc AS (SELECT day, hour, coalesce(sum(hd) OVER (PARTITION BY day ORDER BY hour " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry_in FROM " +
+        "(SELECT day, hour, sum(delta) AS hd FROM ep GROUP BY day, hour) _), " +
+        "run AS (SELECT ep.day, delta, carry_in + sum(delta) OVER " +
+        "(PARTITION BY ep.day, ep.hour ORDER BY ts, delta " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running " +
+        "FROM ep JOIN hc ON hc.day = ep.day AND hc.hour = ep.hour) " +
+        "SELECT day, sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_segments, " +
+        "CAST(max(running) AS BIGINT) AS peak_concurrent " +
+        "FROM run GROUP BY day ORDER BY day")
   )
 }

@@ -904,6 +904,45 @@ object Similarity {
         .orderBy(asc("label"))
     }),
 
+    // Per-cluster embedding outliers — the top-5 members farthest from
+    // their cluster centroid, scored as basis points of the cluster's mean
+    // squared distance (so the cutoff is scale-free across clusters of
+    // different radii). The quality-filter pass every embedding corpus
+    // runs before trusting semantic dedup / retrieval: a member at 5-10×
+    // the cluster mean is a mis-embedding or mis-assignment. All integer:
+    // coordinates e4-quantize to BIGINT, the centroid is a truncating
+    // integer mean per (label, dim), distances are exact integer sums —
+    // both engines agree bit-for-bit with no float summation anywhere.
+    // Scale shape: one posexplode pass feeds a map-side-combined
+    // (label, dim) centroid grid (clusters × Dim rows, broadcast back);
+    // the per-vector distance is a map-side-combined groupBy on vec_id;
+    // the rank window is per-label and WindowGroupLimit-prunable (≤ 5).
+    "embedding_outlier_scores" -> ((s, d) => {
+      val q = emb(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .selectExpr("vec_id", "label", "i",
+          "CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS q")
+        .transform(CacheScope.persist)
+      val cent = q.groupBy(col("label"), col("i"))
+        .agg(expr("sum(q) div count(1)").as("c"))
+      val dist = q.join(broadcast(cent), Seq("label", "i"))
+        .selectExpr("vec_id", "label", "(q - c) * (q - c) AS t")
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("t")).as("d2"))
+      val stats = dist.groupBy(col("label"))
+        .agg(expr("sum(d2) div count(1)").as("mean_d2"))
+      val W = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(desc("score_bp"), asc("vec_id"))
+      dist.join(broadcast(stats), Seq("label"))
+        .selectExpr("label", "vec_id", "d2",
+          "(d2 * 10000) div greatest(mean_d2, 1L) AS score_bp")
+        .withColumn("rank", row_number().over(W))
+        .filter(col("rank") <= 5)
+        .selectExpr("CAST(label AS BIGINT) AS label", "CAST(rank AS BIGINT) AS rank",
+          "vec_id", "d2", "score_bp")
+        .orderBy(asc("label"), asc("rank"))
+    }),
+
     // Leading-principal-direction projection (PCA axis 1) — INTEGER power
     // iteration, so the direction is bit-identical across engines and the
     // whole operator is oracle-checkable in SQL (no float matvec whose
@@ -1141,6 +1180,24 @@ object Similarity {
         "SELECT coh.label, n_vecs, cohesion_e10, nn_label, nn_sep_e10, " +
         "CAST((cohesion_e10 * 10000) // greatest(nn_sep_e10, 1) AS BIGINT) AS compactness_bp " +
         "FROM coh JOIN sep ON coh.label = sep.label ORDER BY coh.label"),
+
+    "embedding_outlier_scores" ->
+      ("WITH q AS (SELECT vec_id, label, p.range AS i, " +
+        "CAST(floor(list_extract(embedding, p.range + 1)::DOUBLE * 10000) AS BIGINT) AS q " +
+        s"FROM embeddings CROSS JOIN range(0, $Dim) p), " +
+        "cent AS (SELECT label, i, CAST(sum(q) // count(*) AS BIGINT) AS c " +
+        "FROM q GROUP BY label, i), " +
+        "dist AS (SELECT vec_id, q.label, CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2 " +
+        "FROM q JOIN cent ON cent.label = q.label AND cent.i = q.i GROUP BY vec_id, q.label), " +
+        "st AS (SELECT label, CAST(sum(d2) // count(*) AS BIGINT) AS mean_d2 " +
+        "FROM dist GROUP BY label), " +
+        "r AS (SELECT dist.label, vec_id, d2, " +
+        "(d2 * 10000) // greatest(mean_d2, 1) AS score_bp, " +
+        "row_number() OVER (PARTITION BY dist.label " +
+        "ORDER BY (d2 * 10000) // greatest(mean_d2, 1) DESC, vec_id) AS rank " +
+        "FROM dist JOIN st USING (label)) " +
+        "SELECT CAST(label AS BIGINT) AS label, CAST(rank AS BIGINT) AS rank, " +
+        "vec_id, d2, score_bp FROM r WHERE rank <= 5 ORDER BY label, rank"),
 
     "embedding_pca_project" -> pcaOracleSql,
 
