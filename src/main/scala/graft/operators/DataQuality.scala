@@ -175,6 +175,35 @@ object DataQuality {
         .orderBy(asc("family"), asc("bin"))
     }),
 
+    // Categorical-independence audit: the chi-square contribution grid of
+    // lang × source over the documents corpus — "is language mix the same
+    // across sources, or does one crawl skew?" — the stratification check
+    // run before trusting a per-source sample plan. Declared semantics:
+    // chi-square on the PPM-PROPORTION grid (observed o_ppm vs expected
+    // e_ppm = row·col/N², contribution (o−e)²/e in ppm), which keeps every
+    // intermediate bounded (≤10¹²) at ANY corpus size — the raw-count
+    // statistic's (O·N−R·C)² needs N⁴ width and dies past DECIMAL(38).
+    // One map-side-combined groupBy to the langs×sources grid; the margin
+    // windows and arithmetic are grid-sized. Wide margin products ride
+    // DECIMAL(38,0) (burstiness discipline).
+    "dq_chi2_independence" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r_tot", sum(col("n")).over(w.partitionBy(col("lang"))))
+        .withColumn("c_tot", sum(col("n")).over(w.partitionBy(col("source"))))
+        .withColumn("n_tot", sum(col("n")).over(w.partitionBy()))
+        .selectExpr("lang", "source", "n",
+          "(n * 1000000) div n_tot AS o_ppm",
+          """CAST((CAST(r_tot AS DECIMAL(38,0)) * c_tot * 1000000)
+             div (CAST(n_tot AS DECIMAL(38,0)) * n_tot) AS BIGINT) AS e_ppm""")
+        .selectExpr("lang", "source", "n", "o_ppm", "e_ppm",
+          "o_ppm - e_ppm AS delta_ppm",
+          "((o_ppm - e_ppm) * (o_ppm - e_ppm)) div greatest(e_ppm, 1L) AS chi2_contrib_ppm")
+        .orderBy(asc("lang"), asc("source"))
+    }),
+
     // Cross-table temporal consistency: a lineitem must not ship before
     // its order is placed. One orderkey equi-join (co-located under a
     // bucketed layout), integer epoch-day lag arithmetic, constant-width
@@ -281,6 +310,22 @@ object DataQuality {
             p_a_ppm - p_b_ppm AS delta_ppm,
             (p_a_ppm - p_b_ppm) * (p_a_ppm - p_b_ppm) AS drift_ppm2
           FROM p ORDER BY family, bin"""),
+
+      "dq_chi2_independence" ->
+        ("""WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+          m AS (SELECT lang, source, n,
+              CAST(sum(n) OVER (PARTITION BY lang) AS DECIMAL(38,0)) AS r_tot,
+              CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS c_tot,
+              CAST(sum(n) OVER () AS BIGINT) AS n_tot
+            FROM g),
+          p AS (SELECT lang, source, n,
+              CAST((n * 1000000) // n_tot AS BIGINT) AS o_ppm,
+              CAST((r_tot * c_tot * 1000000) // (CAST(n_tot AS DECIMAL(38,0)) * n_tot) AS BIGINT) AS e_ppm
+            FROM m)
+          SELECT lang, source, n, o_ppm, e_ppm,
+            o_ppm - e_ppm AS delta_ppm,
+            ((o_ppm - e_ppm) * (o_ppm - e_ppm)) // greatest(e_ppm, 1) AS chi2_contrib_ppm
+          FROM p ORDER BY lang, source"""),
 
       "dq_temporal_consistency" ->
         ("""WITH j AS (SELECT epoch_us(l_shipdate) // 86400000000 - epoch_us(o_orderdate) // 86400000000 AS lag_days

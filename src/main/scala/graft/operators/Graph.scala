@@ -275,6 +275,41 @@ object Graph {
              ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 /
                sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT)
              END AS r_ppm""")
+    }),
+
+    // Bipartite projection similarity: the user↔event-type bipartite graph
+    // projected onto types, scored by co-occurrence cosine
+    // n_ab / √(d_a·d_b) — which behaviors share an audience, normalized so
+    // a dominant type can't top every pair by raw count alone. The only
+    // corpus-scale work is ONE distinct to (user, type); pairs are
+    // generated IN-ROW from each user's type set (fan-out ≤ |type
+    // catalog|², a constant — never a corpus self-join), and the pair
+    // census is a second map-side-combined groupBy. Degrees ride the same
+    // distinct relation; the degree product runs DECIMAL(38,0) (10⁹ users
+    // per side squares past int64) and collapses through the one-sqrt
+    // floor-ppm float discipline shared with graph_assortativity.
+    "graph_bipartite_similarity" -> ((s, d) => {
+      val ut = t(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+        .transform(CacheScope.persist)
+      val pairs = ut
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .filter(size(col("types")) >= 2)
+        .select(explode(col("types")).as("ta"), col("types"))
+        .select(col("ta"), explode(col("types")).as("tb"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_both"))
+      val deg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("d"))
+      pairs
+        .join(broadcast(deg.select(col("event_type").as("ta"), col("d").as("da"))), Seq("ta"))
+        .join(broadcast(deg.select(col("event_type").as("tb"), col("d").as("db"))), Seq("tb"))
+        .selectExpr("ta AS type_a", "tb AS type_b", "da AS n_users_a",
+          "db AS n_users_b", "n_both",
+          """CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0 /
+             sqrt(CAST(CAST(da AS DECIMAL(38,0)) * db AS DOUBLE))) AS BIGINT) AS cos_ppm""")
+        .orderBy(desc("cos_ppm"), asc("type_a"), asc("type_b"))
     })
   )
 
@@ -376,6 +411,22 @@ object Graph {
         "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
         "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) " +
         "END AS r_ppm FROM nums"),
+
+    // projection pairs via a user-keyed self-join (equivalent semantics to
+    // the engine's in-row pair explode — DuckDB has no fan-out concern at
+    // gate scale)
+    "graph_bipartite_similarity" ->
+      ("WITH ut AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events), " +
+        "pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "count(*) AS n_both FROM ut a JOIN ut b ON a.user_id = b.user_id " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2), " +
+        "deg AS (SELECT event_type, count(*) AS d FROM ut GROUP BY event_type) " +
+        "SELECT type_a, type_b, da.d AS n_users_a, db.d AS n_users_b, n_both, " +
+        "CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0 / " +
+        "sqrt(CAST(CAST(da.d AS DECIMAL(38,0)) * db.d AS DOUBLE))) AS BIGINT) AS cos_ppm " +
+        "FROM pairs JOIN deg da ON da.event_type = type_a " +
+        "JOIN deg db ON db.event_type = type_b " +
+        "ORDER BY cos_ppm DESC, type_a, type_b"),
 
     "graph_degree_stats" ->
       (edgeCte + ", hist AS (SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg), " +

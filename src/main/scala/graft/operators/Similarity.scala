@@ -172,6 +172,10 @@ object Similarity {
   private val CoarseIters = 2
   private val MultiAssign = 2
   private val ProbeCells = 2
+
+  /** Similarity bar for ann_range_search (cos ≥ 0.2): radius semantics —
+    * all matches above the bar, no fixed k. */
+  private val RangeTauPpm = 200000L
   // The Spark side renders best-two via the fixed NearestTwoCodes
   // expression while the oracle renders `rk <= ProbeCells` / `[1:N]` from
   // these constants — a silent bump would diverge the engines and surface
@@ -685,6 +689,33 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // Radius (range) search — the retrieval mode top-k can't express:
+    // return EVERY neighbor above a similarity bar (cos ≥ RangeTauPpm),
+    // however many there are. Same learned-IVF probe as ann_ivf_probe
+    // (2-cell multi-assignment corpus side, metric-consistent probe-2
+    // query side), exact cosine verify inside probed cells only — so the
+    // scan cost is the probed-cell population, not the corpus, and the
+    // emission is bounded by the true match count instead of a fixed k.
+    // No window anywhere: a top-k rank over an unbounded match set would
+    // re-shuffle what the threshold filter already bounded.
+    "ann_range_search" -> ((s, d) => {
+      val e = emb(s, d)
+      val coarse = coarseFor(d, e)
+      val member = coarseAssign(e, coarse)
+        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
+        .select(col("query_id"), col("vec_id")).distinct()
+      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
+        "embedding AS qv", "vec_norm2(embedding) AS qn2")
+      e.selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+        .join(broadcast(member), Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .filter(col("cos_ppm") >= RangeTauPpm)
+        .orderBy(asc("query_id"), asc("neighbor_id"))
+    }),
+
     // Product quantization + asymmetric distance (ADC) — the memory-bound
     // ANN scale path: vectors compress to M=16 one-byte codes (argmin over
     // a 128-entry LEARNED codebook per 4-dim subspace — hash-seeded, 2
@@ -1085,6 +1116,17 @@ object Similarity {
         "JOIN q ON q.query_id = mb.query_id WHERE e.vec_id <> mb.query_id) " +
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
+    "ann_range_search" ->
+      (s"WITH ${coarseDuckCtes()}, " +
+        "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
+        "JOIN qprob p ON a.cell = p.cell), " +
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5) " +
+        "SELECT mb.query_id AS query_id, e.vec_id AS neighbor_id, " +
+        s"${cosPpmDuck("qv", "e.embedding")} AS cos_ppm " +
+        "FROM member mb JOIN embeddings e ON e.vec_id = mb.vec_id " +
+        "JOIN q ON q.query_id = mb.query_id WHERE e.vec_id <> mb.query_id " +
+        s"AND ${cosPpmDuck("qv", "e.embedding")} >= $RangeTauPpm " +
+        "ORDER BY query_id, neighbor_id"),
     "ann_pq_adc" ->
       (s"WITH $pqDuckCtes, " +
         "adc AS (SELECT query_id, vec_id, CAST(sum(qd_e10) AS BIGINT) AS adc_e10 " +

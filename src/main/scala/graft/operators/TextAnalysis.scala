@@ -143,6 +143,22 @@ object TextAnalysis {
         .orderBy(asc("doc_id"))
     }),
 
+    // Language-ID confusion grid: the langid relation aggregated to
+    // (labeled, predicted) counts with each row's share of its labeled
+    // language — the mislabeled-corpus diagnostic a curation run reads
+    // before trusting declared langs. Composes text_langid verbatim (the
+    // ann_recall_eval discipline: an eval that embeds the thing it
+    // evaluates can't drift from it); the grid is ≤ (langs+1)² rows, so
+    // the share window is grid-sized — the corpus-scale work is the one
+    // scored projection inside text_langid.
+    "text_langid_confusion" -> ((s, d) =>
+      queries("text_langid")(s, d)
+        .groupBy(col("labeled_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("row_share_bp",
+          expr("(n_docs * 10000) div sum(n_docs) OVER (PARTITION BY labeled_lang)"))
+        .orderBy(asc("labeled_lang"), asc("pred_lang"))),
+
     // Document fingerprinting: full-content polynomial hash + winnowing-ish
     // minimum over 8-char rolling windows (stride 4).
     "text_fingerprint" -> ((s, d) =>
@@ -465,6 +481,25 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("bucket")))
   )
 
+  /** The langid scored relation as standalone SQL — shared verbatim by the
+    * text_langid oracle and the confusion-grid oracle built over it. */
+  private lazy val langidOracle: String = {
+    val toks = tokensDuck("text")
+    val langs = StopLists.map(_._1)
+    val scoreCols = StopLists.map { case (lang, words) =>
+      s"len(list_filter($toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$lang"
+    }.mkString(", ")
+    val pred = langs.map { l =>
+      val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"SELECT doc_id, labeled_lang, ${langs.map(l => s"s_$l").mkString(", ")}, " +
+      s"$pred AS pred_lang, " +
+      s"CAST($pred = labeled_lang AS INT) AS label_match FROM " +
+      s"(SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents) scored " +
+      "ORDER BY doc_id"
+  }
+
   def oracles: Map[String, String] = {
     val toks = tokensDuck("text")
     Map(
@@ -483,20 +518,15 @@ object TextAnalysis {
           "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, " +
           "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits " +
           "FROM documents ORDER BY doc_id"),
-      "text_langid" -> {
-        val langs = StopLists.map(_._1)
-        val scoreCols = StopLists.map { case (lang, words) =>
-          s"len(list_filter($toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS s_$lang"
-        }.mkString(", ")
-        val pred = langs.map { l =>
-          val geAll = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
-          s"WHEN $geAll THEN '$l'"
-        }.mkString("CASE ", " ", " ELSE 'und' END")
-        s"WITH scored AS (SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents) " +
-          s"SELECT doc_id, labeled_lang, ${langs.map(l => s"s_$l").mkString(", ")}, " +
-          s"$pred AS pred_lang, " +
-          s"CAST($pred = labeled_lang AS INT) AS label_match FROM scored ORDER BY doc_id"
-      },
+      "text_langid" -> langidOracle,
+      // confusion grid embedded over the SAME langid derived table, so the
+      // classifier and its evaluation cannot drift
+      "text_langid_confusion" ->
+        (s"WITH l AS ($langidOracle) " +
+          "SELECT labeled_lang, pred_lang, count(*) AS n_docs, " +
+          "CAST((count(*) * 10000) // sum(count(*)) OVER (PARTITION BY labeled_lang) AS BIGINT) AS row_share_bp " +
+          "FROM l GROUP BY labeled_lang, pred_lang " +
+          "ORDER BY labeled_lang, pred_lang"),
       "text_fingerprint" ->
         (s"SELECT doc_id, ${charHashDuck("text")} AS content_hash, " +
           "list_min(list_transform(range(1, greatest((length(text) - 7 + 3) // 4, 1) + 1), " +

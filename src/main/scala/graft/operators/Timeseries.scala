@@ -293,6 +293,43 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("horizon"))
     }),
 
+    // Forecast BACKTEST: hold out each type's final week, train the same
+    // integer Holt fold on everything before it, and score the h=1..7
+    // forecasts against the held-out actuals — per-horizon absolute error,
+    // not the one-step in-sample MAE events_holt_winters reports. This is
+    // the ann_recall_eval discipline applied to forecasting: the eval
+    // replays the EXACT production fold (same α/β integer recursions), so
+    // both engines must agree on every forecast AND every error, and a
+    // fold change shows up here one round before it corrupts the served
+    // forecast. Corpus-scale work is dayGrid's single groupBy; the fold
+    // carries two integers per type and the horizon explode is 7 rows.
+    "events_forecast_backtest" -> ((s, d) => {
+      val g = dayGrid(s, d)
+        .groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("ds"))
+      // ≥2 train points + 7 test days
+      g.filter(expr("size(ds) >= 9"))
+        .selectExpr("event_type",
+          "slice(ds, 1, size(ds) - 7) AS train",
+          "slice(ds, size(ds) - 6, 7) AS test")
+        .selectExpr("event_type", "test",
+          """aggregate(
+               slice(train, 2, size(train) - 1),
+               named_struct('l', element_at(train, 1).n, 't', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'l', (x.n + 3 * (acc.l + acc.t)) div 4,
+                 't', (((x.n + 3 * (acc.l + acc.t)) div 4 - acc.l) + 7 * acc.t) div 8),
+               acc -> acc) AS st""")
+        .selectExpr("event_type", "st", "posexplode(test) AS (pos, a)")
+        .selectExpr("event_type",
+          "CAST(pos + 1 AS BIGINT) AS horizon",
+          "st.l + (pos + 1) * st.t AS forecast",
+          "a.n AS actual")
+        .selectExpr("event_type", "horizon", "forecast", "actual",
+          "abs(forecast - actual) AS abs_err")
+        .orderBy(asc("event_type"), asc("horizon"))
+    }),
+
     // Burstiness census per event type: the Fano factor (variance/mean of
     // the zero-filled daily counts, ×10⁶) — the dispersion diagnostic
     // that separates Poisson-like steady traffic (F ≈ 1e6) from bursty
@@ -499,6 +536,29 @@ object Timeseries {
           "l AS level, t AS trend, (sae * 10000) // cnt AS mae_e4 " +
           "FROM rec, unnest(range(1, 8)) AS h(horizon) " +
           "WHERE day = d1 AND cnt > 0 ORDER BY event_type, horizon"),
+
+      "events_forecast_backtest" ->
+        // same Holt recursion trained only to d1 − 7, forecasts joined
+        // back to the held-out week's zero-filled actuals
+        (s"WITH RECURSIVE b AS ($base), $zeroFilledGrid, " +
+          "rec(event_type, day, l, t, dcut) AS (" +
+          "SELECT z.event_type, z.day, z.n, CAST(0 AS BIGINT), s.d1 - 7 " +
+          "FROM z JOIN span s ON s.event_type = z.event_type AND z.day = s.d0 " +
+          "WHERE s.d1 - s.d0 >= 8 " +
+          "UNION ALL " +
+          "SELECT r.event_type, z.day, " +
+          "(z.n + 3 * (r.l + r.t)) // 4, " +
+          "(((z.n + 3 * (r.l + r.t)) // 4 - r.l) + 7 * r.t) // 8, r.dcut " +
+          "FROM rec r JOIN z ON z.event_type = r.event_type AND z.day = r.day + 1 " +
+          "WHERE r.day < r.dcut), " +
+          "fc AS (SELECT event_type, day, l, t FROM rec WHERE day = dcut), " +
+          "ex AS (SELECT event_type, day, l, t, h.horizon AS horizon " +
+          "FROM fc, unnest(range(1, 8)) AS h(horizon)) " +
+          "SELECT ex.event_type AS event_type, ex.horizon AS horizon, " +
+          "ex.l + ex.horizon * ex.t AS forecast, " +
+          "z.n AS actual, abs(ex.l + ex.horizon * ex.t - z.n) AS abs_err " +
+          "FROM ex JOIN z ON z.event_type = ex.event_type AND z.day = ex.day + ex.horizon " +
+          "ORDER BY ex.event_type, ex.horizon"),
 
       "events_burstiness" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +
