@@ -858,4 +858,57 @@ object FactStateStreams {
         }
       }
   }
+
+  final case class TopKSlot(
+      lang: String, seq: Long, rank: Long, h: Long, est: Long, maxErr: Long)
+
+  final case class SsEntry(h: Long, n: Long, err: Long)
+  final case class SsState(seq: Long, entries: Seq[SsEntry])
+
+  /** Streaming space-saving heavy hitters (Metwally et al.): per-language
+    * top-k token summary as managed state — EXACTLY k counters per
+    * language regardless of vocabulary or stream length (the state shape
+    * CMS can't give: CMS answers "how often is X?", this answers "which X
+    * are hot?" with per-item error bars). Arrival of an untracked item
+    * evicts the minimum-count entry and inherits its count as the new
+    * entry's error bound, so every estimate carries its own certificate:
+    * true ≤ est and est − maxErr ≤ true, and any item with true frequency
+    * > N/k is guaranteed present (both pinned against exact counts in
+    * StreamingTopKSpec). Rows fold in log-position order within each
+    * micro-batch (the transitions/funnel discipline), so a batch-boundary
+    * shift can't reorder the fold; eviction ties break on (count, hash) —
+    * deterministic for any arrival history. Each state change emits the
+    * full k-row summary under a bumped seq; a batch that changes nothing
+    * emits nothing. */
+  def spaceSavingTopK(spark: SparkSession, langHashes: DataFrame,
+      k: Int): Dataset[TopKSlot] = {
+    import spark.implicits._
+    langHashes.selectExpr("lang", "h", "pos").as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SsState, TopKSlot](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (lang, rows, state) =>
+        val prev = state.getOption.getOrElse(SsState(0L, Seq.empty))
+        var m = prev.entries.iterator.map(e => e.h -> ((e.n, e.err))).toMap
+        rows.toSeq.sortBy(_._3).foreach { case (_, h, _) =>
+          m.get(h) match {
+            case Some((n, err)) => m = m.updated(h, (n + 1L, err))
+            case None if m.size < k => m = m.updated(h, (1L, 0L))
+            case None =>
+              val (eh, (en, _)) = m.minBy { case (hh, (nn, _)) => (nn, hh) }
+              m = (m - eh).updated(h, (en + 1L, en))
+          }
+        }
+        val entries = m.iterator.map { case (h, (n, err)) => SsEntry(h, n, err) }
+          .toSeq.sortBy(e => (-e.n, e.h))
+        if (entries == prev.entries) Iterator.empty
+        else {
+          val next = SsState(prev.seq + 1, entries)
+          state.update(next)
+          entries.iterator.zipWithIndex.map { case (e, i) =>
+            TopKSlot(lang, next.seq, i + 1L, e.h, e.n, e.err)
+          }
+        }
+      }
+  }
 }
