@@ -73,6 +73,11 @@ object Curation {
     * construction, one constant.) */
   private val SpanK = 8
 
+  /** sample_epoch_plan knobs: train-token budget = EpochBudgetX × corpus,
+    * per-language repetition cap = EpochCap epochs. */
+  private val EpochBudgetX = 2
+  private val EpochCap = 4
+
   /** Rolling ((…(w_i·31 + w_{i+1}) % P)·31 + …) window hash over SpanK
     * word hashes — the native codegen'd span kernel
     * (TextHashExpressions.SpanHashes): the HOF rendering re-evaluated
@@ -267,6 +272,46 @@ object Curation {
           "(planned_tokens * 10000) div avail_tokens AS rate_bp")
         .withColumn("is_binding",
           expr("(avail_tokens * 10000) div weight_bp = budget_tokens"))
+        .orderBy(asc("lang"))
+    }),
+
+    // Multi-EPOCH budget plan — the question mixture_token_plan's
+    // downsampling-only feasibility can't answer: given a training budget
+    // of BudgetX× the corpus (the data-constrained regime where sources
+    // REPEAT), how many epochs of each language does the target mixture
+    // imply, capped at EpochCap epochs (the repetition bar beyond which
+    // marginal value collapses — Muennighoff et al., "Scaling
+    // Data-Constrained Language Models", NeurIPS 2023), and how many
+    // target tokens go unmet where the cap binds? Epochs are e4
+    // fixed-point; every product rides the overflow-safe split idiom or
+    // DECIMAL(38,0) (a direct target·10⁴ wraps int64 on a 100 TB
+    // corpus). Corpus-scale work is the one token census; the plan is a
+    // |langs|-row computation.
+    "sample_epoch_plan" -> ((s, d) => {
+      val weights = "map('de', 1250, 'en', 5000, 'es', 1250, 'fr', 1250, 'zh', 1250)"
+      val avail = docs(s, d)
+        .selectExpr("lang", s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n")
+        .groupBy(col("lang")).agg(sum(col("n")).as("avail_tokens"))
+        .selectExpr("lang", "avail_tokens",
+          s"CAST(element_at($weights, lang) AS BIGINT) AS weight_bp")
+      val tot = avail.agg(sum(col("avail_tokens")).as("corpus_tokens"))
+      avail.crossJoin(broadcast(tot))
+        .selectExpr("lang", "avail_tokens", "weight_bp",
+          s"$EpochBudgetX * ((corpus_tokens div 10000) * weight_bp + " +
+            "((corpus_tokens % 10000) * weight_bp) div 10000) AS target_tokens")
+        .selectExpr("lang", "avail_tokens", "weight_bp", "target_tokens",
+          s"""CASE WHEN target_tokens >= $EpochCap * avail_tokens THEN ${EpochCap * 10000}L
+             ELSE (target_tokens div avail_tokens) * 10000 +
+                  CAST((CAST(target_tokens % avail_tokens AS DECIMAL(38,0)) * 10000)
+                       div avail_tokens AS BIGINT)
+             END AS epochs_e4""")
+        .selectExpr("lang", "avail_tokens", "weight_bp", "target_tokens", "epochs_e4",
+          "(avail_tokens div 10000) * epochs_e4 + " +
+            "((avail_tokens % 10000) * epochs_e4) div 10000 AS achieved_tokens")
+        .selectExpr("lang", "avail_tokens", "weight_bp", "target_tokens",
+          "epochs_e4", "achieved_tokens",
+          "greatest(target_tokens - achieved_tokens, 0L) AS deficit_tokens",
+          s"epochs_e4 = ${EpochCap * 10000}L AS is_capped")
         .orderBy(asc("lang"))
     }),
 
@@ -544,6 +589,30 @@ object Curation {
         "(planned_tokens * 10000) // avail_tokens AS rate_bp, " +
         "(avail_tokens * 10000) // weight_bp = budget_tokens AS is_binding " +
         "FROM pl ORDER BY lang"),
+    "sample_epoch_plan" ->
+      ("WITH av AS (SELECT lang, sum(n)::BIGINT AS avail_tokens FROM " +
+        s"(SELECT lang, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n FROM documents) _ GROUP BY lang), " +
+        "aw AS (SELECT lang, avail_tokens, CAST(CASE lang WHEN 'de' THEN 1250 WHEN 'en' THEN 5000 " +
+        "WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250 WHEN 'zh' THEN 1250 END AS BIGINT) AS weight_bp FROM av), " +
+        "tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS corpus_tokens FROM aw), " +
+        s"tg AS (SELECT lang, avail_tokens, weight_bp, $EpochBudgetX * " +
+        "((corpus_tokens // 10000) * weight_bp + ((corpus_tokens % 10000) * weight_bp) // 10000) " +
+        "AS target_tokens FROM aw CROSS JOIN tt), " +
+        s"ep AS (SELECT lang, avail_tokens, weight_bp, target_tokens, " +
+        s"CASE WHEN target_tokens >= $EpochCap * avail_tokens THEN CAST(${EpochCap * 10000} AS BIGINT) " +
+        // HUGEINT, not DECIMAL: DuckDB's `//` on a DECIMAL operand degrades
+        // to double division and the BIGINT cast ROUNDS — HUGEINT `//` is
+        // true integer division, matching Spark's DECIMAL(38,0) div
+        "ELSE (target_tokens // avail_tokens) * 10000 + " +
+        "CAST((CAST(target_tokens % avail_tokens AS HUGEINT) * 10000) // avail_tokens AS BIGINT) " +
+        "END AS epochs_e4 FROM tg), " +
+        "ac AS (SELECT lang, avail_tokens, weight_bp, target_tokens, epochs_e4, " +
+        "(avail_tokens // 10000) * epochs_e4 + ((avail_tokens % 10000) * epochs_e4) // 10000 " +
+        "AS achieved_tokens FROM ep) " +
+        "SELECT lang, avail_tokens, weight_bp, target_tokens, epochs_e4, achieved_tokens, " +
+        "greatest(target_tokens - achieved_tokens, CAST(0 AS BIGINT)) AS deficit_tokens, " +
+        s"epochs_e4 = ${EpochCap * 10000} AS is_capped " +
+        "FROM ac ORDER BY lang"),
     "curation_dsir_weights" ->
       (s"WITH tokh AS (SELECT doc_id, lang, source, " +
         s"list_transform(${wordHashesDuck(tokensDuck("text"))}, h -> h % $Buckets) AS bs FROM documents), " +

@@ -355,6 +355,32 @@ object Dedup {
         .orderBy(asc("doc_id"))
     }),
 
+    // Dedup audit trail: for every document a keep-one-per-cluster policy
+    // DROPS, the receipt a pipeline owner asks for — which doc it was
+    // dropped in favor of (the cluster keeper), how big its cluster is,
+    // and the strongest direct pair evidence (max verified Jaccard over
+    // its incident pairs). Debuggability is what separates a dedup stage
+    // you can ship from one you can only hope about: "why is doc X gone"
+    // must be answerable without re-running the pipeline. All inputs are
+    // pair-graph-sized relations served from the cached verified-pair
+    // artifact; nothing corpus-scale happens here beyond what the dedup
+    // kernels already did.
+    "dedup_provenance" -> ((s, d) => {
+      val pairs = minhashVerified(s, d)
+      val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      val keeper = labels.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+      val best = pairs.selectExpr("doc_a AS doc_id", "jaccard_bp")
+        .union(pairs.selectExpr("doc_b AS doc_id", "jaccard_bp"))
+        .groupBy(col("doc_id")).agg(max(col("jaccard_bp")).as("best_jaccard_bp"))
+      labels.join(keeper, Seq("cluster_id"))
+        .filter(col("doc_id") =!= col("keeper_id"))
+        .join(best, Seq("doc_id"))
+        .select(col("doc_id"), col("keeper_id"), col("cluster_id"),
+          col("n_members"), col("best_jaccard_bp"))
+        .orderBy(asc("doc_id"))
+    }),
+
     // SimHash over shingle features: 60-bit signature, 4 x 15-bit blocks as
     // LSH (pigeonhole: hamming <= 3 pairs agree on >= 1 block); verify
     // popcount <= 3. 4 x 32768 = 131072 buckets keeps within-bucket pair
@@ -885,6 +911,26 @@ object Dedup {
           "SELECT doc_id, cluster_id, " +
           "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
           "FROM lab ORDER BY doc_id"),
+      "dedup_provenance" ->
+        (s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v), " +
+          "lab AS (SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          "keep AS (SELECT cluster_id, min(doc_id) AS keeper_id, " +
+          "count(*) AS n_members FROM lab GROUP BY cluster_id), " +
+          "inc AS (SELECT doc_a AS doc_id, jaccard_bp FROM pairs " +
+          "UNION ALL SELECT doc_b AS doc_id, jaccard_bp FROM pairs), " +
+          "best AS (SELECT doc_id, CAST(max(jaccard_bp) AS BIGINT) AS best_jaccard_bp " +
+          "FROM inc GROUP BY doc_id) " +
+          "SELECT l.doc_id AS doc_id, k.keeper_id AS keeper_id, " +
+          "l.cluster_id AS cluster_id, k.n_members AS n_members, b.best_jaccard_bp " +
+          "FROM lab l JOIN keep k ON l.cluster_id = k.cluster_id " +
+          "JOIN best b ON l.doc_id = b.doc_id " +
+          "WHERE l.doc_id <> k.keeper_id ORDER BY l.doc_id"),
       "dedup_simhash" -> {
         val sumCols = (0 until SimhashBits).map(i => s"sum((f >> $i) & 1) AS c$i").mkString(", ")
         val sigSql = (0 until SimhashBits).map(i =>

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DataQuality, Graph, Similarity, TextAnalysis, Timeseries}
+import graft.operators.{Curation, DataQuality, Dedup, Graph, Similarity, TextAnalysis, Timeseries}
 
 /** Round-11 second wave: each operator recomputed independently in plain
   * Scala over the collected sf0.001 tables (the third leg next to the Spark
@@ -13,6 +13,11 @@ class Round11Wave2Spec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private val DayUs = 86400L * 1000000
+
+  private lazy val corpusDocs: Seq[(Long, String, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
   private lazy val events: Seq[(Long, String, Long)] =
     spark.read.parquet(s"$sf/events.parquet")
@@ -107,6 +112,43 @@ class Round11Wave2Spec extends AnyFunSuite {
     assert(got == expected, s"got $got\nexpected $expected")
     assert(cells.values.sum ==
       spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("dedup_provenance is consistent with dedup_clusters and the pair evidence") {
+    val clusters = Dedup.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val prov = Dedup.queries("dedup_provenance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.operators.CacheScope.releaseAll()
+    val byCluster = clusters.groupBy(_._2).toSeq
+    // exactly the non-keepers, each pointing at its cluster's min doc
+    val expected = byCluster.flatMap { case (cid, members) =>
+      val keeper = members.map(_._1).min
+      members.filter(_._1 != keeper).map(m => (m._1, keeper, cid, members.size.toLong))
+    }.toSet
+    assert(prov.map(p => (p._1, p._2, p._3, p._4)).toSet == expected)
+    // evidence bound: every dropped doc's best pair clears the verify bar
+    assert(prov.forall(_._5 >= 7000L), "best_jaccard_bp below the 0.7 verify bar")
+  }
+
+  test("sample_epoch_plan matches a plain-Scala budget planner") {
+    val langTokens = corpusDocs.groupBy(_._2).view
+      .mapValues(_.map(d => d._3.split(' ').count(_.nonEmpty).toLong).sum).toMap
+    val w = Map("de" -> 1250L, "en" -> 5000L, "es" -> 1250L, "fr" -> 1250L, "zh" -> 1250L)
+    val corpus = langTokens.values.sum
+    val expected = langTokens.map { case (lang, avail) =>
+      val target = 2L * ((corpus / 10000) * w(lang) + ((corpus % 10000) * w(lang)) / 10000)
+      val e4 =
+        if (target >= 4 * avail) 40000L
+        else (target / avail) * 10000 + (BigInt(target % avail) * 10000 / avail).toLong
+      val achieved = (avail / 10000) * e4 + ((avail % 10000) * e4) / 10000
+      lang -> (avail, w(lang), target, e4, achieved,
+        math.max(target - achieved, 0L), e4 == 40000L)
+    }
+    val got = Curation.queries("sample_epoch_plan")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
   }
 
   test("ann_range_search is sound (no pair below the bar, none fabricated)") {
