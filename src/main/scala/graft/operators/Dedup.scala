@@ -373,9 +373,11 @@ object Dedup {
       val best = pairs.selectExpr("doc_a AS doc_id", "jaccard_bp")
         .union(pairs.selectExpr("doc_b AS doc_id", "jaccard_bp"))
         .groupBy(col("doc_id")).agg(max(col("jaccard_bp")).as("best_jaccard_bp"))
-      labels.join(keeper, Seq("cluster_id"))
+      // keeper and best are cluster-/pair-graph-sized — broadcast them
+      // (post-checkpoint relations carry no stats, so AQE would SMJ)
+      labels.join(broadcast(keeper), Seq("cluster_id"))
         .filter(col("doc_id") =!= col("keeper_id"))
-        .join(best, Seq("doc_id"))
+        .join(broadcast(best), Seq("doc_id"))
         .select(col("doc_id"), col("keeper_id"), col("cluster_id"),
           col("n_members"), col("best_jaccard_bp"))
         .orderBy(asc("doc_id"))
