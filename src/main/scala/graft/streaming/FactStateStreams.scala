@@ -882,6 +882,7 @@ object FactStateStreams {
     * emits nothing. */
   def spaceSavingTopK(spark: SparkSession, langHashes: DataFrame,
       k: Int): Dataset[TopKSlot] = {
+    require(k > 0, s"spaceSavingTopK needs k > 0 counters, got $k")
     import spark.implicits._
     langHashes.selectExpr("lang", "h", "pos").as[(String, Long, Long)]
       .groupByKey(_._1)
