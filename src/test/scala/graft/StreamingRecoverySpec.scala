@@ -210,4 +210,35 @@ class StreamingRecoverySpec extends AnyFunSuite {
       (2L, "a", T0 + 500, T0 + 3000, 2L)),
       "open-interval state did not survive the restart")
   }
+
+  // -- spaceSavingTopK: bounded counter summary -----------------------------
+
+  test("spaceSavingTopK recovers its counters: final summary matches the " +
+      "uninterrupted run and seq continues") {
+    def tf(lang: String, h: Long) =
+      FactInput("t", lang, Array[Byte](1), tags = Map("h" -> h.toString))
+    // k=3; phase 1 fills the summary and forces one eviction (item 4
+    // inherits item 3's count as error); phase 2's arrivals only produce
+    // the right estimates if the pre-restart counters survived
+    val phase1 = Seq.fill(5)(tf("en", 1)) ++ Seq.fill(3)(tf("en", 2)) ++
+      Seq.fill(2)(tf("en", 3)) :+ tf("en", 4)
+    val phase2 = Seq(tf("en", 3), tf("en", 5), tf("en", 5), tf("en", 1))
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(df =>
+      FactStateStreams.spaceSavingTopK(spark,
+        df.selectExpr("subject AS lang", "CAST(tags['h'] AS BIGINT) AS h",
+          "position AS pos"), 3))
+    def finalSum(rows: Seq[TopKSlot]): Map[String, Seq[(Long, Long, Long, Long)]] =
+      rows.groupBy(_.lang).map { case (l, rs) =>
+        val last = rs.map(_.seq).max
+        l -> rs.filter(_.seq == last).sortBy(_.rank)
+          .map(r => (r.rank, r.h, r.est, r.maxErr))
+      }
+    assert(finalSum(o1 ++ o2) == finalSum(oU),
+      "recovered summary diverged from the uninterrupted run")
+    val (before, after) = (o1.map(_.seq), o2.map(_.seq))
+    assert(before.nonEmpty && after.nonEmpty && after.min > before.max,
+      "seq did not continue across the restart")
+    val all = o1 ++ o2
+    assert(all.map(s => (s.lang, s.seq, s.rank)).distinct.size == all.size)
+  }
 }
