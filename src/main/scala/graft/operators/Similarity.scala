@@ -176,6 +176,13 @@ object Similarity {
   /** Similarity bar for ann_range_search (cos ≥ 0.2): radius semantics —
     * all matches above the bar, no fixed k. */
   private val RangeTauPpm = 200000L
+
+  /** Probe depth for the range tier — wider than top-k's probe-2 because a
+    * LOW similarity bar spreads true matches across many cells (measured:
+    * probe-2 recall 0.42-0.93 per query at sf0.1; probe-4 is the
+    * accuracy/cost point the declared semantics pin, and
+    * ann_range_recall_eval keeps the number on the dashboard). */
+  private val RangeProbeCells = 4
   // The Spark side renders best-two via the fixed NearestTwoCodes
   // expression while the oracle renders `rk <= ProbeCells` / `[1:N]` from
   // these constants — a silent bump would diverge the engines and surface
@@ -546,7 +553,7 @@ object Similarity {
     * 2-nearest multi-assignment (`cassign`) and the query-side probe
     * (`qprob`). */
   private def coarseDuckCtes(assignK: Int = MultiAssign,
-      kSql: String = CoarseK.toString): String = {
+      kSql: String = CoarseK.toString, probeK: Int = ProbeCells): String = {
     val sb = new StringBuilder
     sb ++= s"cseed AS (SELECT row_number() OVER (ORDER BY $scrambleSql, vec_id) - 1 AS cell, " +
       "list_transform(embedding, x -> x::DOUBLE) AS cv FROM embeddings " +
@@ -570,7 +577,7 @@ object Similarity {
     sb ++= "qprob AS (SELECT query_id, cell FROM (SELECT query_id, cell, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rk FROM " +
       s"(SELECT e.vec_id AS query_id, c.cell, ${shiftDistDuck("e.embedding", "c.cv", Dim)} AS dist " +
-      s"FROM embeddings e CROSS JOIN $prev c WHERE e.vec_id < 5) _sq) _rq WHERE rk <= $ProbeCells)"
+      s"FROM embeddings e CROSS JOIN $prev c WHERE e.vec_id < 5) _sq) _rq WHERE rk <= $probeK)"
     sb.toString
   }
 
@@ -701,8 +708,14 @@ object Similarity {
     "ann_range_search" -> ((s, d) => {
       val e = emb(s, d)
       val coarse = coarseFor(d, e)
+      // probe-4 (RangeProbeCells), not the top-k tiers' probe-2: a radius
+      // query's matches spread across cells, and there is no rerank tier
+      // behind this one to recover them
+      val probed = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          explode(nearestK(col("embedding"), coarse, RangeProbeCells)).as("cell"))
       val member = coarseAssign(e, coarse)
-        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
+        .join(broadcast(probed), Seq("cell"))
         .select(col("query_id"), col("vec_id")).distinct()
       val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
         "embedding AS qv", "vec_norm2(embedding) AS qn2")
@@ -714,6 +727,37 @@ object Similarity {
           "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
         .filter(col("cos_ppm") >= RangeTauPpm)
         .orderBy(asc("query_id"), asc("neighbor_id"))
+    }),
+
+    // Recall dashboard for the RANGE tier: ann_range_search's result
+    // scored against the exact threshold truth (brute force over the
+    // 5-query set only — linear ×|Q|, never all-pairs). Range retrieval
+    // has no rank cutoff to hide behind, so the one number that matters
+    // is what fraction of true above-bar neighbors the probed cells
+    // surfaced; the probed result is a SUBSET of the truth by
+    // construction (exact verify inside cells), so spurious pairs are
+    // structurally impossible and recall_bp is the whole story. Composes
+    // ann_range_search verbatim (the ann_recall_eval embed discipline).
+    "ann_range_recall_eval" -> ((s, d) => {
+      val found = queries("ann_range_search")(s, d)
+        .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
+        "embedding AS qv", "vec_norm2(embedding) AS qn2")
+      val truth = e.selectExpr("vec_id AS neighbor_id", "embedding AS v",
+          "vec_norm2(embedding) AS n2")
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .selectExpr("query_id", "neighbor_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .filter(col("cos_ppm") >= RangeTauPpm)
+      truth.join(found, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+        .selectExpr("query_id", "n_truth", "n_found",
+          "(n_found * 10000) div n_truth AS recall_bp")
+        .orderBy(asc("query_id"))
     }),
 
     // Product quantization + asymmetric distance (ADC) — the memory-bound
@@ -1051,7 +1095,24 @@ object Similarity {
   )
 
   def oracles: Map[String, String] =
-    baseOracles + ("ann_recall_eval" -> annRecallEvalOracle)
+    baseOracles + ("ann_recall_eval" -> annRecallEvalOracle) +
+      ("ann_range_recall_eval" -> annRangeRecallEvalOracle)
+
+  /** Range-tier recall vs exact threshold truth, the range oracle embedded
+    * as a derived table so the eval moves in lockstep with the tier. */
+  private lazy val annRangeRecallEvalOracle: String =
+    "WITH f AS (SELECT query_id, neighbor_id FROM " +
+      s"(${baseOracles("ann_range_search")}) _f), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+      "t AS (SELECT query_id, e.vec_id AS neighbor_id FROM q " +
+      "JOIN embeddings e ON e.vec_id <> query_id " +
+      s"WHERE ${cosPpmDuck("qv", "e.embedding")} >= $RangeTauPpm) " +
+      "SELECT t.query_id AS query_id, count(*) AS n_truth, " +
+      "CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found, " +
+      "(CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) " +
+      "// count(*) AS recall_bp " +
+      "FROM t LEFT JOIN f ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id " +
+      "GROUP BY t.query_id ORDER BY t.query_id"
 
   /** Index-quality evaluation as a query: the ANN tiers scored against the
     * exact top-10 truth they approximate. Built by embedding the tier
@@ -1117,7 +1178,7 @@ object Similarity {
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 5 " +
         "ORDER BY query_id, rank"),
     "ann_range_search" ->
-      (s"WITH ${coarseDuckCtes()}, " +
+      (s"WITH ${coarseDuckCtes(probeK = RangeProbeCells)}, " +
         "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +
         "JOIN qprob p ON a.cell = p.cell), " +
         "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5) " +
