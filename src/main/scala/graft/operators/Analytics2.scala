@@ -447,19 +447,25 @@ object Analytics2 {
         // BIGINT to match DuckDB's length() (Spark's is INT)
         .selectExpr("CAST(length(CAST(rev_e8 AS STRING)) AS BIGINT) AS rev_digits", "rev_e8")
         .groupBy(col("rev_digits"))
-        .agg(count(lit(1)).as("n_parts"), sum(col("rev_e8")).cast("bigint").as("bin_rev_e8"))
+        // bin/total/cumulative revenue ride DECIMAL(38,0): per-PART e8
+        // revenue fits bigint at any scale (rows-per-part is corpus-
+        // invariant), but the BIN and grand sums are corpus-sized —
+        // Σrev·10⁸ passed 2^63 at the 10×-of-sf0.1 gate (ANSI overflow,
+        // caught there) and is ~10²¹ at 100 TB
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev_e8").cast("decimal(38,0)")).as("bin_rev_e8"))
       val tot = bins.agg(sum(col("n_parts")).cast("bigint").as("t_parts"),
-        sum(col("bin_rev_e8")).cast("bigint").as("t_rev"))
+        sum(col("bin_rev_e8")).as("t_rev"))
       val w = Window.orderBy(desc("rev_digits"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       bins.crossJoin(broadcast(tot))
         .withColumn("cum_parts", sum(col("n_parts")).over(w).cast("bigint"))
-        .withColumn("cum_rev_e8", sum(col("bin_rev_e8")).over(w).cast("bigint"))
-        .selectExpr("rev_digits", "n_parts", "bin_rev_e8", "cum_parts", "cum_rev_e8",
-          // shares through DECIMAL(38,0): cum_rev_e8 * 1e4 passes 2^63 as
-          // early as sf0.001 — the bp numerators must be wide
+        .withColumn("cum_rev_e8", sum(col("bin_rev_e8")).over(w))
+        .selectExpr("rev_digits", "n_parts",
+          "CAST(bin_rev_e8 AS DECIMAL(38,0)) AS bin_rev_e8", "cum_parts",
+          "CAST(cum_rev_e8 AS DECIMAL(38,0)) AS cum_rev_e8",
           "CAST((CAST(cum_parts AS DECIMAL(38,0)) * 10000) div t_parts AS BIGINT) AS cum_parts_bp",
-          "CAST((CAST(cum_rev_e8 AS DECIMAL(38,0)) * 10000) div t_rev AS BIGINT) AS cum_rev_bp")
+          "CAST((cum_rev_e8 * 10000) div t_rev AS BIGINT) AS cum_rev_bp")
         .orderBy(desc("rev_digits"))
     }),
 
@@ -691,17 +697,21 @@ object Analytics2 {
           "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
           "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)) AS BIGINT) AS rev_e8 " +
           "FROM lineitem GROUP BY l_partkey), " +
+          // bin/cum/total revenue in HUGEINT internally, emitted
+          // DECIMAL(38,0) — the corpus-sized e8 sums pass 2^63 (caught at
+          // the 10×-of-sf0.1 gate); per-part rev_e8 stays BIGINT
           "b AS (SELECT length(CAST(rev_e8 AS VARCHAR)) AS rev_digits, count(*) AS n_parts, " +
-          "CAST(sum(rev_e8) AS BIGINT) AS bin_rev_e8 FROM pp GROUP BY rev_digits), " +
+          "sum(CAST(rev_e8 AS HUGEINT)) AS bin_rev_e8 FROM pp GROUP BY rev_digits), " +
           "t AS (SELECT CAST(sum(n_parts) AS BIGINT) AS t_parts, " +
-          "CAST(sum(bin_rev_e8) AS BIGINT) AS t_rev FROM b), " +
+          "sum(bin_rev_e8) AS t_rev FROM b), " +
           "c AS (SELECT rev_digits, n_parts, bin_rev_e8, " +
           "CAST(sum(n_parts) OVER w AS BIGINT) AS cum_parts, " +
-          "CAST(sum(bin_rev_e8) OVER w AS BIGINT) AS cum_rev_e8 FROM b " +
+          "sum(bin_rev_e8) OVER w AS cum_rev_e8 FROM b " +
           "WINDOW w AS (ORDER BY rev_digits DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-          "SELECT rev_digits, n_parts, bin_rev_e8, cum_parts, cum_rev_e8, " +
+          "SELECT rev_digits, n_parts, CAST(bin_rev_e8 AS DECIMAL(38,0)) AS bin_rev_e8, " +
+          "cum_parts, CAST(cum_rev_e8 AS DECIMAL(38,0)) AS cum_rev_e8, " +
           "CAST((CAST(cum_parts AS HUGEINT) * 10000) // t_parts AS BIGINT) AS cum_parts_bp, " +
-          "CAST((CAST(cum_rev_e8 AS HUGEINT) * 10000) // t_rev AS BIGINT) AS cum_rev_bp " +
+          "CAST((cum_rev_e8 * 10000) // t_rev AS BIGINT) AS cum_rev_bp " +
           "FROM c, t ORDER BY rev_digits DESC"),
       "corpus_pipeline" ->
         (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, len($toks) AS n_tokens, " +
