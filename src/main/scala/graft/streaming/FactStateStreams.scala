@@ -859,6 +859,59 @@ object FactStateStreams {
       }
   }
 
+  final case class QuantUpdate(eventType: String, seq: Long, nEvents: Long,
+      p50: Long, p90: Long, p99: Long, maxBucket: Long)
+
+  final case class QHistState(seq: Long, counts: Seq[Long])
+
+  /** Bucket-domain width for [[valueQuantiles]] (events.value floors into
+    * [0, 511]; anything above clamps into the top bucket). */
+  val QuantBuckets = 512
+
+  /** Streaming value quantiles from FIXED histogram state: per event type,
+    * a 512-bucket census of floor-bucketed `value` — the state is the
+    * WHOLE distribution at bucket granularity, so the emitted p50/p90/p99
+    * are EXACT over the bucketed domain (not a sketch estimate), while
+    * state stays 512 longs per type forever. The rank rule is the
+    * lineitem_delay_percentiles one (smallest bucket with cum·100 ≥ n·q),
+    * so the streaming face and the batch bounded-domain percentile
+    * operators share percentile semantics. Counts are additive (same
+    * at-least-once caveat as the CMS face); a batch with no arrivals for
+    * a type emits nothing. */
+  def valueQuantiles(spark: SparkSession, events: DataFrame): Dataset[QuantUpdate] = {
+    import spark.implicits._
+    events.selectExpr("event_type",
+        s"CAST(least(greatest(floor(value), 0.0), ${QuantBuckets - 1}.0) AS BIGINT) AS bucket")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QHistState, QuantUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (tpe, rows, state) =>
+        val prev = state.getOption.getOrElse(QHistState(0L, Seq.fill(QuantBuckets)(0L)))
+        val c = prev.counts.toArray
+        var changed = false
+        rows.foreach { r => c(r._2.toInt) += 1; changed = true }
+        if (!changed) Iterator.empty
+        else {
+          val next = QHistState(prev.seq + 1, c.toSeq)
+          state.update(next)
+          val n = c.sum
+          def pct(q: Long): Long = {
+            var cum = 0L
+            var i = 0
+            while (i < c.length) {
+              cum += c(i)
+              if (cum * 100 >= n * q) return i.toLong
+              i += 1
+            }
+            (c.length - 1).toLong
+          }
+          val maxB = c.lastIndexWhere(_ > 0).toLong
+          Iterator.single(QuantUpdate(tpe, next.seq, n, pct(50), pct(90), pct(99), maxB))
+        }
+      }
+  }
+
   final case class TopKSlot(
       lang: String, seq: Long, rank: Long, h: Long, est: Long, maxErr: Long)
 
