@@ -314,13 +314,16 @@ object DataQuality {
       "dq_chi2_independence" ->
         ("""WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
           m AS (SELECT lang, source, n,
-              CAST(sum(n) OVER (PARTITION BY lang) AS DECIMAL(38,0)) AS r_tot,
+              CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS r_tot,
               CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS c_tot,
               CAST(sum(n) OVER () AS BIGINT) AS n_tot
             FROM g),
           p AS (SELECT lang, source, n,
               CAST((n * 1000000) // n_tot AS BIGINT) AS o_ppm,
-              CAST((r_tot * c_tot * 1000000) // (CAST(n_tot AS DECIMAL(38,0)) * n_tot) AS BIGINT) AS e_ppm
+              -- HUGEINT, not DECIMAL: DuckDB's `//` on a DECIMAL operand
+              -- degrades to double division and the BIGINT cast ROUNDS,
+              -- diverging from Spark's truncating div on any non-exact cell
+              CAST((CAST(r_tot AS HUGEINT) * c_tot * 1000000) // (CAST(n_tot AS HUGEINT) * n_tot) AS BIGINT) AS e_ppm
             FROM m)
           SELECT lang, source, n, o_ppm, e_ppm,
             o_ppm - e_ppm AS delta_ppm,

@@ -367,19 +367,24 @@ object Dedup {
     // kernels already did.
     "dedup_provenance" -> ((s, d) => {
       val pairs = minhashVerified(s, d)
+      // cluster_id IS the keeper: connectedComponents labels every vertex
+      // with its component's minimum doc_id, which is exactly the
+      // keep-one-per-cluster policy's survivor — no keeper join needed
       val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
-      val keeper = labels.groupBy(col("cluster_id"))
-        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
       val best = pairs.selectExpr("doc_a AS doc_id", "jaccard_bp")
         .union(pairs.selectExpr("doc_b AS doc_id", "jaccard_bp"))
         .groupBy(col("doc_id")).agg(max(col("jaccard_bp")).as("best_jaccard_bp"))
-      // keeper and best are cluster-/pair-graph-sized — broadcast them
-      // (post-checkpoint relations carry no stats, so AQE would SMJ)
-      labels.join(broadcast(keeper), Seq("cluster_id"))
-        .filter(col("doc_id") =!= col("keeper_id"))
-        .join(broadcast(best), Seq("doc_id"))
-        .select(col("doc_id"), col("keeper_id"), col("cluster_id"),
-          col("n_members"), col("best_jaccard_bp"))
+      // no explicit broadcast: `best` is dup-doc-sized — corpus-
+      // proportional on a dedup-heavy corpus, past the 8 GB broadcast cap
+      // at the 100 TB design point. AQE picks BHJ from runtime sizes when
+      // it genuinely fits.
+      labels
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .join(best, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id").as("keeper_id"),
+          col("cluster_id"), col("n_members"), col("best_jaccard_bp"))
         .orderBy(asc("doc_id"))
     }),
 
@@ -922,17 +927,18 @@ object Dedup {
           "UNION " +
           "SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v), " +
           "lab AS (SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY u), " +
-          "keep AS (SELECT cluster_id, min(doc_id) AS keeper_id, " +
-          "count(*) AS n_members FROM lab GROUP BY cluster_id), " +
+          // cluster_id is the component-minimum doc_id, i.e. the keeper;
+          // n_members counts the FULL cluster (window before the filter)
+          "labn AS (SELECT doc_id, cluster_id, " +
+          "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members FROM lab), " +
           "inc AS (SELECT doc_a AS doc_id, jaccard_bp FROM pairs " +
           "UNION ALL SELECT doc_b AS doc_id, jaccard_bp FROM pairs), " +
           "best AS (SELECT doc_id, CAST(max(jaccard_bp) AS BIGINT) AS best_jaccard_bp " +
           "FROM inc GROUP BY doc_id) " +
-          "SELECT l.doc_id AS doc_id, k.keeper_id AS keeper_id, " +
-          "l.cluster_id AS cluster_id, k.n_members AS n_members, b.best_jaccard_bp " +
-          "FROM lab l JOIN keep k ON l.cluster_id = k.cluster_id " +
-          "JOIN best b ON l.doc_id = b.doc_id " +
-          "WHERE l.doc_id <> k.keeper_id ORDER BY l.doc_id"),
+          "SELECT l.doc_id AS doc_id, l.cluster_id AS keeper_id, " +
+          "l.cluster_id AS cluster_id, l.n_members AS n_members, b.best_jaccard_bp " +
+          "FROM labn l JOIN best b ON l.doc_id = b.doc_id " +
+          "WHERE l.doc_id <> l.cluster_id ORDER BY l.doc_id"),
       "dedup_simhash" -> {
         val sumCols = (0 until SimhashBits).map(i => s"sum((f >> $i) & 1) AS c$i").mkString(", ")
         val sigSql = (0 until SimhashBits).map(i =>

@@ -183,13 +183,14 @@ object Similarity {
     * accuracy/cost point the declared semantics pin, and
     * ann_range_recall_eval keeps the number on the dashboard). */
   private val RangeProbeCells = 4
-  // The Spark side renders best-two via the fixed NearestTwoCodes
-  // expression while the oracle renders `rk <= ProbeCells` / `[1:N]` from
-  // these constants — a silent bump would diverge the engines and surface
-  // only as an opaque gate hash mismatch. Generalizing means a
-  // NearestKCodes expression, not just a constant change.
+  // The Spark side renders best-k via NearestTwoCodes/NearestKCodes while
+  // the oracle renders `rk <= k` / `[1:N]` from these constants — any
+  // depth change must move BOTH renderings (probedCells + the CTE
+  // parameters) or the engines diverge and surface only as an opaque gate
+  // hash mismatch. The top-k tiers' fast path stays pinned at 2.
   require(MultiAssign == 2 && ProbeCells == 2,
-    "multi-assign/probe != 2 requires a NearestKCodes expression (Spark side is pinned to best-two)")
+    "the top-k tiers' multi-assign/probe are pinned at 2 (NearestTwoCodes fast path); " +
+      "deeper probes must go through probedCells(k)/coarseDuckCtes(probeK)")
 
   private def l2DistSpark(v: String, c: String): String =
     s"vec_norm2($v) - 2 * vec_dot($v, $c) + vec_norm2($c)"
@@ -488,13 +489,18 @@ object Similarity {
   private def coarseAssign(e: DataFrame, cb: Entries): DataFrame =
     e.select(col("vec_id"), explode(nearestTwo(col("embedding"), cb)).as("cell"))
 
-  /** Query-side probe: the ProbeCells (= 2) nearest cells per query, by
+  /** Query-side probe: the k nearest cells per query (default ProbeCells
+    * = 2 for the top-k tiers; the range tier passes RangeProbeCells), by
     * the same (shifted-)L2 metric the ADC scoring uses (metric-consistent
-    * probing — the round-6 cosine probe paid recall for nothing). */
-  private def probedCells(e: DataFrame, cb: Entries): DataFrame =
+    * probing — the round-6 cosine probe paid recall for nothing). The ONE
+    * place the query-set predicate and probe shape live — tiers must not
+    * inline their own copy or the engines' probe depths can silently
+    * diverge from the oracle's `rk <= k`. */
+  private def probedCells(e: DataFrame, cb: Entries,
+      k: Int = ProbeCells): DataFrame =
     e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"),
-        explode(nearestTwo(col("embedding"), cb)).as("cell"))
+        explode(nearestK(col("embedding"), cb, k)).as("cell"))
 
   /** (vec_id, m, xs = PqSubDim-dim subvector) for every vector. */
   private def subvectors(e: DataFrame): DataFrame =
@@ -698,24 +704,20 @@ object Similarity {
 
     // Radius (range) search — the retrieval mode top-k can't express:
     // return EVERY neighbor above a similarity bar (cos ≥ RangeTauPpm),
-    // however many there are. Same learned-IVF probe as ann_ivf_probe
-    // (2-cell multi-assignment corpus side, metric-consistent probe-2
-    // query side), exact cosine verify inside probed cells only — so the
-    // scan cost is the probed-cell population, not the corpus, and the
-    // emission is bounded by the true match count instead of a fixed k.
-    // No window anywhere: a top-k rank over an unbounded match set would
-    // re-shuffle what the threshold filter already bounded.
+    // however many there are. Same learned-IVF layout as ann_ivf_probe
+    // (2-cell multi-assignment corpus side) but a DEEPER metric-consistent
+    // probe-4 query side (RangeProbeCells — a radius query's matches
+    // spread across cells and no rerank tier sits behind this one), exact
+    // cosine verify inside probed cells only — so the scan cost is the
+    // probed-cell population, not the corpus, and the emission is bounded
+    // by the true match count instead of a fixed k. No window anywhere: a
+    // top-k rank over an unbounded match set would re-shuffle what the
+    // threshold filter already bounded.
     "ann_range_search" -> ((s, d) => {
       val e = emb(s, d)
       val coarse = coarseFor(d, e)
-      // probe-4 (RangeProbeCells), not the top-k tiers' probe-2: a radius
-      // query's matches spread across cells, and there is no rerank tier
-      // behind this one to recover them
-      val probed = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"),
-          explode(nearestK(col("embedding"), coarse, RangeProbeCells)).as("cell"))
       val member = coarseAssign(e, coarse)
-        .join(broadcast(probed), Seq("cell"))
+        .join(broadcast(probedCells(e, coarse, RangeProbeCells)), Seq("cell"))
         .select(col("query_id"), col("vec_id")).distinct()
       val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
         "embedding AS qv", "vec_norm2(embedding) AS qn2")

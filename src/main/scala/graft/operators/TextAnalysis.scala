@@ -482,7 +482,10 @@ object TextAnalysis {
   )
 
   /** The langid scored relation as standalone SQL — shared verbatim by the
-    * text_langid oracle and the confusion-grid oracle built over it. */
+    * text_langid oracle and the confusion-grid oracle built over it.
+    * UNORDERED: DuckDB does not eliminate an ORDER BY inside a CTE that
+    * feeds an aggregate, so the consumer that needs doc order (the
+    * standalone text_langid entry) appends it itself. */
   private lazy val langidOracle: String = {
     val toks = tokensDuck("text")
     val langs = StopLists.map(_._1)
@@ -496,8 +499,7 @@ object TextAnalysis {
     s"SELECT doc_id, labeled_lang, ${langs.map(l => s"s_$l").mkString(", ")}, " +
       s"$pred AS pred_lang, " +
       s"CAST($pred = labeled_lang AS INT) AS label_match FROM " +
-      s"(SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents) scored " +
-      "ORDER BY doc_id"
+      s"(SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents) scored"
   }
 
   def oracles: Map[String, String] = {
@@ -518,7 +520,7 @@ object TextAnalysis {
           "length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct, " +
           "length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits " +
           "FROM documents ORDER BY doc_id"),
-      "text_langid" -> langidOracle,
+      "text_langid" -> (langidOracle + " ORDER BY doc_id"),
       // confusion grid embedded over the SAME langid derived table, so the
       // classifier and its evaluation cannot drift
       "text_langid_confusion" ->
