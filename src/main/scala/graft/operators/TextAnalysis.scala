@@ -321,6 +321,40 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("rank"))
     }),
 
+    // Per-DOCUMENT keywords: each doc's top-3 tokens by doc-tf × language
+    // idf — the doc-level twin of text_tfidf_top_terms (which ranks at
+    // corpus level), i.e. the tag/routing signal a retrieval or
+    // clustering stage attaches per document. One exploded census to
+    // (doc, lang, tok, tf); df re-aggregates FROM that census (each row
+    // is one distinct (doc, tok), so a count is the doc frequency — no
+    // second corpus scan); idf attaches by a vocabulary-keyed equi-join
+    // (vocab-sized, deliberately NOT broadcast); the rank window
+    // partitions by doc_id — million-fold parallel, each partition the
+    // size of one doc's vocabulary. Per-doc tf is bounded by doc length,
+    // so the integer tf·idf product is far inside int64 at any corpus
+    // size (safer than the corpus-level variant by construction).
+    "text_doc_keywords" -> ((s, d) => {
+      val doctf = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("lang"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .transform(CacheScope.persist)
+      val df = doctf.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val nd = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      doctf.join(df, Seq("lang", "tok"))
+        .join(broadcast(nd), Seq("lang"))
+        .selectExpr("doc_id", "tok", "tf", "df",
+          "tf * ((n_docs * 1000000) div df) AS score_e6")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(desc("score_e6"), asc("tok"))))
+        .filter(col("rank") <= 3)
+        .selectExpr("doc_id", "CAST(rank AS BIGINT) AS rank", "tok", "tf",
+          "df", "score_e6")
+        .orderBy(asc("doc_id"), asc("rank"))
+    }),
+
     // Gopher-style rule gate: the classic pre-training document filter as
     // four integer-exact rules — word count in [10, 10⁵], mean word length
     // in [3.0, 10.0] chars, ≥ 70% of words containing a letter, ≥ 2
@@ -586,6 +620,19 @@ object TextAnalysis {
           "SELECT doc_id, count(*) AS n_bigrams, " +
           "(CAST(sum(n_bg) AS BIGINT) * 10000) // count(*) AS avg_bigram_freq_e4 " +
           "FROM bg JOIN counts USING (lang, bg) GROUP BY doc_id ORDER BY doc_id"),
+      "text_doc_keywords" ->
+        (s"WITH tok AS (SELECT doc_id, lang, unnest($toks) AS tok FROM documents), " +
+          "doctf AS (SELECT doc_id, lang, tok, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
+          "df AS (SELECT lang, tok, count(*) AS df FROM doctf GROUP BY lang, tok), " +
+          "nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+          "sc AS (SELECT t.doc_id, t.tok, t.tf, df.df, " +
+          "t.tf * ((nd.n_docs * 1000000) // df.df) AS score_e6 " +
+          "FROM doctf t JOIN df ON t.lang = df.lang AND t.tok = df.tok " +
+          "JOIN nd ON t.lang = nd.lang), " +
+          "rk AS (SELECT doc_id, tok, tf, df, score_e6, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok) AS rank FROM sc) " +
+          "SELECT doc_id, rank, tok, tf, df, score_e6 FROM rk WHERE rank <= 3 " +
+          "ORDER BY doc_id, rank"),
       "text_tfidf_top_terms" ->
         (s"WITH tok AS (SELECT lang, doc_id, unnest($toks) AS tok FROM documents), " +
           "stats AS (SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df " +
