@@ -241,4 +241,33 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val all = o1 ++ o2
     assert(all.map(s => (s.lang, s.seq, s.rank)).distinct.size == all.size)
   }
+
+  // -- valueQuantiles: full-histogram state ---------------------------------
+
+  test("valueQuantiles recovers its histogram: post-restart percentiles " +
+      "reflect pre-restart counts and match the uninterrupted run") {
+    def vf(tpe: String, v: Double) =
+      FactInput("v", tpe, Array[Byte](1), tags = Map("value" -> v.toString))
+    // phase 1 loads the low half of the distribution; phase 2 adds the
+    // high half — the final p50/p90 are only right if the phase-1 buckets
+    // survived the restart (a reset state would report high-only quantiles)
+    val phase1 = (1 to 40).map(i => vf("en", i.toDouble))
+    val phase2 = (61 to 80).map(i => vf("en", i.toDouble))
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(df =>
+      FactStateStreams.valueQuantiles(spark,
+        df.selectExpr("subject AS event_type",
+          "CAST(tags['value'] AS DOUBLE) AS value")))
+    def fin(rows: Seq[QuantUpdate]): Map[String, (Long, Long, Long, Long, Long)] =
+      rows.groupBy(_.eventType).map { case (t, rs) =>
+        val last = rs.maxBy(_.seq)
+        t -> ((last.nEvents, last.p50, last.p90, last.p99, last.maxBucket))
+      }
+    assert(fin(o1 ++ o2) == fin(oU),
+      "recovered histogram diverged from the uninterrupted run")
+    // 60 values (1..40 ∪ 61..80): rank rule → p50 at cum·100 ≥ 60·50 is
+    // bucket 30 — below the restart boundary, so it proves phase-1 state
+    val last = fin(o1 ++ o2)("en")
+    assert(last == ((60L, 30L, 74L, 80L, 80L)), s"unexpected quantiles: $last")
+    assert(o2.map(_.seq).min > o1.map(_.seq).max)
+  }
 }
