@@ -330,6 +330,36 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("horizon"))
     }),
 
+    // Exact bucketed value percentiles per event type — the BATCH twin of
+    // the valueQuantiles streaming face (same 512-bucket floor domain,
+    // same bounded-domain rank rule as lineitem_delay_percentiles), so
+    // stream and batch answer the same question with pinned-identical
+    // semantics. One map-side-combined groupBy to the (type × ≤512)
+    // histogram grid; the cumulative window and percentile picks run on
+    // the grid. QuantBuckets is the SHARED constant with the face —
+    // a drift would break StreamingQuantilesSpec's parity leg.
+    "events_value_percentiles" -> ((s, d) => {
+      val nb = graft.streaming.FactStateStreams.QuantBuckets
+      val hist = EventFinders.events(s, d)
+        .selectExpr("event_type",
+          s"CAST(least(greatest(floor(value), 0.0), ${nb - 1}.0) AS BIGINT) AS bucket")
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type"))
+      hist
+        .withColumn("cum", sum(col("n")).over(
+          byType.orderBy(asc("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(byType))
+        .groupBy(col("event_type"))
+        .agg(max(col("total")).cast("bigint").as("n_events"),
+          min(when(expr("cum * 100 >= total * 50"), col("bucket"))).as("p50"),
+          min(when(expr("cum * 100 >= total * 90"), col("bucket"))).as("p90"),
+          min(when(expr("cum * 100 >= total * 99"), col("bucket"))).as("p99"),
+          max(col("bucket")).as("max_bucket"))
+        .orderBy(asc("event_type"))
+    }),
+
     // Burstiness census per event type: the Fano factor (variance/mean of
     // the zero-filled daily counts, ×10⁶) — the dispersion diagnostic
     // that separates Poisson-like steady traffic (F ≈ 1e6) from bursty
@@ -559,6 +589,23 @@ object Timeseries {
           "z.n AS actual, abs(ex.l + ex.horizon * ex.t - z.n) AS abs_err " +
           "FROM ex JOIN z ON z.event_type = ex.event_type AND z.day = ex.day + ex.horizon " +
           "ORDER BY ex.event_type, ex.horizon"),
+
+      "events_value_percentiles" -> {
+        val nb = graft.streaming.FactStateStreams.QuantBuckets
+        s"WITH b AS ($base), " +
+          s"h AS (SELECT event_type, CAST(least(greatest(floor(value), 0.0), ${nb - 1}.0) AS BIGINT) AS bucket, " +
+          "count(*) AS n FROM b GROUP BY 1, 2), " +
+          "c AS (SELECT event_type, bucket, " +
+          "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+          "CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM h) " +
+          "SELECT event_type, max(total) AS n_events, " +
+          "min(CASE WHEN cum * 100 >= total * 50 THEN bucket END) AS p50, " +
+          "min(CASE WHEN cum * 100 >= total * 90 THEN bucket END) AS p90, " +
+          "min(CASE WHEN cum * 100 >= total * 99 THEN bucket END) AS p99, " +
+          "max(bucket) AS max_bucket " +
+          "FROM c GROUP BY event_type ORDER BY event_type"
+      },
 
       "events_burstiness" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

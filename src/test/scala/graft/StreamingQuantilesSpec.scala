@@ -86,6 +86,19 @@ class StreamingQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("final face state equals the batch events_value_percentiles twin") {
+    val batch = graft.operators.Timeseries.queries("events_value_percentiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val rows = run(Seq(arrivals))
+    val got = rows.groupBy(_._1).map { case (t, rs) =>
+      val last = rs.maxBy(_._2)
+      t -> ((last._3, last._4, last._5, last._6, last._7))
+    }
+    assert(got == batch, s"face $got\nbatch $batch")
+  }
+
   test("values above the bucket domain clamp into the top bucket") {
     val rows = run(Seq(Seq(("t", 10.0), ("t", 99999.0))))
     val last = rows.maxBy(_._2)
