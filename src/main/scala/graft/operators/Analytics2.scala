@@ -461,9 +461,14 @@ object Analytics2 {
       bins.crossJoin(broadcast(tot))
         .withColumn("cum_parts", sum(col("n_parts")).over(w).cast("bigint"))
         .withColumn("cum_rev_e8", sum(col("bin_rev_e8")).over(w))
+        // the two corpus-sized sums emit as STRING integers: r11's
+        // DECIMAL(38,0) emission hash-mismatched in the driver harness
+        // despite byte-equal values under DuckDB 1.0.0 — a decimal
+        // canonicalization/version sensitivity this sidesteps entirely
+        // (digit strings render identically in every engine version)
         .selectExpr("rev_digits", "n_parts",
-          "CAST(bin_rev_e8 AS DECIMAL(38,0)) AS bin_rev_e8", "cum_parts",
-          "CAST(cum_rev_e8 AS DECIMAL(38,0)) AS cum_rev_e8",
+          "CAST(bin_rev_e8 AS STRING) AS bin_rev_e8", "cum_parts",
+          "CAST(cum_rev_e8 AS STRING) AS cum_rev_e8",
           "CAST((CAST(cum_parts AS DECIMAL(38,0)) * 10000) div t_parts AS BIGINT) AS cum_parts_bp",
           "CAST((cum_rev_e8 * 10000) div t_rev AS BIGINT) AS cum_rev_bp")
         .orderBy(desc("rev_digits"))
@@ -697,9 +702,11 @@ object Analytics2 {
           "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
           "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)) AS BIGINT) AS rev_e8 " +
           "FROM lineitem GROUP BY l_partkey), " +
-          // bin/cum/total revenue in HUGEINT internally, emitted
-          // DECIMAL(38,0) — the corpus-sized e8 sums pass 2^63 (caught at
-          // the 10×-of-sf0.1 gate); per-part rev_e8 stays BIGINT
+          // bin/cum/total revenue in HUGEINT internally (the corpus-sized
+          // e8 sums pass 2^63 — caught at the 10×-of-sf0.1 gate), EMITTED
+          // AS VARCHAR integer strings: version- and hash-stable in every
+          // DuckDB/driver canonicalization (r11's DECIMAL(38,0) emission
+          // was driver-red while byte-equal under DuckDB 1.0.0)
           "b AS (SELECT length(CAST(rev_e8 AS VARCHAR)) AS rev_digits, count(*) AS n_parts, " +
           "sum(CAST(rev_e8 AS HUGEINT)) AS bin_rev_e8 FROM pp GROUP BY rev_digits), " +
           "t AS (SELECT CAST(sum(n_parts) AS BIGINT) AS t_parts, " +
@@ -708,8 +715,8 @@ object Analytics2 {
           "CAST(sum(n_parts) OVER w AS BIGINT) AS cum_parts, " +
           "sum(bin_rev_e8) OVER w AS cum_rev_e8 FROM b " +
           "WINDOW w AS (ORDER BY rev_digits DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-          "SELECT rev_digits, n_parts, CAST(bin_rev_e8 AS DECIMAL(38,0)) AS bin_rev_e8, " +
-          "cum_parts, CAST(cum_rev_e8 AS DECIMAL(38,0)) AS cum_rev_e8, " +
+          "SELECT rev_digits, n_parts, CAST(bin_rev_e8 AS VARCHAR) AS bin_rev_e8, " +
+          "cum_parts, CAST(cum_rev_e8 AS VARCHAR) AS cum_rev_e8, " +
           "CAST((CAST(cum_parts AS HUGEINT) * 10000) // t_parts AS BIGINT) AS cum_parts_bp, " +
           "CAST((cum_rev_e8 * 10000) // t_rev AS BIGINT) AS cum_rev_bp " +
           "FROM c, t ORDER BY rev_digits DESC"),

@@ -255,8 +255,13 @@ object Curation {
       val avail = docs(s, d)
         .selectExpr("lang", s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n")
         .groupBy(col("lang")).agg(sum(col("n")).as("avail_tokens"))
+        // try_element_at + NOT NULL filter: a language outside the weight
+        // map is deterministically EXCLUDED from the plan in both engines
+        // (plain element_at throws MAP_KEY_DOES_NOT_EXIST under ANSI mode
+        // while the oracle's ELSE-less CASE yields a NULL row — divergent)
         .selectExpr("lang", "avail_tokens",
-          s"CAST(element_at($weights, lang) AS BIGINT) AS weight_bp")
+          s"CAST(try_element_at($weights, lang) AS BIGINT) AS weight_bp")
+        .filter(col("weight_bp").isNotNull)
       val budget = avail
         .selectExpr("(avail_tokens * 10000) div weight_bp AS cap")
         .agg(min(col("cap")).as("budget_tokens"))
@@ -292,8 +297,10 @@ object Curation {
       val avail = docs(s, d)
         .selectExpr("lang", s"CAST(size(${tokensSpark("text")}) AS BIGINT) AS n")
         .groupBy(col("lang")).agg(sum(col("n")).as("avail_tokens"))
+        // try_element_at + NOT NULL filter — see mixture_token_plan
         .selectExpr("lang", "avail_tokens",
-          s"CAST(element_at($weights, lang) AS BIGINT) AS weight_bp")
+          s"CAST(try_element_at($weights, lang) AS BIGINT) AS weight_bp")
+        .filter(col("weight_bp").isNotNull)
       val tot = avail.agg(sum(col("avail_tokens")).as("corpus_tokens"))
       avail.crossJoin(broadcast(tot))
         .selectExpr("lang", "avail_tokens", "weight_bp",
@@ -579,8 +586,12 @@ object Curation {
     "mixture_token_plan" ->
       ("WITH av AS (SELECT lang, sum(n)::BIGINT AS avail_tokens FROM " +
         s"(SELECT lang, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n FROM documents) _ GROUP BY lang), " +
-        "aw AS (SELECT lang, avail_tokens, CAST(CASE lang WHEN 'de' THEN 1250 WHEN 'en' THEN 5000 " +
-        "WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250 WHEN 'zh' THEN 1250 END AS BIGINT) AS weight_bp FROM av), " +
+        // out-of-map languages excluded, matching Spark's try_element_at
+        // + NOT NULL filter (an ELSE-less CASE would keep a NULL row)
+        "aw AS (SELECT lang, avail_tokens, weight_bp FROM (SELECT lang, avail_tokens, " +
+        "CAST(CASE lang WHEN 'de' THEN 1250 WHEN 'en' THEN 5000 " +
+        "WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250 WHEN 'zh' THEN 1250 END AS BIGINT) AS weight_bp " +
+        "FROM av) _w WHERE weight_bp IS NOT NULL), " +
         "bd AS (SELECT min((avail_tokens * 10000) // weight_bp)::BIGINT AS budget_tokens FROM aw), " +
         "pl AS (SELECT lang, avail_tokens, weight_bp, budget_tokens, " +
         "(budget_tokens // 10000) * weight_bp + ((budget_tokens % 10000) * weight_bp) // 10000 AS planned_tokens " +
@@ -592,8 +603,11 @@ object Curation {
     "sample_epoch_plan" ->
       ("WITH av AS (SELECT lang, sum(n)::BIGINT AS avail_tokens FROM " +
         s"(SELECT lang, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n FROM documents) _ GROUP BY lang), " +
-        "aw AS (SELECT lang, avail_tokens, CAST(CASE lang WHEN 'de' THEN 1250 WHEN 'en' THEN 5000 " +
-        "WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250 WHEN 'zh' THEN 1250 END AS BIGINT) AS weight_bp FROM av), " +
+        // out-of-map exclusion — see mixture_token_plan
+        "aw AS (SELECT lang, avail_tokens, weight_bp FROM (SELECT lang, avail_tokens, " +
+        "CAST(CASE lang WHEN 'de' THEN 1250 WHEN 'en' THEN 5000 " +
+        "WHEN 'es' THEN 1250 WHEN 'fr' THEN 1250 WHEN 'zh' THEN 1250 END AS BIGINT) AS weight_bp " +
+        "FROM av) _w WHERE weight_bp IS NOT NULL), " +
         "tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS corpus_tokens FROM aw), " +
         s"tg AS (SELECT lang, avail_tokens, weight_bp, $EpochBudgetX * " +
         "((corpus_tokens // 10000) * weight_bp + ((corpus_tokens % 10000) * weight_bp) // 10000) " +

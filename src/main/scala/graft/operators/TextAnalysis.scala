@@ -311,13 +311,20 @@ object TextAnalysis {
       val nd = docs(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
       stats.join(broadcast(nd), Seq("lang"))
+        // tf·idf rides DECIMAL(38,0): the idf factor grows linearly with
+        // n_docs (~10¹⁷ for a hapax at 10¹¹ docs), so a high-tf low-df
+        // token pushes the BIGINT product past 2^63 — same overflow class
+        // as part_revenue_concentration's bin sums. Emitted as STRING
+        // integer digits (hash- and version-stable in every engine).
+        // idf itself stays inside int64 up to ~9·10¹² docs per language
+        // (Spark's div on decimals returns BIGINT and throws past that).
         .selectExpr("lang", "tok", "tf", "df",
-          "tf * ((n_docs * 1000000) div df) AS tfidf_e6")
+          "CAST(tf AS DECIMAL(38,0)) * ((CAST(n_docs AS DECIMAL(38,0)) * 1000000) div df) AS tfidf_e6")
         // two-level top-5 (see topKPerLang / TopKShards)
         .transform(scored => topKPerLang(scored, 5, col("tok"),
           struct(negate(col("tfidf_e6")).as("nt"), col("tok"), col("tf"), col("df"))))
         .selectExpr("lang", "col.tok AS tok", "col.tf AS tf", "col.df AS df",
-          "CAST(-col.nt AS BIGINT) AS tfidf_e6", "CAST(pos + 1 AS BIGINT) AS rank")
+          "CAST(-col.nt AS STRING) AS tfidf_e6", "CAST(pos + 1 AS BIGINT) AS rank")
         .orderBy(asc("lang"), asc("rank"))
     }),
 
@@ -331,8 +338,10 @@ object TextAnalysis {
     // (vocab-sized, deliberately NOT broadcast); the rank window
     // partitions by doc_id — million-fold parallel, each partition the
     // size of one doc's vocabulary. Per-doc tf is bounded by doc length,
-    // so the integer tf·idf product is far inside int64 at any corpus
-    // size (safer than the corpus-level variant by construction).
+    // but the idf factor grows linearly with n_docs (n_docs·10⁶ for a
+    // hapax ≈ 10¹⁷ at 10¹¹ docs), so the product rides DECIMAL(38,0) and
+    // emits as STRING digits — the same overflow class and the same fix
+    // as the corpus-level text_tfidf_top_terms above.
     "text_doc_keywords" -> ((s, d) => {
       val doctf = docs(s, d)
         .select(col("doc_id"), col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
@@ -345,13 +354,13 @@ object TextAnalysis {
       doctf.join(df, Seq("lang", "tok"))
         .join(broadcast(nd), Seq("lang"))
         .selectExpr("doc_id", "tok", "tf", "df",
-          "tf * ((n_docs * 1000000) div df) AS score_e6")
+          "CAST(tf AS DECIMAL(38,0)) * ((CAST(n_docs AS DECIMAL(38,0)) * 1000000) div df) AS score_e6")
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(desc("score_e6"), asc("tok"))))
         .filter(col("rank") <= 3)
         .selectExpr("doc_id", "CAST(rank AS BIGINT) AS rank", "tok", "tf",
-          "df", "score_e6")
+          "df", "CAST(score_e6 AS STRING) AS score_e6")
         .orderBy(asc("doc_id"), asc("rank"))
     }),
 
@@ -625,26 +634,30 @@ object TextAnalysis {
           "doctf AS (SELECT doc_id, lang, tok, count(*) AS tf FROM tok GROUP BY 1, 2, 3), " +
           "df AS (SELECT lang, tok, count(*) AS df FROM doctf GROUP BY lang, tok), " +
           "nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+          // tf·idf in HUGEINT (the BIGINT product overflows for a high-tf
+          // hapax at corpus scale), emitted as VARCHAR integer digits —
+          // matches the Spark side's DECIMAL(38,0)→STRING emission
           "sc AS (SELECT t.doc_id, t.tok, t.tf, df.df, " +
-          "t.tf * ((nd.n_docs * 1000000) // df.df) AS score_e6 " +
+          "CAST(t.tf AS HUGEINT) * ((CAST(nd.n_docs AS HUGEINT) * 1000000) // df.df) AS score_e6 " +
           "FROM doctf t JOIN df ON t.lang = df.lang AND t.tok = df.tok " +
           "JOIN nd ON t.lang = nd.lang), " +
           "rk AS (SELECT doc_id, tok, tf, df, score_e6, " +
           "row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok) AS rank FROM sc) " +
-          "SELECT doc_id, rank, tok, tf, df, score_e6 FROM rk WHERE rank <= 3 " +
-          "ORDER BY doc_id, rank"),
+          "SELECT doc_id, rank, tok, tf, df, CAST(score_e6 AS VARCHAR) AS score_e6 " +
+          "FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"),
       "text_tfidf_top_terms" ->
         (s"WITH tok AS (SELECT lang, doc_id, unnest($toks) AS tok FROM documents), " +
           "stats AS (SELECT lang, tok, count(*) AS tf, count(DISTINCT doc_id) AS df " +
           "FROM tok GROUP BY lang, tok), " +
           "nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+          // HUGEINT product + VARCHAR emission: see text_doc_keywords
           "sc AS (SELECT s.lang, s.tok, s.tf, s.df, " +
-          "s.tf * ((nd.n_docs * 1000000) // s.df) AS tfidf_e6 " +
+          "CAST(s.tf AS HUGEINT) * ((CAST(nd.n_docs AS HUGEINT) * 1000000) // s.df) AS tfidf_e6 " +
           "FROM stats s JOIN nd ON s.lang = nd.lang), " +
           "r AS (SELECT lang, tok, tf, df, tfidf_e6, row_number() OVER " +
           "(PARTITION BY lang ORDER BY tfidf_e6 DESC, tok ASC) AS rank FROM sc) " +
-          "SELECT lang, tok, tf, df, tfidf_e6, rank FROM r WHERE rank <= 5 " +
-          "ORDER BY lang, rank"),
+          "SELECT lang, tok, tf, df, CAST(tfidf_e6 AS VARCHAR) AS tfidf_e6, rank " +
+          "FROM r WHERE rank <= 5 ORDER BY lang, rank"),
       "text_quality_gate" -> {
         val allStop = StopLists.flatMap(_._2).distinct.sorted
         s"WITH base AS (SELECT lang, $toks AS toks FROM documents), " +
