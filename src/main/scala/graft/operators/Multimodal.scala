@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,14 +13,23 @@ import graft.functions.CrossHash._
   * travel as opaque `binary` columns with typed metadata structs; decode /
   * feature-extract / frame-sample run batch-wise over partitions.
   *
-  * The actual codec step is STUBBED (this environment has no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions from the
-  * byte content. Everything around the stub — the binary schema, the
-  * partition-batched invocation shape (the Scala analogue of
-  * `mapInPandas`), the metadata struct, and the pruned-column scan — is
-  * real and oracle-tested. The driver tables carry no binary column, so
-  * the oracle queries derive the bytes from `documents.text` (ASCII ⇒
-  * byte i == char code i, which keeps DuckDB bit-exact).
+  * Two codec tiers live here:
+  *
+  *  - `media_decode` is a REAL image decode: per-doc PNG/BMP payloads are
+  *    generated from integer pixel rules, encoded AND decoded through
+  *    `javax.imageio` (JDK-only, no new dependencies), and the emitted
+  *    width/height/pixel statistics are read from the DECODED raster.
+  *    Both formats are lossless, so the decoded stats equal the
+  *    closed-form pattern the DuckDB oracle recomputes independently —
+  *    a green row proves the actual codec round-trip, not arithmetic.
+  *
+  *  - `decodeStub` remains for codecs the JDK does not ship (JPEG is
+  *    lossy and decoder-version-dependent; video/audio need external
+  *    libs): it derives deterministic fake dimensions from the byte
+  *    content behind the same mapPartitions seam a real kernel plugs
+  *    into. The driver tables carry no binary column, so the stub
+  *    queries derive bytes from `documents.text` (ASCII ⇒ byte i ==
+  *    char code i, which keeps DuckDB bit-exact).
   */
 object Multimodal {
 
@@ -24,6 +37,95 @@ object Multimodal {
     graft.functions.TextHashFunctions.register(spark) // codegen'd char_hash
     spark.read.parquet(s"$dir/documents.parquet")
   }
+
+  // ---- real image decode (javax.imageio) ----------------------------------
+
+  /** Per-doc image spec, pure integer function of doc_id: 12-24 × 12-22 px,
+    * alternating PNG/BMP (both losslessly round-trippable by the JDK codecs
+    * — JPEG is deliberately excluded: lossy, decoder-version-dependent). */
+  def imageSpec(docId: Long): (Int, Int, String) = (
+    12 + (docId % 13).toInt,
+    12 + (docId % 11).toInt,
+    if (docId % 2 == 0) "png" else "bmp")
+
+  /** Deterministic pixel pattern: each channel an affine-mod-256 function of
+    * (doc_id, x, y). Closed-form enough for the oracle to replay per pixel. */
+  def pixelRgb(docId: Long, x: Int, y: Int): Int = {
+    val r = ((docId * 7 + x * 3 + y * 5) % 256).toInt
+    val g = ((docId * 11 + x * 5 + y * 7) % 256).toInt
+    val b = ((docId * 13 + x * 7 + y * 3) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Render + encode one payload through the real JDK codec. */
+  def encodeImage(docId: Long): Array[Byte] = {
+    val (w, h, fmt) = imageSpec(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelRgb(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-raster statistics. Everything except doc_id/format is read
+    * from the DECODED image — width/height from the codec header, sums and
+    * min/max from the pixel raster. (Encoded byte size is deliberately NOT
+    * emitted: PNG deflate output can vary across encoder versions; the
+    * decoded raster cannot.) */
+  final case class DecodedImage(
+      doc_id: Long, format: String, width: Long, height: Long,
+      n_pixels: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+      px_min: Long, px_max: Long)
+
+  /** The real decode kernel: bytes in, raster stats out. */
+  def decodeImage(docId: Long, fmt: String, payload: Array[Byte]): DecodedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"imageio failed to decode doc $docId ($fmt)")
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var mn = 255L; var mx = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        rs += r; gs += g; bs += b
+        val lo = math.min(r, math.min(g, b)).toLong
+        val hi = math.max(r, math.max(g, b)).toLong
+        if (lo < mn) mn = lo
+        if (hi > mx) mx = hi
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(docId, fmt, w.toLong, h.toLong, w.toLong * h, rs, gs, bs, mn, mx)
+  }
+
+  /** Batch encode→decode over partitions: row-local CPU work, no shuffle —
+    * at 100 TB this is the embarrassingly-parallel kernel shape (the
+    * payloads would come off a binary column instead of the generator;
+    * the decode half is identical). ImageIO's disk cache is disabled so
+    * executor threads never contend on temp files. */
+  def decodeImages(spark: SparkSession, ids: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val (_, _, fmt) = imageSpec(id)
+          decodeImage(id, fmt, encodeImage(id))
+        }
+      }
+  }
+
+  // ---- stubbed decode (codecs the JDK does not ship) -----------------------
 
   /** Typed result of the (stubbed) decode step. */
   final case class MediaMeta(
@@ -154,7 +256,17 @@ object Multimodal {
       val payloads = docs(s, d)
         .selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
       decodeStub(s, payloads).toDF().orderBy(asc("doc_id"))
-    })
+    }),
+
+    // REAL image decode: per-doc PNG/BMP payloads rendered from integer
+    // pixel rules, pushed through javax.imageio encode AND decode, stats
+    // read from the decoded raster. The oracle recomputes the same stats
+    // from the closed-form pattern alone — both codecs are lossless, so
+    // any decoder deviation (wrong dims, channel order, color shift)
+    // breaks the hash. Row-local CPU, zero shuffle.
+    "media_decode" -> ((s, d) =>
+      decodeImages(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -219,6 +331,28 @@ object Multimodal {
         s"CAST(16 + ${charHashDuck("text")} % 64 AS INT) AS width, " +
         s"CAST(16 + (${charHashDuck("text")} // 64) % 64 AS INT) AS height, " +
         s"CASE ${charHashDuck("text")} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    // Independent replay of media_decode: the oracle NEVER touches image
+    // bytes — it expands each doc's (width × height) pixel grid and
+    // evaluates the affine-mod-256 pattern per channel in SQL. Spark's
+    // numbers come from the decoded raster; equality proves the real
+    // javax.imageio round-trip is bit-exact.
+    "media_decode" ->
+      ("WITH spec AS (SELECT doc_id, " +
+        "CAST(12 + doc_id % 13 AS BIGINT) AS width, " +
+        "CAST(12 + doc_id % 11 AS BIGINT) AS height, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format " +
+        "FROM documents), " +
+        "px AS (SELECT s.doc_id, s.format, s.width, s.height, " +
+        "(s.doc_id * 7 + (t.i % s.width) * 3 + (t.i // s.width) * 5) % 256 AS r, " +
+        "(s.doc_id * 11 + (t.i % s.width) * 5 + (t.i // s.width) * 7) % 256 AS g, " +
+        "(s.doc_id * 13 + (t.i % s.width) * 7 + (t.i // s.width) * 3) % 256 AS b " +
+        "FROM spec s, unnest(range(0, s.width * s.height)) AS t(i)) " +
+        "SELECT doc_id, format, width, height, count(*) AS n_pixels, " +
+        "CAST(sum(r) AS BIGINT) AS r_sum, CAST(sum(g) AS BIGINT) AS g_sum, " +
+        "CAST(sum(b) AS BIGINT) AS b_sum, " +
+        "CAST(least(min(r), min(g), min(b)) AS BIGINT) AS px_min, " +
+        "CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS px_max " +
+        "FROM px GROUP BY doc_id, format, width, height ORDER BY doc_id")
   )
 }
