@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.{FactStateStreams, StateObservatory}
+
+/** State-SIZE bounds for the stateful faces: the recovery/parity specs
+  * prove state survives and computes correctly; this spec proves state
+  * does not GROW. Each face is driven with many micro-batches over a
+  * fixed keyspace and the observatory's recorded `maxRows` (state keys)
+  * must equal the keyspace size — stream length must never leak into the
+  * state row count (registers, k counters, histogram buckets, and grid
+  * slots all live INSIDE one row per key). That is exactly the leak class
+  * an output-parity check cannot see and the class that OOMs an executor
+  * at 100 TB. */
+class StreamingStateBoundsSpec extends AnyFunSuite {
+
+  private def spark = SparkTestSession.spark
+
+  private def drive[T: org.apache.spark.sql.Encoder](
+      name: String,
+      batches: Seq[Seq[T]],
+      face: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[_],
+      toDf: MemoryStream[T] => org.apache.spark.sql.DataFrame,
+      mode: OutputMode = OutputMode.Update()): StateObservatory#StateStats = {
+    val s = spark
+    val obs = StateObservatory.attach(s)
+    val input = MemoryStream[T](s)
+    val out = face(toDf(input))
+    val dir = java.nio.file.Files.createTempDirectory(s"bounds-$name").toString
+    val q = out.writeStream
+      .format("memory").queryName(s"${name}_${System.nanoTime()}")
+      .outputMode(mode)
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.ProcessingTime(20))
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // every batch carries data for at least one key, so at least
+      // batches.size stateful progress events must eventually arrive
+      obs.awaitBatches(q.name, batches.size.toLong)
+    } finally {
+      q.stop()
+      s.streams.removeListener(obs)
+    }
+  }
+
+  test("hllDistinct state rows stay = n_langs across 12 batches") {
+    val s0 = spark; import s0.implicits._
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    // 12 batches × 40 hashes across the 5 languages — 480 stream rows,
+    // state must hold exactly 5 keys (256 registers each, inside the row)
+    val batches = (0 until 12).map { b =>
+      (0 until 40).map(i => (langs((b + i) % 5), (b * 1000 + i * 37 + 1).toLong))
+    }
+    val st = drive[(String, Long)]("hll", batches,
+      df => FactStateStreams.hllDistinct(spark, df),
+      ms => ms.toDF().toDF("lang", "h"))
+    assert(st.maxRows == langs.size.toLong,
+      s"state keys ${st.maxRows} != ${langs.size} languages (leak)")
+    assert(st.maxBytes > 0 && st.maxBytes < 8L * 1024 * 1024, s"bytes ${st.maxBytes}")
+  }
+
+  test("spaceSavingTopK state rows stay = n_langs (k counters ride inside)") {
+    val s0 = spark; import s0.implicits._
+    val langs = Seq("de", "en", "es")
+    var pos = 0L
+    val batches = (0 until 10).map { b =>
+      (0 until 60).map { i =>
+        pos += 1
+        // far more distinct items than k: evictions churn counters but the
+        // key count must stay at the language count
+        (langs(i % 3), (b * 97 + i * 13 % 41).toLong, pos)
+      }
+    }
+    val st = drive[(String, Long, Long)]("topk", batches,
+      df => FactStateStreams.spaceSavingTopK(spark, df, k = 8),
+      ms => ms.toDF().toDF("lang", "h", "pos"))
+    assert(st.maxRows == langs.size.toLong,
+      s"state keys ${st.maxRows} != ${langs.size} languages (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
+
+  test("valueQuantiles state rows stay = n_types (512-bucket census inside)") {
+    val s0 = spark; import s0.implicits._
+    val types = Seq("click", "view", "purchase", "scroll")
+    val batches = (0 until 10).map { b =>
+      (0 until 50).map(i => (types(i % 4), (b * 31 + i * 7 % 509).toDouble))
+    }
+    val st = drive[(String, Double)]("quant", batches,
+      df => FactStateStreams.valueQuantiles(spark, df),
+      ms => ms.toDF().toDF("event_type", "value"))
+    assert(st.maxRows == types.size.toLong,
+      s"state keys ${st.maxRows} != ${types.size} types (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
+
+  test("dowProfile state rows stay = n_types (7-slot grid inside)") {
+    val s0 = spark; import s0.implicits._
+    val DayUs = 86400L * 1000000
+    val types = Seq("click", "view")
+    // 14 consecutive days per type, one batch per day — the grid closes a
+    // day per batch but the key count must stay at 2
+    val batches = (0 until 14).map { day =>
+      types.flatMap(t => (0 to day % 3).map(i =>
+        (t, day * DayUs + i * 1000000L + 1)))
+    }
+    val st = drive[(String, Long)]("dow", batches,
+      df => FactStateStreams.dowProfile(
+        spark, df.selectExpr("event_type", "timestamp_micros(ts_us) AS ts")),
+      ms => ms.toDF().toDF("event_type", "ts_us"),
+      mode = OutputMode.Append())
+    assert(st.maxRows == types.size.toLong,
+      s"state keys ${st.maxRows} != ${types.size} types (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
+}
