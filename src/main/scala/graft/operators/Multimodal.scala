@@ -125,6 +125,99 @@ object Multimodal {
       }
   }
 
+  /** Decode a doc's payload through the real codec (shared by the resize
+    * and perceptual-hash kernels). */
+  private def decodedRaster(docId: Long): BufferedImage = {
+    val (_, _, fmt) = imageSpec(docId)
+    val img = ImageIO.read(new ByteArrayInputStream(encodeImage(docId)))
+    require(img != null, s"imageio failed to decode doc $docId ($fmt)")
+    img
+  }
+
+  /** One output block of the REAL resize kernel: integer box-filter
+    * downsample of the decoded raster to a 4×4 grid (image cropped to
+    * block multiples so every block has identical pixel count and the
+    * floor-divided channel means are exact integers). */
+  final case class ResizedBlock(
+      doc_id: Long, bx: Long, by: Long, n_px: Long,
+      r_avg: Long, g_avg: Long, b_avg: Long)
+
+  /** Box-downsample the decoded raster to GRID×GRID blocks. */
+  def resizeBlocks(docId: Long, img: BufferedImage, grid: Int): Seq[ResizedBlock] = {
+    val bw = img.getWidth / grid
+    val bh = img.getHeight / grid
+    for (by <- 0 until grid; bx <- 0 until grid) yield {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      var y = by * bh
+      while (y < (by + 1) * bh) {
+        var x = bx * bw
+        while (x < (bx + 1) * bw) {
+          val p = img.getRGB(x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = bw.toLong * bh
+      ResizedBlock(docId, bx.toLong, by.toLong, n, rs / n, gs / n, bs / n)
+    }
+  }
+
+  /** 60-bit average-hash from the decoded raster: crop to a 6×10 block
+    * grid, per-cell integer luma sums (BT.601 weights ×1000, exact), bit
+    * i set iff cell_i·60 > Σcells (equal-sized cells ⇒ the mean compare
+    * is an exact integer cross-multiplication). 60 bits keep the hash a
+    * positive BIGINT in both engines — the simhash60 discipline. */
+  final case class PHash(doc_id: Long, phash: Long, n_ones: Long)
+
+  val PhashGridX = 6
+  val PhashGridY = 10
+
+  def phashOf(docId: Long, img: BufferedImage): PHash = {
+    val bw = img.getWidth / PhashGridX
+    val bh = img.getHeight / PhashGridY
+    val cells = Array.fill(PhashGridX * PhashGridY)(0L)
+    var y = 0
+    while (y < bh * PhashGridY) {
+      var x = 0
+      while (x < bw * PhashGridX) {
+        val p = img.getRGB(x, y)
+        val luma = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        cells((y / bh) * PhashGridX + (x / bw)) += luma
+        x += 1
+      }
+      y += 1
+    }
+    val total = cells.sum
+    var hash = 0L; var ones = 0L
+    var i = 0
+    while (i < cells.length) {
+      if (cells(i) * 60 > total) { hash |= (1L << i); ones += 1 }
+      i += 1
+    }
+    PHash(docId, hash, ones)
+  }
+
+  /** Real resize over partitions: decode → box-filter, row-local. */
+  def resizeImages(spark: SparkSession, ids: DataFrame, grid: Int = 4): Dataset[ResizedBlock] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap(id => resizeBlocks(id, decodedRaster(id), grid))
+      }
+  }
+
+  /** Perceptual hashes over partitions: decode → aHash, row-local. */
+  def phashImages(spark: SparkSession, ids: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map(id => phashOf(id, decodedRaster(id)))
+      }
+  }
+
   // ---- stubbed decode (codecs the JDK does not ship) -----------------------
 
   /** Typed result of the (stubbed) decode step. */
@@ -266,8 +359,62 @@ object Multimodal {
     // breaks the hash. Row-local CPU, zero shuffle.
     "media_decode" -> ((s, d) =>
       decodeImages(s, docs(s, d).select(col("doc_id")))
-        .toDF().orderBy(asc("doc_id")))
+        .toDF().orderBy(asc("doc_id"))),
+
+    // REAL resize execution (not just the plan): decode → integer box
+    // filter to a 4×4 block grid, floor-divided channel means exact by
+    // construction (cropping makes every block the same size). Row-local
+    // kernel; emission is exactly 16·docs rows.
+    "media_resize_exec" -> ((s, d) =>
+      resizeImages(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"), asc("by"), asc("bx"))),
+
+    // Perceptual average-hash from the DECODED raster: 6×10 luma-cell
+    // grid, bit i ⇔ cell above the image mean (exact integer cross-
+    // multiply), packed into a positive 60-bit BIGINT — the image twin
+    // of the text simhash60. Row-local kernel, constant output per doc.
+    "media_phash" -> ((s, d) =>
+      phashImages(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"))),
+
+    // Hamming nearest neighbor for a bounded probe set over the phash
+    // column: the dedup/near-dup primitive for images. The probe side is
+    // 10 rows (broadcast); the corpus side is scanned once map-side and
+    // reduced by min(struct(dist, nn_id)) — a combine-friendly aggregate,
+    // never a corpus-sized window partition. At 100 TB: probes broadcast,
+    // one narrow pass, 10-row output.
+    "media_phash_nn" -> ((s, d) => {
+      val hashes = phashImages(s, docs(s, d).select(col("doc_id"))).toDF()
+      val probes = hashes.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("phash").as("probe_hash"))
+      hashes.select(col("doc_id").as("nn_id"), col("phash").as("nn_hash"))
+        .crossJoin(broadcast(probes))
+        .filter(col("nn_id") =!= col("probe_id"))
+        .withColumn("dist", expr("CAST(bit_count(probe_hash ^ nn_hash) AS BIGINT)"))
+        .groupBy(col("probe_id"))
+        .agg(min(struct(col("dist"), col("nn_id"))).as("m"))
+        .selectExpr("probe_id", "m.nn_id AS nn_id", "m.dist AS dist")
+        .orderBy(asc("probe_id"))
+    })
   )
+
+  /** Shared phash replay for the oracles: the pixel grid per doc, luma
+    * cell sums, mean-compare bits, 60-bit pack — all in SQL. */
+  private val PhashCte: String =
+    "dims AS (SELECT doc_id, CAST((12 + doc_id % 13) // 6 AS BIGINT) AS bw, " +
+    "CAST((12 + doc_id % 11) // 10 AS BIGINT) AS bh FROM documents), " +
+    "pxg AS (SELECT d.doc_id, bw, bh, t.i % (bw * 6) AS x, t.i // (bw * 6) AS y " +
+    "FROM dims d, unnest(range(0, bw * 6 * bh * 10)) AS t(i)), " +
+    "cells AS (SELECT doc_id, (y // bh) * 6 + (x // bw) AS i, " +
+    "sum(299 * ((doc_id * 7 + x * 3 + y * 5) % 256) + " +
+    "587 * ((doc_id * 11 + x * 5 + y * 7) % 256) + " +
+    "114 * ((doc_id * 13 + x * 7 + y * 3) % 256)) AS cell " +
+    "FROM pxg GROUP BY 1, 2), " +
+    "tot AS (SELECT doc_id, sum(cell) AS total FROM cells GROUP BY 1), " +
+    "ph AS (SELECT c.doc_id, " +
+    "CAST(sum(CASE WHEN cell * 60 > total THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS phash, " +
+    "CAST(sum(CASE WHEN cell * 60 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_ones " +
+    "FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id)"
 
   def oracles: Map[String, String] = Map(
     "media_metadata" ->
@@ -353,6 +500,28 @@ object Multimodal {
         "CAST(sum(b) AS BIGINT) AS b_sum, " +
         "CAST(least(min(r), min(g), min(b)) AS BIGINT) AS px_min, " +
         "CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS px_max " +
-        "FROM px GROUP BY doc_id, format, width, height ORDER BY doc_id")
+        "FROM px GROUP BY doc_id, format, width, height ORDER BY doc_id"),
+    // 4×4 box-filter replay: crop to block multiples, floor-divided means
+    "media_resize_exec" ->
+      ("WITH dims AS (SELECT doc_id, CAST((12 + doc_id % 13) // 4 AS BIGINT) AS bw, " +
+        "CAST((12 + doc_id % 11) // 4 AS BIGINT) AS bh FROM documents), " +
+        "pxg AS (SELECT doc_id, bw, bh, t.i % (bw * 4) AS x, t.i // (bw * 4) AS y " +
+        "FROM dims, unnest(range(0, bw * 4 * bh * 4)) AS t(i)) " +
+        "SELECT doc_id, x // bw AS bx, y // bh AS by, bw * bh AS n_px, " +
+        "CAST(sum((doc_id * 7 + x * 3 + y * 5) % 256) // (bw * bh) AS BIGINT) AS r_avg, " +
+        "CAST(sum((doc_id * 11 + x * 5 + y * 7) % 256) // (bw * bh) AS BIGINT) AS g_avg, " +
+        "CAST(sum((doc_id * 13 + x * 7 + y * 3) % 256) // (bw * bh) AS BIGINT) AS b_avg " +
+        "FROM pxg GROUP BY doc_id, bx, by, bw, bh ORDER BY doc_id, by, bx"),
+    "media_phash" ->
+      (s"WITH $PhashCte SELECT doc_id, phash, n_ones FROM ph ORDER BY doc_id"),
+    "media_phash_nn" ->
+      (s"WITH $PhashCte, " +
+        "probes AS (SELECT doc_id AS probe_id, phash AS probe_hash FROM ph WHERE doc_id < 10), " +
+        "scored AS (SELECT p.probe_id, h.doc_id AS nn_id, " +
+        "CAST(bit_count(xor(p.probe_hash, h.phash)) AS BIGINT) AS dist " +
+        "FROM probes p, ph h WHERE h.doc_id != p.probe_id), " +
+        "best AS (SELECT probe_id, nn_id, dist, " +
+        "row_number() OVER (PARTITION BY probe_id ORDER BY dist, nn_id) AS rk FROM scored) " +
+        "SELECT probe_id, nn_id, dist FROM best WHERE rk = 1 ORDER BY probe_id")
   )
 }

@@ -56,6 +56,67 @@ class Round12WaveSpec extends AnyFunSuite {
     }
   }
 
+  /** Pattern-only (no codec) phash recomputation — the third leg. */
+  private def patternPhash(id: Long): (Long, Long) = {
+    val (w, h, _) = Multimodal.imageSpec(id)
+    val bw = w / 6; val bh = h / 10
+    val cells = Array.fill(60)(0L)
+    for (y <- 0 until bh * 10; x <- 0 until bw * 6) {
+      val p = Multimodal.pixelRgb(id, x, y)
+      cells((y / bh) * 6 + (x / bw)) +=
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+    }
+    val total = cells.sum
+    val hash = cells.zipWithIndex.foldLeft(0L) { case (a, (c, i)) =>
+      if (c * 60 > total) a | (1L << i) else a
+    }
+    (hash, java.lang.Long.bitCount(hash).toLong)
+  }
+
+  test("media_phash equals the pattern-only recomputation (decode leg exact)") {
+    val got = Multimodal.queries("media_phash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (hash, ones)) =>
+      assert((hash, ones) == patternPhash(id), s"doc $id")
+      assert(hash >= 0L, s"doc $id: hash must stay a positive 60-bit long")
+    }
+  }
+
+  test("media_phash_nn equals brute-force Hamming search over the phashes") {
+    val hashes = Multimodal.queries("media_phash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = hashes.keys.filter(_ < 10).map { p =>
+      val best = hashes.toSeq.filter(_._1 != p)
+        .map { case (id, h) =>
+          (java.lang.Long.bitCount(hashes(p) ^ h).toLong, id) }.min
+      p -> ((best._2, best._1))
+    }.toMap
+    val got = Multimodal.queries("media_phash_nn")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("media_resize_exec block means equal the pattern fold (one doc per format)") {
+    val rows = Multimodal.queries("media_resize_exec")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    for (id <- Seq(6L, 7L)) {
+      val (w, h, _) = Multimodal.imageSpec(id)
+      val bw = w / 4; val bh = h / 4
+      for (by <- 0 until 4; bx <- 0 until 4) {
+        var rs = 0L; var gs = 0L; var bs = 0L
+        for (y <- by * bh until (by + 1) * bh; x <- bx * bw until (bx + 1) * bw) {
+          val p = Multimodal.pixelRgb(id, x, y)
+          rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        }
+        val n = bw.toLong * bh
+        assert(rows((id, bx.toLong, by.toLong)) == ((n, rs / n, gs / n, bs / n)),
+          s"doc $id block ($bx,$by)")
+      }
+    }
+  }
+
   // --- overflow-hardened tf·idf ----------------------------------------------
 
   test("text_doc_keywords scores match a BigInt recomputation (string-emitted)") {
