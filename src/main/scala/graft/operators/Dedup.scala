@@ -314,6 +314,34 @@ object Dedup {
         .orderBy(asc("bucket"))
     }),
 
+    // Analytic LSH S-curve — the design table behind the 4-band × 4-row
+    // choice (and dedup_threshold_sweep's data-driven complement): for
+    // every (bands, rows) factorization of the 16-perm signature and a
+    // similarity grid, the candidate probability 1 − (1 − s^r)^b in EXACT
+    // e4 fixed point (iterated floor-multiply, identical fold in both
+    // engines — float pow would round differently). Pure grid: 4 configs
+    // × 10 similarities = 40 rows at any corpus size; this is what a
+    // pipeline owner reads to trade recall at the 0.7 verify bar against
+    // candidate volume at low similarity.
+    "dedup_lsh_scurve" -> ((s, d) =>
+      s.range(1).selectExpr(
+          """explode(array(named_struct('bands', 2, 'rows', 8),
+                           named_struct('bands', 4, 'rows', 4),
+                           named_struct('bands', 8, 'rows', 2),
+                           named_struct('bands', 16, 'rows', 1))) AS cfg""")
+        .selectExpr("CAST(cfg.bands AS BIGINT) AS bands", "CAST(cfg.rows AS BIGINT) AS rows")
+        .selectExpr("bands", "rows",
+          "explode(array(1000L, 2000L, 3000L, 4000L, 5000L, 6000L, 7000L, 8000L, 9000L, 9500L)) AS s_bp")
+        .selectExpr("bands", "rows", "s_bp",
+          // s^rows in e4: rows-fold of floor(acc·s / 1e4)
+          """aggregate(sequence(1, CAST(rows AS INT)), CAST(10000 AS BIGINT),
+             (acc, x) -> (acc * s_bp) div 10000) AS p_band_bp""")
+        .selectExpr("bands", "rows", "s_bp", "p_band_bp",
+          // 1 - (1 - p)^bands in e4, same fold discipline
+          """10000 - aggregate(sequence(1, CAST(bands AS INT)), CAST(10000 AS BIGINT),
+             (acc, x) -> (acc * (10000 - p_band_bp)) div 10000) AS p_candidate_bp""")
+        .orderBy(asc("bands"), asc("s_bp"))),
+
     // Paragraph-level dedup (C4/Gopher line-dedup shape): sub-document
     // granularity — fixed 16-token windows hashed per doc, windows shared
     // across >= 2 docs are boilerplate, and each doc reports its duplicate-
@@ -881,6 +909,16 @@ object Dedup {
           "CASE WHEN n_truth = 0 THEN NULL ELSE (n_hit * 1000000) // n_truth END AS recall_ppm, " +
           "CASE WHEN n_cand = 0 THEN NULL ELSE (n_hit * 1000000) // n_cand END AS precision_ppm " +
           "FROM cnts"),
+      "dedup_lsh_scurve" ->
+        ("WITH cfg AS (SELECT * FROM (VALUES (2::BIGINT, 8::BIGINT), (4, 4), (8, 2), (16, 1)) c(bands, rows)), " +
+          "s AS (SELECT unnest([1000::BIGINT, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000, 9500]) AS s_bp), " +
+          "pb AS (SELECT bands, rows, s_bp, " +
+          "list_reduce(list_prepend(10000::BIGINT, list_transform(range(rows), i -> s_bp)), " +
+          "(a, x) -> (a * x) // 10000) AS p_band_bp FROM cfg, s) " +
+          "SELECT bands, rows, s_bp, p_band_bp, " +
+          "10000 - list_reduce(list_prepend(10000::BIGINT, list_transform(range(bands), i -> 10000 - p_band_bp)), " +
+          "(a, x) -> (a * x) // 10000) AS p_candidate_bp " +
+          "FROM pb ORDER BY bands, s_bp"),
       "dedup_threshold_sweep" ->
         (s"WITH $minhashVerifiedCtes, " +
           "bk AS (SELECT doc_a, doc_b, jaccard_bp // 1000 AS bucket FROM pairs), " +

@@ -55,6 +55,39 @@ object Pii {
       " || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'" +
       " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
 
+  /** 13-19 digit runs, word-bounded (RE2 ∩ Java subset). */
+  val LuhnRunRe = """\b\d{13,19}\b"""
+
+  /** ~1/4 of docs get a deterministic 16-digit run; validity incidental. */
+  private val luhnAugSpark =
+    "concat(text, CASE WHEN doc_id % 4 = 0 THEN concat(' card ', " +
+      "lpad(CAST((doc_id * 1000003 + 123456789) % 10000000000000000 AS STRING), 16, '0')) " +
+      "ELSE '' END)"
+  private val luhnAugDuck =
+    "text || CASE WHEN doc_id % 4 = 0 THEN ' card ' || " +
+      "lpad(CAST((doc_id * 1000003 + 123456789) % 10000000000000000 AS VARCHAR), 16, '0') " +
+      "ELSE '' END"
+
+  /** Luhn fold over the candidate string `c` (Spark lambda body): sum the
+    * reversed digits, doubling every second one and folding >9 back. */
+  private val luhnValidSpark =
+    """aggregate(sequence(0, length(c) - 1), CAST(0 AS BIGINT), (acc, i) ->
+       acc + CASE WHEN i % 2 = 1
+         THEN CASE WHEN CAST(substring(reverse(c), i + 1, 1) AS BIGINT) * 2 > 9
+           THEN CAST(substring(reverse(c), i + 1, 1) AS BIGINT) * 2 - 9
+           ELSE CAST(substring(reverse(c), i + 1, 1) AS BIGINT) * 2 END
+         ELSE CAST(substring(reverse(c), i + 1, 1) AS BIGINT) END) % 10 = 0"""
+
+  /** The same fold in DuckDB list form. */
+  private[operators] val luhnValidDuck =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, length(c)), i -> " +
+      "CASE WHEN i % 2 = 1 " +
+      "THEN CASE WHEN CAST(substring(reverse(c), CAST(i + 1 AS INT), 1) AS BIGINT) * 2 > 9 " +
+      "THEN CAST(substring(reverse(c), CAST(i + 1 AS INT), 1) AS BIGINT) * 2 - 9 " +
+      "ELSE CAST(substring(reverse(c), CAST(i + 1 AS INT), 1) AS BIGINT) * 2 END " +
+      "ELSE CAST(substring(reverse(c), CAST(i + 1 AS INT), 1) AS BIGINT) END)), " +
+      "(a, x) -> a + x) % 10 = 0"
+
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashFunctions.register(spark) // char_hash for the redaction fingerprint
     spark.read.parquet(s"$dir/documents.parquet")
@@ -96,6 +129,32 @@ object Pii {
               ${sparkLit(Ipv4Re)}, '<IP>'),
               ${sparkLit(PhoneRe)}, '<PHONE>')) AS redacted_hash""")
         .orderBy(asc("doc_id"))),
+
+    // Luhn-validated card-number detection: digit runs of 13-19 are only
+    // PII when the Luhn checksum holds (the filter that separates card
+    // numbers from order ids / timestamps — without it a numeric corpus
+    // drowns the report in false positives). The checksum is an explicit
+    // integer fold over the reversed digits in BOTH engines (no builtin:
+    // DuckDB has none, and an explicit fold pins the semantics). ~1/4 of
+    // docs get a deterministic 16-digit augmentation; its Luhn validity
+    // varies with doc_id, so valid and invalid candidates both occur.
+    // Row-local regex + fold, one map-side census — no shuffle until the
+    // |sources|-row rollup.
+    "pii_luhn_stats" -> ((s, d) =>
+      docs(s, d)
+        .selectExpr("source", s"$luhnAugSpark AS t")
+        .selectExpr("source",
+          s"regexp_extract_all(t, ${sparkLit(LuhnRunRe)}, 0) AS cands")
+        .selectExpr("source",
+          "CAST(size(cands) AS BIGINT) AS n_cands",
+          s"""CAST(size(filter(cands, c -> $luhnValidSpark)) AS BIGINT) AS n_valid""")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_cands") > 0, 1L).otherwise(0L)).as("docs_with_cand"),
+          sum(col("n_cands")).as("n_candidates"),
+          sum(col("n_valid")).as("n_luhn_valid"),
+          sum(when(col("n_valid") > 0, 1L).otherwise(0L)).as("docs_with_valid"))
+        .orderBy(asc("source"))),
 
     // k-anonymity audit over the customer quasi-identifiers, at two
     // generalization levels: (nation, segment) and the coarsened
@@ -157,6 +216,17 @@ object Pii {
           s"len(regexp_extract_all(t, ${duckLit(PhoneRe)})) AS n_phones, " +
           s"${charHashDuck(redactedDuck)} AS redacted_hash " +
           "FROM aug ORDER BY doc_id"),
+      "pii_luhn_stats" ->
+        (s"WITH aug AS (SELECT source, $luhnAugDuck AS t FROM documents), " +
+          s"cand AS (SELECT source, regexp_extract_all(t, ${duckLit(LuhnRunRe)}) AS cands FROM aug), " +
+          "cnt AS (SELECT source, len(cands) AS n_cands, " +
+          s"len(list_filter(cands, c -> $luhnValidDuck)) AS n_valid FROM cand) " +
+          "SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN n_cands > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_cand, " +
+          "CAST(sum(n_cands) AS BIGINT) AS n_candidates, " +
+          "CAST(sum(n_valid) AS BIGINT) AS n_luhn_valid, " +
+          "CAST(sum(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_valid " +
+          "FROM cnt GROUP BY source ORDER BY source"),
       "pii_k_anonymity" -> {
         def levelSql(classSql: String, name: String) =
           s"SELECT '$name' AS level, CAST(sum(cnt) AS BIGINT) AS n_rows, " +

@@ -364,6 +364,28 @@ object TextAnalysis {
         .orderBy(asc("doc_id"), asc("rank"))
     }),
 
+    // Per-document n-gram NOVELTY: the share of a doc's distinct 3-word
+    // shingles not seen in any earlier doc (by doc_id order) — the
+    // "how much genuinely new text does each document add" signal that
+    // drives dedup-aware sampling and curriculum ordering. One distinct-
+    // shingle explode; the first-seen census is vocabulary-sized
+    // (min(doc_id) per shingle, map-side combined); novelty attaches by
+    // a vocabulary-keyed equi-join. Docs under 3 words have no shingles
+    // and drop out in both engines identically.
+    "text_ngram_novelty" -> ((s, d) => {
+      val sh = docs(s, d).selectExpr("doc_id", "lang",
+        s"explode(array_distinct(${shingleHashesSpark(wordHashesSpark("text"))})) AS h")
+        .transform(CacheScope.persist)
+      val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("h"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .selectExpr("doc_id", "lang", "n_shingles", "n_novel",
+          "(n_novel * 10000) div n_shingles AS novelty_bp")
+        .orderBy(asc("doc_id"))
+    }),
+
     // Gopher-style rule gate: the classic pre-training document filter as
     // four integer-exact rules — word count in [10, 10⁵], mean word length
     // in [3.0, 10.0] chars, ≥ 70% of words containing a letter, ≥ 2
@@ -658,6 +680,15 @@ object TextAnalysis {
           "(PARTITION BY lang ORDER BY tfidf_e6 DESC, tok ASC) AS rank FROM sc) " +
           "SELECT lang, tok, tf, df, CAST(tfidf_e6 AS VARCHAR) AS tfidf_e6, rank " +
           "FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+      "text_ngram_novelty" ->
+        (s"WITH sh AS (SELECT doc_id, lang, " +
+          s"unnest(list_distinct(${shingleHashesDuck(wordHashesDuck(toks))})) AS h FROM documents), " +
+          "f AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h) " +
+          "SELECT doc_id, lang, count(*) AS n_shingles, " +
+          "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+          "(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 10000) " +
+          "// count(*) AS novelty_bp " +
+          "FROM sh JOIN f USING (h) GROUP BY doc_id, lang ORDER BY doc_id"),
       "text_quality_gate" -> {
         val allStop = StopLists.flatMap(_._2).distinct.sorted
         s"WITH base AS (SELECT lang, $toks AS toks FROM documents), " +
