@@ -73,13 +73,15 @@ object TailBench {
     // --- consumer B: REST SSE from end ---------------------------------------
     val sseReady = new CountDownLatch(1)
     val client = HttpClient.newHttpClient()
+    @volatile var sseBody: java.io.InputStream = null
     val tSse = new Thread(() => {
       val req = HttpRequest.newBuilder(URI.create(
-          s"http://127.0.0.1:${srv.boundPort}/stores/tail/facts/subscribe?from=end"))
+          s"http://127.0.0.1:${srv.boundPort}/api/v1/stores/tail/facts/subscribe?from=end"))
         .header("Accept", "text/event-stream").GET().build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+      sseBody = resp.body()
       val br = new java.io.BufferedReader(
-        new java.io.InputStreamReader(resp.body(), "UTF-8"))
+        new java.io.InputStreamReader(sseBody, "UTF-8"))
       sseReady.countDown()
       try {
         var line = br.readLine()
@@ -115,6 +117,12 @@ object TailBench {
     Thread.sleep(2000)
     done = true
     sub.close()
+    // the server's SSE handler only notices a gone client on its next
+    // WRITE: close the client stream, then land one unmeasured poison
+    // fact so the handler writes, gets the IOException, and its (non-
+    // daemon) pool thread exits — otherwise the JVM never terminates
+    Option(sseBody).foreach(s => try s.close() catch { case _: Exception => () })
+    fs.append("tail", FactInput("POISON", "poison", Array[Byte](0)))
     srv.stop()
 
     val e = engineLat.toArray(Array.empty[java.lang.Double]).map(_.doubleValue).toSeq

@@ -74,6 +74,11 @@ object LocalParquet {
     GroupWriteSupport.setSchema(MessageSchema, c)
     c
   }
+  // shared by every footer open (partPosRange / projectionForFile): the
+  // tail fast path opens each NEWLY COMMITTED file once, so a fresh
+  // Configuration per open put ~2×10 ms of XML parsing on every live
+  // delivery — measured by TailBench before this was shared
+  private lazy val footerConf = new Configuration()
   private lazy val projConfs = new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
   private def confFor(projection: String): Configuration =
     projConfs.computeIfAbsent(projection, p => {
@@ -186,7 +191,7 @@ object LocalParquet {
   private def partPosRange(p: JPath): (Long, Long) =
     partPosRangeCache.computeIfAbsent(p.toString, { _ =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), new Configuration()))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), footerConf))
       try {
         var mn = Long.MaxValue
         var mx = Long.MinValue
@@ -214,7 +219,7 @@ object LocalParquet {
   private def projectionForFile(p: JPath, projectionKey: String, wanted: MessageType): String =
     fileProjectionCache.computeIfAbsent((p.toString, projectionKey), { _ =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), new Configuration()))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), footerConf))
       try {
         val fileSchema = reader.getFooter.getFileMetaData.getSchema
         val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()

@@ -1038,7 +1038,13 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
                       // driver (files are pruned to the window via commit
                       // metadata, so each read touches O(overlap) files).
                       pending = List(readWindow(log, cursor, math.min(cursor + batchSize, head)))
-                    } else Thread.sleep(50) // poll tail (reference memory backend: 100 ms)
+                    // 20 ms idle poll: headPosition() is one cached-commit
+                    // walk + one Files.exists, so polling 2.5× faster than
+                    // the old 50 ms costs ~nothing and moves the measured
+                    // delivery p90 under the reference memory backend's
+                    // 100 ms poll floor (TailBench: the delivery budget is
+                    // poll-wait + one pruned single-file parquet read)
+                    } else Thread.sleep(20)
                 }
               }
               throw new NoSuchElementException("subscription closed")
