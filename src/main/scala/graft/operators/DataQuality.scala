@@ -67,7 +67,35 @@ object DataQuality {
         expr("(n_orphan_rows * 10000) div n_rows").as("orphan_bp"))
   }
 
+  /** Benford first-digit expectations, log10(1+1/d) in exact ppm — pinned
+    * integer constants so both engines compare against the same table. */
+  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benford's-law audit of the order-value distribution: the classic
+    // fabricated-data screen (a synthetic or manipulated money column
+    // deviates from log10(1+1/d) first-digit mass). Digit extraction is
+    // integer-exact — floor to cents first (Spark CAST(double AS BIGINT)
+    // truncates while DuckDB's rounds, so the floor is explicit), then
+    // the leading digit of the digit string. One narrow scan, 9-row
+    // output; the deviation column is observed−expected in exact ppm.
+    "dq_benford_test" -> ((s, d) => {
+      val digits = t(s, d, "orders")
+        .selectExpr("CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
+        .filter(col("digit").between(1, 9))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      val expMap = "map(" + BenfordPpm.map { case (k, v) => s"$k, ${v}L" }.mkString(", ") + ")"
+      digits.crossJoin(broadcast(tot))
+        .selectExpr("digit", "n",
+          "(n * 1000000) div total AS obs_ppm",
+          s"element_at($expMap, CAST(digit AS INT)) AS exp_ppm")
+        .selectExpr("digit", "n", "obs_ppm", "exp_ppm",
+          "obs_ppm - exp_ppm AS dev_ppm")
+        .orderBy(asc("digit"))
+    }),
     // Primary-key uniqueness audit across every table in the layout. Each
     // table is ONE map-side-combined shuffle on its key; the union rows are
     // 8 constant-width summaries.
@@ -242,6 +270,20 @@ object DataQuality {
           FROM (SELECT CAST($fk AS BIGINT) AS k, count(*) AS cnt FROM $fact GROUP BY 1) f
           LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS pk FROM $dim) d ON f.k = d.pk"""
     Map(
+      "dq_benford_test" -> {
+        val expCase = "CASE digit " + BenfordPpm.map { case (k, v) =>
+          s"WHEN $k THEN CAST($v AS BIGINT)" }.mkString(" ") + " END"
+        // explicit floor before the BIGINT cast: DuckDB's double→BIGINT
+        // cast ROUNDS while Spark's truncates
+        "WITH dg AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+          "FROM orders), " +
+          "c AS (SELECT digit, count(*) AS n FROM dg WHERE digit BETWEEN 1 AND 9 GROUP BY digit), " +
+          "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) " +
+          "SELECT digit, n, (n * 1000000) // total AS obs_ppm, " +
+          s"$expCase AS exp_ppm, " +
+          s"(n * 1000000) // total - $expCase AS dev_ppm " +
+          "FROM c, t ORDER BY digit"
+      },
       "dq_key_uniqueness" -> Seq(
         uniqSql("customer", "c_custkey"),
         uniqSql("documents", "doc_id"),

@@ -68,6 +68,15 @@ object Pii {
       "lpad(CAST((doc_id * 1000003 + 123456789) % 10000000000000000 AS VARCHAR), 16, '0') " +
       "ELSE '' END"
 
+  /** Per-doc candidate/valid counts from a (doc_id, source, text) relation —
+    * shared by the batch census and the streaming face (identical
+    * extraction+fold in both guarantees stream/batch parity). */
+  private[graft] def luhnCountsSelect: Seq[String] = Seq(
+    "source",
+    s"CAST(size(regexp_extract_all($luhnAugSpark, ${sparkLit(LuhnRunRe)}, 0)) AS BIGINT) AS n_cands",
+    s"CAST(size(filter(regexp_extract_all($luhnAugSpark, ${sparkLit(LuhnRunRe)}, 0), " +
+      s"c -> $luhnValidSpark)) AS BIGINT) AS n_valid")
+
   /** Luhn fold over the candidate string `c` (Spark lambda body): sum the
     * reversed digits, doubling every second one and folding >9 back. */
   private val luhnValidSpark =

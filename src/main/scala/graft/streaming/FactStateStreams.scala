@@ -965,4 +965,48 @@ object FactStateStreams {
         }
       }
   }
+
+  final case class LuhnUpdate(
+      source: String, seq: Long, n_docs: Long, docs_with_cand: Long,
+      n_candidates: Long, n_luhn_valid: Long, docs_with_valid: Long)
+
+  final case class LuhnState(
+      seq: Long, docs: Long, docsWithCand: Long, cands: Long,
+      valid: Long, docsWithValid: Long)
+
+  /** Streaming PII census (the pii_luhn_stats twin): per-source running
+    * counters of Luhn-candidate digit runs and checksum-valid hits. The
+    * extraction + checksum fold runs STATELESSLY on each arriving doc via
+    * the exact batch expressions (Pii.luhnCountsSelect — one shared
+    * definition is the parity guarantee); the stateful half is five
+    * additive counters per source, so state is |sources|-bounded forever
+    * and arrival order is irrelevant. At-least-once redelivery inflates
+    * counts (the CMS-face caveat); exactly-once sinks get the seq column
+    * to dedup on. A batch with no docs for a source emits nothing. */
+  def piiLuhnCensus(spark: SparkSession, docs: DataFrame): Dataset[LuhnUpdate] = {
+    import spark.implicits._
+    docs.selectExpr(graft.operators.Pii.luhnCountsSelect: _*)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LuhnState, LuhnUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (src, rows, state) =>
+        val prev = state.getOption.getOrElse(LuhnState(0L, 0L, 0L, 0L, 0L, 0L))
+        var d = prev.docs; var dc = prev.docsWithCand; var c = prev.cands
+        var v = prev.valid; var dv = prev.docsWithValid
+        var any = false
+        rows.foreach { r =>
+          d += 1; c += r._2; v += r._3
+          if (r._2 > 0) dc += 1
+          if (r._3 > 0) dv += 1
+          any = true
+        }
+        if (!any) Iterator.empty
+        else {
+          val next = LuhnState(prev.seq + 1, d, dc, c, v, dv)
+          state.update(next)
+          Iterator.single(LuhnUpdate(src, next.seq, d, dc, c, v, dv))
+        }
+      }
+  }
 }
