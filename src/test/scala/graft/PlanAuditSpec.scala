@@ -889,4 +889,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in the decile attach")
     assert(p.contains("partial_"), "token census lost map-side combine")
   }
+
+  test("media_phash_nn: probes broadcast, reduced by combine-friendly min " +
+      "(never a corpus-sized window partition)") {
+    val p = planOf("media_phash_nn")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe set not broadcast")
+    assert(!p.contains("Window"), "corpus-sized window crept into the NN reduce")
+    assert(p.contains("partial_min"), "NN min lost map-side combine")
+  }
+
+  test("text_ngram_novelty: first-seen census map-side combined; novelty " +
+      "attaches by a vocabulary-keyed shuffle join, not a corpus broadcast") {
+    val p = planOf("text_ngram_novelty")
+    assert(p.contains("partial_min"), "first-seen census lost map-side combine")
+    // the shingle relation is corpus-scale — a broadcast on either side of
+    // the vocabulary join would ship the corpus to every executor
+    val joinLines = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.isEmpty || !p.contains("CartesianProduct"),
+      s"unexpected join shape: $joinLines")
+  }
+
+  test("pii_luhn_stats / dq_benford_test: row-local kernels, single " +
+      "map-side-combined aggregate, no window") {
+    Seq("pii_luhn_stats", "dq_benford_test").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("partial_"), s"$q lost map-side combine")
+      assert(!p.contains("Window"), s"$q grew a window")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+    }
+  }
 }
