@@ -270,4 +270,41 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(last == ((60L, 30L, 74L, 80L, 80L)), s"unexpected quantiles: $last")
     assert(o2.map(_.seq).min > o1.map(_.seq).max)
   }
+
+  // -- piiLuhnCensus: additive per-source counters ---------------------------
+
+  test("piiLuhnCensus recovers its counters: totals match the uninterrupted " +
+      "run and seq continues across the restart") {
+    // doc texts carry explicit 16-digit runs with known Luhn validity:
+    // 4539578763621486 is Luhn-valid, 4539578763621487 is not
+    def doc(id: Long, source: String, text: String) =
+      FactInput("doc", source, Array[Byte](1),
+        tags = Map("doc_id" -> id.toString, "text" -> text))
+    val phase1 = Seq(
+      doc(1, "web", "pay with 4539578763621486 today"),
+      doc(5, "web", "no digits here at all"),
+      doc(9, "books", "ref 4539578763621487 invalid run"))
+    val phase2 = Seq(
+      doc(13, "web", "two runs 4539578763621486 and 4539578763621487"),
+      doc(17, "books", "plain text again"))
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(df =>
+      FactStateStreams.piiLuhnCensus(spark,
+        df.selectExpr("CAST(tags['doc_id'] AS BIGINT) AS doc_id",
+          "subject AS source", "tags['text'] AS text")))
+    def fin(rows: Seq[LuhnUpdate]): Map[String, (Long, Long, Long, Long, Long)] =
+      rows.groupBy(_.source).map { case (s, rs) =>
+        val l = rs.maxBy(_.seq)
+        s -> ((l.n_docs, l.docs_with_cand, l.n_candidates, l.n_luhn_valid, l.docs_with_valid))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    // the counters must reflect BOTH phases (state survived, not reset):
+    // doc_ids 1..17 avoid the %4==0 augmentation, so counts come from the
+    // text runs alone: web saw 3 docs / 3 candidate runs / 2 valid
+    assert(fin(o1 ++ o2)("web") == ((3L, 2L, 3L, 2L, 2L)), fin(o1 ++ o2)("web").toString)
+    o2.groupBy(_.source).foreach { case (s, rs) =>
+      val before = o1.filter(_.source == s).map(_.seq)
+      assert(before.nonEmpty && rs.map(_.seq).min > before.max,
+        s"$s: seq did not continue across restart")
+    }
+  }
 }
