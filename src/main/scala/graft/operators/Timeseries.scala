@@ -180,6 +180,35 @@ object Timeseries {
         .orderBy(asc("week"), asc("event_type"))
     }),
 
+    // Week-over-week per-type volume delta — the COUNT-space companion of
+    // events_type_drift's share-space L1 (a type can hold its share while
+    // the whole stream doubles; this catches that). One corpus-scale
+    // groupBy to the weeks×types grid, then a lag window per type on the
+    // grid. delta_ppm is exact integer division against the prior week;
+    // the first observed week emits NULLs. This is the batch twin of the
+    // typeWeeklyDelta streaming face (state = one (week, count) pair per
+    // type), so the drift monitor has identical semantics live and in
+    // backfill.
+    "events_type_weekly_delta" -> ((s, d) => {
+      val grid = byDay(s, d)
+        .selectExpr("event_type", "day div 7 AS week")
+        .groupBy(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(asc("week"))
+      grid
+        .withColumn("prev_week", lag(col("week"), 1).over(byType))
+        .withColumn("prev_n", lag(col("n"), 1).over(byType))
+        .selectExpr("week", "event_type", "n",
+          // a gap in the weekly grid means "no prior ADJACENT week":
+          // deltas against a non-adjacent week would understate burst
+          // shapes, so they emit NULL exactly like the first week
+          "CASE WHEN prev_week = week - 1 THEN prev_n ELSE CAST(NULL AS BIGINT) END AS prev_n")
+        .withColumn("delta_ppm",
+          expr("""CASE WHEN prev_n IS NULL OR prev_n = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE ((n - prev_n) * 1000000) div prev_n END"""))
+        .orderBy(asc("week"), asc("event_type"))
+    }),
+
     // Lag-1 / lag-7 autocorrelation of the per-type daily count series on
     // the ZERO-FILLED day grid (a gappy series biases r upward). Moment
     // sums are exact integers; only the final Pearson ratio touches
@@ -503,6 +532,19 @@ object Timeseries {
           "SELECT week, event_type, n, share_bp, delta_bp, " +
           "CAST(sum(abs(delta_bp)) OVER (PARTITION BY week) AS BIGINT) AS week_l1_drift_bp " +
           "FROM dl ORDER BY week, event_type"),
+
+      "events_type_weekly_delta" ->
+        (s"WITH b AS ($base), " +
+          "g AS (SELECT event_type, day // 7 AS week, count(*) AS n FROM b GROUP BY event_type, week), " +
+          "l AS (SELECT week, event_type, n, " +
+          "lag(week) OVER w AS prev_week, lag(n) OVER w AS prev_n0 " +
+          "FROM g WINDOW w AS (PARTITION BY event_type ORDER BY week)), " +
+          "a AS (SELECT week, event_type, n, " +
+          "CASE WHEN prev_week = week - 1 THEN prev_n0 ELSE NULL END AS prev_n FROM l) " +
+          "SELECT week, event_type, n, prev_n, " +
+          "CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL " +
+          "ELSE ((n - prev_n) * 1000000) // prev_n END AS delta_ppm " +
+          "FROM a ORDER BY week, event_type"),
 
       "events_autocorr" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

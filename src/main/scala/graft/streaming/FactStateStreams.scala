@@ -1009,4 +1009,65 @@ object FactStateStreams {
         }
       }
   }
+
+  /** One CLOSED week's census row for a type — identical columns to the
+    * batch `events_type_weekly_delta` row for that (week, type). */
+  final case class WeeklyDelta(
+      eventType: String, week: Long, n: Long,
+      prevN: Option[Long], deltaPpm: Option[Long])
+
+  /** Streaming per-type week cursor: the open week's running count plus
+    * the last CLOSED week's (week, count) pair — constant width. `prevWeek`
+    * = Long.MinValue until a first week closes (-1 would collide with the
+    * adjacency check when the first observed week is epoch week 0). */
+  final case class WeeklyState(
+      curWeek: Long, curCount: Long, prevWeek: Long, prevCount: Long)
+
+  /** Live twin of the batch `events_type_weekly_delta` census
+    * (twenty-first face): as each week (epoch-day div 7) closes, emit its
+    * count and the delta vs the prior ADJACENT week — a gap week yields
+    * NULLs exactly like the batch's `prev_week = week - 1` guard, because
+    * observed-weeks-only semantics mean a quiet week never materializes a
+    * zero row in either engine. State is one (open week, count, last
+    * closed week, count) quadruple per event type — |types|-bounded
+    * forever. delta_ppm is the same truncating integer division the batch
+    * runs (`div` on Spark, `//` on DuckDB — both truncate toward zero, so
+    * negative deltas agree). Late events for closed weeks are dropped
+    * (batch repairs); the open week emits nothing until a later-week
+    * event closes it. */
+  def typeWeeklyDelta(spark: SparkSession, events: DataFrame): Dataset[WeeklyDelta] = {
+    import spark.implicits._
+    val WeekUs = 7L * 86400 * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WeeklyState, WeeklyDelta](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val out = Seq.newBuilder[WeeklyDelta]
+        var st = state.getOption.orNull
+        def close(s: WeeklyState): WeeklyState = {
+          val adj = s.prevWeek == s.curWeek - 1
+          val prevN = if (adj) Some(s.prevCount) else None
+          val delta =
+            if (adj && s.prevCount != 0)
+              Some((s.curCount - s.prevCount) * 1000000L / s.prevCount)
+            else None
+          out += WeeklyDelta(typ, s.curWeek, s.curCount, prevN, delta)
+          WeeklyState(s.curWeek, 0L, s.curWeek, s.curCount)
+        }
+        rows.toSeq.map(_._2 / WeekUs).sorted.foreach { week =>
+          st match {
+            case null => st = WeeklyState(week, 1L, Long.MinValue, 0L)
+            case s if week == s.curWeek => st = s.copy(curCount = s.curCount + 1)
+            case s if week > s.curWeek =>
+              st = close(s).copy(curWeek = week, curCount = 1L)
+            case s => st = s // late event for a closed week: dropped
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
 }

@@ -116,4 +116,24 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != ${types.size} types (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("typeWeeklyDelta state rows stay = n_types (one week cursor inside)") {
+    val s0 = spark; import s0.implicits._
+    val WeekUs = 7L * 86400 * 1000000
+    val types = Seq("click", "view", "error")
+    // 20 weeks per type, one batch per week — a week closes per batch but
+    // state holds exactly one cursor row per type, forever
+    val batches = (0 until 20).map { wk =>
+      types.flatMap(t => (0 to wk % 4).map(i =>
+        (t, wk * WeekUs + i * 1000000L + 1)))
+    }
+    val st = drive[(String, Long)]("wkd", batches,
+      df => FactStateStreams.typeWeeklyDelta(
+        spark, df.selectExpr("event_type", "timestamp_micros(ts_us) AS ts")),
+      ms => ms.toDF().toDF("event_type", "ts_us"),
+      mode = OutputMode.Append())
+    assert(st.maxRows == types.size.toLong,
+      s"state keys ${st.maxRows} != ${types.size} types (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
