@@ -474,6 +474,41 @@ object Analytics2 {
         .orderBy(desc("rev_digits"))
     }),
 
+    // Skyline (Pareto front) per order priority: the orders no other
+    // same-priority order dominates in (earlier date, higher price) —
+    // multi-objective dominance, a query class none of the rank/top-k
+    // operators covers. 2-D dominance only depends on the per-day MAX
+    // price, so the corpus collapses with one groupBy to the
+    // priorities×days grid (grid-sized at any corpus: TPC-H spans ~2.4k
+    // days), the strictly-increasing-prefix-max scan runs as a window on
+    // THAT grid (partitioned by priority — never a corpus sort), and the
+    // surviving (priority, day, max price) triples join back to orders to
+    // recover the order keys — front-sized, broadcast-able. Price ties on
+    // a front day are all on the front (dominance needs one strict
+    // coordinate); later days matching an earlier max are NOT (earlier
+    // date is strict). Prices compare as exact e4 integers.
+    "orders_pareto_front" -> ((s, d) => {
+      val e4 = "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+      val o = t(s, d, "orders").selectExpr(
+        "o_orderpriority AS priority", "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') AS BIGINT) AS day",
+        s"$e4 AS price_e4")
+      val dayMax = o.groupBy(col("priority"), col("day"))
+        .agg(max(col("price_e4")).as("day_max"))
+      val prior = Window.partitionBy(col("priority")).orderBy(asc("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = dayMax
+        .withColumn("prev_max", max(col("day_max")).over(prior))
+        .filter(col("prev_max").isNull || col("day_max") > col("prev_max"))
+        .select(col("priority").as("f_priority"), col("day").as("f_day"),
+          col("day_max"))
+      o.join(broadcast(front),
+          col("priority") === col("f_priority") && col("day") === col("f_day") &&
+            col("price_e4") === col("day_max"))
+        .select(col("priority"), col("day"), col("o_orderkey"), col("price_e4"))
+        .orderBy(asc("priority"), asc("day"), asc("o_orderkey"))
+    }),
+
     "corpus_pipeline" -> ((s, d) => {
       val toks = tokensSpark("text")
       val scored = t(s, d, "documents").selectExpr(
@@ -720,6 +755,21 @@ object Analytics2 {
           "CAST((CAST(cum_parts AS HUGEINT) * 10000) // t_parts AS BIGINT) AS cum_parts_bp, " +
           "CAST((cum_rev_e8 * 10000) // t_rev AS BIGINT) AS cum_rev_bp " +
           "FROM c, t ORDER BY rev_digits DESC"),
+
+      "orders_pareto_front" ->
+        ("WITH o AS (SELECT o_orderpriority AS priority, o_orderkey, " +
+          "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS price_e4 " +
+          "FROM orders), " +
+          "dm AS (SELECT priority, day, max(price_e4) AS day_max FROM o GROUP BY priority, day), " +
+          "f AS (SELECT priority, day, day_max, max(day_max) OVER " +
+          "(PARTITION BY priority ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max " +
+          "FROM dm) " +
+          "SELECT o.priority, o.day, o.o_orderkey, o.price_e4 " +
+          "FROM o JOIN f ON o.priority = f.priority AND o.day = f.day AND o.price_e4 = f.day_max " +
+          "WHERE f.prev_max IS NULL OR f.day_max > f.prev_max " +
+          "ORDER BY o.priority, o.day, o.o_orderkey"),
+
       "corpus_pipeline" ->
         (s"WITH scored AS (SELECT doc_id, lang, md5(text) AS h, len($toks) AS n_tokens, " +
           s"(len(list_filter($toks, t -> t IN ('the','a','of','and','to','is'))) * 10000) " +

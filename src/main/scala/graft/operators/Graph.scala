@@ -104,6 +104,27 @@ object Graph {
     (adj, deg)
   }
 
+  /** Every triangle exactly once, as (w, cu, cv) with cu < cv: edges are
+    * oriented from their (degree, id)-smaller endpoint, so each node's
+    * out-degree is O(√m) and wedge generation — the only superlinear
+    * step — is bounded regardless of hub degrees; each triangle closes
+    * exactly one (src; a<b) out-wedge. Shared by the global census
+    * (graph_triangles) and the per-node coefficient
+    * (graph_clustering_coeff). */
+  private def closedTriangles(e: DataFrame, deg: DataFrame): DataFrame = {
+    val du = deg.select(col("node").as("u"), col("deg").as("deg_u"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("deg_v"))
+    val oriented = e.join(du, Seq("u")).join(dv, Seq("v"))
+      .selectExpr(
+        "CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v) THEN u ELSE v END AS src",
+        "CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v) THEN v ELSE u END AS dst")
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .selectExpr("a.src AS w", "least(a.dst, b.dst) AS cu", "greatest(a.dst, b.dst) AS cv")
+    wedges.join(e, col("cu") === col("u") && col("cv") === col("v"))
+      .select(col("w"), col("cu"), col("cv"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Degree histogram of the co-purchase graph: how many parts have k
     // co-purchase partners, with exact node-share in basis points. Node-
@@ -124,20 +145,7 @@ object Graph {
     "graph_triangles" -> ((s, d) => {
       val e = edges(s, d)
       val (_, deg) = adjWithDeg(e)
-      // orient each edge from its (degree, id)-smaller endpoint
-      val du = deg.select(col("node").as("u"), col("deg").as("deg_u"))
-      val dv = deg.select(col("node").as("v"), col("deg").as("deg_v"))
-      val oriented = e.join(du, Seq("u")).join(dv, Seq("v"))
-        .selectExpr(
-          "CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v) THEN u ELSE v END AS src",
-          "CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v) THEN v ELSE u END AS dst")
-      // each triangle closes exactly one (src; a<b) out-wedge
-      val wedges = oriented.as("a").join(oriented.as("b"),
-          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
-        .selectExpr("least(a.dst, b.dst) AS cu", "greatest(a.dst, b.dst) AS cv")
-      val tri = wedges.join(e,
-          col("cu") === col("u") && col("cv") === col("v"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val tri = closedTriangles(e, deg).agg(count(lit(1)).as("n_triangles"))
       val counts = deg.agg(
         count(lit(1)).as("n_nodes"),
         (sum(col("deg")) / 2).cast("long").as("n_edges"),
@@ -310,6 +318,38 @@ object Graph {
           """CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0 /
              sqrt(CAST(CAST(da AS DECIMAL(38,0)) * db AS DOUBLE))) AS BIGINT) AS cos_ppm""")
         .orderBy(desc("cos_ppm"), asc("type_a"), asc("type_b"))
+    }),
+
+    // Per-node LOCAL clustering coefficient, rolled up to a log2-degree-
+    // bucket census: avg of cc = 2·t(v) / (deg·(deg−1)) over nodes in the
+    // bucket (deg ≥ 2; cc undefined below). The global census
+    // (graph_triangles) can't see this — strong global clustering can hide
+    // hubs whose neighborhoods are wide open, which is exactly what the
+    // degree slices expose. Same bounded machinery: closedTriangles'
+    // degree-ordered orientation caps wedge fan-out at O(√m) per node, the
+    // per-node triangle census is node-sized (each triangle explodes to
+    // its 3 corners), the bucket rollup is ≤64 rows at ANY corpus. The
+    // cc ratio rides DECIMAL(38,0)/HUGEINT — t(v)·2·10⁴ passes int64 once
+    // hub degree passes ~2×10⁷, the ADVICE overflow class — and each
+    // node's cc truncates to bp BEFORE the bucket average (declared
+    // semantics; both engines identical).
+    "graph_clustering_coeff" -> ((s, d) => {
+      val e = edges(s, d)
+      val (_, deg) = adjWithDeg(e)
+      val triNodes = closedTriangles(e, deg)
+        .selectExpr("explode(array(w, cu, cv)) AS node")
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      deg.filter(col("deg") >= 2)
+        .join(triNodes, Seq("node"), "left")
+        .na.fill(0L, Seq("tri"))
+        .selectExpr("CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket", "tri",
+          """CAST((CAST(tri AS DECIMAL(38,0)) * 2 * 10000)
+             div (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT) AS cc_bp""")
+        .groupBy(col("deg_bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("tri")).cast("bigint").as("n_tri"),
+          expr("CAST(sum(cc_bp) div count(1) AS BIGINT)").as("avg_cc_bp"))
+        .orderBy(asc("deg_bucket"))
     })
   )
 
@@ -427,6 +467,27 @@ object Graph {
         "FROM pairs JOIN deg da ON da.event_type = type_a " +
         "JOIN deg db ON db.event_type = type_b " +
         "ORDER BY cos_ppm DESC, type_a, type_b"),
+
+    "graph_clustering_coeff" ->
+      (edgeCte +
+        ", od AS (SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v FROM e " +
+        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v), " +
+        "o AS (SELECT CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v) THEN u ELSE v END AS src, " +
+        "CASE WHEN deg_u < deg_v OR (deg_u = deg_v AND u < v) THEN v ELSE u END AS dst FROM od), " +
+        "w AS (SELECT a.src AS w, least(a.dst, b.dst) AS cu, greatest(a.dst, b.dst) AS cv " +
+        "FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst), " +
+        "tr AS (SELECT w.w, w.cu, w.cv FROM w JOIN e ON e.u = w.cu AND e.v = w.cv), " +
+        "tn AS (SELECT node, count(*) AS tri FROM " +
+        "(SELECT w AS node FROM tr UNION ALL SELECT cu FROM tr UNION ALL SELECT cv FROM tr) " +
+        "GROUP BY node), " +
+        "cc AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bucket, " +
+        "coalesce(tri, 0) AS tri, " +
+        "CAST((CAST(coalesce(tri, 0) AS HUGEINT) * 2 * 10000) // " +
+        "(CAST(deg AS HUGEINT) * (deg - 1)) AS BIGINT) AS cc_bp " +
+        "FROM deg LEFT JOIN tn ON tn.node = deg.node WHERE deg >= 2) " +
+        "SELECT deg_bucket, count(*) AS n_nodes, CAST(sum(tri) AS BIGINT) AS n_tri, " +
+        "CAST(sum(cc_bp) // count(*) AS BIGINT) AS avg_cc_bp " +
+        "FROM cc GROUP BY deg_bucket ORDER BY deg_bucket"),
 
     "graph_degree_stats" ->
       (edgeCte + ", hist AS (SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg), " +

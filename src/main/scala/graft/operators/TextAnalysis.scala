@@ -222,6 +222,43 @@ object TextAnalysis {
         .orderBy(asc("lang"), asc("rank"))
     }),
 
+    // Zipf's-law fit per language: the least-squares slope of
+    // log2(freq) against log2(rank) over the full token-frequency
+    // census — the one-number "does this corpus look like natural
+    // language" diagnostic (natural text sits near slope −1; boilerplate
+    // and spam flatten or steepen it). Everything is integer-exact: both
+    // logs are the engine-neutral binary digit count (length(bin(q))−1,
+    // the lm_surprisal idiom), the rank window runs over the VOCABULARY
+    // census (freq DESC, tok ASC — never the corpus), the five regression
+    // moments are one map-side-combined groupBy, and the closing ratio
+    // rides DECIMAL(38,0)/HUGEINT with sign-guarded division (n·Σxy is
+    // corpus-vocabulary-sized — past int64 at extreme vocabularies; the
+    // quotient must truncate toward zero identically in both engines).
+    // A degenerate census (all ranks in one log2 bucket) emits NULL.
+    "text_zipf_fit" -> ((s, d) => {
+      val census = docs(s, d)
+        .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+      census
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(desc("f"), asc("tok"))))
+        .selectExpr("lang",
+          "CAST(length(bin(rank)) - 1 AS BIGINT) AS x",
+          "CAST(length(bin(f)) - 1 AS BIGINT) AS y")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .selectExpr("lang", "CAST(n AS BIGINT) AS n_types",
+          "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS num",
+          "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS den")
+        .selectExpr("lang", "n_types",
+          """CAST(CASE WHEN den = 0 THEN NULL
+                       WHEN num < 0 THEN -(((-num) * 1000000) div den)
+                       ELSE (num * 1000000) div den END AS BIGINT) AS slope_ppm""")
+        .orderBy(asc("lang"))
+    }),
+
     // Collocation mining: per-language top-20 bigrams by lift — the
     // association score kept integer-exact as basis points
     // (n_ab·N·10⁴ ÷ (n_a·n_b), all counts, no logs — PMI's log only
@@ -623,6 +660,24 @@ object TextAnalysis {
           "r AS (SELECT lang, tok, n, row_number() OVER " +
           "(PARTITION BY lang ORDER BY n DESC, tok ASC) AS rank FROM c) " +
           "SELECT lang, tok, n, rank FROM r WHERE rank <= 5 ORDER BY lang, rank"),
+
+      "text_zipf_fit" ->
+        (s"WITH tok AS (SELECT lang, unnest($toks) AS tok FROM documents), " +
+          "c AS (SELECT lang, tok, count(*) AS f FROM tok GROUP BY lang, tok), " +
+          "r AS (SELECT lang, f, row_number() OVER " +
+          "(PARTITION BY lang ORDER BY f DESC, tok ASC) AS rank FROM c), " +
+          "b AS (SELECT lang, CAST(length(bin(rank)) - 1 AS BIGINT) AS x, " +
+          "CAST(length(bin(f)) - 1 AS BIGINT) AS y FROM r), " +
+          "m AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+          "sum(x * x) AS sxx, sum(x * y) AS sxy FROM b GROUP BY lang), " +
+          "s AS (SELECT lang, CAST(n AS BIGINT) AS n_types, " +
+          "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, " +
+          "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den FROM m) " +
+          "SELECT lang, n_types, CAST(CASE WHEN den = 0 THEN NULL " +
+          "WHEN num < 0 THEN -(((-num) * 1000000) // den) " +
+          "ELSE (num * 1000000) // den END AS BIGINT) AS slope_ppm " +
+          "FROM s ORDER BY lang"),
+
       "text_bigram_lift" ->
         (s"WITH base AS (SELECT lang, $toks AS toks FROM documents), " +
           "bge AS (SELECT lang, list_extract(toks, t.i) AS w1, " +

@@ -186,6 +186,40 @@ object Tokenize {
           "symbols_before", "symbols_after",
           "(symbols_after * 10000) div symbols_before AS compression_bp")
         .orderBy(asc("lang"))
+    }),
+
+    // Tokenizer FERTILITY sliced by word length: occurrence-weighted BPE
+    // tokens per whitespace word (the standard multilingual-tokenizer
+    // equity metric — a merge table trained on the dominant language
+    // shows fertility climbing with word length everywhere else) and
+    // chars per emitted BPE token, per (language, word-length bucket,
+    // capped at 10+). The lang-level encode census can't recover this
+    // slice: fertility hides inside its symbols_after rollup. Same scale
+    // shape as bpe_encode_census — ONE corpus pass to the (lang, tok)
+    // census, vocabulary-sized merge rounds, vocab⨝census encode; the
+    // output is langs × 10 buckets. Weighted sums stay BIGINT (corpus
+    // token occurrences × 10⁴ — the encode census's own bound).
+    "tokenizer_fertility" -> ((s, d) => {
+      val lc = CacheScope.persist(docs(s, d)
+        .select(col("lang"), explode(expr(tokensSpark("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("freq")))
+      var v = CacheScope.persist(lc
+        .groupBy(col("tok")).agg(sum(col("freq")).as("freq"))
+        .selectExpr("tok", "freq", "filter(split(tok, ''), x -> x != '') AS syms"))
+      for (_ <- 1 to BpeRounds) v = CacheScope.persist(bpeRound(v)._2)
+      lc.join(v.selectExpr("tok", "CAST(size(syms) AS BIGINT) AS n_syms"), Seq("tok"))
+        .selectExpr("lang",
+          "least(CAST(length(tok) AS BIGINT), CAST(10 AS BIGINT)) AS word_len",
+          "freq", "n_syms", "CAST(length(tok) AS BIGINT) AS chars")
+        .groupBy(col("lang"), col("word_len"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("freq")).as("n_occ"),
+          sum(expr("freq * n_syms")).as("tok_occ"),
+          sum(expr("freq * chars")).as("char_occ"))
+        .selectExpr("lang", "word_len", "n_types", "n_occ",
+          "(tok_occ * 10000) div n_occ AS fertility_bp",
+          "(char_occ * 10000) div tok_occ AS chars_per_token_bp")
+        .orderBy(asc("lang"), asc("word_len"))
     })
   )
 
@@ -226,7 +260,22 @@ object Tokenize {
           s"(CAST(sum(lc.freq * len(v$BpeRounds.syms)) AS BIGINT) * 10000) // " +
           "CAST(sum(lc.freq * length(lc.tok)) AS BIGINT) AS compression_bp " +
           s"FROM lc JOIN v$BpeRounds ON v$BpeRounds.tok = lc.tok " +
-          "GROUP BY lang ORDER BY lang")
+          "GROUP BY lang ORDER BY lang"),
+
+      "tokenizer_fertility" ->
+        (s"WITH $bpeVocabChain, " +
+          s"lt AS (SELECT lang, unnest(${tokensDuck("text")}) AS tok FROM documents), " +
+          "lc AS MATERIALIZED (SELECT lang, tok, count(*) AS freq FROM lt GROUP BY lang, tok), " +
+          "j AS (SELECT lc.lang, " +
+          "least(CAST(length(lc.tok) AS BIGINT), CAST(10 AS BIGINT)) AS word_len, " +
+          s"lc.freq, CAST(len(v$BpeRounds.syms) AS BIGINT) AS n_syms, " +
+          "CAST(length(lc.tok) AS BIGINT) AS chars " +
+          s"FROM lc JOIN v$BpeRounds ON v$BpeRounds.tok = lc.tok) " +
+          "SELECT lang, word_len, count(*) AS n_types, " +
+          "CAST(sum(freq) AS BIGINT) AS n_occ, " +
+          "(CAST(sum(freq * n_syms) AS BIGINT) * 10000) // CAST(sum(freq) AS BIGINT) AS fertility_bp, " +
+          "(CAST(sum(freq * chars) AS BIGINT) * 10000) // CAST(sum(freq * n_syms) AS BIGINT) AS chars_per_token_bp " +
+          "FROM j GROUP BY lang, word_len ORDER BY lang, word_len")
     )
   }
 

@@ -196,4 +196,60 @@ class TokenizeSpec extends AnyFunSpec with Matchers {
       got.foreach { r => r._5 should be < r._4 }
     }
   }
+
+  describe("tokenizer_fertility") {
+    it("matches an independent train-then-encode census bucketed by word length") {
+      val rows = spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("lang", "text").as[(String, String)].collect()
+
+      def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+
+      var vocab: Map[Vector[String], Long] = rows.flatMap(r => tokens(r._2))
+        .groupBy(identity).map { case (t, g) =>
+          t.split("").filter(_.nonEmpty).toVector -> g.length.toLong
+        }
+      val merges = (1 to Tokenize.BpeRounds).map { _ =>
+        val pairCounts = vocab.toSeq.flatMap { case (s2, f) =>
+          s2.zip(s2.drop(1)).map(p => (p, f))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        val ((a, b), _) = pairCounts.toSeq
+          .sortBy { case ((a0, b0), w) => (-w, a0, b0) }.head
+        vocab = vocab.toSeq
+          .map { case (s2, f) => (applyMerge(s2, a, b), f) }
+          .groupBy(_._1).map { case (s2, xs) => (s2, xs.map(_._2).sum) }
+        (a, b)
+      }
+      def encodedLen(tok: String): Long =
+        merges.foldLeft(tok.split("").filter(_.nonEmpty).toVector) {
+          case (s2, (a, b)) => applyMerge(s2, a, b)
+        }.size.toLong
+
+      val census = rows.flatMap { case (lang, text) => tokens(text).map((lang, _)) }
+        .groupBy(identity).map { case ((lang, tok), g) => (lang, tok, g.size.toLong) }
+      val expected = census
+        .groupBy(t => (t._1, math.min(cpLen(t._2).toLong, 10L))).toSeq
+        .map { case ((lang, wl), ts) =>
+          val nOcc = ts.map(_._3).sum
+          val tokOcc = ts.map(t => t._3 * encodedLen(t._2)).sum
+          val charOcc = ts.map(t => t._3 * cpLen(t._2)).sum
+          (lang, wl, ts.size.toLong, nOcc,
+            tokOcc * 10000 / nOcc, charOcc * 10000 / tokOcc)
+        }.sortBy(r => (r._1, r._2))
+
+      val got = Tokenize.queries("tokenizer_fertility")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe expected
+      // ≥1 BPE token per word and ≥1 char per BPE token, in every slice
+      got.foreach { r => r._5 should be >= 10000L; r._6 should be >= 10000L }
+    }
+  }
 }
