@@ -919,4 +919,27 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
     }
   }
+
+  test("orders_pareto_front: corpus collapses to the day-grid max before " +
+      "the prefix scan; the front joins back broadcast, never cartesian") {
+    val p = planOf("orders_pareto_front")
+    assert(p.contains("partial_max"), "per-day max lost map-side combine")
+    assert(p.contains("BroadcastExchange"), "front set not broadcast")
+    assert(!p.contains("CartesianProduct"), "front join degenerated")
+    // exactly one window (the grid prefix-max) and it must sit above the
+    // grid aggregate, not the raw orders scan
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      "prefix-max window shape changed")
+  }
+
+  test("text_zipf_fit / graph_clustering_coeff / tokenizer_fertility: " +
+      "censuses map-side combined, no cartesian blowup") {
+    Seq("text_zipf_fit", "graph_clustering_coeff", "tokenizer_fertility")
+      .foreach { q =>
+        val p = planOf(q)
+        graft.operators.CacheScope.releaseAll()
+        assert(p.contains("partial_"), s"$q lost map-side combine")
+        assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+      }
+  }
 }
