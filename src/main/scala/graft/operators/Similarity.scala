@@ -935,6 +935,52 @@ object Similarity {
       }.reduce(_ union _).orderBy(asc("method"), asc("query_id"))
     }),
 
+    // Leave-one-out k-NN LABEL eval: does the embedding space actually
+    // separate the labels? For a probe set (vec_id < 100), exact cosine
+    // top-5 (self excluded), then per true label: top-1 agreement and
+    // 5-NN majority-vote agreement in basis points — the label-purity
+    // diagnostic run before trusting embedding-space dedup or curation
+    // decisions. Majority ties break (votes DESC, label ASC) —
+    // deterministic in both engines. Scale: probe×corpus with the probe
+    // side broadcast (the bruteforce-tier shape — the production path
+    // swaps in the IVF tier, whose recall ann_recall_eval already pins);
+    // all vote/rank windows are probe-sized (100×5 rows).
+    "ann_knn_label_eval" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).selectExpr("vec_id", "label",
+        "embedding AS v", "vec_norm2(embedding) AS n2")
+      val q = e.filter(col("vec_id") < 100)
+        .selectExpr("vec_id AS query_id", "label AS qlabel",
+          "v AS qv", "n2 AS qn2")
+      val top5 = q.join(e, col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "qlabel", "label", "vec_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("cos_ppm"), asc("vec_id"))))
+        .filter(col("rank") <= 5)
+      val top1 = top5.filter(col("rank") === 1)
+        .selectExpr("query_id", "qlabel",
+          "CASE WHEN label = qlabel THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS t1")
+      val maj5 = top5.groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("vrk", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("nv"), asc("label"))))
+        .filter(col("vrk") === 1)
+        .select(col("query_id"), col("label").as("vlabel"))
+      top1.join(maj5, Seq("query_id"))
+        .selectExpr("qlabel", "t1",
+          "CASE WHEN vlabel = qlabel THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS m5")
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("t1")).cast("bigint").as("n_top1_correct"),
+          sum(col("m5")).cast("bigint").as("n_maj5_correct"))
+        .selectExpr("CAST(qlabel AS BIGINT) AS label", "n_queries",
+          "n_top1_correct", "n_maj5_correct",
+          "(n_top1_correct * 10000) div n_queries AS top1_acc_bp",
+          "(n_maj5_correct * 10000) div n_queries AS maj5_acc_bp")
+        .orderBy(asc("label"))
+    }),
+
     // Per-vector norms + per-label norm envelope (no float summation —
     // min/max only, deterministic).
     "vector_stats" -> ((s, d) =>
@@ -1153,6 +1199,28 @@ object Similarity {
         "FROM q JOIN embeddings e ON e.vec_id <> query_id) " +
         "SELECT query_id, rank, neighbor_id, cos_ppm FROM scored WHERE rank <= 10 " +
         "ORDER BY query_id, rank"),
+    "ann_knn_label_eval" ->
+      ("WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 100), " +
+        "scored AS (SELECT query_id, qlabel, e.label, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM q JOIN embeddings e ON e.vec_id <> query_id), " +
+        "t5 AS (SELECT * FROM scored WHERE rank <= 5), " +
+        "t1 AS (SELECT query_id, qlabel, " +
+        "CASE WHEN label = qlabel THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS t1 " +
+        "FROM t5 WHERE rank = 1), " +
+        "votes AS (SELECT query_id, label, count(*) AS nv FROM t5 GROUP BY query_id, label), " +
+        "mj AS (SELECT query_id, label AS vlabel, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY nv DESC, label) AS vrk FROM votes), " +
+        "m5 AS (SELECT query_id, vlabel FROM mj WHERE vrk = 1), " +
+        "j AS (SELECT t1.qlabel, t1.t1, " +
+        "CASE WHEN m5.vlabel = t1.qlabel THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS m5 " +
+        "FROM t1 JOIN m5 ON m5.query_id = t1.query_id) " +
+        "SELECT CAST(qlabel AS BIGINT) AS label, count(*) AS n_queries, " +
+        "CAST(sum(t1) AS BIGINT) AS n_top1_correct, CAST(sum(m5) AS BIGINT) AS n_maj5_correct, " +
+        "(CAST(sum(t1) AS BIGINT) * 10000) // count(*) AS top1_acc_bp, " +
+        "(CAST(sum(m5) AS BIGINT) * 10000) // count(*) AS maj5_acc_bp " +
+        "FROM j GROUP BY qlabel ORDER BY label"),
     "ann_lsh_buckets" ->
       (s"WITH $lshPlanesDuckCte, " +
         s"b AS (SELECT vec_id, label, CAST(${lshBucketDuckAdaptive("embedding")} AS BIGINT) AS bucket " +

@@ -446,6 +446,33 @@ object Timeseries {
     // ties break earliest. Means either side of the split are exact e4
     // fixed-point. Everything after the corpus groupBy is two windows and
     // a rank-1 filter on the grid.
+    // Seasonal decomposition (day-of-week model) with the top-5 anomalous
+    // residuals per type: each grid day's count minus its type's same-dow
+    // mean — the "was Tuesday big for a Tuesday" question that raw spike
+    // detection (events_spike_days: global mean) and the dow census
+    // (events_dow_seasonality: no residuals) each miss. Zero-filled grid
+    // (a quiet Tuesday must pull the Tuesday mean down); the dow model is
+    // a 7-slot census per type; the residual rank window runs on the day
+    // grid partitioned by type. All integer: means e2-scaled with div,
+    // residual_e2 = n·100 − mean_e2 exact.
+    "events_seasonal_decompose" -> ((s, d) => {
+      val g = dayGrid(s, d).withColumn("dow", expr("(day + 4) % 7"))
+      val model = g.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("sd"))
+        .selectExpr("event_type", "dow", "(sd * 100) div nd AS dow_mean_e2")
+      g.join(model, Seq("event_type", "dow"))
+        .selectExpr("event_type", "day", "dow", "n", "dow_mean_e2",
+          "n * 100 - dow_mean_e2 AS residual_e2")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("residual_e2")).desc, asc("day"))))
+        .filter(col("rank") <= 5)
+        .select(col("event_type"), col("rank").cast("bigint").as("rank"),
+          col("day"), col("dow"), col("n"), col("dow_mean_e2"),
+          col("residual_e2"))
+        .orderBy(asc("event_type"), asc("rank"))
+    }),
+
     "events_cusum" -> ((s, d) => {
       val byType = Window.partitionBy(col("event_type"))
       val run = byType.orderBy(asc("day"))
@@ -670,6 +697,20 @@ object Timeseries {
           "SELECT event_type, dow, n_days, n_events, mean_e2, share_ppm, " +
           "row_number() OVER (PARTITION BY event_type ORDER BY mean_e2 DESC, dow) AS peak_rank " +
           "FROM p ORDER BY event_type, dow"),
+
+      "events_seasonal_decompose" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "zd AS (SELECT event_type, day, (day + 4) % 7 AS dow, n FROM z), " +
+          "m AS (SELECT event_type, dow, " +
+          "CAST((sum(n) * 100) // count(*) AS BIGINT) AS dow_mean_e2 " +
+          "FROM zd GROUP BY event_type, dow), " +
+          "r AS (SELECT zd.event_type, zd.day, zd.dow, zd.n, m.dow_mean_e2, " +
+          "zd.n * 100 - m.dow_mean_e2 AS residual_e2 " +
+          "FROM zd JOIN m ON m.event_type = zd.event_type AND m.dow = zd.dow), " +
+          "k AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+          "ORDER BY abs(residual_e2) DESC, day) AS rank FROM r) " +
+          "SELECT event_type, rank, day, dow, n, dow_mean_e2, residual_e2 " +
+          "FROM k WHERE rank <= 5 ORDER BY event_type, rank"),
 
       "events_cusum" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

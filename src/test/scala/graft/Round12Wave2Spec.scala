@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Analytics2, Graph, TextAnalysis}
+import graft.operators.{Analytics2, Graph, Similarity, TextAnalysis, Timeseries}
 
 /** Round-12 wave 2: skyline, Zipf fit, and local clustering coefficient,
   * each recomputed independently in plain Scala (brute force where the
@@ -96,5 +96,64 @@ class Round12Wave2Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected, s"got $got\nexpected $expected")
     assert(got.map(_._2).sum >= 2, "census unexpectedly empty")
+  }
+
+  test("ann_knn_label_eval equals a brute-force leave-one-out 5-NN vote") {
+    // vec_dot / vec_norm2 accumulate left-to-right in Double over Float
+    // lanes — this fold is the bit-exact mirror
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def n2(a: Array[Float]): Double = dot(a, a)
+    val probes = vecs.filter(_._1 < 100)
+    val perQuery = probes.map { case (qid, qlabel, qv) =>
+      val top5 = vecs.filter(_._1 != qid).map { case (id, l, v) =>
+        (math.floor(dot(qv, v) / (math.sqrt(n2(qv)) * math.sqrt(n2(v))) * 1000000).toLong, id, l)
+      }.sortBy(t => (-t._1, t._2)).take(5)
+      val t1 = if (top5.head._3 == qlabel) 1L else 0L
+      val vlabel = top5.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, nv) => (-nv, l) }.head._1
+      (qlabel, t1, if (vlabel == qlabel) 1L else 0L)
+    }
+    val expected = perQuery.groupBy(_._1).toSeq.map { case (label, qs) =>
+      val n = qs.length.toLong
+      val t1 = qs.map(_._2).sum; val m5 = qs.map(_._3).sum
+      (label, n, t1, m5, t1 * 10000 / n, m5 * 10000 / n)
+    }.sortBy(_._1)
+    val got = Similarity.queries("ann_knn_label_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("events_seasonal_decompose equals a plain-Scala dow-model residual census") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    val expected = byType.toSeq.flatMap { case (t, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val grid = (counts.keys.min to counts.keys.max)
+        .map(day => (day, counts.getOrElse(day, 0L)))
+      val model = grid.groupBy { case (day, _) => (day + 4) % 7 }.view
+        .mapValues { ds => ds.map(_._2).sum * 100 / ds.size }.toMap
+      grid.map { case (day, n) =>
+        val dow = (day + 4) % 7
+        (t, day, dow, n, model(dow), n * 100 - model(dow))
+      }.sortBy(r => (-math.abs(r._6), r._2)).take(5).zipWithIndex
+        .map { case ((t2, day, dow, n, m, res), i) =>
+          (t2, i + 1L, day, dow, n, m, res) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Timeseries.queries("events_seasonal_decompose")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    graft.operators.CacheScope.releaseAll()
+    assert(got == expected, s"got $got\nexpected $expected")
   }
 }
