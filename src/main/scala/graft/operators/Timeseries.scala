@@ -473,6 +473,41 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("rank"))
     }),
 
+    // Sequential (one-sided, upper) CUSUM control chart per type — the
+    // CAUSAL companion of events_cusum's retrospective argmax: reference
+    // μ₀ is fixed from the first 14 closed grid days (warm-up), then
+    // S⁺_t = max(0, S⁺_{t-1} + (n_t − μ₀ − μ₀/10)) accrues day by day and
+    // alarms at 5μ₀. The recursive max(0,·) fold is window-expressible
+    // through the prefix identity S⁺_t = P_t − min(0, min_{j≤t} P_j) with
+    // P the plain prefix sum of deviations — so the batch plan is one
+    // grid groupBy + two grid-sized windows, and the SAME fold runs live
+    // as the cusumAlarms streaming face (one (warm, μ₀, S⁺) cursor per
+    // type), pinned to this query by StreamingCusumSpec. Types with ≤14
+    // grid days emit nothing (still in warm-up). All integer e2
+    // arithmetic; both engines truncate μ₀ identically.
+    "events_cusum_alarms" -> ((s, d) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val byDayW = byType.orderBy(asc("day"))
+      val run = byDayW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = dayGrid(s, d)
+        .withColumn("idx", row_number().over(byDayW))
+      val warm = g.filter(col("idx") <= 14)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("wd"), sum(col("n")).as("ws"))
+        .filter(col("wd") === 14)
+        .selectExpr("event_type", "(ws * 100) div 14 AS mu0_e2")
+      g.filter(col("idx") > 14)
+        .join(warm, Seq("event_type"))
+        .withColumn("dev_e2",
+          expr("n * 100 - mu0_e2 - (mu0_e2 div 10)"))
+        .withColumn("p", sum(col("dev_e2")).over(run))
+        .withColumn("s_plus_e2",
+          expr("p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"))
+        .selectExpr("event_type", "day", "n", "mu0_e2", "s_plus_e2",
+          "CASE WHEN s_plus_e2 >= 5 * mu0_e2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm")
+        .orderBy(asc("event_type"), asc("day"))
+    }),
+
     "events_cusum" -> ((s, d) => {
       val byType = Window.partitionBy(col("event_type"))
       val run = byType.orderBy(asc("day"))
@@ -711,6 +746,24 @@ object Timeseries {
           "ORDER BY abs(residual_e2) DESC, day) AS rank FROM r) " +
           "SELECT event_type, rank, day, dow, n, dow_mean_e2, residual_e2 " +
           "FROM k WHERE rank <= 5 ORDER BY event_type, rank"),
+
+      "events_cusum_alarms" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "zi AS (SELECT event_type, day, n, " +
+          "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx FROM z), " +
+          "warm AS (SELECT event_type, CAST((sum(n) * 100) // 14 AS BIGINT) AS mu0_e2 " +
+          "FROM zi WHERE idx <= 14 GROUP BY event_type HAVING count(*) = 14), " +
+          "post AS (SELECT zi.event_type, zi.day, zi.n, warm.mu0_e2, " +
+          "zi.n * 100 - warm.mu0_e2 - (warm.mu0_e2 // 10) AS dev_e2 " +
+          "FROM zi JOIN warm ON warm.event_type = zi.event_type WHERE zi.idx > 14), " +
+          "pp AS (SELECT *, CAST(sum(dev_e2) OVER w AS BIGINT) AS p FROM post " +
+          "WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+          "sp AS (SELECT event_type, day, n, mu0_e2, " +
+          "p - least(CAST(0 AS BIGINT), CAST(min(p) OVER w AS BIGINT)) AS s_plus_e2 FROM pp " +
+          "WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+          "SELECT event_type, day, n, mu0_e2, s_plus_e2, " +
+          "CASE WHEN s_plus_e2 >= 5 * mu0_e2 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm " +
+          "FROM sp ORDER BY event_type, day"),
 
       "events_cusum" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

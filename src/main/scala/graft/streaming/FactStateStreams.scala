@@ -1010,6 +1010,69 @@ object FactStateStreams {
       }
   }
 
+  /** One closed post-warm-up day's CUSUM row — identical columns to the
+    * batch `events_cusum_alarms` row for that (type, day). */
+  final case class CusumUpdate(
+      eventType: String, day: Long, n: Long,
+      mu0E2: Long, sPlusE2: Long, alarm: Long)
+
+  /** Streaming CUSUM state: warm-up tally (days seen, event sum) until 14
+    * grid days close, then the frozen reference and the running S⁺ — all
+    * constant width. `curDay` = the open grid day. */
+  final case class CusumState(
+      curDay: Long, curCount: Long,
+      warmDays: Long, warmSum: Long, mu0E2: Long, sPlusE2: Long)
+
+  /** Live twin of the batch `events_cusum_alarms` chart (twenty-second
+    * face): each closing grid day — quiet days zero-filled, exactly the
+    * batch grid — either feeds the 14-day warm-up tally or advances
+    * S⁺ = max(0, S⁺ + (n·100 − μ₀ − μ₀/10)) and emits the day's chart row
+    * with its 5μ₀ alarm flag. The recursion is causal, so unlike the
+    * retrospective argmax face this needs no reprocessing: state is one
+    * six-long cursor per type, forever. Late events for closed days are
+    * dropped (batch repairs). */
+  def cusumAlarms(spark: SparkSession, events: DataFrame): Dataset[CusumUpdate] = {
+    import spark.implicits._
+    val DayUs = 86400L * 1000000
+    events
+      .selectExpr("event_type", "unix_micros(ts) AS ts_us")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val out = Seq.newBuilder[CusumUpdate]
+        var st = state.getOption.orNull
+        def close(s: CusumState, day: Long, n: Long): CusumState = {
+          if (s.warmDays < 14) {
+            val wd = s.warmDays + 1; val ws = s.warmSum + n
+            if (wd == 14) s.copy(warmDays = wd, warmSum = ws, mu0E2 = ws * 100 / 14)
+            else s.copy(warmDays = wd, warmSum = ws)
+          } else {
+            val dev = n * 100 - s.mu0E2 - s.mu0E2 / 10
+            val sp = math.max(0L, s.sPlusE2 + dev)
+            out += CusumUpdate(typ, day, n, s.mu0E2, sp,
+              if (sp >= 5 * s.mu0E2) 1L else 0L)
+            s.copy(sPlusE2 = sp)
+          }
+        }
+        rows.toSeq.map(_._2 / DayUs).sorted.foreach { day =>
+          st match {
+            case null => st = CusumState(day, 1L, 0L, 0L, 0L, 0L)
+            case s if day == s.curDay => st = s.copy(curCount = s.curCount + 1)
+            case s if day > s.curDay =>
+              var cur = close(s, s.curDay, s.curCount)
+              var zd = s.curDay + 1
+              while (zd < day) { cur = close(cur, zd, 0L); zd += 1 }
+              st = cur.copy(curDay = day, curCount = 1L)
+            case s => st = s // late event for a closed day: dropped
+          }
+        }
+        if (st != null) state.update(st)
+        out.result().iterator
+      }
+  }
+
   /** One CLOSED week's census row for a type — identical columns to the
     * batch `events_type_weekly_delta` row for that (week, type). */
   final case class WeeklyDelta(

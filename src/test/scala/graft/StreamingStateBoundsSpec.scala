@@ -117,6 +117,26 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
 
+  test("cusumAlarms state rows stay = n_types (warm-up + S+ cursor inside)") {
+    val s0 = spark; import s0.implicits._
+    val DayUs = 86400L * 1000000
+    val types = Seq("click", "view")
+    // 30 days per type, one batch per day — warm-up freezes at day 14,
+    // the chart runs on, and state holds exactly one cursor row per type
+    val batches = (0 until 30).map { day =>
+      types.flatMap(t => (0 to day % 4).map(i =>
+        (t, day * DayUs + i * 1000000L + 1)))
+    }
+    val st = drive[(String, Long)]("cusum", batches,
+      df => FactStateStreams.cusumAlarms(
+        spark, df.selectExpr("event_type", "timestamp_micros(ts_us) AS ts")),
+      ms => ms.toDF().toDF("event_type", "ts_us"),
+      mode = OutputMode.Append())
+    assert(st.maxRows == types.size.toLong,
+      s"state keys ${st.maxRows} != ${types.size} types (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
+
   test("typeWeeklyDelta state rows stay = n_types (one week cursor inside)") {
     val s0 = spark; import s0.implicits._
     val WeekUs = 7L * 86400 * 1000000
