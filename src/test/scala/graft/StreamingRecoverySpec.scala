@@ -211,6 +211,40 @@ class StreamingRecoverySpec extends AnyFunSuite {
       "open-interval state did not survive the restart")
   }
 
+  // -- cusumAlarms: frozen reference + running S+ ---------------------------
+
+  test("cusumAlarms recovers the frozen mu0 and running S+: post-restart " +
+      "chart rows continue the pre-restart accumulation") {
+    val DayUs = 86400000000L
+    def cf(day: Long, i: Long) =
+      FactInput("e", "a", Array[Byte](1),
+        tags = Map("ts_us" -> (day * DayUs + i * 1000).toString))
+    // warm-up (days 0..13 at 3/day → mu0 = 300 e2) completes and day 14's
+    // surge row (n=9, S+ = 570) EMITS before the stop; the post-restart
+    // rows are only correct if both the frozen mu0 and S+ survived
+    val phase1 = (0L until 14L).flatMap(d => (0L until 3L).map(i => cf(d, i))) ++
+      (0L until 9L).map(i => cf(14L, i)) :+ cf(15L, 0L)
+    val phase2 = (1L until 9L).map(i => cf(15L, i)) ++
+      (0L until 9L).map(i => cf(16L, i)) ++
+      (0L until 9L).map(i => cf(17L, i)) :+ cf(18L, 0L)
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(df =>
+      FactStateStreams.cusumAlarms(spark, df.selectExpr(
+        "subject AS event_type",
+        "timestamp_micros(CAST(tags['ts_us'] AS BIGINT)) AS ts")))
+    def key(c: CusumUpdate) = (c.eventType, c.day, c.n, c.mu0E2, c.sPlusE2, c.alarm)
+    assert((o1 ++ o2).map(key).sorted == oU.map(key).sorted,
+      s"recovered chart diverged:\n i=${(o1 ++ o2).map(key).sorted}\n u=${oU.map(key).sorted}")
+    assert(o1.map(key) == Seq(("a", 14L, 9L, 300L, 570L, 0L)), s"phase1: $o1")
+    assert(o2.map(key).sorted == Seq(
+      ("a", 15L, 9L, 300L, 1140L, 0L),
+      ("a", 16L, 9L, 300L, 1710L, 1L),
+      ("a", 17L, 9L, 300L, 2280L, 1L)),
+      "mu0/S+ state did not survive the restart")
+    // no duplicated emission across the boundary
+    val all = (o1 ++ o2).map(key)
+    assert(all.distinct.size == all.size, "duplicate chart rows across restart")
+  }
+
   // -- spaceSavingTopK: bounded counter summary -----------------------------
 
   test("spaceSavingTopK recovers its counters: final summary matches the " +
