@@ -942,4 +942,23 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
       }
   }
+
+  test("ann_knn_label_eval: native vec_dot kernel, probe side broadcast, " +
+      "vote windows never corpus-partitioned") {
+    val p = planOf("ann_knn_label_eval")
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe set not broadcast against the corpus")
+    assert(!p.contains("CartesianProduct"), "probe join degenerated")
+  }
+
+  test("events_cusum_alarms / events_seasonal_decompose: one corpus groupBy " +
+      "to the day grid; windows and models grid-sized; no cartesian") {
+    Seq("events_cusum_alarms", "events_seasonal_decompose").foreach { q =>
+      val p = planOf(q)
+      graft.operators.CacheScope.releaseAll()
+      assert(p.contains("partial_"), s"$q lost map-side combine")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+    }
+  }
 }
