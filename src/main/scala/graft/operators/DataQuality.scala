@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Constraint-audit operators — the data-quality gate a 100 TB ingest runs
@@ -68,10 +69,24 @@ object DataQuality {
   }
 
   /** Benford first-digit expectations, log10(1+1/d) in exact ppm — pinned
-    * integer constants so both engines compare against the same table. */
-  private val BenfordPpm: Seq[(Int, Long)] = Seq(
+    * integer constants so both engines compare against the same table.
+    * `private[graft]`: the streaming Benford face shares the table. */
+  private[graft] val BenfordPpm: Seq[(Int, Long)] = Seq(
     1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
     6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** First-digit extraction from an events row — shared verbatim by the
+    * batch `events_value_benford` twin and the streaming `benfordCensus`
+    * face (one definition is the stream/batch parity guarantee). Floor to
+    * cents first (Spark's double→BIGINT cast truncates, DuckDB's rounds),
+    * then the leading digit of the decimal digit string. */
+  private[graft] def benfordEventSelect: Seq[String] = Seq(
+    "event_type",
+    "CAST(substring(CAST(CAST(floor(value * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT) AS digit")
+
+  /** exp_ppm lookup by digit, rendered once for every consumer. */
+  private[graft] val benfordExpMap: String =
+    "map(" + BenfordPpm.map { case (k, v) => s"$k, ${v}L" }.mkString(", ") + ")"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benford's-law audit of the order-value distribution: the classic
@@ -95,6 +110,30 @@ object DataQuality {
         .selectExpr("digit", "n", "obs_ppm", "exp_ppm",
           "obs_ppm - exp_ppm AS dev_ppm")
         .orderBy(asc("digit"))
+    }),
+
+    // Benford audit of the event VALUE stream, per event type — the batch
+    // twin of the streaming `benfordCensus` face (identical extraction via
+    // benfordEventSelect; the face folds the same digits into 9 counters
+    // per type). Per-type expectations make this the "which event family's
+    // money column looks fabricated" census rather than one global test.
+    // One narrow scan, map-side-combined groupBy to the 45-row
+    // (type × digit) grid; per-type totals are a grid window.
+    "events_value_benford" -> ((s, d) => {
+      val digits = t(s, d, "events")
+        .selectExpr(benfordEventSelect: _*)
+        .filter(col("digit").between(1, 9))
+        .groupBy(col("event_type"), col("digit"))
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type"))
+      digits
+        .withColumn("total", sum(col("n")).over(byType))
+        .selectExpr("event_type", "digit", "n",
+          "(n * 1000000) div total AS obs_ppm",
+          s"element_at($benfordExpMap, CAST(digit AS INT)) AS exp_ppm")
+        .selectExpr("event_type", "digit", "n", "obs_ppm", "exp_ppm",
+          "obs_ppm - exp_ppm AS dev_ppm")
+        .orderBy(asc("event_type"), asc("digit"))
     }),
     // Primary-key uniqueness audit across every table in the layout. Each
     // table is ONE map-side-combined shuffle on its key; the union rows are
@@ -283,6 +322,20 @@ object DataQuality {
           s"$expCase AS exp_ppm, " +
           s"(n * 1000000) // total - $expCase AS dev_ppm " +
           "FROM c, t ORDER BY digit"
+      },
+      "events_value_benford" -> {
+        val expCase = "CASE digit " + BenfordPpm.map { case (k, v) =>
+          s"WHEN $k THEN CAST($v AS BIGINT)" }.mkString(" ") + " END"
+        "WITH dg AS (SELECT event_type, " +
+          "CAST(substring(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+          "FROM events), " +
+          "c AS (SELECT event_type, digit, count(*) AS n FROM dg " +
+          "WHERE digit BETWEEN 1 AND 9 GROUP BY event_type, digit), " +
+          "w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM c) " +
+          "SELECT event_type, digit, n, (n * 1000000) // total AS obs_ppm, " +
+          s"$expCase AS exp_ppm, " +
+          s"(n * 1000000) // total - $expCase AS dev_ppm " +
+          "FROM w ORDER BY event_type, digit"
       },
       "dq_key_uniqueness" -> Seq(
         uniqSql("customer", "c_custkey"),

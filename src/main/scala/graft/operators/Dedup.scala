@@ -383,6 +383,38 @@ object Dedup {
         .orderBy(asc("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split: hash the dedup-cluster LABEL, not
+    // the doc — near-duplicate documents must land in the SAME split or
+    // the held-out set silently contains paraphrases of training docs and
+    // eval numbers are fiction (the contamination mode plain sample_split
+    // cannot prevent). group_key = the doc's connected-component min-label
+    // when it has a verified near-dup, else its own id; the 90/5/5 bucket
+    // comes from the same content-independent char_hash as sample_split.
+    // Output is the split balance sheet with the leakage audit built in:
+    // n_groups counts hash-atomic units, n_clustered_docs the docs whose
+    // placement was cluster-forced. Scale: labels are pair-graph-sized;
+    // the corpus side is one left join against them (AQE broadcasts when
+    // small, shuffles when dup-heavy) + one grid aggregate.
+    "sample_leakage_safe_split" -> ((s, d) => {
+      val labels = connectedComponents(
+        minhashVerified(s, d).select(col("doc_a"), col("doc_b")))
+      docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .selectExpr("n_chars",
+          "cluster_id IS NOT NULL AS clustered",
+          "coalesce(cluster_id, doc_id) AS group_key")
+        .selectExpr("n_chars", "clustered", "group_key",
+          s"${charHashSpark("CAST(group_key AS STRING)")} % 100 AS bucket")
+        .selectExpr("n_chars", "clustered", "group_key",
+          "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_key")).as("n_groups"),
+          sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(asc("split"))
+    }),
+
     // Dedup audit trail: for every document a keep-one-per-cluster policy
     // DROPS, the receipt a pipeline owner asks for — which doc it was
     // dropped in favor of (the cluster keeper), how big its cluster is,
@@ -956,6 +988,27 @@ object Dedup {
           "SELECT doc_id, cluster_id, " +
           "count(*) OVER (PARTITION BY cluster_id) AS cluster_size " +
           "FROM lab ORDER BY doc_id"),
+      "sample_leakage_safe_split" ->
+        (s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e.u, r.m FROM edges e JOIN reach r ON r.u = e.v), " +
+          "lab AS (SELECT u AS doc_id, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          "asg AS (SELECT d.n_chars, lab.cluster_id IS NOT NULL AS clustered, " +
+          "coalesce(lab.cluster_id, d.doc_id) AS group_key " +
+          "FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id), " +
+          "bk AS (SELECT n_chars, clustered, group_key, " +
+          s"${charHashDuck("CAST(group_key AS VARCHAR)")} % 100 AS bucket FROM asg), " +
+          "sp AS (SELECT n_chars, clustered, group_key, " +
+          "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM bk) " +
+          "SELECT split, count(*) AS n_docs, " +
+          "CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups, " +
+          "CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
+          "FROM sp GROUP BY split ORDER BY split"),
       "dedup_provenance" ->
         (s"WITH RECURSIVE $minhashVerifiedCtes, " +
           "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +

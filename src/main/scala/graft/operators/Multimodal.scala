@@ -23,9 +23,15 @@ import graft.functions.CrossHash._
   *    closed-form pattern the DuckDB oracle recomputes independently —
   *    a green row proves the actual codec round-trip, not arithmetic.
   *
+  *  - `media_audio_decode` / `media_audio_windows` are REAL audio decodes:
+  *    per-doc 16-bit mono PCM clips round-trip through the JDK WAV codec
+  *    (`javax.sound.sampled`), and the emitted waveform statistics are
+  *    computed from the DECODED frames. PCM-in-WAV is lossless, so the
+  *    oracle's closed-form per-sample replay pins the codec round-trip.
+  *
   *  - `decodeStub` remains for codecs the JDK does not ship (JPEG is
-  *    lossy and decoder-version-dependent; video/audio need external
-  *    libs): it derives deterministic fake dimensions from the byte
+  *    lossy and decoder-version-dependent; video and compressed audio
+  *    need external libs): it derives deterministic fake dimensions from the byte
   *    content behind the same mapPartitions seam a real kernel plugs
   *    into. The driver tables carry no binary column, so the stub
   *    queries derive bytes from `documents.text` (ASCII ⇒ byte i ==
@@ -218,6 +224,124 @@ object Multimodal {
       }
   }
 
+  // ---- real audio decode (javax.sound.sampled) -----------------------------
+
+  /** Per-doc audio spec, pure integer function of doc_id: 180-280 samples
+    * of 16-bit mono PCM at 8 or 16 kHz. PCM-in-WAV is lossless, so the
+    * decoded samples equal the generated ones exactly — the audio twin of
+    * the PNG/BMP discipline (lossy codecs like MP3 stay behind the stub
+    * seam). */
+  def audioSpec(docId: Long): (Int, Int) = (
+    180 + (docId % 101).toInt,
+    if (docId % 2 == 0) 8000 else 16000)
+
+  /** Deterministic waveform: sample i is an affine-mod value in
+    * [-2000, 2000] — closed-form enough for the oracle to replay per
+    * sample, sign-rich enough to exercise zero-crossing counting. */
+  def sampleAt(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 7919) % 4001).toInt - 2000
+
+  /** Render + encode one clip through the real JDK WAV writer. */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val (n, sr) = audioSpec(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-waveform statistics — sample_rate/n_samples come from the
+    * decoded header and frame stream, the rest from the decoded samples. */
+  final case class DecodedAudio(
+      doc_id: Long, sample_rate: Long, n_samples: Long,
+      peak_abs: Long, sum_abs: Long, sum_sq: Long, zero_crossings: Long)
+
+  /** The real decode kernel: WAV bytes in, waveform stats out. Honors the
+    * DECODED format's declared endianness rather than assuming the
+    * writer's. */
+  def decodeWav(docId: Long, payload: Array[Byte]): DecodedAudio = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+      s"unexpected decoded format for doc $docId: $f")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val big = f.isBigEndian
+    var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val b0 = bytes(2 * i) & 0xff; val b1 = bytes(2 * i + 1) & 0xff
+      val s = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+      val a = math.abs(s).toLong
+      if (a > peak) peak = a
+      sumAbs += a
+      sumSq += a * a
+      if (i > 0 && prev.toLong * s < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    DecodedAudio(docId, f.getSampleRate.toLong, n.toLong, peak, sumAbs, sumSq, zc)
+  }
+
+  /** Batch audio encode→decode over partitions — row-local CPU, zero
+    * shuffle, the same embarrassingly-parallel kernel shape as
+    * [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, ids: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => decodeWav(id, encodeWav(id))))
+  }
+
+  /** One window of the framed energy profile: the clip cropped to 4 equal
+    * windows (VAD/feature-frame shape), per-window energy and peak from
+    * the DECODED samples. */
+  final case class AudioWindow(
+      doc_id: Long, win: Long, n_samp: Long, energy: Long, peak_abs: Long)
+
+  def audioWindows(docId: Long, payload: Array[Byte]): Seq[AudioWindow] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    val f = ais.getFormat
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    val big = f.isBigEndian
+    val len = n / 4
+    for (w <- 0 until 4) yield {
+      var e = 0L; var peak = 0L
+      var i = w * len
+      while (i < (w + 1) * len) {
+        val b0 = bytes(2 * i) & 0xff; val b1 = bytes(2 * i + 1) & 0xff
+        val s = (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+        val a = math.abs(s).toLong
+        e += a * a
+        if (a > peak) peak = a
+        i += 1
+      }
+      AudioWindow(docId, w.toLong, len.toLong, e, peak)
+    }
+  }
+
+  def windowAudio(spark: SparkSession, ids: DataFrame): Dataset[AudioWindow] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap(id => audioWindows(id, encodeWav(id))))
+  }
+
   // ---- stubbed decode (codecs the JDK does not ship) -----------------------
 
   /** Typed result of the (stubbed) decode step. */
@@ -377,6 +501,24 @@ object Multimodal {
       phashImages(s, docs(s, d).select(col("doc_id")))
         .toDF().orderBy(asc("doc_id"))),
 
+    // REAL audio decode: per-doc 16-bit mono PCM clips rendered from an
+    // integer waveform rule, pushed through the JDK WAV writer AND reader
+    // (javax.sound.sampled), stats computed from the DECODED samples. PCM
+    // is lossless, so the oracle's closed-form per-sample replay matches
+    // bit-exactly — a green row proves the real codec round-trip (header
+    // parse, frame framing, endianness) like media_decode does for images.
+    "media_audio_decode" -> ((s, d) =>
+      decodeAudio(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"))),
+
+    // Framed energy profile from the DECODED waveform: clip cropped to 4
+    // equal windows, per-window energy (Σs²) and peak — the feature-frame
+    // /VAD shape every audio pipeline computes first. Row-local kernel,
+    // exactly 4·docs rows out.
+    "media_audio_windows" -> ((s, d) =>
+      windowAudio(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"), asc("win"))),
+
     // Hamming nearest neighbor for a bounded probe set over the phash
     // column: the dedup/near-dup primitive for images. The probe side is
     // 10 rows (broadcast); the corpus side is scanned once map-side and
@@ -514,6 +656,35 @@ object Multimodal {
         "FROM pxg GROUP BY doc_id, bx, by, bw, bh ORDER BY doc_id, by, bx"),
     "media_phash" ->
       (s"WITH $PhashCte SELECT doc_id, phash, n_ones FROM ph ORDER BY doc_id"),
+    // Independent replay of media_audio_decode: the oracle NEVER touches
+    // WAV bytes — it expands each doc's sample index range and evaluates
+    // the affine-mod waveform per sample in SQL. Spark's numbers come from
+    // the decoded frames; equality proves the real javax.sound round-trip.
+    // Zero crossings avoid a window: sample i-1 is closed-form too.
+    "media_audio_decode" ->
+      ("WITH spec AS (SELECT doc_id, CAST(180 + doc_id % 101 AS BIGINT) AS n_samples, " +
+        "CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS sample_rate " +
+        "FROM documents), " +
+        "sm AS (SELECT s.doc_id, s.sample_rate, s.n_samples, " +
+        "(s.doc_id * 31 + t.i * 7919) % 4001 - 2000 AS v, " +
+        "CASE WHEN t.i > 0 THEN (s.doc_id * 31 + (t.i - 1) * 7919) % 4001 - 2000 END AS pv " +
+        "FROM spec s, unnest(range(0, s.n_samples)) AS t(i)) " +
+        "SELECT doc_id, sample_rate, n_samples, " +
+        "CAST(max(abs(v)) AS BIGINT) AS peak_abs, " +
+        "CAST(sum(abs(v)) AS BIGINT) AS sum_abs, " +
+        "CAST(sum(v * v) AS BIGINT) AS sum_sq, " +
+        "CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings " +
+        "FROM sm GROUP BY doc_id, sample_rate, n_samples ORDER BY doc_id"),
+    "media_audio_windows" ->
+      ("WITH spec AS (SELECT doc_id, CAST((180 + doc_id % 101) // 4 AS BIGINT) AS len " +
+        "FROM documents), " +
+        "sm AS (SELECT s.doc_id, t.i // s.len AS win, s.len, " +
+        "(s.doc_id * 31 + t.i * 7919) % 4001 - 2000 AS v " +
+        "FROM spec s, unnest(range(0, s.len * 4)) AS t(i)) " +
+        "SELECT doc_id, win, len AS n_samp, " +
+        "CAST(sum(v * v) AS BIGINT) AS energy, " +
+        "CAST(max(abs(v)) AS BIGINT) AS peak_abs " +
+        "FROM sm GROUP BY doc_id, win, len ORDER BY doc_id, win"),
     "media_phash_nn" ->
       (s"WITH $PhashCte, " +
         "probes AS (SELECT doc_id AS probe_id, phash AS probe_hash FROM ph WHERE doc_id < 10), " +

@@ -981,6 +981,48 @@ object Similarity {
         .orderBy(asc("label"))
     }),
 
+    // Matryoshka truncation eval: recall@10 of TRUNCATED-dimension exact
+    // cosine against full-dimension truth, per probe (vec_id < 5) and
+    // prefix width ∈ {8, 16, 32} — the measurement behind "can we serve
+    // ANN from the first k dims and rerank full-width only at the end"
+    // (MRL-style costed retrieval: a 32/64 prefix halves scan bytes AND
+    // index memory if recall holds). vec_dot folds min(len) index-ordered,
+    // so slice()-ing both sides reproduces the oracle's range(1, k+1)
+    // double fold bit-exactly. Scale: probes broadcast against the corpus
+    // once (the cached probe×corpus relation feeds all four scorings);
+    // rank windows are probe-sized. The production path swaps the scan
+    // tier for IVF — this query pins the quality side of that trade.
+    "embedding_matryoshka_eval" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).selectExpr("vec_id", "embedding AS v")
+      val q = e.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "v AS qv")
+      val joined = CacheScope.persist(
+        q.join(e, col("query_id") =!= col("vec_id")))
+      def topk(dims: Int): DataFrame = {
+        val (qe, ve) =
+          if (dims == Dim) ("qv", "v")
+          else (s"slice(qv, 1, $dims)", s"slice(v, 1, $dims)")
+        joined.selectExpr("query_id", "vec_id",
+            s"CAST(floor(vec_dot($qe, $ve) / (sqrt(vec_norm2($qe)) * sqrt(vec_norm2($ve))) * 1000000) AS BIGINT) AS cos_ppm")
+          .withColumn("rank", row_number().over(
+            W.partitionBy(col("query_id")).orderBy(desc("cos_ppm"), asc("vec_id"))))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"))
+      }
+      val truth = topk(Dim).withColumn("hit", lit(1L))
+      Seq(8, 16, 32).map { dims =>
+        topk(dims)
+          .join(truth, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_returned"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .selectExpr(s"CAST($dims AS BIGINT) AS dims", "query_id",
+            "n_returned", "n_hits",
+            "(n_hits * 10000) div n_returned AS recall_bp")
+      }.reduce(_ union _).orderBy(asc("dims"), asc("query_id"))
+    }),
+
     // Per-vector norms + per-label norm envelope (no float summation —
     // min/max only, deterministic).
     "vector_stats" -> ((s, d) =>
@@ -1221,6 +1263,28 @@ object Similarity {
         "(CAST(sum(t1) AS BIGINT) * 10000) // count(*) AS top1_acc_bp, " +
         "(CAST(sum(m5) AS BIGINT) * 10000) // count(*) AS maj5_acc_bp " +
         "FROM j GROUP BY qlabel ORDER BY label"),
+    "embedding_matryoshka_eval" -> {
+      // dims-parameterized twin of cosPpmDuck: the same range(1, k+1)
+      // index-ordered double fold Spark's slice()+vec_dot produces
+      def cosK(a: String, b: String, k: Int): String =
+        s"CAST(floor(${dotDuck(a, b, k)} / (sqrt(${norm2Duck(a, k)}) * " +
+          s"sqrt(${norm2Duck(b, k)})) * 1000000) AS BIGINT)"
+      def topkCte(name: String, k: Int): String =
+        s"$name AS (SELECT query_id, vec_id FROM (" +
+          "SELECT query_id, e.vec_id AS vec_id, " +
+          s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosK("qv", "e.embedding", k)} DESC, e.vec_id) AS rank " +
+          "FROM q JOIN embeddings e ON e.vec_id <> query_id) s WHERE rank <= 10)"
+      def evalSel(name: String, dims: Int): String =
+        s"SELECT CAST($dims AS BIGINT) AS dims, c.query_id, count(*) AS n_returned, " +
+          "CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+          "(CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS recall_bp " +
+          s"FROM $name c LEFT JOIN truth t ON t.query_id = c.query_id AND t.vec_id = c.vec_id " +
+          "GROUP BY c.query_id"
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        s"${topkCte("truth", Dim)}, ${topkCte("k8", 8)}, ${topkCte("k16", 16)}, ${topkCte("k32", 32)} " +
+        s"${evalSel("k8", 8)} UNION ALL ${evalSel("k16", 16)} UNION ALL ${evalSel("k32", 32)} " +
+        "ORDER BY dims, query_id"
+    },
     "ann_lsh_buckets" ->
       (s"WITH $lshPlanesDuckCte, " +
         s"b AS (SELECT vec_id, label, CAST(${lshBucketDuckAdaptive("embedding")} AS BIGINT) AS bucket " +

@@ -526,6 +526,51 @@ object Timeseries {
           """CASE WHEN idx = n_days THEN CAST(NULL AS BIGINT)
              ELSE ((total - cum) * 10000) div (n_days - idx) END AS mean_after_e4""")
         .orderBy(asc("event_type"))
+    }),
+
+    // Theil–Sen robust trend per type: the median of all pairwise slopes
+    // over the zero-filled day grid — the outlier-immune answer to "is
+    // this event family growing" (OLS is wrecked by one spike day; the
+    // breakdown point here is 29%). Slopes are exact e6 integers under
+    // FLOOR division — Spark's `div` truncates toward zero and DuckDB's
+    // `//` floors, so both engines compute (a - pmod(a, dd)) / dd, which
+    // is exactly divisible and therefore identical under either rounding.
+    // Medians are lower medians by rank — the daily_anomaly discipline.
+    // Scale: one corpus-scale groupBy builds the grid; the pair self-join
+    // is days²/2 PER TYPE (grid-sized, never corpus-sized) and the median
+    // windows run on that pair grid. Intercept = median of per-point
+    // residual intercepts at the type's first grid day.
+    "events_theil_sen_trend" -> ((s, d) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val g = CacheScope.persist(
+        dayGrid(s, d)
+          .withColumn("d0", min(col("day")).over(byType))
+          .selectExpr("event_type", "day - d0 AS t", "n"))
+      val a = g.selectExpr("event_type", "t AS ti", "n AS ni")
+      val b = g.selectExpr("event_type", "t AS tj", "n AS nj")
+      val slopes = a.join(b, Seq("event_type")).filter(col("tj") > col("ti"))
+        .selectExpr("event_type",
+          "(nj - ni) * 1000000 AS num", "tj - ti AS dd")
+        .selectExpr("event_type", "(num - pmod(num, dd)) div dd AS slope_e6")
+      val slopeMed = slopes
+        .withColumn("rk", row_number().over(byType.orderBy(asc("slope_e6"))))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(expr("rk = (cnt + 1) div 2"))
+        .selectExpr("event_type", "cnt AS n_pairs", "slope_e6")
+      // the residual intercept itself is count-sized (fits BIGINT), but the
+      // slope_e6·t product can pass 2^63 at 1e9-events/day scale — the
+      // advisor's overflow class — so the arithmetic rides DECIMAL(38,0)
+      val icept = g.join(slopeMed, Seq("event_type"))
+        .selectExpr("event_type",
+          "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 - CAST(slope_e6 AS DECIMAL(38,0)) * t AS BIGINT) AS ic_e6")
+        .withColumn("rk", row_number().over(byType.orderBy(asc("ic_e6"))))
+        .withColumn("cnt", count(lit(1)).over(byType))
+        .filter(expr("rk = (cnt + 1) div 2"))
+        .selectExpr("event_type", "cnt AS n_days", "ic_e6 AS intercept_e6")
+      slopeMed.join(icept, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("slope_e6"), col("intercept_e6"))
+        .orderBy(asc("event_type"))
     })
   )
 
@@ -779,7 +824,36 @@ object Timeseries {
           "(cum * 10000) // idx AS mean_before_e4, " +
           "CASE WHEN idx = n_days THEN NULL " +
           "ELSE ((total - cum) * 10000) // (n_days - idx) END AS mean_after_e4 " +
-          "FROM r WHERE rk = 1 ORDER BY event_type")
+          "FROM r WHERE rk = 1 ORDER BY event_type"),
+
+      // floor-division replay: (a - ((a % dd + dd) % dd)) is exactly
+      // divisible by dd, so DuckDB's truncating // equals Spark's
+      // truncating div on it — both yield the mathematical floor.
+      // Intercept products ride HUGEINT (the DECIMAL(38,0) twin).
+      "events_theil_sen_trend" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "rel AS (SELECT z.event_type, z.day - s.d0 AS t, z.n " +
+          "FROM z JOIN span s ON s.event_type = z.event_type), " +
+          "pr AS (SELECT a.event_type, (b2.n - a.n) * 1000000 AS num, b2.t - a.t AS dd " +
+          "FROM rel a JOIN rel b2 ON b2.event_type = a.event_type AND b2.t > a.t), " +
+          "sl AS (SELECT event_type, " +
+          "CAST((num - ((num % dd + dd) % dd)) // dd AS BIGINT) AS slope_e6 FROM pr), " +
+          "sm AS (SELECT event_type, slope_e6, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY slope_e6) AS rk, " +
+          "count(*) OVER (PARTITION BY event_type) AS cnt FROM sl), " +
+          "smed AS (SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs, slope_e6 " +
+          "FROM sm WHERE rk = (cnt + 1) // 2), " +
+          "ic AS (SELECT r.event_type, " +
+          "CAST(r.n::HUGEINT * 1000000 - smed.slope_e6::HUGEINT * r.t AS BIGINT) AS ic_e6 " +
+          "FROM rel r JOIN smed ON smed.event_type = r.event_type), " +
+          "im AS (SELECT event_type, ic_e6, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY ic_e6) AS rk, " +
+          "count(*) OVER (PARTITION BY event_type) AS cnt FROM ic), " +
+          "imed AS (SELECT event_type, CAST(cnt AS BIGINT) AS n_days, ic_e6 AS intercept_e6 " +
+          "FROM im WHERE rk = (cnt + 1) // 2) " +
+          "SELECT s2.event_type, imed.n_days, s2.n_pairs, s2.slope_e6, imed.intercept_e6 " +
+          "FROM smed s2 JOIN imed ON imed.event_type = s2.event_type " +
+          "ORDER BY s2.event_type")
     )
   }
 

@@ -1133,4 +1133,52 @@ object FactStateStreams {
         out.result().iterator
       }
   }
+
+  /** One digit row of the live Benford census — identical columns to the
+    * batch `events_value_benford` row for that (type, digit). */
+  final case class BenfordUpdate(
+      eventType: String, seq: Long, digit: Long, n: Long,
+      obsPpm: Long, expPpm: Long, devPpm: Long)
+
+  /** Streaming Benford state: nine first-digit counters per event type —
+    * constant width forever, the smallest state shape in the suite. */
+  final case class BenfordState(seq: Long, counts: Seq[Long])
+
+  /** Live twin of the batch `events_value_benford` audit (twenty-third
+    * face): digit extraction runs STATELESSLY per arriving event via the
+    * exact batch expressions (DataQuality.benfordEventSelect — the shared
+    * definition is the parity guarantee); the stateful half is 9 additive
+    * counters per type, so arrival order is irrelevant and every batch
+    * re-emits the full current census (obs/exp/dev in exact ppm) for the
+    * digits seen so far. The fraud screen this feeds wants the CURRENT
+    * distribution, not a delta — hence Update-mode full-census emission. */
+  def benfordCensus(spark: SparkSession, events: DataFrame): Dataset[BenfordUpdate] = {
+    import spark.implicits._
+    val expPpm = graft.operators.DataQuality.BenfordPpm.toMap
+    events
+      .selectExpr(graft.operators.DataQuality.benfordEventSelect: _*)
+      .filter("digit BETWEEN 1 AND 9")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BenfordState, BenfordUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+        val prev = state.getOption.getOrElse(BenfordState(0L, Seq.fill(9)(0L)))
+        val counts = prev.counts.toArray
+        var any = false
+        rows.foreach { r => counts((r._2 - 1).toInt) += 1; any = true }
+        if (!any) Iterator.empty
+        else {
+          val next = BenfordState(prev.seq + 1, counts.toIndexedSeq)
+          state.update(next)
+          val total = counts.sum
+          (1 to 9).iterator.filter(d => counts(d - 1) > 0).map { d =>
+            val n = counts(d - 1)
+            val obs = n * 1000000L / total
+            val e = expPpm(d)
+            BenfordUpdate(typ, next.seq, d.toLong, n, obs, e, obs - e)
+          }
+        }
+      }
+  }
 }

@@ -961,4 +961,46 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
     }
   }
+
+  test("events_theil_sen_trend / events_value_benford: corpus collapses to " +
+      "the grid first; pair join and medians grid-sized; no cartesian") {
+    Seq("events_theil_sen_trend", "events_value_benford").foreach { q =>
+      val p = planOf(q)
+      graft.operators.CacheScope.releaseAll()
+      assert(p.contains("partial_"), s"$q lost map-side combine")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian")
+    }
+  }
+
+  test("media_audio_decode / media_audio_windows: row-local codec kernel — " +
+      "no shuffle joins, no window, no cartesian") {
+    Seq("media_audio_decode", "media_audio_windows").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+        s"$q lost the partition-local kernel seam")
+      // "Window [" is the exec-node rendering ("Window" alone also matches
+      // the AudioWindow result-class name in SerializeFromObject)
+      assert(!p.contains("Window ["), s"$q grew a window")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a join")
+    }
+  }
+
+  test("sample_leakage_safe_split: corpus side joins pair-graph-sized " +
+      "labels (hash or broadcast, never cartesian); one grid aggregate") {
+    val p = planOf("sample_leakage_safe_split")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "split balance sheet lost map-side combine")
+    assert(!p.contains("CartesianProduct"), "label join degenerated")
+  }
+
+  test("embedding_matryoshka_eval: native vec_dot kernel at every width, " +
+      "probe side broadcast, rank windows probe-sized") {
+    val p = planOf("embedding_matryoshka_eval")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe set not broadcast against the corpus")
+    assert(!p.contains("CartesianProduct"), "probe join degenerated")
+  }
 }

@@ -341,4 +341,37 @@ class StreamingRecoverySpec extends AnyFunSuite {
         s"$s: seq did not continue across restart")
     }
   }
+
+  test("benfordCensus recovers its nine counters: final census matches the " +
+      "uninterrupted run and reflects both phases") {
+    def ev(id: Long, typ: String, value: Double) =
+      FactInput("ev", typ, Array[Byte](1),
+        tags = Map("event_id" -> id.toString, "value" -> value.toString))
+    // first digits: phase1 gives click {1:2, 2:1}, pay {9:1};
+    // phase2 adds click {1:1, 3:1}, pay {9:1} — the final census is only
+    // correct if phase1's counters survived the restart
+    val phase1 = Seq(
+      ev(1, "click", 1.23), ev(2, "click", 10.5), ev(3, "click", 2.0),
+      ev(4, "pay", 900.0))
+    val phase2 = Seq(
+      ev(5, "click", 1.99), ev(6, "click", 33.0), ev(7, "pay", 9.5))
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(df =>
+      FactStateStreams.benfordCensus(spark,
+        df.selectExpr("subject AS event_type",
+          "CAST(tags['value'] AS DOUBLE) AS value")))
+    def fin(rows: Seq[BenfordUpdate]): Map[(String, Long), (Long, Long)] =
+      rows.groupBy(_.eventType).flatMap { case (t, rs) =>
+        val last = rs.map(_.seq).max
+        rs.filter(_.seq == last).map(r => (t, r.digit) -> ((r.n, r.obsPpm)))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    // cross-phase counters: click digit 1 must be 3 (2 pre + 1 post)
+    assert(fin(o1 ++ o2)(("click", 1L))._1 == 3L, fin(o1 ++ o2).toString)
+    assert(fin(o1 ++ o2)(("pay", 9L))._1 == 2L)
+    o2.groupBy(_.eventType).foreach { case (t, rs) =>
+      val before = o1.filter(_.eventType == t).map(_.seq)
+      assert(before.nonEmpty && rs.map(_.seq).min > before.max,
+        s"$t: seq did not continue across restart")
+    }
+  }
 }

@@ -156,4 +156,20 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != ${types.size} types (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("benfordCensus state rows stay = n_types (nine counters inside)") {
+    val s0 = spark; import s0.implicits._
+    val types = Seq("click", "view", "purchase")
+    // 10 batches × 60 values spanning all nine first digits — state must
+    // hold exactly one 9-counter row per type regardless of stream length
+    val batches = (0 until 10).map { b =>
+      (0 until 60).map(i => (types(i % 3), (1 + (b * 7 + i) % 899).toDouble))
+    }
+    val st = drive[(String, Double)]("benford", batches,
+      df => FactStateStreams.benfordCensus(spark, df),
+      ms => ms.toDF().toDF("event_type", "value"))
+    assert(st.maxRows == types.size.toLong,
+      s"state keys ${st.maxRows} != ${types.size} types (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
