@@ -31,7 +31,8 @@ object SparkEntry {
       (Graph.queries, Graph.oracles),
       (Timeseries.queries, Timeseries.oracles),
       (Layout.queries, Layout.oracles),
-      (Curation.queries, Curation.oracles)
+      (Curation.queries, Curation.oracles),
+      (Retrieval.queries, Retrieval.oracles)
     )
 
   /** Query names declared by more than one module. `queries`/`oracleSql`

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Lexical + hybrid retrieval over `documents` — the query side of a RAG
+  * data pipeline (the reference's tag/time finders answer "which facts";
+  * these answer "which documents", the retrieval shape an LLM stack runs
+  * against the same corpus the curation operators produce).
+  *
+  *  - '''text_bm25_topk''': BM25 ranking for a pinned set of term queries.
+  *    RATIONAL-IDF variant: idf = (N − df + ½)/(df + ½) WITHOUT the log —
+  *    log is not correctly-rounded-guaranteed across libms, so the two
+  *    engines could disagree in the last ulp and flip a floor; the
+  *    rational form is ranking-monotone in df (strictly decreasing, like
+  *    the log form) and integer-exact. The tf saturation term is the
+  *    standard k1 = 1.2, b = 0.75 BM25 component, cleared of fractions:
+  *    tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with avgdl = S/N becomes
+  *    22·tf·S / (10·S·tf + 3·S + 9·dl·N) — pure integers. Products reach
+  *    ~1e24 at a 1e10-doc corpus, so the arithmetic rides DECIMAL(38,0)/
+  *    HUGEINT (the events_user_gini moment discipline) and emits BIGINT.
+  *
+  *  - '''retrieval_rrf_fusion''': reciprocal-rank fusion of the BM25
+  *    ranking with the exact-cosine embedding ranking (each query's text
+  *    form is the pinned term list; its embedded form is the same-numbered
+  *    query vector — the two-channel query every hybrid RAG stack issues).
+  *    rrf = Σ_sources 1/(60 + rank), emitted exactly as
+  *    1 000 000 div (60 + rank) per source — integer-exact, no floats.
+  *    Composes the two source queries verbatim (Spark AND oracle), so the
+  *    fusion can never drift from the rankings it fuses.
+  *
+  * Scale: BM25's corpus-scale work is one token scan filtered to the query
+  * vocabulary (posting-list-sized thereafter: only documents containing a
+  * query term survive the explode), the corpus scalars (N, Σdl) are a
+  * 1-row broadcast attach, and df is a |vocabulary|-row aggregate; the
+  * rank window runs on the posting-list census, top-10-reduced per query.
+  * RRF's inputs are two ≤ queries×10 relations — driver-trivial; the
+  * corpus-scale work lives in (and is plan-audited with) the sources.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Pinned term queries. Query ids 1..3 deliberately coincide with
+    * embedding query vectors 1..3 (ann_bruteforce_topk probes vec_id < 5)
+    * so retrieval_rrf_fusion can pair each text query with an embedded
+    * query — the test-corpus stand-in for embedding the query string. */
+  private[operators] val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "table", "join"),
+    2L -> Seq("fast", "scan"),
+    3L -> Seq("window", "agg", "value"))
+
+  private val RrfK = 60L
+
+  /** BM25 per-(query, doc) integer score — shared by the declared query
+    * and the fusion. One pinned arithmetic rendering per engine. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val allTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val base = docs(s, d).selectExpr(
+      "doc_id", s"${tokensSpark("text")} AS toks")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS dl", "toks")
+    // posting-list census: only (doc, query-term) survivors of the scan
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = base.agg(count(lit(1)).cast("bigint").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val qt = s.createDataFrame(
+      Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+    tf.join(broadcast(df), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .selectExpr("query_id", "doc_id",
+        // rational idf, e6-scaled: (2N − 2df + 1)·1e6 div (2df + 1)
+        """((CAST(n_docs AS DECIMAL(38,0)) * 2 - CAST(df AS DECIMAL(38,0)) * 2 + 1)
+            * 1000000) div (CAST(df AS DECIMAL(38,0)) * 2 + 1) AS idf_e6""",
+        // fraction-cleared tf saturation (k1 = 1.2, b = 0.75), e6-scaled
+        """(CAST(22 AS DECIMAL(38,0)) * tf * sum_dl * 1000000) div
+           (CAST(10 AS DECIMAL(38,0)) * sum_dl * tf
+            + CAST(3 AS DECIMAL(38,0)) * sum_dl
+            + CAST(9 AS DECIMAL(38,0)) * dl * n_docs) AS tfc_e6""")
+      .selectExpr("query_id", "doc_id",
+        "(idf_e6 * tfc_e6) div 1000000 AS contrib_e6")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_w"))
+      .selectExpr("query_id", "doc_id", "CAST(score_w AS BIGINT) AS score_e6")
+  }
+
+  /** DuckDB twin of [[bm25Scores]] as a WITH-clause body (relation name
+    * `bm`): identical integer arithmetic on HUGEINT. */
+  private lazy val bm25DuckCtes: String = {
+    val allTerms = Bm25Queries.flatMap(_._2).distinct.sorted
+    val qtRows = Bm25Queries.flatMap { case (q, ts) =>
+      ts.map(t => s"(CAST($q AS BIGINT), '$t')")
+    }.mkString(", ")
+    s"base AS (SELECT doc_id, CAST(len(${tokensDuck("text")}) AS BIGINT) AS dl, " +
+      s"${tokensDuck("text")} AS toks FROM documents), " +
+      "tk AS (SELECT doc_id, dl, unnest(toks) AS term FROM base), " +
+      s"tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tk " +
+      s"WHERE term IN (${allTerms.map("'" + _ + "'").mkString(", ")}) " +
+      "GROUP BY doc_id, dl, term), " +
+      "dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(dl) AS BIGINT) AS sum_dl FROM base), " +
+      s"qt(query_id, term) AS (VALUES $qtRows), " +
+      "contrib AS (SELECT qt.query_id, tf.doc_id, " +
+      "(((CAST(sc.n_docs AS HUGEINT) * 2 - CAST(dfr.df AS HUGEINT) * 2 + 1) * 1000000) " +
+      "// (CAST(dfr.df AS HUGEINT) * 2 + 1) * " +
+      "((CAST(22 AS HUGEINT) * tf.tf * sc.sum_dl * 1000000) " +
+      "// (CAST(10 AS HUGEINT) * sc.sum_dl * tf.tf " +
+      "+ CAST(3 AS HUGEINT) * sc.sum_dl " +
+      "+ CAST(9 AS HUGEINT) * tf.dl * sc.n_docs))) // 1000000 AS contrib_e6 " +
+      "FROM tf JOIN dfr USING (term) JOIN qt USING (term) CROSS JOIN sc), " +
+      "bm AS (SELECT query_id, doc_id, " +
+      "CAST(sum(contrib_e6) AS BIGINT) AS score_e6 " +
+      "FROM contrib GROUP BY query_id, doc_id)"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, d) =>
+      bm25Scores(s, d)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(desc("score_e6"), asc("doc_id"))))
+        .filter(col("rank") <= 10)
+        .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank",
+          "doc_id", "score_e6")
+        .orderBy(asc("query_id"), asc("rank"))),
+
+    "retrieval_rrf_fusion" -> ((s, d) => {
+      val bm = queries("text_bm25_topk")(s, d)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val cs = Similarity.queries("ann_bruteforce_topk")(s, d)
+        .filter(col("query_id").isin(Bm25Queries.map(_._1): _*))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      bm.union(cs)
+        .selectExpr("query_id", "doc_id",
+          s"1000000 div (${RrfK}L + rank) AS pt")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("pt")).as("rrf_e6"), count(lit(1)).as("n_sources"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(desc("rrf_e6"), asc("doc_id"))))
+        .filter(col("rank") <= 10)
+        .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank", "doc_id",
+          "CAST(rrf_e6 AS BIGINT) AS rrf_e6", "n_sources")
+        .orderBy(asc("query_id"), asc("rank"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25TopkOracle,
+    "retrieval_rrf_fusion" ->
+      ("WITH bmr AS (SELECT query_id, doc_id, rank FROM " +
+        s"($bm25TopkOracle) _b), " +
+        "csr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM " +
+        s"(${Similarity.oracles("ann_bruteforce_topk")}) _c " +
+        s"WHERE query_id IN (${Bm25Queries.map(_._1).mkString(", ")})), " +
+        "u AS (SELECT query_id, doc_id, rank FROM bmr " +
+        "UNION ALL SELECT query_id, doc_id, rank FROM csr), " +
+        s"f AS (SELECT query_id, doc_id, CAST(sum(1000000 // ($RrfK + rank)) AS BIGINT) AS rrf_e6, " +
+        "CAST(count(*) AS BIGINT) AS n_sources FROM u GROUP BY query_id, doc_id), " +
+        "ranked AS (SELECT query_id, doc_id, rrf_e6, n_sources, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank FROM f) " +
+        "SELECT query_id, rank, doc_id, rrf_e6, n_sources " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
+  )
+
+  private lazy val bm25TopkOracle: String =
+    s"WITH $bm25DuckCtes, " +
+      "ranked AS (SELECT query_id, doc_id, score_e6, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rank FROM bm) " +
+      "SELECT query_id, rank, doc_id, score_e6 " +
+      "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"
+}

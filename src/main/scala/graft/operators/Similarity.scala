@@ -1181,12 +1181,118 @@ object Similarity {
           "IF(_ok, n * sxixj - sxi * sxj, NULL) AS cov_num_e8",
           """CAST(floor(CAST(IF(_ok, n * sxixj - sxi * sxj, NULL) AS DOUBLE) /
              (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS cov_e8""")
-        .orderBy(asc("i"), asc("j")))
+        .orderBy(asc("i"), asc("j"))),
+
+    // SQ8 scalar quantization + ADC — the third quantizer tier alongside
+    // PQ and matryoshka truncation. Each dimension is independently
+    // affine-quantized to an 8-bit code against the corpus per-dim
+    // [min, max] (64 bytes/vector — a 4× compression over float32 with no
+    // training step, the standard first rung before PQ). Query-time
+    // distance is asymmetric (full-precision query vs dequantized
+    // mid-bucket corpus code) via a per-(query, dim, code) ADC lookup
+    // table, exactly the ann_pq_adc shape. Determinism: min/max of floats
+    // are exact; every per-dim term is e8-floored to BIGINT BEFORE the
+    // sum, so accumulation order cannot matter; the dequant expression is
+    // one pinned parenthesization in both engines. Plan: per-dim stats are
+    // a 64-row broadcast, the ADC table is queries×64×256 rows broadcast,
+    // and the corpus-side join input is the code relation (codes, not
+    // vectors) — at 100 TB the scan carries 1 byte/dim, the shuffle is the
+    // (query, vec) partial-sum census, and nothing corpus-sized is ever
+    // collected or windowed (the rank window runs on queries×corpus
+    // partial sums reduced to top-10 per query by the aggregate first).
+    "ann_sq8_adc" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val dims = sq8Dims(emb(s, d))
+      val stats = dims.groupBy(col("i"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val codes = dims.join(broadcast(stats), Seq("i"))
+        .selectExpr("vec_id", "i", sq8CodeSpark)
+      val qtab = dims.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "i", "x AS qx")
+        .join(broadcast(stats), Seq("i"))
+        .select(col("query_id"), col("i"), col("qx"), col("mn"), col("mx"),
+          explode(expr("sequence(CAST(0 AS BIGINT), CAST(255 AS BIGINT))")).as("code"))
+        .selectExpr("query_id", "i", "code", s"$sq8TermSpark AS term_e8")
+      codes.join(broadcast(qtab), Seq("i", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("term_e8")).as("adc_e8"))
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(asc("adc_e8"), asc("vec_id"))))
+        .filter(col("rank") <= 10)
+        .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank",
+          "vec_id AS neighbor_id", "CAST(adc_e8 AS BIGINT) AS adc_e8")
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
+    // SQ8 recall dashboard: the sq8 tier's top-10 scored against the exact
+    // cosine truth, same contract as ann_recall_eval (composes the tier
+    // queries verbatim so the eval cannot drift from what it measures).
+    // Note the metric mismatch is intentional: sq8 ADC is L2 on quantized
+    // coordinates while truth is exact cosine — the eval measures what a
+    // user of the index experiences, not quantization error in isolation.
+    "ann_sq8_recall_eval" -> ((s, d) => {
+      val truth = queries("ann_bruteforce_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      queries("ann_sq8_adc")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .selectExpr("query_id", "n_returned", "n_hits",
+          "(n_hits * 10000) div n_returned AS hit_bp")
+        .orderBy(asc("query_id"))
+    })
   )
+
+  /** (vec_id, i [1-based], x DOUBLE) per-dimension relation — the SQ8
+    * working set. Floats widen to DOUBLE exactly, so both engines see
+    * identical coordinates. */
+  private def sq8Dims(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .selectExpr("vec_id", "CAST(i0 + 1 AS BIGINT) AS i", "CAST(xf AS DOUBLE) AS x")
+
+  /** Affine 8-bit code; the clamp is belt-and-braces (x ∈ [mn, mx] by
+    * construction) and the degenerate constant dimension maps to code 0.
+    * One pinned parenthesization, mirrored textually in the oracle. */
+  private val sq8CodeSpark: String =
+    "CASE WHEN mx = mn THEN CAST(0 AS BIGINT) ELSE " +
+      "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      "CAST(floor(((x - mn) * CAST(255 AS DOUBLE)) / (mx - mn)) AS BIGINT))) END AS code"
+
+  /** Per-(query, dim, code) ADC term: squared distance from the full-
+    * precision query coordinate to the mid-bucket dequantized value,
+    * e8-floored to BIGINT so the 64-term sum is order-free. Max term
+    * ≈ (coordinate range)²·1e8 ≪ int64/64. */
+  private val sq8TermSpark: String = {
+    // the dequantized mid-bucket value, every operand pinned to DOUBLE
+    // (DuckDB parses a bare `0.5` literal as DECIMAL — the cast keeps the
+    // two engines in the same IEEE arithmetic)
+    val deq = "(mn + (((CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn)) / CAST(255 AS DOUBLE)))"
+    s"CAST(floor(((qx - $deq) * (qx - $deq)) * CAST(100000000 AS DOUBLE)) AS BIGINT)"
+  }
 
   def oracles: Map[String, String] =
     baseOracles + ("ann_recall_eval" -> annRecallEvalOracle) +
-      ("ann_range_recall_eval" -> annRangeRecallEvalOracle)
+      ("ann_range_recall_eval" -> annRangeRecallEvalOracle) +
+      ("ann_sq8_recall_eval" -> annSq8RecallEvalOracle)
+
+  /** SQ8-tier recall vs exact cosine truth, both embedded as derived
+    * tables (the ann_recall_eval lockstep discipline). */
+  private lazy val annSq8RecallEvalOracle: String =
+    "WITH truth AS (SELECT query_id, neighbor_id FROM " +
+      s"(${baseOracles("ann_bruteforce_topk")}) _t), " +
+      "s8 AS (SELECT query_id, neighbor_id FROM " +
+      s"(${baseOracles("ann_sq8_adc")}) _s) " +
+      "SELECT s8.query_id AS query_id, count(*) AS n_returned, " +
+      "CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+      "(CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000) " +
+      "// count(*) AS hit_bp " +
+      "FROM s8 LEFT JOIN truth t ON t.query_id = s8.query_id " +
+      "AND t.neighbor_id = s8.neighbor_id " +
+      "GROUP BY s8.query_id ORDER BY query_id"
 
   /** Range-tier recall vs exact threshold truth, the range oracle embedded
     * as a derived table so the eval moves in lockstep with the tier. */
@@ -1451,6 +1557,34 @@ object Similarity {
         "n * sxixj - sxi * sxj AS cov_num_e8, " +
         "CAST(floor(CAST(n * sxixj - sxi * sxj AS DOUBLE) / " +
         "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS cov_e8 " +
-        "FROM a ORDER BY i, j")
+        "FROM a ORDER BY i, j"),
+    "ann_sq8_adc" ->
+      (s"WITH $sq8DuckCtes, " +
+        "adc AS (SELECT query_id, vec_id, CAST(sum(term_e8) AS BIGINT) AS adc_e8 " +
+        "FROM codes JOIN qtab USING (i, code) WHERE query_id <> vec_id " +
+        "GROUP BY query_id, vec_id), " +
+        "ranked AS (SELECT query_id, vec_id, adc_e8, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY adc_e8, vec_id) AS rank FROM adc) " +
+        "SELECT query_id, rank, vec_id AS neighbor_id, adc_e8 " +
+        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
   )
+
+  /** DuckDB twins of the SQ8 per-dim relation, per-dim stats, code
+    * relation, and ADC lookup table — textually the same pinned
+    * arithmetic as sq8CodeSpark/sq8TermSpark. */
+  private lazy val sq8DuckCtes: String = {
+    val deq = "(s.mn + (((CAST(c.code AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (s.mx - s.mn)) / CAST(255 AS DOUBLE)))"
+    s"dims AS (SELECT vec_id, r.i AS i, list_extract(embedding, r.i)::DOUBLE AS x " +
+      s"FROM embeddings CROSS JOIN range(1, ${Dim + 1}) r(i)), " +
+      "stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM dims GROUP BY i), " +
+      "codes AS (SELECT d.vec_id, d.i, " +
+      "CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT) ELSE " +
+      "least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+      "CAST(floor(((d.x - s.mn) * CAST(255 AS DOUBLE)) / (s.mx - s.mn)) AS BIGINT))) END AS code " +
+      "FROM dims d JOIN stats s ON s.i = d.i), " +
+      "q AS (SELECT vec_id AS query_id, i, x AS qx FROM dims WHERE vec_id < 5), " +
+      "qtab AS (SELECT q.query_id, q.i, c.code, " +
+      s"CAST(floor(((q.qx - $deq) * (q.qx - $deq)) * CAST(100000000 AS DOUBLE)) AS BIGINT) AS term_e8 " +
+      "FROM q JOIN stats s ON s.i = q.i CROSS JOIN range(0, 256) c(code))"
+  }
 }

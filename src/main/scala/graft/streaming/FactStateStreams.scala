@@ -1181,4 +1181,82 @@ object FactStateStreams {
         }
       }
   }
+
+  /** One shard's cumulative first-seen census — identical columns to the
+    * batch `events_bloom_first_seen` row for that shard, plus the set-bit
+    * count the state-bounds spec asserts against SegBits. */
+  final case class BloomFsUpdate(
+      shard: Long, seq: Long, nEvents: Long, nFirst: Long,
+      nMaybeDup: Long, nSetBits: Long)
+
+  /** Streaming Bloom segment: SegBits bits as SegBits/64 longs plus two
+    * counters — constant width per shard forever (the filter saturates,
+    * it never grows). */
+  final case class BloomFsState(
+      seq: Long, nEvents: Long, nMaybeDup: Long, words: Seq[Long])
+
+  /** Live first-seen / maybe-duplicate detector through a sharded Bloom
+    * filter (twenty-fourth face): each event checks its k pinned bit
+    * positions in its shard's segment BEFORE setting them — all set ⇒
+    * maybe-seen (Bloom has no false negatives, so "first" is certain;
+    * "dup" is probabilistic with the FPR text_bloom_fpr_eval measures).
+    * Shard, positions, and the (ts µs, event_id) decision order are the
+    * EXACT batch definitions (Sketches.FsPerms/ShardPerm/SegBits and the
+    * 2^24-packed okey), so the cumulative census after any prefix equals
+    * the batch `events_bloom_first_seen` over that prefix when events
+    * arrive in order; within a micro-batch the group sorts by the same
+    * okey, so parity holds under any batch SPLIT. State: SegBits bits +
+    * 3 longs per shard — FsShards rows forever, the per-key dedup state a
+    * naive exact detector would grow linearly. */
+  def bloomFirstSeen(spark: SparkSession, events: DataFrame): Dataset[BloomFsUpdate] = {
+    import spark.implicits._
+    // geometry copied into locals: the closures below must not capture the
+    // (non-serializable) Sketches module object
+    val segBits = graft.operators.Sketches.SegBits
+    val fsShards = graft.operators.Sketches.FsShards
+    val fsPerms = graft.operators.Sketches.FsPerms
+    val shardPerm = graft.operators.Sketches.ShardPerm
+    val p61 = BigInt(2305843009213693951L)
+    val nWords = (segBits / 64L).toInt
+    // squared affine image mod p — the exact batch mixing (the square is
+    // load-bearing; see Sketches.bloomPosArray)
+    def mix(user: Long, perm: (Long, Long)): BigInt = {
+      val t = (BigInt(user) * perm._1 + perm._2) mod p61
+      (t * t) mod p61
+    }
+    def posOf(user: Long, perm: (Long, Long)): Int =
+      (mix(user, perm) % segBits).toInt
+    def shardOf(user: Long): Long =
+      (mix(user, shardPerm) % fsShards).toLong
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(r => shardOf(r._1))
+      .flatMapGroupsWithState[BloomFsState, BloomFsUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (shard, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          BloomFsState(0L, 0L, 0L, Seq.fill(nWords)(0L)))
+        val words = prev.words.toArray
+        var nEvents = prev.nEvents
+        var nDup = prev.nMaybeDup
+        var any = false
+        // batch-okey order: ts_us·2^24 + event_id, exact in BigInt
+        rows.toSeq.sortBy(r => BigInt(r._2) * 16777216 + r._3).foreach { r =>
+          any = true
+          nEvents += 1
+          val ps = fsPerms.map(p => posOf(r._1, p))
+          if (ps.forall(p => (words(p >> 6) & (1L << (p & 63))) != 0L)) nDup += 1
+          ps.foreach(p => words(p >> 6) |= (1L << (p & 63)))
+        }
+        if (!any) Iterator.empty
+        else {
+          val next = BloomFsState(prev.seq + 1, nEvents, nDup, words.toIndexedSeq)
+          state.update(next)
+          Iterator.single(BloomFsUpdate(shard, next.seq, nEvents,
+            nEvents - nDup, nDup,
+            words.map(java.lang.Long.bitCount(_).toLong).sum))
+        }
+      }
+  }
 }

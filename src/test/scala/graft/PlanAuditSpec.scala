@@ -1003,4 +1003,55 @@ class PlanAuditSpec extends AnyFunSuite {
       "probe set not broadcast against the corpus")
     assert(!p.contains("CartesianProduct"), "probe join degenerated")
   }
+
+  test("text_bm25_topk: posting-list shape — term filter pushed before the " +
+      "censuses, dims broadcast, scalars a 1-row attach, rank pruned") {
+    val p = planOf("text_bm25_topk")
+    // the term IN-list must prune the explode output BEFORE any exchange
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "tf census lost map-side combine")
+    assert(p.contains("BroadcastExchange"),
+      "df/query-terms/scalars not broadcast against the posting lists")
+    assert(p.contains("WindowGroupLimit"),
+      "top-10 lost rank-pruning (full sort instead)")
+    assert(!p.contains("CartesianProduct"), "scalar attach degenerated")
+  }
+
+  test("ann_sq8_adc: code relation joins BROADCAST stats + ADC table; the " +
+      "rank window is rank-pruned; no corpus-side cartesian") {
+    val p = planOf("ann_sq8_adc")
+    assert(p.contains("BroadcastExchange"),
+      "per-dim stats / ADC lookup table not broadcast")
+    assert(p.contains("partial_sum"), "ADC sum lost map-side combine")
+    assert(p.contains("WindowGroupLimit"),
+      "top-10 lost rank-pruning (full sort instead)")
+    assert(!p.contains("CartesianProduct"), "ADC join degenerated")
+  }
+
+  test("retrieval_rrf_fusion: fuses two rank relations — every join above " +
+      "the sources is driver-trivial, no new corpus scan beyond them") {
+    val p = planOf("retrieval_rrf_fusion")
+    graft.operators.CacheScope.releaseAll()
+    assert(!p.contains("CartesianProduct"), "fusion join degenerated")
+    assert(p.contains("WindowGroupLimit"), "fused top-10 lost rank-pruning")
+    // scans come only from the two sources: documents (bm25 postings +
+    // the N/Σdl scalar pass) and embeddings (cosine query + corpus side) —
+    // all linear, none added by the fusion itself
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans <= 6, s"fusion grew extra corpus scans ($scans)")
+  }
+
+  test("text_bloom_fpr_eval / events_bloom_first_seen: bit censuses are " +
+      "map-side combined; membership is one pos join; no windows") {
+    Seq("text_bloom_fpr_eval", "events_bloom_first_seen").foreach { q =>
+      val p = planOf(q)
+      graft.operators.CacheScope.releaseAll()
+      assert(p.contains("partial_"), s"$q lost map-side combine")
+      assert(!p.contains("Window ["), s"$q grew a window")
+      assert(!p.contains("CartesianProduct") ||
+        q == "text_bloom_fpr_eval", // 1-row scalar attaches are allowed
+        s"$q corpus join degenerated")
+    }
+  }
 }

@@ -374,4 +374,43 @@ class StreamingRecoverySpec extends AnyFunSuite {
         s"$t: seq did not continue across restart")
     }
   }
+
+  // -- bloomFirstSeen: saturating bit-array state ----------------------------
+
+  test("bloomFirstSeen recovers its bit segments: a pre-restart user is " +
+      "maybe-dup after the restart and the census matches the uninterrupted run") {
+    val T0 = 1700000000000000L
+    def ev(id: Long, user: Long, tsUs: Long) =
+      FactInput("ev", user.toString, Array[Byte](1),
+        tags = Map("ts_us" -> tsUs.toString, "eid" -> id.toString))
+    // users 10/11/12 first-seen in phase 1; phase 2 re-delivers 10 and 11
+    // (maybe-dup ONLY if the bit array survived — a reset state would
+    // report them first-seen again) plus new users 13/14
+    val phase1 = Seq(ev(1, 10, T0), ev(2, 11, T0 + 1000), ev(3, 12, T0 + 2000))
+    val phase2 = Seq(ev(4, 10, T0 + 5000), ev(5, 13, T0 + 6000),
+      ev(6, 11, T0 + 7000), ev(7, 14, T0 + 8000))
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(df =>
+      FactStateStreams.bloomFirstSeen(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS user_id",
+        "timestamp_micros(CAST(tags['ts_us'] AS BIGINT)) AS ts",
+        "CAST(tags['eid'] AS BIGINT) AS event_id")))
+    def fin(rows: Seq[BloomFsUpdate]): Map[Long, (Long, Long, Long, Long)] =
+      rows.groupBy(_.shard).map { case (sh, rs) =>
+        val last = rs.maxBy(_.seq)
+        sh -> ((last.nEvents, last.nFirst, last.nMaybeDup, last.nSetBits))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    // exactly the 2 re-deliveries are maybe-dup (5 distinct users, sparse
+    // segments → no bloom FP at this occupancy), across all shards
+    val totals = fin(o1 ++ o2).values.toSeq
+    assert(totals.map(_._1).sum == 7L)
+    assert(totals.map(_._3).sum == 2L,
+      s"expected the 2 pre-restart users to be maybe-dup: ${fin(o1 ++ o2)}")
+    o2.groupBy(_.shard).foreach { case (sh, rs) =>
+      val before = o1.filter(_.shard == sh).map(_.seq)
+      if (before.nonEmpty)
+        assert(rs.map(_.seq).min > before.max,
+          s"shard $sh: seq did not continue across restart")
+    }
+  }
 }

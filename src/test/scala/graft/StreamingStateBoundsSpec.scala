@@ -172,4 +172,31 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != ${types.size} types (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("bloomFirstSeen state rows stay = occupied shards (SegBits bits inside)") {
+    val s0 = spark; import s0.implicits._
+    val S = graft.operators.Sketches
+    val p61 = BigInt(2305843009213693951L)
+    def shardOf(u: Long): Long = {
+      val t = (BigInt(u) * S.ShardPerm._1 + S.ShardPerm._2) mod p61
+      (((t * t) mod p61) % S.FsShards).toLong
+    }
+    val users = (1L to 40L).toSeq
+    val nShards = users.map(shardOf).distinct.size.toLong
+    // 12 batches × 40 events over a fixed 40-user keyspace: the naive
+    // exact detector would hold 40 user keys; the bloom face must hold
+    // exactly one fixed-width segment row per OCCUPIED SHARD
+    val batches = (0 until 12).map { b =>
+      users.zipWithIndex.map { case (u, i) =>
+        (u, 1700000000000000L + b * 1000000L + i * 1000L, (b * 40 + i).toLong)
+      }
+    }
+    val st = drive[(Long, Long, Long)]("bloomfs", batches,
+      df => FactStateStreams.bloomFirstSeen(spark, df.selectExpr(
+        "user_id", "timestamp_micros(ts_us) AS ts", "event_id")),
+      ms => ms.toDF().toDF("user_id", "ts_us", "event_id"))
+    assert(st.maxRows == nShards,
+      s"state keys ${st.maxRows} != $nShards occupied shards (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
