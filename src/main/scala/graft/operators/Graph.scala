@@ -69,6 +69,9 @@ object Graph {
   /** Wedge-center degree cap for graph_jaccard_links (see its comment). */
   private val WedgeCap = 64
 
+  /** Unrolled synchronous label-propagation rounds. */
+  private val LpaRounds = 3
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(spark, dir, name)
 
@@ -172,6 +175,39 @@ object Graph {
         .selectExpr("size", "n_components",
           "(size * n_components * 10000) div total_nodes AS node_share_bp")
         .orderBy(asc("size"))
+    }),
+
+    // Community detection by SYNCHRONOUS label propagation (3 unrolled
+    // rounds): every node starts as its own label; each round it adopts
+    // the most frequent label among its neighbors, ties to the SMALLEST
+    // label — fully deterministic, unlike the async/random-order LPA of
+    // the literature, so the DuckDB oracle replays it exactly. Communities
+    // are finer than connected components (graph_components) — they cut
+    // weakly-linked clusters apart, the projection used for co-purchase
+    // category discovery. Scale: each round is one arcs⨝labels hash join
+    // (node-sized right side) + a map-side-combined (node, label) vote
+    // census + a node-partitioned argmax window on the vote grid; labels
+    // are eagerly localCheckpointed per round (the pagerank loop shape),
+    // so lineage stays flat at any round count.
+    "graph_label_propagation" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val (adj, deg) = adjWithDeg(edges(s, d))
+      var lab = deg.select(col("node"), col("node").as("label"))
+      (1 to LpaRounds).foreach { _ =>
+        lab = adj
+          .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(
+            W.partitionBy(col("src")).orderBy(desc("n"), asc("label"))))
+          .filter(col("rk") === 1)
+          .select(col("src").as("node"), col("label"))
+          .localCheckpoint(true)
+      }
+      lab.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(asc("community"))
     }),
 
     // 3-core peeling trajectory: each round recomputes degrees on the
@@ -415,7 +451,23 @@ object Graph {
       s"(SELECT count(*) FROM e$r) AS edges_remaining)"
   }
 
+  /** One unrolled synchronous LPA round as an oracle CTE: vote census over
+    * neighbor labels, argmax with (n DESC, label ASC) tiebreak. */
+  private def lpaRound(r: Int): String =
+    s"v$r AS (SELECT a.src, l.label, count(*) AS n FROM adj a " +
+      s"JOIN lab${r - 1} l ON l.node = a.dst GROUP BY a.src, l.label), " +
+      s"lab$r AS (SELECT src AS node, label FROM (SELECT src, label, " +
+      "row_number() OVER (PARTITION BY src ORDER BY n DESC, label) AS rk " +
+      s"FROM v$r) _ WHERE rk = 1)"
+
   def oracles: Map[String, String] = Map(
+    "graph_label_propagation" ->
+      (edgeCte + ", lab0 AS (SELECT node, node AS label FROM deg), " +
+        (1 to LpaRounds).map(lpaRound).mkString(", ") + " " +
+        s"SELECT label AS community, count(*) AS n_nodes, " +
+        "min(node) AS min_node, max(node) AS max_node " +
+        s"FROM lab$LpaRounds GROUP BY label ORDER BY community"),
+
     "graph_kcore" ->
       (edgeCte +
         (1 to PeelRounds).map(kcoreRound).mkString(", ", ", ", " ") +

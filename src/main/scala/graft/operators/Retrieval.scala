@@ -72,9 +72,7 @@ object Retrieval {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scalars = base.agg(count(lit(1)).cast("bigint").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    val qt = s.createDataFrame(
-      Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
-      .toDF("query_id", "term")
+    val qt = qtDf(s)
     tf.join(broadcast(df), Seq("term"))
       .join(broadcast(qt), Seq("term"))
       .crossJoin(broadcast(scalars))
@@ -124,6 +122,87 @@ object Retrieval {
       "FROM contrib GROUP BY query_id, doc_id)"
   }
 
+  /** Literal (query_id, term) relation for the pinned queries. */
+  private def qtDf(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("query_id", "term")
+
+  /** Pseudo-relevance-feedback parts shared by the expansion queries:
+    * (chosen expansion terms with their evidence, re-scored ranking).
+    * RM3-lite, fully deterministic:
+    *   1. round-1 BM25 top-3 docs per query (composes text_bm25_topk
+    *      verbatim);
+    *   2. expansion candidates = tokens of those docs minus the original
+    *      terms, scored Σ_top3 tf × ((N·1e6) div df) on DECIMAL(38,0)
+    *      (the tf·idf wide-product discipline), top-2 per query with
+    *      (score DESC, term ASC) ties;
+    *   3. round 2 re-scores BM25 with integer weights — original terms 2,
+    *      expansions 1 — over the expanded term set.
+    * Scale: the only corpus-scale passes are token scans PRUNED by a
+    * broadcast term set before any census (top-3 docs explode is 9 rows'
+    * worth of text; the df census joins the distinct-token stream with
+    * the ≤ queries×(|terms|+2)-row needed-terms set) — posting-list-sized
+    * everywhere, the text_bm25_topk shape applied twice. */
+  private def prfParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val top3 = queries("text_bm25_topk")(s, d)
+      .filter(col("rank") <= 3).select(col("query_id"), col("doc_id"))
+    val base = docs(s, d).selectExpr(
+      "doc_id", s"${tokensSpark("text")} AS toks")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS dl", "toks")
+    val qt = qtDf(s)
+    // candidate (query, term) evidence from the top-3 docs only
+    val t3tf = base.join(broadcast(top3), Seq("doc_id"))
+      .select(col("query_id"), explode(col("toks")).as("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("sum_tf"))
+    val cand = t3tf.join(qt, Seq("query_id", "term"), "left_anti")
+    val needTerms = cand.select(col("term"))
+      .union(qt.select(col("term"))).distinct()
+    // df census pruned to the needed terms before the census
+    val dfN = base.select(col("doc_id"),
+        explode(expr("array_distinct(toks)")).as("term"))
+      .join(broadcast(needTerms), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scal = base.agg(count(lit(1)).cast("bigint").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val expTerms = cand.join(dfN, Seq("term")).crossJoin(broadcast(scal))
+      .selectExpr("query_id", "term", "sum_tf", "df",
+        """CAST(sum_tf AS DECIMAL(38,0)) *
+           ((CAST(n_docs AS DECIMAL(38,0)) * 1000000) div df) AS exp_score""")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("exp_score"), asc("term"))))
+      .filter(col("rank") <= 2)
+    val qt2 = qt.select(col("query_id"), col("term"), lit(2L).as("weight"))
+      .union(expTerms.select(col("query_id"), col("term"), lit(1L).as("weight")))
+    val tf2 = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qt2.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val rescored = tf2.join(dfN, Seq("term"))
+      .join(broadcast(qt2), Seq("term"))
+      .crossJoin(broadcast(scal))
+      .selectExpr("query_id", "doc_id", "weight",
+        """((CAST(n_docs AS DECIMAL(38,0)) * 2 - CAST(df AS DECIMAL(38,0)) * 2 + 1)
+            * 1000000) div (CAST(df AS DECIMAL(38,0)) * 2 + 1) AS idf_e6""",
+        """(CAST(22 AS DECIMAL(38,0)) * tf * sum_dl * 1000000) div
+           (CAST(10 AS DECIMAL(38,0)) * sum_dl * tf
+            + CAST(3 AS DECIMAL(38,0)) * sum_dl
+            + CAST(9 AS DECIMAL(38,0)) * dl * n_docs) AS tfc_e6""")
+      .selectExpr("query_id", "doc_id",
+        "weight * ((idf_e6 * tfc_e6) div 1000000) AS contrib")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_w"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("score_w"), asc("doc_id"))))
+      .filter(col("rank") <= 10)
+      .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank", "doc_id",
+        "CAST(score_w AS BIGINT) AS score2_e6")
+    (expTerms, rescored)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> ((s, d) =>
       bm25Scores(s, d)
@@ -153,11 +232,27 @@ object Retrieval {
         .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank", "doc_id",
           "CAST(rrf_e6 AS BIGINT) AS rrf_e6", "n_sources")
         .orderBy(asc("query_id"), asc("rank"))
-    })
+    }),
+
+    // The chosen expansion terms with their evidence — the auditable half
+    // of the PRF pair (exp_score emitted as a digit string: the wide
+    // product exceeds int64 at a 1e10-doc corpus — the version-stable
+    // emission policy).
+    "retrieval_prf_terms" -> ((s, d) =>
+      prfParts(s, d)._1
+        .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank", "term",
+          "sum_tf", "df", "CAST(exp_score AS STRING) AS exp_score")
+        .orderBy(asc("query_id"), asc("rank"))),
+
+    // Round-2 ranking over the expanded, weighted term set.
+    "retrieval_prf_expansion" -> ((s, d) =>
+      prfParts(s, d)._2.orderBy(asc("query_id"), asc("rank")))
   )
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
+    "retrieval_prf_terms" -> prfTermsOracle,
+    "retrieval_prf_expansion" -> prfExpansionOracle,
     "retrieval_rrf_fusion" ->
       ("WITH bmr AS (SELECT query_id, doc_id, rank FROM " +
         s"($bm25TopkOracle) _b), " +
@@ -180,4 +275,54 @@ object Retrieval {
       "(PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rank FROM bm) " +
       "SELECT query_id, rank, doc_id, score_e6 " +
       "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"
+
+  /** Shared PRF CTE chain (round-1 top-3 → candidates → df → top-2
+    * expansions → weighted round-2 contributions), appended to
+    * [[bm25DuckCtes]] — one pinned arithmetic rendering, HUGEINT twins of
+    * the DECIMAL(38,0) products. */
+  private lazy val prfDuckCtes: String =
+    s"$bm25DuckCtes, " +
+      "r1 AS (SELECT query_id, doc_id FROM (SELECT query_id, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rank " +
+      "FROM bm) _ WHERE rank <= 3), " +
+      "t3tf AS (SELECT r1.query_id, tk.term, count(*) AS sum_tf " +
+      "FROM tk JOIN r1 ON r1.doc_id = tk.doc_id GROUP BY r1.query_id, tk.term), " +
+      "cand AS (SELECT t.query_id, t.term, t.sum_tf FROM t3tf t " +
+      "LEFT JOIN qt ON qt.query_id = t.query_id AND qt.term = t.term " +
+      "WHERE qt.term IS NULL), " +
+      "dfall AS (SELECT term, count(*) AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM tk) _ GROUP BY term), " +
+      "cscored AS (SELECT cand.query_id, cand.term, cand.sum_tf, d.df, " +
+      "CAST(cand.sum_tf AS HUGEINT) * ((CAST(sc.n_docs AS HUGEINT) * 1000000) // d.df) AS exp_score " +
+      "FROM cand JOIN dfall d ON d.term = cand.term CROSS JOIN sc), " +
+      "exp2 AS (SELECT query_id, term, sum_tf, df, exp_score, rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY exp_score DESC, term) AS rank FROM cscored) _ WHERE rank <= 2), " +
+      "qt2 AS (SELECT query_id, term, CAST(2 AS BIGINT) AS weight FROM qt " +
+      "UNION ALL SELECT query_id, term, CAST(1 AS BIGINT) FROM exp2), " +
+      "tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM tk " +
+      "WHERE term IN (SELECT DISTINCT term FROM qt2) GROUP BY doc_id, dl, term), " +
+      "contrib2 AS (SELECT qt2.query_id, tf2.doc_id, qt2.weight * " +
+      "((((CAST(sc.n_docs AS HUGEINT) * 2 - CAST(d.df AS HUGEINT) * 2 + 1) * 1000000) " +
+      "// (CAST(d.df AS HUGEINT) * 2 + 1) * " +
+      "((CAST(22 AS HUGEINT) * tf2.tf * sc.sum_dl * 1000000) " +
+      "// (CAST(10 AS HUGEINT) * sc.sum_dl * tf2.tf " +
+      "+ CAST(3 AS HUGEINT) * sc.sum_dl " +
+      "+ CAST(9 AS HUGEINT) * tf2.dl * sc.n_docs))) // 1000000) AS c " +
+      "FROM tf2 JOIN dfall d USING (term) JOIN qt2 USING (term) CROSS JOIN sc)"
+
+  private lazy val prfTermsOracle: String =
+    s"WITH $prfDuckCtes " +
+      "SELECT query_id, rank, term, sum_tf, df, " +
+      "CAST(exp_score AS VARCHAR) AS exp_score " +
+      "FROM exp2 ORDER BY query_id, rank"
+
+  private lazy val prfExpansionOracle: String =
+    s"WITH $prfDuckCtes, " +
+      "sc2 AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score2_e6 " +
+      "FROM contrib2 GROUP BY query_id, doc_id), " +
+      "ranked2 AS (SELECT query_id, doc_id, score2_e6, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score2_e6 DESC, doc_id) AS rank FROM sc2) " +
+      "SELECT query_id, rank, doc_id, score2_e6 " +
+      "FROM ranked2 WHERE rank <= 10 ORDER BY query_id, rank"
 }

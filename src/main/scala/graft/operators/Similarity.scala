@@ -1225,6 +1225,48 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // Metric-learning triplet evaluation: for each anchor (vec_id < 100),
+    // the hardest positive (nearest same-label) and hardest negative
+    // (nearest different-label) by exact cosine; per true label — does the
+    // space rank the positive above the negative (win rate), and by what
+    // margin? This is the separation diagnostic behind contrastive /
+    // triplet-loss training data: a label whose win_bp is low means its
+    // region is entangled and label-conditioned sampling from it is
+    // unreliable. Scale: probe×corpus with the probe side broadcast (the
+    // knn-label-eval shape); the argmax windows run on probe-sized
+    // partitions; margins are exact ppm integers, the mean uses the
+    // toward-zero integer division both engines share.
+    "embedding_triplet_eval" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).selectExpr("vec_id", "label",
+        "embedding AS v", "vec_norm2(embedding) AS n2")
+      val q = e.filter(col("vec_id") < 100)
+        .selectExpr("vec_id AS query_id", "label AS qlabel",
+          "v AS qv", "n2 AS qn2")
+      val top = q.join(e, col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "qlabel", "vec_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm",
+          "CASE WHEN label = qlabel THEN 1 ELSE 0 END AS same")
+        .withColumn("rk", row_number().over(
+          W.partitionBy(col("query_id"), col("same"))
+            .orderBy(desc("cos_ppm"), asc("vec_id"))))
+        .filter(col("rk") === 1)
+      val pos = top.filter(col("same") === 1)
+        .select(col("query_id"), col("qlabel"), col("cos_ppm").as("pos_ppm"))
+      val neg = top.filter(col("same") === 0)
+        .select(col("query_id"), col("cos_ppm").as("neg_ppm"))
+      pos.join(neg, Seq("query_id"))
+        .selectExpr("qlabel", "pos_ppm - neg_ppm AS margin_ppm")
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_anchors"),
+          sum(expr("CASE WHEN margin_ppm > 0 THEN 1L ELSE 0L END")).as("n_wins"),
+          sum(col("margin_ppm")).as("sum_margin"))
+        .selectExpr("CAST(qlabel AS BIGINT) AS label", "n_anchors", "n_wins",
+          "(n_wins * 10000) div n_anchors AS win_bp",
+          "sum_margin div n_anchors AS mean_margin_ppm")
+        .orderBy(asc("label"))
+    }),
+
     // SQ8 recall dashboard: the sq8 tier's top-10 scored against the exact
     // cosine truth, same contract as ann_recall_eval (composes the tier
     // queries verbatim so the eval cannot drift from what it measures).
@@ -1558,6 +1600,25 @@ object Similarity {
         "CAST(floor(CAST(n * sxixj - sxi * sxj AS DOUBLE) / " +
         "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS cov_e8 " +
         "FROM a ORDER BY i, j"),
+    "embedding_triplet_eval" ->
+      ("WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 100), " +
+        "sc AS (SELECT query_id, qlabel, e.vec_id, " +
+        s"${cosPpmDuck("qv", "e.embedding")} AS cos_ppm, " +
+        "CASE WHEN e.label = qlabel THEN 1 ELSE 0 END AS same " +
+        "FROM q JOIN embeddings e ON e.vec_id <> query_id), " +
+        "top AS (SELECT query_id, qlabel, same, cos_ppm FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id, same " +
+        "ORDER BY cos_ppm DESC, vec_id) AS rk FROM sc) _ WHERE rk = 1), " +
+        "pr AS (SELECT p.qlabel, p.cos_ppm - n.cos_ppm AS margin_ppm " +
+        "FROM top p JOIN top n ON n.query_id = p.query_id " +
+        "AND p.same = 1 AND n.same = 0) " +
+        "SELECT CAST(qlabel AS BIGINT) AS label, count(*) AS n_anchors, " +
+        "CAST(sum(CASE WHEN margin_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins, " +
+        "(CAST(sum(CASE WHEN margin_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) * 10000) " +
+        "// count(*) AS win_bp, " +
+        "CAST(sum(margin_ppm) AS BIGINT) // count(*) AS mean_margin_ppm " +
+        "FROM pr GROUP BY qlabel ORDER BY label"),
     "ann_sq8_adc" ->
       (s"WITH $sq8DuckCtes, " +
         "adc AS (SELECT query_id, vec_id, CAST(sum(term_e8) AS BIGINT) AS adc_e8 " +

@@ -1042,6 +1042,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans <= 6, s"fusion grew extra corpus scans ($scans)")
   }
 
+  test("graph_label_propagation: per-round vote census map-side combined, " +
+      "argmax window node-sized, labels checkpointed (flat lineage)") {
+    val p = planOf("graph_label_propagation")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "vote census lost map-side combine")
+    assert(!p.contains("CartesianProduct"), "label join degenerated")
+    // localCheckpoint per round: the executed plan must NOT contain the
+    // unrolled 3-round join tower (checkpointing cuts lineage)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 2,
+      "round lineage not cut — the unrolled join tower is in one plan")
+  }
+
+  test("embedding_triplet_eval: native vec_dot kernel, probe side broadcast, " +
+      "argmax windows probe-sized, rank-pruned") {
+    val p = planOf("embedding_triplet_eval")
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe set not broadcast against the corpus")
+    assert(p.contains("WindowGroupLimit"), "argmax lost rank-pruning")
+    assert(!p.contains("CartesianProduct"), "probe join degenerated")
+  }
+
+  test("retrieval_prf_expansion: every token pass pruned by a broadcast " +
+      "term set before its census; final rank pruned") {
+    val p = planOf("retrieval_prf_expansion")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("BroadcastExchange"),
+      "term sets / scalars not broadcast against the token stream")
+    assert(p.contains("partial_"), "tf/df censuses lost map-side combine")
+    assert(p.contains("WindowGroupLimit"), "top-10 lost rank-pruning")
+    assert(!p.contains("CartesianProduct"), "term join degenerated")
+  }
+
   test("text_bloom_fpr_eval / events_bloom_first_seen: bit censuses are " +
       "map-side combined; membership is one pos join; no windows") {
     Seq("text_bloom_fpr_eval", "events_bloom_first_seen").foreach { q =>
