@@ -249,6 +249,31 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) =>
       minhashVerified(s, d).orderBy(asc("doc_a"), asc("doc_b"))),
 
+    // Channel-agreement census: the TEXTUAL near-dup decision set
+    // (MinHash-verified Jaccard ≥ 0.7) vs the SEMANTIC one (cell-blocked
+    // exact cosine ≥ 0.4) over the shared id space — how often do the two
+    // channels agree, and how much does each see that the other misses?
+    // This is the diagnostic run before choosing a production dedup
+    // policy (textual-only misses paraphrases; semantic-only misses
+    // boilerplate): overlap_bp is the Jaccard of the two decision sets.
+    // Composes both verified-pair artifacts verbatim (same caches), so
+    // the census can never drift from the channels it compares; the
+    // full-outer join runs on two pair-graph-sized relations.
+    "dedup_channel_agreement" -> ((s, d) => {
+      val tx = minhashVerified(s, d)
+        .select(col("doc_a"), col("doc_b")).withColumn("tx", lit(1L))
+      val sm = cosineVerified(s, d)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .withColumn("sm", lit(1L))
+      tx.join(sm, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("tx"), lit(0L))).as("n_textual"),
+          sum(coalesce(col("sm"), lit(0L))).as("n_semantic"),
+          sum(expr("coalesce(tx, 0L) * coalesce(sm, 0L)")).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .selectExpr("n_textual", "n_semantic", "n_both", "n_union",
+          "(n_both * 10000) div greatest(n_union, 1L) AS overlap_bp")
+    }),
+
     // MinHash-LSH recall/precision eval — the ann_recall_eval discipline
     // applied to text dedup: on a BOUNDED deterministic sample (coin on
     // doc_id, n-adaptive rate targeting ~500 docs so the exact truth stays
@@ -913,6 +938,17 @@ object Dedup {
         (s"WITH $minhashVerifiedCtes " +
           "SELECT doc_a, doc_b, n_common, n_union, jaccard_bp " +
           "FROM pairs ORDER BY doc_a, doc_b"),
+      "dedup_channel_agreement" ->
+        (s"WITH $minhashVerifiedCtes, $cosineVerifiedCtes, " +
+          "u AS (SELECT CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS tx, " +
+          "CASE WHEN c.vec_a IS NOT NULL THEN 1 ELSE 0 END AS sm " +
+          "FROM pairs p FULL OUTER JOIN cpairs c " +
+          "ON p.doc_a = c.vec_a AND p.doc_b = c.vec_b) " +
+          "SELECT CAST(sum(tx) AS BIGINT) AS n_textual, " +
+          "CAST(sum(sm) AS BIGINT) AS n_semantic, " +
+          "CAST(sum(tx * sm) AS BIGINT) AS n_both, count(*) AS n_union, " +
+          "(CAST(sum(tx * sm) AS BIGINT) * 10000) // greatest(count(*), 1) AS overlap_bp " +
+          "FROM u"),
       "dedup_minhash_recall_eval" ->
         (s"WITH shingled AS ($shingledSql), " +
           "nz AS (SELECT doc_id, sh FROM shingled WHERE len(sh) > 0), " +

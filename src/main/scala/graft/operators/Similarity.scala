@@ -1225,6 +1225,41 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // Multiprobe LSH: the classic recall lever that needs NO extra index —
+    // each query probes its own sign-bucket PLUS the np buckets at Hamming
+    // distance 1 (one hyperplane flipped), the buckets a near-neighbor
+    // most likely fell into when it landed just the other side of one
+    // plane. Declared as a recall eval against the exact top-10 truth for
+    // BOTH probe schedules, so the lever's value (probe1 vs multiprobe
+    // recall, candidate cost) is an oracle-pinned number, not a claim.
+    // Scale: probes are a ≤ queries×(np+1) broadcast; candidates resolve
+    // by one bucket equi-join; recall joins are 5×10-row relations.
+    "ann_lsh_multiprobe_recall_eval" -> ((s, d) => {
+      val np = lshPlanesOf(s, d)
+      val b = CacheScope.persist(emb(s, d).selectExpr(
+        "vec_id", s"CAST(${lshBucketSparkExpr("embedding", np)} AS BIGINT) AS bucket"))
+      val qb = b.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "bucket AS qbucket")
+      val truth = queries("ann_bruteforce_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+        .withColumn("hit", lit(1L))
+      def evalFor(label: String, probes: DataFrame): DataFrame =
+        b.join(broadcast(probes), col("bucket") === col("pb"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id")).distinct()
+          .join(truth, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .selectExpr(s"'$label' AS method", "query_id", "n_candidates",
+            "n_hits", "(n_hits * 10000) div 10 AS recall_bp")
+      val p1 = qb.select(col("query_id"), col("qbucket").as("pb"))
+      val pm = qb.selectExpr("query_id",
+        s"explode(array(qbucket, ${(0 until np).map(j => s"qbucket ^ ${1L << j}L").mkString(", ")})) AS pb")
+      evalFor("probe1", p1).union(evalFor(s"multiprobe${np + 1}", pm))
+        .orderBy(asc("method"), asc("query_id"))
+    }),
+
     // Metric-learning triplet evaluation: for each anchor (vec_id < 100),
     // the hardest positive (nearest same-label) and hardest negative
     // (nearest different-label) by exact cosine; per true label — does the
@@ -1319,7 +1354,40 @@ object Similarity {
   def oracles: Map[String, String] =
     baseOracles + ("ann_recall_eval" -> annRecallEvalOracle) +
       ("ann_range_recall_eval" -> annRangeRecallEvalOracle) +
-      ("ann_sq8_recall_eval" -> annSq8RecallEvalOracle)
+      ("ann_sq8_recall_eval" -> annSq8RecallEvalOracle) +
+      ("ann_lsh_multiprobe_recall_eval" -> annMultiprobeOracle)
+
+  /** Multiprobe-vs-single-bucket recall, the truth embedded as a derived
+    * table; Hamming-1 probes generated by a static 24-flip grid CASE'd to
+    * the adaptive plane count (the lshBucketDuckAdaptive discipline). */
+  private lazy val annMultiprobeOracle: String =
+    s"WITH $lshPlanesDuckCte, " +
+      s"b AS (SELECT vec_id, CAST(${lshBucketDuckAdaptive("embedding")} AS BIGINT) AS bucket " +
+      "FROM embeddings CROSS JOIN npc), " +
+      "qb AS (SELECT vec_id AS query_id, bucket AS qbucket FROM b WHERE vec_id < 5), " +
+      "p1 AS (SELECT query_id, qbucket AS pb FROM qb), " +
+      s"pm AS (SELECT query_id, pb FROM (SELECT query_id, " +
+      s"CASE WHEN r.j < np THEN xor(qbucket, (CAST(1 AS BIGINT) << r.j)) END AS pb " +
+      s"FROM qb CROSS JOIN npc CROSS JOIN range(0, $MaxOraclePlanes) r(j)) _f " +
+      "WHERE pb IS NOT NULL UNION ALL SELECT query_id, pb FROM p1), " +
+      "truth AS (SELECT query_id, neighbor_id AS vec_id FROM " +
+      s"(${baseOracles("ann_bruteforce_topk")}) _t), " +
+      "c1 AS (SELECT DISTINCT p.query_id, b.vec_id FROM b " +
+      "JOIN p1 p ON b.bucket = p.pb WHERE b.vec_id <> p.query_id), " +
+      "cm AS (SELECT DISTINCT p.query_id, b.vec_id FROM b " +
+      "JOIN pm p ON b.bucket = p.pb WHERE b.vec_id <> p.query_id), " +
+      "s1 AS (SELECT 'probe1' AS method, c1.query_id, count(*) AS n_candidates, " +
+      "CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM c1 LEFT JOIN truth t ON t.query_id = c1.query_id AND t.vec_id = c1.vec_id " +
+      "GROUP BY c1.query_id), " +
+      "sm AS (SELECT 'multiprobe' || CAST(np + 1 AS VARCHAR) AS method, cm.query_id, " +
+      "count(*) AS n_candidates, " +
+      "CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM cm LEFT JOIN truth t ON t.query_id = cm.query_id AND t.vec_id = cm.vec_id " +
+      "CROSS JOIN npc GROUP BY cm.query_id, np) " +
+      "SELECT method, query_id, n_candidates, n_hits, (n_hits * 10000) // 10 AS recall_bp " +
+      "FROM (SELECT * FROM s1 UNION ALL SELECT * FROM sm) _u " +
+      "ORDER BY method, query_id"
 
   /** SQ8-tier recall vs exact cosine truth, both embedded as derived
     * tables (the ann_recall_eval lockstep discipline). */

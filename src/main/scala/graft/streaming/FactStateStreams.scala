@@ -1195,6 +1195,62 @@ object FactStateStreams {
   final case class BloomFsState(
       seq: Long, nEvents: Long, nMaybeDup: Long, words: Seq[Long])
 
+  /** One bucket's live census row — identical columns to the batch
+    * `ann_lsh_buckets` row for that bucket. */
+  final case class LshBucketUpdate(
+      bucket: Long, seq: Long, nVectors: Long, minVecId: Long,
+      maxVecId: Long, nLabels: Long)
+
+  /** Per-bucket census cursor: counters + the distinct label set (bounded
+    * by the label alphabet) — constant width per bucket. */
+  final case class LshBucketState(
+      seq: Long, n: Long, minId: Long, maxId: Long, labels: Seq[Int])
+
+  /** Streaming vector-index ingestion census (twenty-fifth face): as
+    * embeddings arrive, each is routed to its LSH sign-bucket (the EXACT
+    * batch hyperplane expression — Similarity.lshBucketSparkExpr at the
+    * pinned 8-plane default — evaluated statelessly before the fold) and
+    * the per-bucket occupancy census (count, id range, distinct labels)
+    * updates live. This is the freshness/balance gauge an online ANN
+    * index ships: a bucket ballooning past its design population is the
+    * signal to re-derive the plane schedule (the batch side's n-adaptive
+    * np). All four statistics are commutative merges, so arrival order
+    * and batch splits are irrelevant; the final census equals the batch
+    * `ann_lsh_buckets` rows wherever the corpus fits the 8-plane default
+    * (every test SF — the adaptive schedule only departs past n = 25 600).
+    * State: one constant-width row per OCCUPIED bucket (≤ 2^8). */
+  def lshBucketCensus(spark: SparkSession, embeddings: DataFrame): Dataset[LshBucketUpdate] = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val bexpr = graft.operators.Similarity.lshBucketSparkExpr("embedding", 8)
+    embeddings
+      .selectExpr("vec_id", "CAST(label AS INT) AS label", s"CAST($bexpr AS BIGINT) AS bucket")
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[LshBucketState, LshBucketUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (bucket, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          LshBucketState(0L, 0L, Long.MaxValue, Long.MinValue, Seq.empty))
+        var n = prev.n; var mn = prev.minId; var mx = prev.maxId
+        val labels = scala.collection.mutable.SortedSet[Int](prev.labels: _*)
+        var any = false
+        rows.foreach { case (id, lab, _) =>
+          any = true; n += 1
+          if (id < mn) mn = id
+          if (id > mx) mx = id
+          labels += lab
+        }
+        if (!any) Iterator.empty
+        else {
+          val next = LshBucketState(prev.seq + 1, n, mn, mx, labels.toSeq)
+          state.update(next)
+          Iterator.single(LshBucketUpdate(
+            bucket, next.seq, n, mn, mx, labels.size.toLong))
+        }
+      }
+  }
+
   /** Live first-seen / maybe-duplicate detector through a sharded Bloom
     * filter (twenty-fourth face): each event checks its k pinned bit
     * positions in its shard's segment BEFORE setting them — all set ⇒

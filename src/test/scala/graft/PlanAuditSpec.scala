@@ -1075,6 +1075,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "term join degenerated")
   }
 
+  test("ann_lsh_multiprobe_recall_eval: probe set broadcast against the " +
+      "bucket relation; no cartesian; recall joins driver-trivial") {
+    val p = planOf("ann_lsh_multiprobe_recall_eval")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("vec_dot"), "bucket expression lost the native kernel")
+    assert(p.contains("BroadcastExchange"), "probes not broadcast")
+    assert(!p.contains("CartesianProduct"), "bucket join degenerated")
+  }
+
+  test("dedup_channel_agreement: full-outer join of two pair-graph-sized " +
+      "artifacts; single-row aggregate; no corpus rescan above the caches") {
+    val p = planOf("dedup_channel_agreement")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter"),
+      s"agreement join not full-outer in: ${p.linesIterator.filter(_.contains("Join")).mkString("; ")}")
+    assert(!p.contains("CartesianProduct"), "pair join degenerated")
+  }
+
   test("text_bloom_fpr_eval / events_bloom_first_seen: bit censuses are " +
       "map-side combined; membership is one pos join; no windows") {
     Seq("text_bloom_fpr_eval", "events_bloom_first_seen").foreach { q =>

@@ -199,4 +199,25 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != $nShards occupied shards (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("lshBucketCensus state rows stay = occupied buckets (census inside)") {
+    val s0 = spark; import s0.implicits._
+    // a fixed 30-vector keyspace streamed 10 times over: buckets are a
+    // pure function of the vectors, so state must hold exactly the
+    // occupied-bucket count no matter how long the stream runs
+    val vecs = s0.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).take(30).toSeq
+    graft.functions.VectorFunctions.register(s0)
+    val nBuckets = s0.createDataFrame(vecs).toDF("vec_id", "label", "embedding")
+      .selectExpr(graft.operators.Similarity.lshBucketSparkExpr("embedding", 8))
+      .distinct().count()
+    val batches = (0 until 10).map(_ => vecs)
+    val st = drive[(Long, Int, Seq[Float])]("lshb", batches,
+      df => FactStateStreams.lshBucketCensus(spark, df),
+      ms => ms.toDF().toDF("vec_id", "label", "embedding"))
+    assert(st.maxRows == nBuckets,
+      s"state keys ${st.maxRows} != $nBuckets occupied buckets (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
