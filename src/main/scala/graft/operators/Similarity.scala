@@ -1225,6 +1225,44 @@ object Similarity {
         .orderBy(asc("query_id"), asc("rank"))
     }),
 
+    // The memory/recall PARETO dashboard — every quantization tier the
+    // engine ships (full float32, matryoshka 8/16/32-dim prefixes, SQ8,
+    // IVF+PQ with and without exact refinement) on one axis pair:
+    // bytes-stored-per-vector vs mean recall@10 over the probe set. This
+    // is the table an index designer actually reads when sizing a
+    // 100 TB vector tier; declaring it as an oracle-checked query means
+    // the whole tradeoff surface is recomputed and agreed by BOTH
+    // engines. Composes the tier evals verbatim (same caches), so the
+    // dashboard can never drift from the tiers it summarizes. The
+    // bytes column counts what the SERVING tier must hold per vector:
+    // 4·dims for float32 prefixes, 1·dims for SQ8 codes, PqM for PQ
+    // codes, PqM + 4·Dim for PQ-with-refinement (codes + the exact
+    // vectors the re-rank touches).
+    "ann_quantization_pareto" -> ((s, d) => {
+      val full = queries("ann_bruteforce_topk")(s, d)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("'full_f32' AS method", s"CAST(${4 * Dim} AS BIGINT) AS bytes_per_vector",
+          "query_id", "CAST(10000 AS BIGINT) AS recall_bp")
+      val sq8 = queries("ann_sq8_recall_eval")(s, d)
+        .selectExpr("'sq8' AS method", s"CAST($Dim AS BIGINT) AS bytes_per_vector",
+          "query_id", "hit_bp AS recall_bp")
+      val ivf = queries("ann_recall_eval")(s, d)
+        .filter(col("method").isin("ivf_pq", "ivf_pq_refined"))
+        .selectExpr("method",
+          s"CAST(CASE WHEN method = 'ivf_pq' THEN $PqM ELSE ${PqM + 4 * Dim} END AS BIGINT) AS bytes_per_vector",
+          "query_id", "hit_bp AS recall_bp")
+      val mat = queries("embedding_matryoshka_eval")(s, d)
+        .selectExpr("concat('matryoshka', CAST(dims AS STRING)) AS method",
+          "dims * 4 AS bytes_per_vector", "query_id", "recall_bp")
+      full.union(sq8).union(ivf).union(mat)
+        .groupBy(col("method"), col("bytes_per_vector"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("recall_bp")).as("sum_bp"))
+        .selectExpr("method", "bytes_per_vector", "n_queries",
+          "sum_bp div n_queries AS mean_recall_bp")
+        .orderBy(asc("bytes_per_vector"), asc("method"))
+    }),
+
     // Multiprobe LSH: the classic recall lever that needs NO extra index —
     // each query probes its own sign-bucket PLUS the np buckets at Hamming
     // distance 1 (one hyperplane flipped), the buckets a near-neighbor
@@ -1355,7 +1393,31 @@ object Similarity {
     baseOracles + ("ann_recall_eval" -> annRecallEvalOracle) +
       ("ann_range_recall_eval" -> annRangeRecallEvalOracle) +
       ("ann_sq8_recall_eval" -> annSq8RecallEvalOracle) +
-      ("ann_lsh_multiprobe_recall_eval" -> annMultiprobeOracle)
+      ("ann_lsh_multiprobe_recall_eval" -> annMultiprobeOracle) +
+      ("ann_quantization_pareto" -> annParetoOracle)
+
+  /** Memory/recall Pareto, every tier eval embedded as a derived table —
+    * the dashboard moves in lockstep with the tiers it summarizes. */
+  private lazy val annParetoOracle: String =
+    "WITH fl AS (SELECT 'full_f32' AS method, " +
+      s"CAST(${4 * Dim} AS BIGINT) AS bytes_per_vector, query_id, " +
+      "CAST(10000 AS BIGINT) AS recall_bp FROM " +
+      s"(${baseOracles("ann_bruteforce_topk")}) _f GROUP BY query_id), " +
+      s"s8 AS (SELECT 'sq8' AS method, CAST($Dim AS BIGINT) AS bytes_per_vector, " +
+      s"query_id, hit_bp AS recall_bp FROM ($annSq8RecallEvalOracle) _s), " +
+      "iv AS (SELECT method, CAST(CASE WHEN method = 'ivf_pq' THEN " +
+      s"$PqM ELSE ${PqM + 4 * Dim} END AS BIGINT) AS bytes_per_vector, " +
+      s"query_id, hit_bp AS recall_bp FROM ($annRecallEvalOracle) _i " +
+      "WHERE method IN ('ivf_pq', 'ivf_pq_refined')), " +
+      "mt AS (SELECT 'matryoshka' || CAST(dims AS VARCHAR) AS method, " +
+      "dims * 4 AS bytes_per_vector, query_id, recall_bp FROM " +
+      s"(${baseOracles("embedding_matryoshka_eval")}) _m), " +
+      "u AS (SELECT * FROM fl UNION ALL SELECT * FROM s8 " +
+      "UNION ALL SELECT * FROM iv UNION ALL SELECT * FROM mt) " +
+      "SELECT method, bytes_per_vector, count(*) AS n_queries, " +
+      "CAST(sum(recall_bp) AS BIGINT) // count(*) AS mean_recall_bp " +
+      "FROM u GROUP BY method, bytes_per_vector " +
+      "ORDER BY bytes_per_vector, method"
 
   /** Multiprobe-vs-single-bucket recall, the truth embedded as a derived
     * table; Hamming-1 probes generated by a static 24-flip grid CASE'd to

@@ -413,4 +413,39 @@ class StreamingRecoverySpec extends AnyFunSuite {
           s"shard $sh: seq did not continue across restart")
     }
   }
+
+  // -- lshBucketCensus: per-bucket counters + label set ----------------------
+
+  test("lshBucketCensus recovers its bucket censuses: post-restart vectors " +
+      "extend pre-restart counts and the final census matches the " +
+      "uninterrupted run") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).take(40).toSeq
+    def vf(v: (Long, Int, Seq[Float])) =
+      FactInput("vec", v._1.toString, Array[Byte](1),
+        tags = Map("label" -> v._2.toString,
+          "emb" -> v._3.map(_.toString).mkString(",")))
+    val (phase1, phase2) = vecs.splitAt(25)
+    val (o1, o2, oU) = runBoth("update", phase1.map(vf), phase2.map(vf))(df =>
+      FactStateStreams.lshBucketCensus(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS vec_id",
+        "CAST(tags['label'] AS INT) AS label",
+        "transform(split(tags['emb'], ','), x -> CAST(x AS FLOAT)) AS embedding")))
+    def fin(rows: Seq[LshBucketUpdate]): Map[Long, (Long, Long, Long, Long)] =
+      rows.groupBy(_.bucket).map { case (b, rs) =>
+        val last = rs.maxBy(_.seq)
+        b -> ((last.nVectors, last.minVecId, last.maxVecId, last.nLabels))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    // cumulative across the restart: total vectors == 40 (counters survived;
+    // a reset state would recount only phase 2 in shared buckets)
+    assert(fin(o1 ++ o2).values.map(_._1).sum == vecs.size.toLong)
+    o2.groupBy(_.bucket).foreach { case (b, rs) =>
+      val before = o1.filter(_.bucket == b).map(_.seq)
+      if (before.nonEmpty)
+        assert(rs.map(_.seq).min > before.max,
+          s"bucket $b: seq did not continue across restart")
+    }
+  }
 }
