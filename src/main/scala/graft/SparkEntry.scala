@@ -32,7 +32,8 @@ object SparkEntry {
       (Timeseries.queries, Timeseries.oracles),
       (Layout.queries, Layout.oracles),
       (Curation.queries, Curation.oracles),
-      (Retrieval.queries, Retrieval.oracles)
+      (Retrieval.queries, Retrieval.oracles),
+      (Mining.queries, Mining.oracles)
     )
 
   /** Query names declared by more than one module. `queries`/`oracleSql`

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Corpus-mining operators: cross-corpus parallel-pair mining, smoothed
+  * language-model estimation, and cross-entity flow reciprocity — the
+  * operators that turn a curated corpus into *derived* training signal
+  * (mined bitext pairs, an n-gram LM usable as a quality filter, entity
+  * flow structure). Reference scope: factstore's finders retrieve facts;
+  * these mine relationships BETWEEN retrieved populations, the third stage
+  * of the reference's ingest → query → analyze pipeline.
+  *
+  *  - '''embedding_bitext_mining''': ratio-margin parallel-pair mining
+  *    (the CCMatrix/LASER shape: score(x, y) = cos(x, y) / mean of the
+  *    two sides' k-NN cosines — a pair is accepted when it is mutually
+  *    much closer than either side's neighborhood baseline, which plain
+  *    cosine thresholds cannot express). The two "languages" are the even
+  *    and odd vec_id halves of `embeddings` (the test-corpus stand-in for
+  *    two aligned monolingual embedding spaces). margin_e6 =
+  *    cos·2k / (Σ_k fwd + Σ_k bwd) computed entirely in ppm integers; the
+  *    1.06 acceptance threshold of the literature becomes 1 060 000.
+  *
+  *  - '''text_kn_bigram_prob''': interpolated Kneser–Ney bigram
+  *    probabilities (discount d = 3/4), the smoothing every production
+  *    n-gram LM quality filter uses where the existing
+  *    `text_lm_bigram_surprisal` uses add-one. Fraction-cleared to pure
+  *    integers: with c12 ≥ 1 observed, 4·max(c12 − 3/4, 0) = 4c12 − 3, so
+  *    P_KN·1e6 = 1e6·((4c12 − 3)·Ndd + 3·n1fwd·cont2) div (4·c1·Ndd)
+  *    where c1 = Σ_b c12 (prefix count), n1fwd = |{b : c(a,b) > 0}|
+  *    (distinct successors — the interpolation weight numerator), cont2 =
+  *    |{a : c(a,b) > 0}| (continuation count), Ndd = distinct bigram
+  *    types. At a 1e13-token / 1e10-bigram-type corpus the numerator
+  *    reaches ~4e29 — rides DECIMAL(38,0)/HUGEINT, emits BIGINT (ppm is
+  *    bounded by 1e6).
+  *
+  *  - '''graph_trade_reciprocity''': weighted directed reciprocity of the
+  *    nation-level trade graph (customer nation → supplier nation revenue
+  *    flows; Squartini–Garlaschelli r = Σ min(w_ij, w_ji) / Σ w_ij). The
+  *    corpus collapses to a ≤ nations² flow grid in one pass; flows are
+  *    exact e8-scaled revenue integers (the part_revenue_concentration
+  *    arithmetic), corpus-sized sums ride DECIMAL(38,0)/HUGEINT and EMIT
+  *    AS DIGIT STRINGS per the round-12 version-stable emission policy;
+  *    reciprocity shares are bounded basis points (BIGINT).
+  *
+  * Scale designs (100 TB):
+  *  - bitext mining: the forward pass is |probes| × corpus with the
+  *    codegen'd `vec_dot` kernel — the `ann_bruteforce_topk` baseline
+  *    shape, and deliberately tier-agnostic: the margin arithmetic
+  *    consumes (pair, cos, k-NN sums) from ANY neighbor tier, so at scale
+  *    the scan swaps for `ann_ivf_probe`/`ann_sq8_adc` candidates without
+  *    touching the scoring. The backward pass is bounded by accepted
+  *    candidates (≤ 2·probes), never corpus².
+  *  - KN LM: one bigram census (map-side combined, hash keys), then
+  *    everything is vocabulary- or vocabulary²-sized; Ndd is a 1-row
+  *    broadcast attach; top-3 per prefix via rank-pushdown window.
+  *  - trade reciprocity: dims broadcast; the single corpus-scale join
+  *    (lineitem ⨝ orders) shuffles on the join key once and collapses to
+  *    the nation grid in the same stage (partial aggregation); the mirror
+  *    join and global scalar act on grid-sized relations.
+  */
+object Mining {
+
+  private val Dim = 64
+
+  /** Forward/backward neighborhood size for the margin denominator. */
+  private val MarginK = 4
+
+  /** Probe side: even vec_ids below this bound. */
+  private val ProbeMax = 40L
+
+  /** Candidates kept per probe (top forward neighbors). */
+  private val CandPerProbe = 2
+
+  /** Acceptance threshold: margin ≥ 1.06 (e6). */
+  private val AcceptE6 = 1060000L
+
+  /** Top bigram continuations emitted per (lang, prefix). */
+  private val KnTopK = 3
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(s)
+    s.read.parquet(s"$dir/documents.parquet")
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** cos(a, b) in ppm, floor semantics — the Similarity rendering. */
+  private def cosPpm(a: String, an2: String, b: String, bn2: String): String =
+    s"CAST(floor(vec_dot($a, $b) / (sqrt($an2) * sqrt($bn2)) * 1000000) AS BIGINT)"
+
+  private def cosPpmDuck(a: String, b: String): String =
+    s"CAST(floor(${dotDuck(a, b, Dim)} / (sqrt(${norm2Duck(a, Dim)}) * " +
+      s"sqrt(${norm2Duck(b, Dim)})) * 1000000) AS BIGINT)"
+
+  /** Exact e8-scaled revenue per lineitem row (the shared revenue idiom). */
+  private val RevE8 =
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+      "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)"
+
+  private val RevE8Duck =
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))) AS DECIMAL(28,8)) * " +
+      "CAST(100000000 AS DECIMAL(9,0)) AS BIGINT)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "embedding_bitext_mining" -> ((s, d) => {
+      val e = emb(s, d)
+        .selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+      val src = e.filter(expr("vec_id % 2 = 0"))
+      val tgt = e.filter(expr("vec_id % 2 = 1"))
+      val probes = src.filter(col("vec_id") < ProbeMax)
+        .selectExpr("vec_id AS src_id", "v AS pv", "n2 AS pn2")
+      // forward: probes × target corpus, one codegen'd scan
+      val fwd = tgt.crossJoin(broadcast(probes))
+        .selectExpr("src_id", "vec_id AS tgt_id",
+          s"${cosPpm("pv", "pn2", "v", "n2")} AS cos_ppm")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("src_id"))
+            .orderBy(desc("cos_ppm"), asc("tgt_id"))))
+        .filter(col("rk") <= MarginK)
+        .transform(CacheScope.persist)
+      val sumFwd = fwd.groupBy(col("src_id"))
+        .agg(sum(col("cos_ppm")).as("sum_fwd"))
+      val cands = fwd.filter(col("rk") <= CandPerProbe)
+        .select(col("src_id"), col("tgt_id"), col("cos_ppm"), col("rk"))
+      // backward: candidate targets (≤ 2·probes) × source half
+      val candVecs = cands.select(col("tgt_id")).distinct()
+        .join(tgt, col("tgt_id") === col("vec_id"))
+        .selectExpr("tgt_id", "v AS cv", "n2 AS cn2")
+      val sumBwd = src.crossJoin(broadcast(candVecs))
+        .selectExpr("tgt_id", "vec_id AS back_id",
+          s"${cosPpm("cv", "cn2", "v", "n2")} AS bcos")
+        .withColumn("brk", row_number().over(
+          Window.partitionBy(col("tgt_id"))
+            .orderBy(desc("bcos"), asc("back_id"))))
+        .filter(col("brk") <= MarginK)
+        .groupBy(col("tgt_id"))
+        .agg(sum(col("bcos")).as("sum_bwd"))
+      cands
+        .join(broadcast(sumFwd), Seq("src_id"))
+        .join(broadcast(sumBwd), Seq("tgt_id"))
+        .selectExpr("src_id", "tgt_id", "rk", "cos_ppm",
+          // 2k·cos/(Σfwd + Σbwd); denominator can be ≤ 0 on an
+          // adversarial corpus (negative neighborhoods) → NULL, not ÷0
+          s"""CASE WHEN sum_fwd + sum_bwd <= 0 THEN CAST(NULL AS BIGINT)
+              ELSE (cos_ppm * ${2L * MarginK} * 1000000) div (sum_fwd + sum_bwd)
+              END AS margin_e6""")
+        .selectExpr("src_id", "tgt_id", "CAST(rk AS BIGINT) AS rk", "cos_ppm",
+          "margin_e6",
+          s"CAST(CASE WHEN margin_e6 >= $AcceptE6 THEN 1 ELSE 0 END AS BIGINT) AS accepted")
+        .orderBy(asc("src_id"), asc("rk"))
+    }),
+
+    "text_kn_bigram_prob" -> ((s, d) => {
+      val wh = docs(s, d)
+        .selectExpr("lang", s"${wordHashesSpark("text")} AS wh")
+        .filter(expr("size(wh) >= 2"))
+      val bi = wh
+        .selectExpr("lang",
+          "explode(transform(sequence(2, size(wh)), i -> struct(element_at(wh, i - 1) AS a, element_at(wh, i) AS b))) AS p")
+        .groupBy(col("lang"), expr("p.a").as("a"), expr("p.b").as("b"))
+        .agg(count(lit(1)).as("c12"))
+        .transform(CacheScope.persist)
+      val prefix = bi.groupBy(col("lang"), col("a"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fwd"))
+      val cont = bi.groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("cont2"))
+      val ndd = bi.groupBy(col("lang")).agg(count(lit(1)).as("ndd"))
+      bi
+        .join(prefix, Seq("lang", "a"))
+        .join(cont, Seq("lang", "b"))
+        .join(broadcast(ndd), Seq("lang"))
+        .selectExpr("lang", "a", "b", "c12",
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) *
+               ((CAST(4 AS DECIMAL(38,0)) * c12 - 3) * ndd
+                + CAST(3 AS DECIMAL(38,0)) * n1fwd * cont2))
+             div (CAST(4 AS DECIMAL(38,0)) * c1 * ndd) AS BIGINT) AS pkn_e6""")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"), col("a"))
+            .orderBy(desc("pkn_e6"), asc("b"))))
+        .filter(col("rk") <= KnTopK)
+        .selectExpr("lang", "a", "b", "c12", "pkn_e6", "CAST(rk AS BIGINT) AS rk")
+        .orderBy(asc("lang"), asc("a"), asc("rk"))
+    }),
+
+    "graph_trade_reciprocity" -> ((s, d) => {
+      val custNation = t(s, d, "customer")
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("src_nation"))
+      val suppNation = t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("dst_nation"))
+      val flows = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .selectExpr("src_nation", "dst_nation", s"$RevE8 AS r8")
+        .groupBy(col("src_nation"), col("dst_nation"))
+        // corpus-sized e8 sums: DECIMAL(38,0) internally (the r11 10×
+        // overflow class), digit-string emission (round-12 policy)
+        .agg(sum(col("r8").cast("decimal(38,0)")).as("flow_e8"))
+        .transform(CacheScope.persist)
+      val mirror = flows.select(
+        col("src_nation").as("dst_nation"), col("dst_nation").as("src_nation"),
+        col("flow_e8").as("back_e8"))
+      val paired = flows.join(mirror, Seq("src_nation", "dst_nation"), "left")
+        .selectExpr("src_nation", "dst_nation", "flow_e8",
+          "CASE WHEN back_e8 IS NULL THEN CAST(0 AS DECIMAL(38,0)) " +
+            "WHEN back_e8 < flow_e8 THEN back_e8 ELSE flow_e8 END AS mutual_e8")
+        .transform(CacheScope.persist)
+      val global = paired.agg(
+        sum(col("flow_e8")).as("t_flow"), sum(col("mutual_e8")).as("t_mutual"))
+      paired.crossJoin(broadcast(global))
+        .selectExpr("src_nation", "dst_nation",
+          "CAST(flow_e8 AS STRING) AS flow_e8",
+          "CAST(mutual_e8 AS STRING) AS mutual_e8",
+          "CAST((mutual_e8 * 10000) div flow_e8 AS BIGINT) AS pair_recip_bp",
+          "CAST((t_mutual * 10000) div t_flow AS BIGINT) AS global_recip_bp")
+        .orderBy(asc("src_nation"), asc("dst_nation"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "embedding_bitext_mining" -> {
+      val cos = cosPpmDuck("p.embedding", "t.embedding")
+      val bcos = cosPpmDuck("c.embedding", "u.embedding")
+      s"WITH fwd AS (SELECT p.vec_id AS src_id, t.vec_id AS tgt_id, $cos AS cos_ppm, " +
+        s"row_number() OVER (PARTITION BY p.vec_id ORDER BY $cos DESC, t.vec_id) AS rk " +
+        s"FROM embeddings p, embeddings t WHERE p.vec_id % 2 = 0 AND p.vec_id < $ProbeMax " +
+        "AND t.vec_id % 2 = 1), " +
+        s"topf AS (SELECT * FROM fwd WHERE rk <= $MarginK), " +
+        "sf AS (SELECT src_id, CAST(sum(cos_ppm) AS BIGINT) AS sum_fwd FROM topf GROUP BY src_id), " +
+        s"cand AS (SELECT src_id, tgt_id, cos_ppm, rk FROM topf WHERE rk <= $CandPerProbe), " +
+        "cv AS (SELECT DISTINCT tgt_id FROM cand), " +
+        s"bwd AS (SELECT c.vec_id AS tgt_id, u.vec_id AS back_id, $bcos AS bcos, " +
+        s"row_number() OVER (PARTITION BY c.vec_id ORDER BY $bcos DESC, u.vec_id) AS brk " +
+        "FROM cv JOIN embeddings c ON c.vec_id = cv.tgt_id " +
+        "CROSS JOIN embeddings u WHERE u.vec_id % 2 = 0), " +
+        s"sb AS (SELECT tgt_id, CAST(sum(bcos) AS BIGINT) AS sum_bwd FROM bwd WHERE brk <= $MarginK GROUP BY tgt_id), " +
+        "m AS (SELECT src_id, tgt_id, rk, cos_ppm, " +
+        "CASE WHEN sum_fwd + sum_bwd <= 0 THEN CAST(NULL AS BIGINT) " +
+        s"ELSE CAST((CAST(cos_ppm AS BIGINT) * ${2L * MarginK} * 1000000) // (sum_fwd + sum_bwd) AS BIGINT) END AS margin_e6 " +
+        "FROM cand JOIN sf USING (src_id) JOIN sb USING (tgt_id)) " +
+        "SELECT src_id, tgt_id, CAST(rk AS BIGINT) AS rk, cos_ppm, margin_e6, " +
+        s"CAST(CASE WHEN margin_e6 >= $AcceptE6 THEN 1 ELSE 0 END AS BIGINT) AS accepted " +
+        "FROM m ORDER BY src_id, rk"
+    },
+
+    "text_kn_bigram_prob" ->
+      (s"WITH wh AS (SELECT lang, ${wordHashesDuck(tokensDuck("text"))} AS wh FROM documents), " +
+        "nz AS (SELECT * FROM wh WHERE len(wh) >= 2), " +
+        "bi0 AS (SELECT lang, unnest(list_transform(range(2, len(wh) + 1), " +
+        "i -> {'a': list_extract(wh, i - 1), 'b': list_extract(wh, i)})) AS p FROM nz), " +
+        "bi AS (SELECT lang, p.a AS a, p.b AS b, count(*)::BIGINT AS c12 FROM bi0 GROUP BY 1, 2, 3), " +
+        "pf AS (SELECT lang, a, CAST(sum(c12) AS BIGINT) AS c1, count(*)::BIGINT AS n1fwd FROM bi GROUP BY 1, 2), " +
+        "ct AS (SELECT lang, b, count(*)::BIGINT AS cont2 FROM bi GROUP BY 1, 2), " +
+        "nd AS (SELECT lang, count(*)::BIGINT AS ndd FROM bi GROUP BY 1), " +
+        "p AS (SELECT lang, a, b, c12, " +
+        "CAST((CAST(1000000 AS HUGEINT) * ((CAST(4 AS HUGEINT) * c12 - 3) * ndd " +
+        "+ CAST(3 AS HUGEINT) * n1fwd * cont2)) " +
+        "// (CAST(4 AS HUGEINT) * c1 * ndd) AS BIGINT) AS pkn_e6 " +
+        "FROM bi JOIN pf USING (lang, a) JOIN ct USING (lang, b) JOIN nd USING (lang)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang, a ORDER BY pkn_e6 DESC, b) AS rk FROM p) " +
+        s"SELECT lang, a, b, c12, pkn_e6, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= $KnTopK " +
+        "ORDER BY lang, a, rk"),
+
+    "graph_trade_reciprocity" ->
+      (s"WITH cn AS (SELECT c_custkey, n_name AS src_nation FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey), " +
+        "sn AS (SELECT s_suppkey, n_name AS dst_nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        s"f AS (SELECT src_nation, dst_nation, sum(CAST($RevE8Duck AS HUGEINT)) AS flow_e8 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN cn ON o_custkey = c_custkey JOIN sn ON l_suppkey = s_suppkey " +
+        "GROUP BY src_nation, dst_nation), " +
+        "p AS (SELECT a.src_nation, a.dst_nation, a.flow_e8, " +
+        "CASE WHEN b.flow_e8 IS NULL THEN CAST(0 AS HUGEINT) " +
+        "WHEN b.flow_e8 < a.flow_e8 THEN b.flow_e8 ELSE a.flow_e8 END AS mutual_e8 " +
+        "FROM f a LEFT JOIN f b ON a.src_nation = b.dst_nation AND a.dst_nation = b.src_nation), " +
+        "g AS (SELECT CAST(sum(flow_e8) AS HUGEINT) AS t_flow, " +
+        "CAST(sum(mutual_e8) AS HUGEINT) AS t_mutual FROM p) " +
+        "SELECT src_nation, dst_nation, " +
+        "CAST(flow_e8 AS VARCHAR) AS flow_e8, CAST(mutual_e8 AS VARCHAR) AS mutual_e8, " +
+        "CAST((mutual_e8 * 10000) // flow_e8 AS BIGINT) AS pair_recip_bp, " +
+        "CAST((t_mutual * 10000) // t_flow AS BIGINT) AS global_recip_bp " +
+        "FROM p CROSS JOIN g ORDER BY src_nation, dst_nation")
+  )
+}

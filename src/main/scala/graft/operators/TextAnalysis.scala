@@ -505,6 +505,38 @@ object TextAnalysis {
         .orderBy(asc("decile"))
     }),
 
+    // Out-of-vocabulary census per language against the top-16 unigram
+    // vocabulary — the SentencePiece "character coverage" analogue at word
+    // granularity: what fraction of token OCCURRENCES (and of distinct
+    // TYPES) would a 16-entry per-language vocab leave unencodable? (16,
+    // not a production 32k: the synthetic corpus has ~31 types/lang, and
+    // the budget must bind for the census to carry signal.) The
+    // operational knob for vocab sizing before a tokenizer train. Vocab
+    // membership is (freq desc, token asc)-ranked — fully deterministic.
+    // Scale: one map-side-combined (lang, token) census; the rank window
+    // runs on the vocabulary-sized census (WindowGroupLimit), never the
+    // corpus; output is |langs| rows.
+    "text_oov_rate" -> ((s, d) => {
+      val freq = docs(s, d)
+        .selectExpr("lang", s"explode(${tokensSpark("text")}) AS tok")
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+        .transform(CacheScope.persist)
+      val ranked = freq.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(desc("f"), asc("tok"))))
+      val inv = ranked.filter(col("rk") <= 16)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab_size"), sum(col("f")).as("in_occ"))
+      freq.groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"))
+        .join(inv, Seq("lang"))
+        .selectExpr("lang", "n_tokens", "n_types", "vocab_size",
+          "n_tokens - in_occ AS oov_tokens",
+          "((n_tokens - in_occ) * 10000) div n_tokens AS oov_bp",
+          "n_types - vocab_size AS oov_types",
+          "((n_types - vocab_size) * 10000) div n_types AS type_oov_bp")
+        .orderBy(asc("lang"))
+    }),
+
     // Flesch reading-ease readability, integer-exact: words = whitespace
     // tokens, sentences = [.!?]+ runs, syllables ≈ vowel-group runs (the
     // standard heuristic). The score 206.835 − 1.015·W/S − 84.6·Y/W is
@@ -786,6 +818,21 @@ object TextAnalysis {
           "CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types FROM g) " +
           "SELECT decile, n_tokens, new_types, cum_tokens, cum_types, " +
           "(cum_types * 10000) // cum_tokens AS ttr_bp FROM c ORDER BY decile"),
+
+      "text_oov_rate" ->
+        (s"WITH f AS (SELECT lang, tok, count(*)::BIGINT AS f FROM " +
+          s"(SELECT lang, unnest($toks) AS tok FROM documents) _ GROUP BY lang, tok), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk FROM f), " +
+          "iv AS (SELECT lang, count(*)::BIGINT AS vocab_size, CAST(sum(f) AS BIGINT) AS in_occ " +
+          "FROM r WHERE rk <= 16 GROUP BY lang), " +
+          "tot AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens, count(*)::BIGINT AS n_types " +
+          "FROM f GROUP BY lang) " +
+          "SELECT lang, n_tokens, n_types, vocab_size, " +
+          "n_tokens - in_occ AS oov_tokens, " +
+          "((n_tokens - in_occ) * 10000) // n_tokens AS oov_bp, " +
+          "n_types - vocab_size AS oov_types, " +
+          "((n_types - vocab_size) * 10000) // n_types AS type_oov_bp " +
+          "FROM tot JOIN iv USING (lang) ORDER BY lang"),
 
       "text_readability" ->
         (s"WITH c AS (SELECT doc_id, " +

@@ -242,6 +242,44 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("lag"))
     }),
 
+    // Lead-lag cross-correlation between event-TYPE daily series (does
+    // `error` lead a `purchase` drop?) — the pairwise extension of
+    // events_autocorr: r(x_t of type_a, y_{t+lag} of type_b) for lags
+    // {0, 1, 7} over the shared zero-filled day grids. lag 0 appears in
+    // both orientations (the matrix rendering); positive lags measure
+    // type_a LEADING type_b. Same exact-moment discipline: integer
+    // Σx/Σy/Σxy on the grid, one double sqrt at emission (IEEE sqrt is
+    // correctly rounded, engine-agnostic), zero-variance → NULL. Scale:
+    // the corpus collapses to the |types|×|days| grid before the pair
+    // join; everything after is grid²-sized (types², not days²).
+    "events_cross_correlation" -> ((s, d) => {
+      val grid = dayGrid(s, d)
+      val lags = Seq(0L, 1L, 7L)
+      val x = grid.select(col("event_type").as("type_a"),
+        col("day").as("dx"), col("n").as("nx"))
+      val y = grid.select(col("event_type").as("type_b"),
+        col("day").as("dy"), col("n").as("ny"))
+      x.crossJoin(broadcast(s.createDataFrame(lags.map(Tuple1(_))).toDF("lag")))
+        .join(y, col("dy") === col("dx") + col("lag") &&
+          col("type_a") =!= col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("lag"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("nx")).as("sx"), sum(col("ny")).as("sy"),
+          sum(expr("nx * nx")).as("sxx"), sum(expr("ny * ny")).as("syy"),
+          sum(expr("nx * ny")).as("sxy"))
+        .selectExpr("type_a", "type_b", "lag", "n_days",
+          "n_days * sxy - sx * sy AS cov_num",
+          "n_days * sxx - sx * sx AS var_x_num",
+          "n_days * syy - sy * sy AS var_y_num")
+        .selectExpr("type_a", "type_b", "lag", "n_days",
+          """CASE WHEN var_x_num = 0 OR var_y_num = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 /
+               sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT)
+             END AS r_ppm""")
+        .orderBy(asc("type_a"), asc("type_b"), asc("lag"))
+    }),
+
     // Integer EWMA anomaly detection per event type — the adaptive-
     // threshold twin of the median/MAD detector: level e and mean absolute
     // deviation v track the series recursively (e_d = (n_d + 3·e_{d-1})
@@ -672,6 +710,26 @@ object Timeseries {
           "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
           "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) END AS r_ppm " +
           "FROM m ORDER BY event_type, lag"),
+
+      "events_cross_correlation" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "lg(lag) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT))), " +
+          "j AS (SELECT x.event_type AS type_a, y.event_type AS type_b, lg.lag, " +
+          "x.n AS nx, y.n AS ny FROM z x CROSS JOIN lg JOIN z y " +
+          "ON y.day = x.day + lg.lag AND x.event_type <> y.event_type), " +
+          "a AS (SELECT type_a, type_b, lag, count(*) AS n_days, " +
+          "CAST(sum(nx) AS BIGINT) AS sx, CAST(sum(ny) AS BIGINT) AS sy, " +
+          "CAST(sum(nx * nx) AS BIGINT) AS sxx, CAST(sum(ny * ny) AS BIGINT) AS syy, " +
+          "CAST(sum(nx * ny) AS BIGINT) AS sxy FROM j GROUP BY type_a, type_b, lag), " +
+          "m AS (SELECT type_a, type_b, lag, n_days, " +
+          "n_days * sxy - sx * sy AS cov_num, " +
+          "n_days * sxx - sx * sx AS var_x_num, " +
+          "n_days * syy - sy * sy AS var_y_num FROM a) " +
+          "SELECT type_a, type_b, lag, n_days, " +
+          "CASE WHEN var_x_num = 0 OR var_y_num = 0 THEN NULL " +
+          "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
+          "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) END AS r_ppm " +
+          "FROM m ORDER BY type_a, type_b, lag"),
 
       "events_ewma_anomaly" ->
         // the EWMA recursion as a recursive CTE stepping day+1 on the

@@ -1106,4 +1106,44 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q corpus join degenerated")
     }
   }
+
+  test("embedding_bitext_mining: native vec_dot kernel, probe/candidate " +
+      "sides broadcast, rank-pruned neighborhoods") {
+    val p = planOf("embedding_bitext_mining")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe side not broadcast against the corpus scan")
+    assert(p.contains("WindowGroupLimit"),
+      "k-NN neighborhoods lost rank pushdown (full sort)")
+  }
+
+  test("text_kn_bigram_prob: bigram census map-side combined on hash keys, " +
+      "Ndd a broadcast scalar, top-3 rank-pruned") {
+    val p = planOf("text_kn_bigram_prob")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("word_hashes"), "tokenization not the native kernel")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "bigram census lost map-side combine")
+    assert(p.contains("WindowGroupLimit"), "top-3 lost rank pushdown")
+    assert(!p.contains("CartesianProduct"), "census join degenerated")
+  }
+
+  test("graph_trade_reciprocity: dims broadcast, one shuffle join on the " +
+      "fact tables, grid-sized mirror join") {
+    val p = planOf("graph_trade_reciprocity")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("BroadcastExchange"), "nation dims not broadcast")
+    assert(p.contains("partial_"), "flow census lost partial aggregation")
+    assert(!p.contains("Window ["), "grew a window over the flow grid")
+  }
+
+  test("events_cross_correlation: corpus collapses to the day grid before " +
+      "the pair join; lag relation broadcast") {
+    val p = planOf("events_cross_correlation")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "day-grid census lost map-side combine")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), "lag/grid side not broadcast")
+  }
 }
