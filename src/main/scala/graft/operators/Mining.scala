@@ -229,6 +229,63 @@ object Mining {
           "CAST((mutual_e8 * 10000) div flow_e8 AS BIGINT) AS pair_recip_bp",
           "CAST((t_mutual * 10000) div t_flow AS BIGINT) AS global_recip_bp")
         .orderBy(asc("src_nation"), asc("dst_nation"))
+    }),
+
+    // Joint census of the Gopher quality-gate decision × exact-redundancy
+    // status per language — the curation diagnostic every pipeline wants
+    // before wiring gate→dedup→sample: are the docs dedup would drop
+    // disproportionately the ones the gate would keep? A doc is
+    // `redundant` when its exact content group (md5, the dedup_exact
+    // grouping) has >1 member and the doc is not the keeper (min doc_id —
+    // the dedup_keep_best convention). The gate bit is the SHARED
+    // qualityOk rendering (one decision expression per engine, same as
+    // training_data_factory). Scale: one content-hash census (the
+    // dedup_exact shuffle) + a grid-sized share attach; output ≤ langs×4.
+    "curation_gate_overlap" -> ((s, d) => {
+      val perDoc = docs(s, d)
+        .selectExpr("lang", "doc_id", "md5(text) AS h",
+          s"CAST(CASE WHEN ${TextAnalysis.qualityOkSpark(tokensSpark("text"))} " +
+            "THEN 1 ELSE 0 END AS BIGINT) AS gate_pass")
+      val groups = perDoc.groupBy(col("h"))
+        .agg(count(lit(1)).as("grp_n"), min(col("doc_id")).as("keeper"))
+      val grid = perDoc.join(groups, Seq("h"))
+        .selectExpr("lang", "gate_pass",
+          "CAST(CASE WHEN grp_n > 1 AND doc_id != keeper THEN 1 ELSE 0 END AS BIGINT) AS redundant")
+        .groupBy(col("lang"), col("gate_pass"), col("redundant"))
+        .agg(count(lit(1)).as("n_docs"))
+        .transform(CacheScope.persist)
+      val tot = grid.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_docs"))
+      grid.join(broadcast(tot), Seq("lang"))
+        .selectExpr("lang", "gate_pass", "redundant", "n_docs",
+          "(n_docs * 10000) div lang_docs AS share_bp")
+        .orderBy(asc("lang"), asc("gate_pass"), asc("redundant"))
+    }),
+
+    // Church–Gale token burstiness per language: burstiness = cf/df (mean
+    // occurrences per CONTAINING doc, in bp) — a bursty token concentrates
+    // in few docs (boilerplate, navigation chrome, code); a well-behaved
+    // content word tracks its document frequency. The standard cheap
+    // boilerplate detector at corpus scale. df floor of 5 kills hapax
+    // noise; top-10 per language by (burstiness desc, token asc). Scale:
+    // TWO map-side-combined censuses (occurrences; per-doc-distinct for
+    // df) joined at vocabulary size; rank via WindowGroupLimit.
+    "text_token_burstiness" -> ((s, d) => {
+      val toks = docs(s, d)
+        .selectExpr("lang", "doc_id", s"explode(${tokensSpark("text")}) AS tok")
+        .transform(CacheScope.persist)
+      val cf = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cf"))
+      val df = toks.select(col("lang"), col("doc_id"), col("tok")).distinct()
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+      cf.join(df, Seq("lang", "tok"))
+        .filter(col("df") >= 5)
+        .selectExpr("lang", "tok", "cf", "df", "(cf * 10000) div df AS burst_bp")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(desc("burst_bp"), asc("tok"))))
+        .filter(col("rk") <= 10)
+        .selectExpr("lang", "tok", "cf", "df", "burst_bp", "CAST(rk AS BIGINT) AS rk")
+        .orderBy(asc("lang"), asc("rk"))
     })
   )
 
@@ -296,6 +353,32 @@ object Mining {
         "CAST(flow_e8 AS VARCHAR) AS flow_e8, CAST(mutual_e8 AS VARCHAR) AS mutual_e8, " +
         "CAST((mutual_e8 * 10000) // flow_e8 AS BIGINT) AS pair_recip_bp, " +
         "CAST((t_mutual * 10000) // t_flow AS BIGINT) AS global_recip_bp " +
-        "FROM p CROSS JOIN g ORDER BY src_nation, dst_nation")
+        "FROM p CROSS JOIN g ORDER BY src_nation, dst_nation"),
+
+    "curation_gate_overlap" ->
+      (s"WITH pd AS (SELECT lang, doc_id, md5(text) AS h, " +
+        s"CAST(CASE WHEN ${TextAnalysis.qualityOkDuck(tokensDuck("text"))} " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS gate_pass FROM documents), " +
+        "g AS (SELECT h, count(*) AS grp_n, min(doc_id) AS keeper FROM pd GROUP BY h), " +
+        "x AS (SELECT lang, gate_pass, " +
+        "CAST(CASE WHEN grp_n > 1 AND doc_id != keeper THEN 1 ELSE 0 END AS BIGINT) AS redundant " +
+        "FROM pd JOIN g USING (h)), " +
+        "grid AS (SELECT lang, gate_pass, redundant, count(*)::BIGINT AS n_docs " +
+        "FROM x GROUP BY 1, 2, 3), " +
+        "t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM grid GROUP BY lang) " +
+        "SELECT lang, gate_pass, redundant, n_docs, " +
+        "(n_docs * 10000) // lang_docs AS share_bp " +
+        "FROM grid JOIN t USING (lang) ORDER BY lang, gate_pass, redundant"),
+
+    "text_token_burstiness" ->
+      (s"WITH tk AS (SELECT lang, doc_id, unnest(${tokensDuck("text")}) AS tok FROM documents), " +
+        "cf AS (SELECT lang, tok, count(*)::BIGINT AS cf FROM tk GROUP BY 1, 2), " +
+        "df AS (SELECT lang, tok, count(*)::BIGINT AS df FROM " +
+        "(SELECT DISTINCT lang, doc_id, tok FROM tk) _ GROUP BY 1, 2), " +
+        "b AS (SELECT lang, tok, cf, df, (cf * 10000) // df AS burst_bp " +
+        "FROM cf JOIN df USING (lang, tok) WHERE df >= 5), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY burst_bp DESC, tok) AS rk FROM b) " +
+        "SELECT lang, tok, cf, df, burst_bp, CAST(rk AS BIGINT) AS rk " +
+        "FROM r WHERE rk <= 10 ORDER BY lang, rk")
   )
 }

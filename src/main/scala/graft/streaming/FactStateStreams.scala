@@ -1315,4 +1315,62 @@ object FactStateStreams {
         }
       }
   }
+
+  /** One probe's live neighborhood — ids and cosines (ppm) in rank order. */
+  final case class KnnUpdate(
+      probeId: Long, seq: Long, nSeen: Long,
+      neighborIds: Seq[Long], neighborCos: Seq[Long])
+
+  /** Per-probe cursor: arrivals seen + the current top-k, kept sorted by
+    * (cos desc, id asc) — k entries, constant width. */
+  final case class KnnState(seq: Long, nSeen: Long, ids: Seq[Long], cos: Seq[Long])
+
+  /** Live k-NN neighborhood maintenance (twenty-sixth face): a pinned
+    * probe set watches a stream of arriving vectors, and each probe's
+    * top-k cosine neighborhood updates as the index ingests — the online
+    * half of `embedding_bitext_mining`'s forward pass (its Σ_k fwd margin
+    * denominator is exactly `neighborCos.sum` here) and of any
+    * streaming-recall ANN dashboard. The scan side is stateless (each
+    * arrival scores against the ≤ |probes| broadcast closure — the batch
+    * bruteforce shape); the fold is a commutative top-k set-merge under
+    * the TOTAL order (cos desc, id asc), so arrival order and batch
+    * splits cannot change the final neighborhood. Cosines ride the same
+    * strict index-order IEEE accumulation as the vec_dot kernel, so the
+    * final state is bit-equal to the batch ranking. State: one k-entry
+    * row per probe — |probes| rows forever, independent of stream
+    * length. */
+  def knnMaintenance(spark: SparkSession, vectors: DataFrame,
+      probes: Seq[(Long, Array[Double])], k: Int): Dataset[KnnUpdate] = {
+    import spark.implicits._
+    vectors
+      .selectExpr("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        probes.map { case (pid, pv) =>
+          var dot = 0.0; var nv = 0.0; var np = 0.0; var i = 0
+          while (i < pv.length) {
+            val x = v(i).toDouble
+            dot += pv(i) * x; np += pv(i) * pv(i); nv += x * x; i += 1
+          }
+          (pid, id,
+            math.floor(dot / (math.sqrt(np) * math.sqrt(nv)) * 1000000).toLong)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KnnState, KnnUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (pid, rows, state) =>
+        val prev = state.getOption.getOrElse(KnnState(0L, 0L, Seq.empty, Seq.empty))
+        var merged = prev.ids.zip(prev.cos).map { case (i, c) => (c, i) }
+        var n = prev.nSeen; var any = false
+        rows.foreach { case (_, id, c) => any = true; n += 1; merged :+= ((c, id)) }
+        if (!any) Iterator.empty
+        else {
+          val top = merged.distinct.sortBy { case (c, i) => (-c, i) }.take(k)
+          val next = KnnState(prev.seq + 1, n, top.map(_._2), top.map(_._1))
+          state.update(next)
+          Iterator.single(KnnUpdate(pid, next.seq, n, next.ids, next.cos))
+        }
+      }
+  }
 }

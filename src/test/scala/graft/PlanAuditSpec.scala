@@ -1146,4 +1146,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), "lag/grid side not broadcast")
   }
+
+  test("curation_gate_overlap: content-hash census map-side combined, " +
+      "lang totals broadcast onto the grid, no corpus window") {
+    val p = planOf("curation_gate_overlap")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "hash census lost map-side combine")
+    assert(p.contains("BroadcastExchange"), "lang totals not broadcast")
+    assert(!p.contains("Window ["), "grew a window over the corpus")
+    assert(!p.contains("CartesianProduct"), "census join degenerated")
+  }
+
+  test("text_token_burstiness: cf and df censuses both map-side combined, " +
+      "vocabulary-sized join, top-10 rank-pruned") {
+    val p = planOf("text_token_burstiness")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "token censuses lost map-side combine")
+    assert(p.contains("WindowGroupLimit"), "top-10 lost rank pushdown")
+    assert(!p.contains("CartesianProduct"), "census join degenerated")
+  }
 }

@@ -448,4 +448,47 @@ class StreamingRecoverySpec extends AnyFunSuite {
           s"bucket $b: seq did not continue across restart")
     }
   }
+
+  // -- knnMaintenance: per-probe top-k list + arrival counter ---------------
+
+  test("knnMaintenance recovers its neighborhoods: a pre-restart neighbor " +
+      "that phase 2 cannot re-deliver must survive in the final top-k") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = vecs.take(4)
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+    val pool = vecs.slice(4, 34).toSeq
+    def vf(v: (Long, Seq[Float])) =
+      FactInput("vec", v._1.toString, Array[Byte](1),
+        tags = Map("emb" -> v._2.map(_.toString).mkString(",")))
+    // phase 1 holds HALF the pool — its best neighbors exist only in
+    // pre-restart state; a reset would rebuild the top-k from phase 2 only
+    val (phase1, phase2) = pool.splitAt(15)
+    val (o1, o2, oU) = runBoth("update", phase1.map(vf), phase2.map(vf))(df =>
+      FactStateStreams.knnMaintenance(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS vec_id",
+        "transform(split(tags['emb'], ','), x -> CAST(x AS FLOAT)) AS embedding"),
+        probes, k = 4))
+    def fin(rows: Seq[KnnUpdate]): Map[Long, (Long, Seq[Long], Seq[Long])] =
+      rows.groupBy(_.probeId).map { case (p, rs) =>
+        val last = rs.maxBy(_.seq)
+        p -> ((last.nSeen, last.neighborIds, last.neighborCos))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    // counters cumulative across the restart (phase-2-only state would
+    // count 15, not 30)
+    assert(fin(o1 ++ o2).values.forall(_._1 == pool.size.toLong))
+    // the final neighborhoods must draw from BOTH phases' id ranges
+    // somewhere, else the scenario never exercised survival
+    val allNbrs = fin(o1 ++ o2).values.flatMap(_._2).toSet
+    assert(allNbrs.exists(id => phase1.exists(_._1 == id)) &&
+      allNbrs.exists(id => phase2.exists(_._1 == id)),
+      "degenerate corpus: neighborhoods drawn from one phase only")
+    o2.groupBy(_.probeId).foreach { case (p, rs) =>
+      val before = o1.filter(_.probeId == p).map(_.seq)
+      assert(before.nonEmpty && rs.map(_.seq).min > before.max,
+        s"probe $p: seq did not continue across restart")
+    }
+  }
 }

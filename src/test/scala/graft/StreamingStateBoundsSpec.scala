@@ -220,4 +220,23 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != $nBuckets occupied buckets (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("knnMaintenance state rows stay = n_probes (k-entry top list inside)") {
+    val s0 = spark; import s0.implicits._
+    val vecs = s0.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probes = vecs.take(6)
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+    // 10 batches over a fixed 24-vector pool (repeats churn the candidate
+    // merge): state must hold exactly |probes| keys at any stream length
+    val pool = vecs.slice(6, 30).toSeq
+    val batches = (0 until 10).map(b => pool.drop(b % 3))
+    val st = drive[(Long, Seq[Float])]("knnm", batches,
+      df => FactStateStreams.knnMaintenance(spark, df, probes, k = 4),
+      ms => ms.toDF().toDF("vec_id", "embedding"))
+    assert(st.maxRows == probes.size.toLong,
+      s"state keys ${st.maxRows} != ${probes.size} probes (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
