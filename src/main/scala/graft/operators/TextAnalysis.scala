@@ -505,6 +505,33 @@ object TextAnalysis {
         .orderBy(asc("decile"))
     }),
 
+    // Code-switch / mixed-language detector: a doc whose SECOND-best
+    // stoplist score is at least half its best (and ≥ 2 absolute hits)
+    // carries two languages' function words — the docs a single-label
+    // langid mislabels and a monolingual filter should route to review.
+    // Census per labeled language: n_docs, n_switched, switch_bp. Same
+    // stoplist scores as text_langid (shared literal lists); the top-2 of
+    // the 5 scores comes from one 5-element array sort — constant work
+    // per row, pure map-side scan + grid census.
+    "text_code_switch" -> ((s, d) => {
+      val withScores = StopLists.foldLeft(docs(s, d)) { case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang", expr(
+          s"""CAST(size(filter(${tokensSpark("text")},
+              t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"""))
+      }
+      val arr = StopLists.map { case (l, _) => s"s_$l" }.mkString("array(", ", ", ")")
+      withScores
+        .selectExpr("lang", s"array_sort($arr) AS sc")
+        .selectExpr("lang", "element_at(sc, 5) AS s1", "element_at(sc, 4) AS s2")
+        .selectExpr("lang",
+          "CAST(CASE WHEN s2 * 2 >= s1 AND s2 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS switched")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("switched")).as("n_switched"))
+        .selectExpr("lang", "n_docs", "n_switched",
+          "(n_switched * 10000) div n_docs AS switch_bp")
+        .orderBy(asc("lang"))
+    }),
+
     // Out-of-vocabulary census per language against the top-16 unigram
     // vocabulary — the SentencePiece "character coverage" analogue at word
     // granularity: what fraction of token OCCURRENCES (and of distinct
@@ -818,6 +845,18 @@ object TextAnalysis {
           "CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_types FROM g) " +
           "SELECT decile, n_tokens, new_types, cum_tokens, cum_types, " +
           "(cum_types * 10000) // cum_tokens AS ttr_bp FROM c ORDER BY decile"),
+
+      "text_code_switch" -> {
+        val scores = StopLists.map { case (l, words) =>
+          s"CAST(len(list_filter($toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
+        }.mkString("[", ", ", "]")
+        (s"WITH sc AS (SELECT lang, list_sort($scores) AS a FROM documents), " +
+          "s AS (SELECT lang, list_extract(a, 5) AS s1, list_extract(a, 4) AS s2 FROM sc), " +
+          "f AS (SELECT lang, CAST(CASE WHEN s2 * 2 >= s1 AND s2 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS switched FROM s) " +
+          "SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(switched) AS BIGINT) AS n_switched, " +
+          "(CAST(sum(switched) AS BIGINT) * 10000) // count(*) AS switch_bp " +
+          "FROM f GROUP BY lang ORDER BY lang")
+      },
 
       "text_oov_rate" ->
         (s"WITH f AS (SELECT lang, tok, count(*)::BIGINT AS f FROM " +

@@ -1165,4 +1165,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "top-10 lost rank pushdown")
     assert(!p.contains("CartesianProduct"), "census join degenerated")
   }
+
+  test("retrieval_mmr_rerank: greedy result is a bounded local relation " +
+      "(the corpus-scale BM25/token passes are collected grid-sized, " +
+      "never re-planned per greedy step)") {
+    // the recursive-DataFrame rendering re-planned a 2^picks-branch tree
+    // (measured 60× slower); the pinned shape runs the greedy driver-side
+    // on queries×10-sized collects — the final plan must be a local scan
+    val p = planOf("retrieval_mmr_rerank")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "greedy output not a bounded local relation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "greedy steps leaked back into the distributed plan")
+  }
+
+  test("basket_lift: in-row pair generation (no corpus self-join), " +
+      "margins map-side combined, scalar attach broadcast") {
+    val p = planOf("basket_lift")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "censuses lost map-side combine")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastExchange"),
+      "margins join lost its broadcast/grid shape")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "item sets re-derived for margins vs pairs")
+  }
+
+  test("ann_knn_calibration: native vec_dot kernel, top-5 rank-pruned") {
+    val p = planOf("ann_knn_calibration")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("WindowGroupLimit"), "top-5 lost rank pushdown")
+  }
+
+  test("text_code_switch: single map-side scan to a language grid, " +
+      "no window, no join") {
+    val p = planOf("text_code_switch")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "census lost map-side combine")
+    assert(!p.contains("Window ["), "grew a window")
+    assert(!p.contains("Join"), "grew a join — should be one scan")
+  }
 }
