@@ -601,6 +601,63 @@ object Dedup {
         .orderBy(asc("lang"))
     }),
 
+    // The funnel extended with the round-12 monolingual gate: a
+    // code-switched doc (second-best stoplist score ≥ half the best — the
+    // text_code_switch decision, one shared rendering per engine) drops
+    // FIRST, before quality/soft-dedup/decontamination — mixed-language
+    // docs poison monolingual LM training regardless of their other
+    // merits, so they must not consume dedup or decontamination work.
+    // Everything else is corpus_pipeline_v3 verbatim (prefix-AND stage
+    // flags, first-failing-stage attribution, one corpus pass).
+    "corpus_pipeline_v4" -> ((s, d) => {
+      val base = docs(s, d)
+        .selectExpr("doc_id", "lang", s"${tokensSpark("text")} AS toks")
+        .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n_tokens",
+          "(CAST(size(array_distinct(toks)) AS BIGINT) * 10000) div greatest(size(toks), 1) AS ttr_bp",
+          s"${TextAnalysis.codeSwitchedSpark("toks")} AS mixed")
+        .transform(CacheScope.persist)
+      val labels = connectedComponents(
+        minhashVerified(s, d).select(col("doc_a"), col("doc_b")))
+      val csize = labels.join(
+          labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize")),
+          Seq("cluster_id"))
+        .select(col("doc_id").as("sdoc"), col("csize"))
+      val sig = signatures(s, d)
+      val m = TrainingPipeline.FuzzyBenchMod
+      val bench = sig.filter(col("doc_id") % m === 0)
+      val corpus = sig.filter(col("doc_id") % m =!= 0)
+      val cont = bandsOf(corpus).as("c")
+        .join(broadcast(bandsOf(bench)).as("b"),
+          col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+        .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd")).distinct()
+        .join(corpus.select(col("doc_id"), col("sh")).as("l"), col("cd") === col("l.doc_id"))
+        .join(broadcast(bench.select(col("doc_id"), col("sh")).as("r")), col("bd") === col("r.doc_id"))
+        .filter(expr("(CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) * 10000)" +
+          s" div size(r.sh) >= ${TrainingPipeline.FuzzyContainmentMinBp}L"))
+        .select(col("cd").as("fdoc")).distinct()
+      base
+        .join(csize, col("doc_id") === col("sdoc"), "left")
+        .join(cont.withColumn("is_cont", lit(1)), col("doc_id") === col("fdoc"), "left")
+        .selectExpr("lang", "n_tokens",
+          "NOT mixed AS s1",
+          "ttr_bp >= 5000 AS q",
+          s"(${charHashSpark("CAST(doc_id AS STRING)")} * ${CoinScramble}L) % ${P}L" +
+            " % coalesce(csize, 1L) = 0 AS keepcoin",
+          s"doc_id % ${m}L <> 0 AND is_cont IS NULL AS clean")
+        .selectExpr("lang", "n_tokens", "s1",
+          "s1 AND q AS s2", "s1 AND q AND keepcoin AS s3",
+          "s1 AND q AND keepcoin AND clean AS s4")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("s1"), 1L).otherwise(0L)).as("n_dropped_mixed"),
+          sum(when(col("s1") && !col("s2"), 1L).otherwise(0L)).as("n_dropped_quality"),
+          sum(when(col("s2") && !col("s3"), 1L).otherwise(0L)).as("n_dropped_softdup"),
+          sum(when(col("s3") && !col("s4"), 1L).otherwise(0L)).as("n_dropped_contaminated"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("s4"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .orderBy(asc("lang"))
+    }),
+
     // SoftDeDup: instead of the hard keep-one-per-cluster rule, every doc
     // survives with probability 1/|its near-dup cluster| via a
     // deterministic scrambled coin (h(doc_id) mod cluster_size == 0) —
@@ -1154,6 +1211,43 @@ object Dedup {
           "CAST(sum(CASE WHEN s1 AND keepcoin AND NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_contaminated, " +
           "CAST(sum(CASE WHEN s1 AND keepcoin AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "CAST(sum(CASE WHEN s1 AND keepcoin AND clean THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
+          "FROM f GROUP BY lang ORDER BY lang"
+      },
+      "corpus_pipeline_v4" -> {
+        val m = TrainingPipeline.FuzzyBenchMod
+        val fc = TrainingPipeline.FuzzyContainmentMinBp
+        val toks = tokensDuck("text")
+        s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.v), " +
+          "lab AS (SELECT u AS cdoc, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          "cs AS (SELECT cdoc, count(*) OVER (PARTITION BY cluster_id) AS csize FROM lab), " +
+          "fz AS (SELECT DISTINCT c.doc_id AS fdoc FROM bands c " +
+          "JOIN bands b2 ON c.band = b2.band AND c.bkey = b2.bkey " +
+          s"AND c.doc_id % $m <> 0 AND b2.doc_id % $m = 0 " +
+          "JOIN sigs l ON c.doc_id = l.doc_id JOIN sigs r ON b2.doc_id = r.doc_id " +
+          s"WHERE (len(list_intersect(l.sh, r.sh)) * 10000) // len(r.sh) >= $fc), " +
+          s"base AS (SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp, " +
+          s"${TextAnalysis.codeSwitchedDuck(toks)} AS mixed, " +
+          s"(${charHashDuck("CAST(doc_id AS VARCHAR)")} * $CoinScramble) % $P AS h FROM documents), " +
+          "f AS (SELECT b.lang, b.n_tokens, " +
+          "NOT b.mixed AS s1, b.ttr_bp >= 5000 AS q, " +
+          "b.h % COALESCE(c.csize, 1) = 0 AS keepcoin, " +
+          s"b.doc_id % $m <> 0 AND fz.fdoc IS NULL AS clean " +
+          "FROM base b LEFT JOIN cs c ON b.doc_id = c.cdoc " +
+          "LEFT JOIN fz ON b.doc_id = fz.fdoc) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_mixed, " +
+          "CAST(sum(CASE WHEN s1 AND NOT q THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality, " +
+          "CAST(sum(CASE WHEN s1 AND q AND NOT keepcoin THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_softdup, " +
+          "CAST(sum(CASE WHEN s1 AND q AND keepcoin AND NOT clean THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_contaminated, " +
+          "CAST(sum(CASE WHEN s1 AND q AND keepcoin AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN s1 AND q AND keepcoin AND clean THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
           "FROM f GROUP BY lang ORDER BY lang"
       },
       "sample_soft_dedup" ->

@@ -48,6 +48,27 @@ object TextAnalysis {
       s"(CAST(size(filter($toks, t -> t IN (${allStop.map("'" + _ + "'").mkString(",")}))) AS BIGINT) >= 2))"
   }
 
+  /** The code-switch decision as ONE boolean over a token-array
+    * expression — second-best stoplist score ≥ half the best and ≥ 2 hits
+    * (the text_code_switch rule, factored so corpus_pipeline_v4 applies
+    * the identical decision; one rendering per engine). */
+  private[operators] def codeSwitchedSpark(toks: String): String = {
+    val arr = StopLists.map { case (_, ws) =>
+      s"CAST(size(filter($toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
+    }.mkString("array(", ", ", ")")
+    s"(element_at(array_sort($arr), 4) * 2 >= element_at(array_sort($arr), 5) " +
+      s"AND element_at(array_sort($arr), 4) >= 2)"
+  }
+
+  /** DuckDB twin of [[codeSwitchedSpark]]. */
+  private[operators] def codeSwitchedDuck(toks: String): String = {
+    val arr = StopLists.map { case (_, ws) =>
+      s"CAST(len(list_filter($toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
+    }.mkString("[", ", ", "]")
+    s"(list_extract(list_sort($arr), 4) * 2 >= list_extract(list_sort($arr), 5) " +
+      s"AND list_extract(list_sort($arr), 4) >= 2)"
+  }
+
   /** DuckDB twin of [[qualityOkSpark]] (identical rules and arithmetic). */
   private[operators] def qualityOkDuck(toks: String): String = {
     val allStop = StopLists.flatMap(_._2).distinct.sorted
@@ -513,24 +534,16 @@ object TextAnalysis {
     // stoplist scores as text_langid (shared literal lists); the top-2 of
     // the 5 scores comes from one 5-element array sort — constant work
     // per row, pure map-side scan + grid census.
-    "text_code_switch" -> ((s, d) => {
-      val withScores = StopLists.foldLeft(docs(s, d)) { case (df, (lang, words)) =>
-        df.withColumn(s"s_$lang", expr(
-          s"""CAST(size(filter(${tokensSpark("text")},
-              t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"""))
-      }
-      val arr = StopLists.map { case (l, _) => s"s_$l" }.mkString("array(", ", ", ")")
-      withScores
-        .selectExpr("lang", s"array_sort($arr) AS sc")
-        .selectExpr("lang", "element_at(sc, 5) AS s1", "element_at(sc, 4) AS s2")
+    "text_code_switch" -> ((s, d) =>
+      docs(s, d)
         .selectExpr("lang",
-          "CAST(CASE WHEN s2 * 2 >= s1 AND s2 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS switched")
+          s"CAST(CASE WHEN ${codeSwitchedSpark(tokensSpark("text"))} " +
+            "THEN 1 ELSE 0 END AS BIGINT) AS switched")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("switched")).as("n_switched"))
         .selectExpr("lang", "n_docs", "n_switched",
           "(n_switched * 10000) div n_docs AS switch_bp")
-        .orderBy(asc("lang"))
-    }),
+        .orderBy(asc("lang"))),
 
     // Out-of-vocabulary census per language against the top-16 unigram
     // vocabulary — the SentencePiece "character coverage" analogue at word
@@ -846,17 +859,12 @@ object TextAnalysis {
           "SELECT decile, n_tokens, new_types, cum_tokens, cum_types, " +
           "(cum_types * 10000) // cum_tokens AS ttr_bp FROM c ORDER BY decile"),
 
-      "text_code_switch" -> {
-        val scores = StopLists.map { case (l, words) =>
-          s"CAST(len(list_filter($toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"
-        }.mkString("[", ", ", "]")
-        (s"WITH sc AS (SELECT lang, list_sort($scores) AS a FROM documents), " +
-          "s AS (SELECT lang, list_extract(a, 5) AS s1, list_extract(a, 4) AS s2 FROM sc), " +
-          "f AS (SELECT lang, CAST(CASE WHEN s2 * 2 >= s1 AND s2 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS switched FROM s) " +
+      "text_code_switch" ->
+        (s"WITH f AS (SELECT lang, CAST(CASE WHEN ${codeSwitchedDuck(toks)} " +
+          "THEN 1 ELSE 0 END AS BIGINT) AS switched FROM documents) " +
           "SELECT lang, count(*)::BIGINT AS n_docs, CAST(sum(switched) AS BIGINT) AS n_switched, " +
           "(CAST(sum(switched) AS BIGINT) * 10000) // count(*) AS switch_bp " +
-          "FROM f GROUP BY lang ORDER BY lang")
-      },
+          "FROM f GROUP BY lang ORDER BY lang"),
 
       "text_oov_rate" ->
         (s"WITH f AS (SELECT lang, tok, count(*)::BIGINT AS f FROM " +

@@ -242,6 +242,31 @@ object Timeseries {
         .orderBy(asc("event_type"), asc("lag"))
     }),
 
+    // Variance-to-mean dispersion index per event type over the
+    // zero-filled day grid — the day-granularity burstiness gauge: D ≈ 1
+    // is Poisson-compatible arrivals, D ≫ 1 is bursty/clumped traffic
+    // (retries, batch jobs, incidents), D < 1 is super-regular (rate
+    // limiting, schedulers). D = var/mean = (d·Σn² − (Σn)²)/(d·Σn),
+    // e4-exact; the moment products are corpus-count-squared-sized so
+    // they ride DECIMAL(38,0)/HUGEINT (the events_user_gini discipline).
+    // Scale: the corpus collapses to the day grid; output is |types|.
+    "events_dispersion_index" -> ((s, d) => {
+      dayGrid(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("sn"),
+          sum(expr("n * n")).as("snn"))
+        .selectExpr("event_type", "n_days", "sn AS n_events",
+          "(sn * 10000) div n_days AS mean_e4",
+          """CASE WHEN sn = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(((CAST(n_days AS DECIMAL(38,0)) * snn - CAST(sn AS DECIMAL(38,0)) * sn)
+               * 10000) div (CAST(n_days AS DECIMAL(38,0)) * sn) AS BIGINT)
+             END AS dispersion_e4""")
+        .selectExpr("event_type", "n_days", "n_events", "mean_e4", "dispersion_e4",
+          "CAST(CASE WHEN dispersion_e4 > 10000 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed")
+        .orderBy(asc("event_type"))
+    }),
+
     // Lead-lag cross-correlation between event-TYPE daily series (does
     // `error` lead a `purchase` drop?) — the pairwise extension of
     // events_autocorr: r(x_t of type_a, y_{t+lag} of type_b) for lags
@@ -710,6 +735,22 @@ object Timeseries {
           "ELSE CAST(floor(CAST(cov_num AS DOUBLE) * 1000000.0 / " +
           "sqrt(CAST(var_x_num AS DOUBLE) * CAST(var_y_num AS DOUBLE))) AS BIGINT) END AS r_ppm " +
           "FROM m ORDER BY event_type, lag"),
+
+      "events_dispersion_index" ->
+        (s"WITH b AS ($base), $zeroFilledGrid, " +
+          "a AS (SELECT event_type, count(*) AS n_days, " +
+          "CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n * n) AS BIGINT) AS snn " +
+          "FROM z GROUP BY event_type) " +
+          "SELECT event_type, n_days, sn AS n_events, " +
+          "(sn * 10000) // n_days AS mean_e4, " +
+          "CASE WHEN sn = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(((CAST(n_days AS HUGEINT) * snn - CAST(sn AS HUGEINT) * sn) " +
+          "* 10000) // (CAST(n_days AS HUGEINT) * sn) AS BIGINT) END AS dispersion_e4, " +
+          "CAST(CASE WHEN (CASE WHEN sn = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST(((CAST(n_days AS HUGEINT) * snn - CAST(sn AS HUGEINT) * sn) " +
+          "* 10000) // (CAST(n_days AS HUGEINT) * sn) AS BIGINT) END) > 10000 " +
+          "THEN 1 ELSE 0 END AS BIGINT) AS overdispersed " +
+          "FROM a ORDER BY event_type"),
 
       "events_cross_correlation" ->
         (s"WITH b AS ($base), $zeroFilledGrid, " +

@@ -1206,4 +1206,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "grew a window")
     assert(!p.contains("Join"), "grew a join — should be one scan")
   }
+
+  test("corpus_pipeline_v4: one corpus pass, bench side broadcast, " +
+      "no cartesian anywhere in the funnel") {
+    val p = planOf("corpus_pipeline_v4")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "funnel rollup lost map-side combine")
+    assert(p.contains("BroadcastExchange"), "bench/contamination side not broadcast")
+    assert(!p.contains("CartesianProduct"), "funnel join degenerated")
+  }
+
+  test("events_dispersion_index: corpus collapses to the day grid; " +
+      "moments ride DECIMAL(38,0); types-sized output, no window") {
+    val p = planOf("events_dispersion_index")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "grid census lost map-side combine")
+    assert(!p.contains("Window ["), "grew a window over the grid")
+    assert(p.contains("decimal(38,0)"), "moment products left DECIMAL(38,0)")
+  }
 }

@@ -491,4 +491,77 @@ class StreamingRecoverySpec extends AnyFunSuite {
         s"probe $p: seq did not continue across restart")
     }
   }
+
+  // -- transitions: one string of Markov state per user ---------------------
+
+  test("transitions recovers per-user last types: the cross-restart " +
+      "transition emits exactly once and matches the uninterrupted run") {
+    val T0 = 1700000000000000L
+    def ef(uid: Long, typ: String, us: Long, eid: Long) =
+      FactInput("e", uid.toString, Array[Byte](1),
+        tags = Map("t" -> typ, "us" -> us.toString, "eid" -> eid.toString))
+    // user 1: view(p1) -> click(p2); user 2: click,view(p1) -> purchase(p2)
+    val phase1 = Seq(ef(1, "view", T0, 1), ef(2, "click", T0 + 10, 2),
+      ef(2, "view", T0 + 20, 3))
+    val phase2 = Seq(ef(1, "click", T0 + 30, 4), ef(2, "purchase", T0 + 40, 5))
+    def face(df: DataFrame) =
+      FactStateStreams.transitions(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS user_id", "tags['t'] AS event_type",
+        "timestamp_micros(CAST(tags['us'] AS BIGINT)) AS ts",
+        "CAST(tags['eid'] AS BIGINT) AS event_id"))
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(face)
+    def key(t: Transition) = (t.userId, t.prevType, t.nextType, t.tsUs)
+    assert((o1 ++ o2).map(key).sorted == oU.map(key).sorted,
+      s"${o1 ++ o2} vs $oU")
+    // the cross-boundary transitions exist and emit in phase 2 ONLY —
+    // a reset state would treat the phase-2 event as a user's first
+    assert(o2.map(key).contains((1L, "view", "click", T0 + 30)))
+    assert(o2.map(key).contains((2L, "view", "purchase", T0 + 40)))
+    assert((o1 ++ o2).map(key).distinct.size == (o1 ++ o2).size,
+      "a transition emitted twice across the restart")
+  }
+
+  // -- ewmaAnomaly: recursive (level, deviation) state ----------------------
+
+  test("ewmaAnomaly recovers its level: a post-restart spike is judged " +
+      "against the PRE-restart EWMA, not re-seeded") {
+    val T0 = 1700000000000000L
+    val DayUs = 86400L * 1000000
+    def ef(typ: String, day: Long, i: Long) =
+      FactInput("e", typ, Array[Byte](1),
+        tags = Map("us" -> (T0 + day * DayUs + i * 1000).toString))
+    // phase 1: 3 quiet days of 4 events; phase 2: a 20-event spike day
+    // then a flush day. A reset state would SEED on the spike (no flag).
+    val phase1 = (0L to 2L).flatMap(d => (1L to 4L).map(i => ef("a", d, i)))
+    val phase2 = (1L to 20L).map(i => ef("a", 3, i)) :+ ef("a", 4, 1)
+    def face(df: DataFrame) =
+      FactStateStreams.ewmaAnomaly(spark, df.selectExpr(
+        "subject AS event_type",
+        "timestamp_micros(CAST(tags['us'] AS BIGINT)) AS ts"))
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(face)
+    def key(u: EwmaUpdate) = (u.eventType, u.day, u.n, u.ewmaPrev, u.dev, u.isAnomaly)
+    assert((o1 ++ o2).map(key).sorted == oU.map(key).sorted,
+      s"${o1 ++ o2} vs $oU")
+    val spikeDay = (T0 + 3 * DayUs) / DayUs
+    val spike = o2.find(_.day == spikeDay)
+    assert(spike.exists(_.isAnomaly == 1L),
+      s"spike day not flagged against the recovered level: $o2")
+  }
+
+  // -- firstSeenByContent: exact-dedup bit per content hash -----------------
+
+  test("firstSeenByContent recovers its seen-set: a pre-restart payload " +
+      "re-appended after the restart must NOT re-emit") {
+    def pf(tag: String, body: String) =
+      FactInput("doc", tag, body.getBytes("UTF-8"))
+    val phase1 = Seq(pf("a", "alpha"), pf("b", "beta"))
+    // re-append alpha (new fact, same content) + a genuinely new gamma
+    val phase2 = Seq(pf("c", "alpha"), pf("d", "gamma"))
+    def face(df: DataFrame) = FactStateStreams.firstSeenByContent(spark, df)
+    val (o1, o2, oU) = runBoth("append", phase1, phase2)(face)
+    assert((o1 ++ o2).map(_.contentHash).sorted == oU.map(_.contentHash).sorted)
+    assert(o2.map(_.subject).sorted == Seq("d"),
+      s"phase 2 must emit only gamma (the recovered seen-set eats alpha): $o2")
+    assert((o1 ++ o2).map(_.contentHash).distinct.size == 3)
+  }
 }

@@ -239,4 +239,46 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != ${probes.size} probes (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("transitions state rows stay = n_users (one last-type string each)") {
+    val s0 = spark; import s0.implicits._
+    val T0 = 1700000000000000L
+    var eid = 0L
+    // 12 batches over a fixed 7-user keyspace: state must hold exactly one
+    // row per user no matter how many events stream through
+    val batches = (0 until 12).map { b =>
+      (0 until 21).map { i =>
+        eid += 1
+        ((i % 7).toLong, Seq("view", "click", "purchase")(i % 3),
+          T0 + b * 1000000L + i * 1000L, eid)
+      }
+    }
+    val st = drive[(Long, String, Long, Long)]("trans", batches,
+      df => FactStateStreams.transitions(spark, df.selectExpr(
+        "user_id", "event_type", "timestamp_micros(ts_us) AS ts", "event_id")),
+      ms => ms.toDF().toDF("user_id", "event_type", "ts_us", "event_id"),
+      OutputMode.Append())
+    assert(st.maxRows == 7L, s"state keys ${st.maxRows} != 7 users (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
+
+  test("ewmaAnomaly state rows stay = n_types (level+deviation inside)") {
+    val s0 = spark; import s0.implicits._
+    val T0 = 1700000000000000L
+    val DayUs = 86400L * 1000000
+    val types = Seq("a", "b", "c")
+    // each batch advances one day per type — 14 days, state = 3 keys
+    val batches = (0 until 14).map { d =>
+      types.flatMap(t => (0 until 4).map(i =>
+        (t, T0 + d * DayUs + i * 1000L)))
+    }
+    val st = drive[(String, Long)]("ewmab", batches,
+      df => FactStateStreams.ewmaAnomaly(spark, df.selectExpr(
+        "event_type", "timestamp_micros(ts_us) AS ts")),
+      ms => ms.toDF().toDF("event_type", "ts_us"),
+      OutputMode.Append())
+    assert(st.maxRows == types.size.toLong,
+      s"state keys ${st.maxRows} != ${types.size} types (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
