@@ -386,6 +386,37 @@ object Graph {
           sum(col("tri")).cast("bigint").as("n_tri"),
           expr("CAST(sum(cc_bp) div count(1) AS BIGINT)").as("avg_cc_bp"))
         .orderBy(asc("deg_bucket"))
+    }),
+
+    // Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for k ∈
+    // {2,4,8,16}: the edge density among nodes of degree ≥ k — rising
+    // φ(k) means the hubs of the co-purchase graph preferentially
+    // connect to EACH OTHER (a rich club), the structure that makes
+    // hub-targeted caching/partitioning pay off; flat-or-falling means
+    // hub links spread into the periphery. Both endpoints' degrees come
+    // from the shared census-built edge artifact; each k is a semi-join
+    // of the (vertex-sized) qualifying set against the edge relation —
+    // graph-sized work, 4-row output, exact bp.
+    "graph_rich_club" -> ((s, d) => {
+      val e = edges(s, d)
+      val (_, deg) = adjWithDeg(e)
+      val ks = Seq(2L, 4L, 8L, 16L)
+      val kdf = s.createDataFrame(ks.map(Tuple1(_))).toDF("k")
+      val nodesK = deg.crossJoin(broadcast(kdf))
+        .filter(col("deg") >= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+      val withDegs = e
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      val edgesK = withDegs.crossJoin(broadcast(kdf))
+        .filter(col("du") >= col("k") && col("dv") >= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+      nodesK.join(edgesK, Seq("k"), "left")
+        .na.fill(0L, Seq("e_k"))
+        .selectExpr("k", "n_k", "e_k",
+          """CASE WHEN n_k < 2 THEN CAST(NULL AS BIGINT)
+             ELSE (e_k * 2 * 10000) div (n_k * (n_k - 1)) END AS phi_bp""")
+        .orderBy(asc("k"))
     })
   )
 
@@ -540,6 +571,21 @@ object Graph {
         "SELECT deg_bucket, count(*) AS n_nodes, CAST(sum(tri) AS BIGINT) AS n_tri, " +
         "CAST(sum(cc_bp) // count(*) AS BIGINT) AS avg_cc_bp " +
         "FROM cc GROUP BY deg_bucket ORDER BY deg_bucket"),
+
+    "graph_rich_club" ->
+      (edgeCte +
+        ", ks(k) AS (VALUES (CAST(2 AS BIGINT)), (CAST(4 AS BIGINT)), " +
+        "(CAST(8 AS BIGINT)), (CAST(16 AS BIGINT))), " +
+        "nk AS (SELECT k, count(*)::BIGINT AS n_k FROM deg CROSS JOIN ks " +
+        "WHERE deg >= k GROUP BY k), " +
+        "wd AS (SELECT e.u, e.v, du.deg AS du, dv.deg AS dv FROM e " +
+        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v), " +
+        "ek AS (SELECT k, count(*)::BIGINT AS e_k FROM wd CROSS JOIN ks " +
+        "WHERE du >= k AND dv >= k GROUP BY k) " +
+        "SELECT k, n_k, COALESCE(e_k, CAST(0 AS BIGINT)) AS e_k, " +
+        "CASE WHEN n_k < 2 THEN CAST(NULL AS BIGINT) " +
+        "ELSE (COALESCE(e_k, CAST(0 AS BIGINT)) * 2 * 10000) // (n_k * (n_k - 1)) END AS phi_bp " +
+        "FROM nk LEFT JOIN ek USING (k) ORDER BY k"),
 
     "graph_degree_stats" ->
       (edgeCte + ", hist AS (SELECT deg AS degree, count(*) AS n_nodes FROM deg GROUP BY deg), " +

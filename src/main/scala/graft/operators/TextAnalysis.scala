@@ -577,6 +577,61 @@ object TextAnalysis {
         .orderBy(asc("lang"))
     }),
 
+    // Within-source vocabulary drift: L1 distance (bp) between a source's
+    // FIRST-half and SECOND-half term-share distributions over the
+    // source's top-32 terms — the crawl-drift / pipeline-regression gauge
+    // (a source whose early and late halves disagree sharply changed
+    // scraper, seed list, or upstream content; 0 = stationary, 2e4 =
+    // disjoint). Halves split the per-source doc_id span in two (the
+    // text_vocab_growth decile idiom, deterministic); shares are exact bp
+    // of each half's token total. Scale: one token scan → (source, half,
+    // term) census (map-side combined); ranking and the drift sum run on
+    // the vocabulary-sized census; output is |sources| rows.
+    "source_vocab_drift" -> ((s, d) => {
+      val toks = docs(s, d)
+        .selectExpr("source", "doc_id", s"explode(${tokensSpark("text")}) AS tok")
+        .transform(CacheScope.persist)
+      val bounds = docs(s, d).groupBy(col("source"))
+        .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+          count(lit(1)).as("n_docs"))
+      val toksH = toks.join(broadcast(bounds), Seq("source"))
+        .selectExpr("source", "tok",
+          "((doc_id - d0) * 2) div (d1 - d0 + 1) AS half")
+        .transform(CacheScope.persist)
+      val census = toksH.groupBy(col("source"), col("half"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .transform(CacheScope.persist)
+      val top32 = census.groupBy(col("source"), col("tok"))
+        .agg(sum(col("c")).as("f"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(desc("f"), asc("tok"))))
+        .filter(col("rk") <= 32)
+        .select(col("source"), col("tok"))
+      val totals = toksH.groupBy(col("source"), col("half"))
+        .agg(count(lit(1)).as("t"))
+      val t0 = totals.filter(col("half") === 0)
+        .select(col("source"), col("t").as("t1_tokens"))
+      val t1 = totals.filter(col("half") === 1)
+        .select(col("source"), col("t").as("t2_tokens"))
+      val c0 = census.filter(col("half") === 0)
+        .select(col("source"), col("tok"), col("c").as("c1"))
+      val c1 = census.filter(col("half") === 1)
+        .select(col("source"), col("tok"), col("c").as("c2"))
+      top32
+        .join(c0, Seq("source", "tok"), "left").na.fill(0L, Seq("c1"))
+        .join(c1, Seq("source", "tok"), "left").na.fill(0L, Seq("c2"))
+        .join(broadcast(t0), Seq("source"))
+        .join(broadcast(t1), Seq("source"))
+        .selectExpr("source", "t1_tokens", "t2_tokens",
+          "abs((c1 * 10000) div t1_tokens - (c2 * 10000) div t2_tokens) AS dterm")
+        .groupBy(col("source"), col("t1_tokens"), col("t2_tokens"))
+        .agg(sum(col("dterm")).as("drift_bp"))
+        .join(broadcast(bounds.select(col("source"), col("n_docs"))), Seq("source"))
+        .select(col("source"), col("n_docs"), col("t1_tokens"),
+          col("t2_tokens"), col("drift_bp"))
+        .orderBy(asc("source"))
+    }),
+
     // Flesch reading-ease readability, integer-exact: words = whitespace
     // tokens, sentences = [.!?]+ runs, syllables ≈ vowel-group runs (the
     // standard heuristic). The score 206.835 − 1.015·W/S − 84.6·Y/W is
@@ -880,6 +935,33 @@ object TextAnalysis {
           "n_types - vocab_size AS oov_types, " +
           "((n_types - vocab_size) * 10000) // n_types AS type_oov_bp " +
           "FROM tot JOIN iv USING (lang) ORDER BY lang"),
+
+      "source_vocab_drift" ->
+        (s"WITH tk AS (SELECT source, doc_id, unnest($toks) AS tok FROM documents), " +
+          "bd AS (SELECT source, min(doc_id) AS d0, max(doc_id) AS d1, " +
+          "count(*)::BIGINT AS n_docs FROM documents GROUP BY source), " +
+          "th AS (SELECT tk.source, tok, ((doc_id - d0) * 2) // (d1 - d0 + 1) AS half " +
+          "FROM tk JOIN bd ON bd.source = tk.source), " +
+          "cen AS (SELECT source, half, tok, count(*)::BIGINT AS c FROM th GROUP BY 1, 2, 3), " +
+          "top32 AS (SELECT source, tok FROM (SELECT source, tok, " +
+          "row_number() OVER (PARTITION BY source ORDER BY sum(c) DESC, tok) AS rk " +
+          "FROM cen GROUP BY source, tok) _ WHERE rk <= 32), " +
+          "tot AS (SELECT source, half, count(*)::BIGINT AS t FROM th GROUP BY 1, 2), " +
+          "j AS (SELECT t32.source, t32.tok, " +
+          "COALESCE(c0.c, CAST(0 AS BIGINT)) AS c1, COALESCE(c1h.c, CAST(0 AS BIGINT)) AS c2 " +
+          "FROM top32 t32 " +
+          "LEFT JOIN cen c0 ON c0.source = t32.source AND c0.tok = t32.tok AND c0.half = 0 " +
+          "LEFT JOIN cen c1h ON c1h.source = t32.source AND c1h.tok = t32.tok AND c1h.half = 1), " +
+          "tt AS (SELECT j.source, j.tok, " +
+          "abs((j.c1 * 10000) // t0.t - (j.c2 * 10000) // t1.t) AS dterm, " +
+          "t0.t AS t1_tokens, t1.t AS t2_tokens FROM j " +
+          "JOIN tot t0 ON t0.source = j.source AND t0.half = 0 " +
+          "JOIN tot t1 ON t1.source = j.source AND t1.half = 1) " +
+          "SELECT tt.source, bd.n_docs, tt.t1_tokens, tt.t2_tokens, " +
+          "CAST(sum(dterm) AS BIGINT) AS drift_bp " +
+          "FROM tt JOIN bd ON bd.source = tt.source " +
+          "GROUP BY tt.source, bd.n_docs, tt.t1_tokens, tt.t2_tokens " +
+          "ORDER BY tt.source"),
 
       "text_readability" ->
         (s"WITH c AS (SELECT doc_id, " +

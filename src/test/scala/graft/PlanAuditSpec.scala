@@ -1224,4 +1224,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "grew a window over the grid")
     assert(p.contains("decimal(38,0)"), "moment products left DECIMAL(38,0)")
   }
+
+  test("graph_rich_club: k thresholds broadcast onto vertex/edge-sized " +
+      "relations; no corpus-scale window or cartesian") {
+    val p = planOf("graph_rich_club")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), "k relation not broadcast")
+    assert(!p.contains("Window ["), "grew a window")
+  }
+
+  test("source_vocab_drift: censuses map-side combined, bounds/totals " +
+      "broadcast, top-32 rank-pruned") {
+    val p = planOf("source_vocab_drift")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "census lost map-side combine")
+    assert(p.contains("WindowGroupLimit"), "top-32 lost rank pushdown")
+    assert(p.contains("BroadcastExchange"), "bounds/totals not broadcast")
+    assert(!p.contains("CartesianProduct"), "census join degenerated")
+  }
 }
