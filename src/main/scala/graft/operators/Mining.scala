@@ -261,6 +261,40 @@ object Mining {
         .orderBy(asc("lang"), asc("gate_pass"), asc("redundant"))
     }),
 
+    // Herfindahl–Hirschman revenue-concentration index per supplier
+    // nation: HHI = Σ share² over each nation's suppliers (shares in bp,
+    // HHI re-normalized to bp: Σ share_bp² div 10⁴ ∈ [0, 10⁴]) — the
+    // standard concentration gauge (10⁴ = monopoly, → 0 = atomized), the
+    // supply-chain-risk twin of part_revenue_concentration's Lorenz
+    // bins. Exact integers: e8 revenue on DECIMAL(38,0) (corpus-sized
+    // sums), shares truncating bp, HHI from bp shares. Scale: one
+    // corpus pass to a supplier-sized census (supplier dim broadcast);
+    // nation rollup is grid-sized.
+    "supplier_hhi" -> ((s, d) => {
+      val suppNation = t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val perSupp = t(s, d, "lineitem")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .selectExpr("nation", "l_suppkey", s"$RevE8 AS r8")
+        .groupBy(col("nation"), col("l_suppkey"))
+        .agg(sum(col("r8").cast("decimal(38,0)")).as("rev_e8"))
+        .transform(CacheScope.persist)
+      perSupp
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev_e8")).as("nat_rev"))
+        .join(perSupp, Seq("nation"))
+        .selectExpr("nation", "n_suppliers",
+          "CAST((rev_e8 * 10000) div nat_rev AS BIGINT) AS share_bp")
+        .groupBy(col("nation"), col("n_suppliers"))
+        .agg(max(col("share_bp")).as("top_share_bp"),
+          sum(expr("share_bp * share_bp")).as("sq"))
+        .selectExpr("nation", "n_suppliers", "top_share_bp",
+          "sq div 10000 AS hhi_bp")
+        .orderBy(asc("nation"))
+    }),
+
     // Church–Gale token burstiness per language: burstiness = cf/df (mean
     // occurrences per CONTAINING doc, in bp) — a bursty token concentrates
     // in few docs (boilerplate, navigation chrome, code); a well-behaved
@@ -354,6 +388,20 @@ object Mining {
         "CAST((mutual_e8 * 10000) // flow_e8 AS BIGINT) AS pair_recip_bp, " +
         "CAST((t_mutual * 10000) // t_flow AS BIGINT) AS global_recip_bp " +
         "FROM p CROSS JOIN g ORDER BY src_nation, dst_nation"),
+
+    "supplier_hhi" ->
+      (s"WITH sn AS (SELECT s_suppkey, n_name AS nation FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey), " +
+        s"ps AS (SELECT nation, l_suppkey, sum(CAST($RevE8Duck AS HUGEINT)) AS rev_e8 " +
+        "FROM lineitem JOIN sn ON l_suppkey = s_suppkey GROUP BY nation, l_suppkey), " +
+        "nt AS (SELECT nation, count(*)::BIGINT AS n_suppliers, " +
+        "CAST(sum(rev_e8) AS HUGEINT) AS nat_rev FROM ps GROUP BY nation), " +
+        "sh AS (SELECT ps.nation, nt.n_suppliers, " +
+        "CAST((ps.rev_e8 * 10000) // nt.nat_rev AS BIGINT) AS share_bp " +
+        "FROM ps JOIN nt ON nt.nation = ps.nation) " +
+        "SELECT nation, n_suppliers, CAST(max(share_bp) AS BIGINT) AS top_share_bp, " +
+        "CAST(sum(share_bp * share_bp) AS BIGINT) // 10000 AS hhi_bp " +
+        "FROM sh GROUP BY nation, n_suppliers ORDER BY nation"),
 
     "curation_gate_overlap" ->
       (s"WITH pd AS (SELECT lang, doc_id, md5(text) AS h, " +

@@ -1316,6 +1316,50 @@ object FactStateStreams {
       }
   }
 
+  /** One nation-pair's live flow row — batch graph_trade_reciprocity's
+    * flow census maintained under ingestion. */
+  final case class FlowUpdate(
+      srcNation: String, dstNation: String, seq: Long, nRows: Long,
+      flowE8: String)
+
+  /** Per-pair cursor: row count + exact e8 flow sum (BigInt-backed as a
+    * digit string — the corpus-sized-sum emission policy applies to STATE
+    * too: an int64 running sum overflows at ~1e10 rows of 1e9-cent
+    * flows). */
+  final case class FlowState(seq: Long, n: Long, flowE8: String)
+
+  /** Live trade-flow census (twenty-seventh face): revenue flows between
+    * (customer-nation → supplier-nation) pairs accumulate as enriched
+    * lineitems arrive — the streaming half of `graph_trade_reciprocity`
+    * (its flow grid, maintained online; reciprocity is a grid-sized
+    * read on top). The input is the dims-enriched stream (at scale the
+    * nation attach is a broadcast map upstream); the fold is a
+    * commutative exact sum, so arrival order and batch splits are
+    * irrelevant. State: one constant-width row per nation PAIR —
+    * ≤ nations² (625) rows forever. */
+  def tradeFlowCensus(spark: SparkSession, flows: DataFrame): Dataset[FlowUpdate] = {
+    import spark.implicits._
+    flows
+      .selectExpr("src_nation", "dst_nation", "CAST(rev_e8 AS BIGINT) AS rev_e8")
+      .as[(String, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[FlowState, FlowUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { case ((src, dst), rows, state) =>
+        val prev = state.getOption.getOrElse(FlowState(0L, 0L, "0"))
+        var n = prev.n
+        var sum = BigInt(prev.flowE8)
+        var any = false
+        rows.foreach { r => any = true; n += 1; sum += r._3 }
+        if (!any) Iterator.empty
+        else {
+          val next = FlowState(prev.seq + 1, n, sum.toString)
+          state.update(next)
+          Iterator.single(FlowUpdate(src, dst, next.seq, n, next.flowE8))
+        }
+      }
+  }
+
   /** One probe's live neighborhood — ids and cosines (ppm) in rank order. */
   final case class KnnUpdate(
       probeId: Long, seq: Long, nSeen: Long,

@@ -1234,6 +1234,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "grew a window")
   }
 
+  test("supplier_hhi: supplier dim broadcast, one corpus pass to the " +
+      "supplier census, grid-sized rollup, no window") {
+    val p = planOf("supplier_hhi")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("BroadcastExchange"), "supplier dim not broadcast")
+    assert(p.contains("partial_"), "revenue census lost map-side combine")
+    assert(!p.contains("Window ["), "grew a window")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "supplier census re-derived for totals vs shares")
+  }
+
   test("source_vocab_drift: censuses map-side combined, bounds/totals " +
       "broadcast, top-32 rank-pruned") {
     val p = planOf("source_vocab_drift")

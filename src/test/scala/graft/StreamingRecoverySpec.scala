@@ -548,6 +548,37 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"spike day not flagged against the recovered level: $o2")
   }
 
+  // -- tradeFlowCensus: exact BigInt flow sum per nation pair ---------------
+
+  test("tradeFlowCensus recovers its pair sums: post-restart flows extend " +
+      "pre-restart totals exactly (BigInt state round-trips)") {
+    def ff(src: String, dst: String, rev: Long) =
+      FactInput("f", s"$src|$dst", Array[Byte](1),
+        tags = Map("src" -> src, "dst" -> dst, "rev" -> rev.toString))
+    // pair (A,B) accumulates across the restart; (C,D) exists only before;
+    // (E,F) only after — a reset state would zero (A,B)'s phase-1 mass
+    val phase1 = Seq(ff("A", "B", 1000), ff("A", "B", 2500), ff("C", "D", 7))
+    val phase2 = Seq(ff("A", "B", 4200), ff("E", "F", 99))
+    def face(df: DataFrame) =
+      FactStateStreams.tradeFlowCensus(spark, df.selectExpr(
+        "tags['src'] AS src_nation", "tags['dst'] AS dst_nation",
+        "CAST(tags['rev'] AS BIGINT) AS rev_e8"))
+    val (o1, o2, oU) = runBoth("update", phase1, phase2)(face)
+    def fin(rows: Seq[FlowUpdate]): Map[(String, String), (Long, String)] =
+      rows.groupBy(r => (r.srcNation, r.dstNation)).map { case (p, rs) =>
+        val last = rs.maxBy(_.seq); p -> ((last.nRows, last.flowE8))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    assert(fin(o1 ++ o2)(("A", "B")) == ((3L, "7700")),
+      "cross-restart pair did not accumulate")
+    assert(fin(o1 ++ o2)(("C", "D")) == ((1L, "7")))
+    assert(fin(o1 ++ o2)(("E", "F")) == ((1L, "99")))
+    o2.filter(r => r.srcNation == "A").foreach { r =>
+      val before = o1.filter(x => x.srcNation == "A").map(_.seq)
+      assert(before.nonEmpty && r.seq > before.max, "seq did not continue")
+    }
+  }
+
   // -- firstSeenByContent: exact-dedup bit per content hash -----------------
 
   test("firstSeenByContent recovers its seen-set: a pre-restart payload " +
