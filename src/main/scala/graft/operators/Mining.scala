@@ -261,6 +261,67 @@ object Mining {
         .orderBy(asc("lang"), asc("gate_pass"), asc("redundant"))
     }),
 
+    // Facility-location / coverage-greedy subset selection: from the
+    // CovPool longest documents, greedily pick CovPicks docs maximizing
+    // NEW vocabulary covered at each step (gain = |tokens(doc) −
+    // covered|, ties to smallest doc_id) — the submodular
+    // diverse-subset-selection shape behind coreset construction and
+    // few-shot exemplar picking. The greedy state is pool-sized
+    // (CovPool token sets — corpus-INDEPENDENT), so it runs driver-side
+    // on a bounded collect (the MMR/codebook discipline); the
+    // corpus-scale work is the candidate scan + the pruned token pass.
+    // The oracle unrolls the same greedy as CTEs from the same loop
+    // bounds. Emits (pick, doc_id, gain, covered) — the coverage curve
+    // of the selection itself.
+    "sample_coverage_greedy" -> ((s, d) => {
+      val cand = docs(s, d)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(desc("n_chars"), asc("doc_id"))))
+        .filter(col("rk") <= CovPool)
+        .select(col("doc_id"))
+      val ct = docs(s, d)
+        .join(broadcast(cand), Seq("doc_id"))
+        .selectExpr("doc_id", s"explode(array_distinct(${tokensSpark("text")})) AS term")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val byDoc = ct.groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+      var covered = Set.empty[String]
+      var remaining = byDoc.keySet
+      val out = (1 to CovPicks).map { k =>
+        val (pick, gain) = remaining.toSeq
+          .map(id => (id, (byDoc(id) -- covered).size.toLong))
+          .minBy { case (id, g) => (-g, id) }
+        covered ++= byDoc(pick)
+        remaining -= pick
+        (k.toLong, pick, gain, covered.size.toLong)
+      }
+      s.createDataFrame(out).toDF("pick", "doc_id", "gain", "covered")
+    }),
+
+    // Cumulative token-mass coverage of the top-k vocabulary per
+    // language, k ∈ {1,2,4,8,16,32} — the Zipf-curve rendering a
+    // tokenizer budget decision actually reads ("how much of the corpus
+    // do 16 types cover?"). One map-side census; ranking and prefix
+    // sums run on the vocabulary; output is langs×6.
+    "text_coverage_curve" -> ((s, d) => {
+      val ks = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+      val freq = docs(s, d)
+        .selectExpr("lang", s"explode(${tokensSpark("text")}) AS tok")
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+        .transform(CacheScope.persist)
+      val tot = freq.groupBy(col("lang")).agg(sum(col("f")).as("total"))
+      val ranked = freq.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(desc("f"), asc("tok"))))
+        .filter(col("rk") <= 32)
+        .withColumn("cum", sum(col("f")).over(
+          Window.partitionBy(col("lang")).orderBy(asc("rk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.filter(col("rk").isin(ks: _*))
+        .join(broadcast(tot), Seq("lang"))
+        .selectExpr("lang", "CAST(rk AS BIGINT) AS k", "cum AS top_k_tokens",
+          "(cum * 10000) div total AS coverage_bp")
+        .orderBy(asc("lang"), asc("k"))
+    }),
+
     // Herfindahl–Hirschman revenue-concentration index per supplier
     // nation: HHI = Σ share² over each nation's suppliers (shares in bp,
     // HHI re-normalized to bp: Σ share_bp² div 10⁴ ∈ [0, 10⁴]) — the
@@ -323,7 +384,44 @@ object Mining {
     })
   )
 
+  /** Coverage-greedy pool size and picks (shared by query + oracle). */
+  private val CovPool = 40
+  private val CovPicks = 8
+
   def oracles: Map[String, String] = Map(
+
+    "sample_coverage_greedy" -> {
+      val base =
+        s"WITH cand AS MATERIALIZED (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+          "(ORDER BY n_chars DESC, doc_id) AS rk FROM documents) _ " +
+          s"WHERE rk <= $CovPool), " +
+          "ct AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM " +
+          s"(SELECT d.doc_id, unnest(${tokensDuck("d.text")}) AS term " +
+          "FROM documents d JOIN cand ON cand.doc_id = d.doc_id) _t), " +
+          "g1 AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS gain FROM ct GROUP BY doc_id), " +
+          "p1 AS MATERIALIZED (SELECT doc_id, gain, CAST(1 AS BIGINT) AS pick, gain AS covered FROM " +
+          "(SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id) AS prk FROM g1) _ " +
+          "WHERE prk = 1), " +
+          "sel1 AS MATERIALIZED (SELECT doc_id FROM p1), " +
+          "cov1 AS MATERIALIZED (SELECT DISTINCT term FROM ct JOIN sel1 USING (doc_id))"
+      val steps = (2 to CovPicks).map { k =>
+        s"rem$k AS MATERIALIZED (SELECT c.doc_id FROM cand c LEFT JOIN sel${k - 1} s " +
+          "ON s.doc_id = c.doc_id WHERE s.doc_id IS NULL), " +
+          s"g$k AS MATERIALIZED (SELECT r.doc_id, count(ct.term) FILTER (WHERE cv.term IS NULL)::BIGINT AS gain " +
+          s"FROM rem$k r JOIN ct ON ct.doc_id = r.doc_id " +
+          s"LEFT JOIN cov${k - 1} cv ON cv.term = ct.term GROUP BY r.doc_id), " +
+          s"p$k AS MATERIALIZED (SELECT doc_id, gain, CAST($k AS BIGINT) AS pick, " +
+          s"(SELECT covered FROM p${k - 1}) + gain AS covered FROM " +
+          s"(SELECT *, row_number() OVER (ORDER BY gain DESC, doc_id) AS prk FROM g$k) _ " +
+          "WHERE prk = 1), " +
+          s"sel$k AS MATERIALIZED (SELECT doc_id FROM sel${k - 1} UNION ALL SELECT doc_id FROM p$k), " +
+          s"cov$k AS MATERIALIZED (SELECT DISTINCT term FROM ct JOIN sel$k USING (doc_id))"
+      }.mkString(", ")
+      val union = (1 to CovPicks)
+        .map(k => s"SELECT pick, doc_id, gain, covered FROM p$k")
+        .mkString(" UNION ALL ")
+      s"$base, $steps SELECT * FROM ($union) _u ORDER BY pick"
+    },
 
     "embedding_bitext_mining" -> {
       val cos = cosPpmDuck("p.embedding", "t.embedding")
@@ -388,6 +486,18 @@ object Mining {
         "CAST((mutual_e8 * 10000) // flow_e8 AS BIGINT) AS pair_recip_bp, " +
         "CAST((t_mutual * 10000) // t_flow AS BIGINT) AS global_recip_bp " +
         "FROM p CROSS JOIN g ORDER BY src_nation, dst_nation"),
+
+    "text_coverage_curve" ->
+      (s"WITH f AS (SELECT lang, tok, count(*)::BIGINT AS f FROM " +
+        s"(SELECT lang, unnest(${tokensDuck("text")}) AS tok FROM documents) _ GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(sum(f) AS BIGINT) AS total FROM f GROUP BY lang), " +
+        "r AS (SELECT lang, f, row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk FROM f), " +
+        "c AS (SELECT lang, rk, CAST(sum(f) OVER (PARTITION BY lang ORDER BY rk) AS BIGINT) AS cum " +
+        "FROM r WHERE rk <= 32) " +
+        "SELECT lang, CAST(rk AS BIGINT) AS k, cum AS top_k_tokens, " +
+        "(cum * 10000) // total AS coverage_bp " +
+        "FROM c JOIN tot USING (lang) WHERE rk IN (1, 2, 4, 8, 16, 32) " +
+        "ORDER BY lang, k"),
 
     "supplier_hhi" ->
       (s"WITH sn AS (SELECT s_suppkey, n_name AS nation FROM supplier " +

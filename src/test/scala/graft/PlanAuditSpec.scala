@@ -1234,6 +1234,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "grew a window")
   }
 
+  test("sample_coverage_greedy: greedy output is a bounded local relation " +
+      "(pool-sized collect, the MMR discipline)") {
+    val p = planOf("sample_coverage_greedy")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      "greedy output not a bounded local relation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "greedy leaked back into the distributed plan")
+  }
+
+  test("text_coverage_curve: one map-side census, vocabulary-sized " +
+      "ranking, totals broadcast") {
+    val p = planOf("text_coverage_curve")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("partial_"), "census lost map-side combine")
+    assert(p.contains("BroadcastExchange"), "totals not broadcast")
+    assert(!p.contains("CartesianProduct"), "census join degenerated")
+  }
+
   test("supplier_hhi: supplier dim broadcast, one corpus pass to the " +
       "supplier census, grid-sized rollup, no window") {
     val p = planOf("supplier_hhi")
