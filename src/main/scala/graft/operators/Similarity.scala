@@ -1061,6 +1061,104 @@ object Similarity {
 
     // Per-vector norms + per-label norm envelope (no float summation —
     // min/max only, deterministic).
+    // Label-FILTERED exact top-k (the "tenant filter" / metadata-predicate
+    // vector search every production store ships): the predicate is pushed
+    // BEFORE scoring, so the scan only pays cosine for label-matching
+    // vectors — at scale this is the pre-filter strategy (vs post-filter,
+    // whose loss ann_postfilter_recall_eval measures). Probes vec_id < 5,
+    // filter = same label as the query.
+    "ann_filtered_topk" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).selectExpr("vec_id", "label",
+        "embedding AS v", "vec_norm2(embedding) AS n2")
+      val q = e.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "label AS qlabel",
+          "v AS qv", "n2 AS qn2")
+      e.join(broadcast(q),
+          col("label") === col("qlabel") && col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "CAST(qlabel AS BIGINT) AS qlabel", "vec_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("cos_ppm"), asc("vec_id"))))
+        .filter(col("rank") <= 5)
+        .selectExpr("query_id", "qlabel", "CAST(rank AS BIGINT) AS rank",
+          "vec_id AS neighbor_id", "cos_ppm")
+        .orderBy(asc("query_id"), asc("rank"))
+    }),
+
+    // Post-filter loss measurement: retrieve an UNFILTERED top-15
+    // (3·k candidate budget), filter to the query's label, keep 5 — the
+    // strategy a filter-unaware index forces — and score its recall
+    // against the exact filtered top-5. Low recall_bp per query is the
+    // operational argument for filter-aware (pre-filter / label-
+    // partitioned) indexing at scale; the eval composes the same scan
+    // and the ann_filtered_topk truth verbatim.
+    "ann_postfilter_recall_eval" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).selectExpr("vec_id", "label",
+        "embedding AS v", "vec_norm2(embedding) AS n2")
+      val q = e.filter(col("vec_id") < 5)
+        .selectExpr("vec_id AS query_id", "label AS qlabel",
+          "v AS qv", "n2 AS qn2")
+      val unfiltered = e.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .selectExpr("query_id", "CAST(qlabel AS BIGINT) AS qlabel",
+          "CAST(label AS BIGINT) AS label", "vec_id",
+          "CAST(floor(vec_dot(qv, v) / (sqrt(qn2) * sqrt(n2)) * 1000000) AS BIGINT) AS cos_ppm")
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(desc("cos_ppm"), asc("vec_id"))))
+        .filter(col("rank") <= 15)
+        .transform(CacheScope.persist)
+      val post = unfiltered.filter(col("label") === col("qlabel"))
+        .withColumn("prk", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(asc("rank"))))
+        .filter(col("prk") <= 5)
+        .select(col("query_id"), col("qlabel"), col("vec_id"))
+      val truth = queries("ann_filtered_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      // start from the QUERY panel: a query whose candidate budget holds
+      // zero label matches must emit a recall-0 row, not vanish (caught
+      // by the sf0.001 recompute — query 1 had no same-label candidate
+      // in its top-15)
+      q.selectExpr("query_id", "CAST(qlabel AS BIGINT) AS qlabel")
+        .join(post.groupBy(col("query_id"))
+            .agg(count(lit(1)).as("raw_after")),
+          Seq("query_id"), "left")
+        .join(post.join(truth, Seq("query_id", "vec_id"))
+            .groupBy(col("query_id")).agg(count(lit(1)).as("raw_hits")),
+          Seq("query_id"), "left")
+        .selectExpr("query_id", "qlabel",
+          "ifnull(raw_after, 0L) AS n_after_filter",
+          "ifnull(raw_hits, 0L) AS n_hits")
+        .selectExpr("query_id", "qlabel", "n_after_filter", "n_hits",
+          "(n_hits * 10000) div 5 AS recall_bp")
+        .orderBy(asc("query_id"))
+    }),
+
+    // Isotropy diagnostic over a pinned 64-probe panel: mean / mean-|·| /
+    // extreme pairwise cosines (2016 exact-ppm pairs). An anisotropic
+    // embedding space (mean cosine ≫ 0 — the "narrow cone" pathology)
+    // degrades every cosine-based operator above; this is the 1-row
+    // health gauge to watch across embedding-model upgrades. Pure
+    // broadcast self-pairing of a bounded panel — corpus-independent.
+    "embedding_isotropy" -> ((s, d) => {
+      val e = emb(s, d).filter(col("vec_id") < 64)
+        .selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+      val pairs = e.alias("a")
+        .join(broadcast(e.alias("b")), col("a.vec_id") < col("b.vec_id"))
+        .selectExpr(
+          "CAST(floor(vec_dot(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm")
+      pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("cos_ppm")).as("sc"),
+          sum(expr("abs(cos_ppm)")).as("sa"),
+          min(col("cos_ppm")).as("min_cos_ppm"),
+          max(col("cos_ppm")).as("max_cos_ppm"))
+        .selectExpr("n_pairs",
+          "sc div n_pairs AS mean_cos_ppm",
+          "sa div n_pairs AS mean_abs_cos_ppm",
+          "min_cos_ppm", "max_cos_ppm")
+    }),
+
     "vector_stats" -> ((s, d) =>
       emb(s, d)
         .selectExpr("label",
@@ -1723,6 +1821,54 @@ object Similarity {
         "SELECT round, cell, n_members, mass_e10 FROM fin ORDER BY round, cell"
       sb.toString
     },
+
+    "ann_filtered_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "scored AS (SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel, e.vec_id, " +
+        s"${cosPpmDuck("qv", "e.embedding")} AS cos_ppm, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> query_id) " +
+        "SELECT query_id, qlabel, rank, vec_id AS neighbor_id, cos_ppm " +
+        "FROM scored WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    "ann_postfilter_recall_eval" ->
+      ("WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "unf AS (SELECT query_id, CAST(qlabel AS BIGINT) AS qlabel, " +
+        "CAST(e.label AS BIGINT) AS label, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM q JOIN embeddings e ON e.vec_id <> query_id), " +
+        "c15 AS (SELECT * FROM unf WHERE rank <= 15), " +
+        "post AS (SELECT query_id, qlabel, vec_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY rank) AS prk " +
+        "FROM c15 WHERE label = qlabel) _ WHERE prk <= 5), " +
+        "tf AS (SELECT query_id, vec_id FROM (SELECT query_id, e.vec_id, " +
+        s"row_number() OVER (PARTITION BY query_id ORDER BY ${cosPpmDuck("qv", "e.embedding")} DESC, e.vec_id) AS rank " +
+        "FROM q JOIN embeddings e ON e.label = q.qlabel AND e.vec_id <> query_id) _ " +
+        "WHERE rank <= 5), " +
+        "nf AS (SELECT query_id, count(*)::BIGINT AS n_after_filter FROM post GROUP BY 1), " +
+        "h AS (SELECT post.query_id, count(*)::BIGINT AS n_hits FROM post " +
+        "JOIN tf ON tf.query_id = post.query_id AND tf.vec_id = post.vec_id GROUP BY 1) " +
+        // every panel query emits a row — zero label matches in the
+        // budget is recall 0, not an absent row
+        "SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS qlabel, " +
+        "COALESCE(nf.n_after_filter, CAST(0 AS BIGINT)) AS n_after_filter, " +
+        "COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits, " +
+        "(COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 10000) // 5 AS recall_bp " +
+        "FROM q LEFT JOIN nf ON nf.query_id = q.query_id " +
+        "LEFT JOIN h ON h.query_id = q.query_id ORDER BY q.query_id"),
+
+    "embedding_isotropy" ->
+      ("WITH p AS (SELECT a.vec_id AS ai, " +
+        s"${cosPpmDuck("a.embedding", "b.embedding")} AS cos_ppm " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 64 AND b.vec_id < 64) " +
+        "SELECT count(*)::BIGINT AS n_pairs, " +
+        "CAST(sum(cos_ppm) AS BIGINT) // count(*) AS mean_cos_ppm, " +
+        "CAST(sum(abs(cos_ppm)) AS BIGINT) // count(*) AS mean_abs_cos_ppm, " +
+        "CAST(min(cos_ppm) AS BIGINT) AS min_cos_ppm, " +
+        "CAST(max(cos_ppm) AS BIGINT) AS max_cos_ppm FROM p"),
 
     "vector_stats" ->
       (s"SELECT label, count(*) AS n, " +

@@ -1234,6 +1234,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "grew a window")
   }
 
+  test("ann_filtered_topk: label predicate applied at the join (pre-filter " +
+      "pushes the predicate before scoring), native kernel, rank-pruned") {
+    val p = planOf("ann_filtered_topk")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("WindowGroupLimit"), "top-5 lost rank pushdown")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "probe panel not broadcast")
+  }
+
+  test("ann_postfilter_recall_eval: one scored scan persisted and reused; " +
+      "query panel preserved through left joins") {
+    val p = planOf("ann_postfilter_recall_eval")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "the candidate scan is re-derived per consumer")
+    assert(!p.contains("CartesianProduct"), "eval join degenerated")
+  }
+
+  test("embedding_isotropy: bounded panel self-pairing, corpus-independent") {
+    val p = planOf("embedding_isotropy")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("vec_dot"), "cosine kernel not the native expression")
+    assert(p.contains("PushedFilters") || p.contains("vec_id"),
+      "panel filter not at the scan")
+  }
+
   test("sample_coverage_greedy: greedy output is a bounded local relation " +
       "(pool-sized collect, the MMR discipline)") {
     val p = planOf("sample_coverage_greedy")
