@@ -261,6 +261,54 @@ object Mining {
         .orderBy(asc("lang"), asc("gate_pass"), asc("redundant"))
     }),
 
+    // Cross-detector anomaly agreement (the dedup_channel_agreement
+    // discipline applied to the time-series detectors): per event type,
+    // the pairwise Jaccard of the day sets flagged by the median/MAD
+    // detector, the EWMA detector, and the top-3 spike census — the
+    // diagnostic that tells an alerting pipeline whether its detectors
+    // vote together (redundant) or disjointly (complementary / one is
+    // broken). Composes the three queries VERBATIM in both engines
+    // (derived tables in the oracle), so the census can never drift from
+    // the detectors it summarizes. Scale: each detector is day-grid-
+    // sized; the agreement join runs on flagged-day sets.
+    "events_anomaly_agreement" -> ((s, d) => {
+      val mad = Timeseries.queries("events_daily_anomaly")(s, d)
+        .filter(col("is_anomaly") === 1)
+        .select(col("event_type"), col("day"), lit("mad").as("det"))
+      val ew = Timeseries.queries("events_ewma_anomaly")(s, d)
+        .filter(col("is_anomaly") === 1)
+        .select(col("event_type"), col("day"), lit("ewma").as("det"))
+      val sp = Temporal.queries("events_spike_days")(s, d)
+        .select(col("event_type"), col("day"), lit("spike").as("det"))
+      val all = mad.union(ew).union(sp).transform(CacheScope.persist)
+      val counts = all.groupBy(col("event_type"), col("det"))
+        .agg(count(lit(1)).as("n"))
+      val inter = all.alias("a")
+        .join(all.alias("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") === col("b.day") && col("a.det") < col("b.det"))
+        .groupBy(col("a.event_type").as("event_type"),
+          col("a.det").as("det_a"), col("b.det").as("det_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val pairDf = s.createDataFrame(
+        Seq(("ewma", "mad"), ("ewma", "spike"), ("mad", "spike")))
+        .toDF("det_a", "det_b")
+      all.select(col("event_type")).distinct()
+        .crossJoin(broadcast(pairDf))
+        .join(counts.select(col("event_type"), col("det").as("det_a"),
+          col("n").as("raw_a")), Seq("event_type", "det_a"), "left")
+        .join(counts.select(col("event_type"), col("det").as("det_b"),
+          col("n").as("raw_b")), Seq("event_type", "det_b"), "left")
+        .join(inter, Seq("event_type", "det_a", "det_b"), "left")
+        .selectExpr("event_type", "det_a", "det_b",
+          "ifnull(raw_a, 0L) AS n_a", "ifnull(raw_b, 0L) AS n_b",
+          "ifnull(n_both, 0L) AS n_both")
+        .selectExpr("event_type", "det_a", "det_b", "n_a", "n_b", "n_both",
+          """CASE WHEN n_a + n_b - n_both = 0 THEN CAST(NULL AS BIGINT)
+             ELSE (n_both * 10000) div (n_a + n_b - n_both) END AS jaccard_bp""")
+        .orderBy(asc("event_type"), asc("det_a"), asc("det_b"))
+    }),
+
     // Facility-location / coverage-greedy subset selection: from the
     // CovPool longest documents, greedily pick CovPicks docs maximizing
     // NEW vocabulary covered at each step (gain = |tokens(doc) −
@@ -486,6 +534,37 @@ object Mining {
         "CAST((mutual_e8 * 10000) // flow_e8 AS BIGINT) AS pair_recip_bp, " +
         "CAST((t_mutual * 10000) // t_flow AS BIGINT) AS global_recip_bp " +
         "FROM p CROSS JOIN g ORDER BY src_nation, dst_nation"),
+
+    "events_anomaly_agreement" -> {
+      val madO = Timeseries.oracles("events_daily_anomaly")
+      val ewO = Timeseries.oracles("events_ewma_anomaly")
+      val spO = Temporal.oracles("events_spike_days")
+      s"WITH md AS (SELECT event_type, day FROM ($madO) _m WHERE is_anomaly = 1), " +
+        s"ew AS (SELECT event_type, day FROM ($ewO) _e WHERE is_anomaly = 1), " +
+        s"sp AS (SELECT event_type, day FROM ($spO) _s), " +
+        "al AS (SELECT event_type, day, 'mad' AS det FROM md " +
+        "UNION ALL SELECT event_type, day, 'ewma' FROM ew " +
+        "UNION ALL SELECT event_type, day, 'spike' FROM sp), " +
+        "cn AS (SELECT event_type, det, count(*)::BIGINT AS n FROM al GROUP BY 1, 2), " +
+        "ins AS (SELECT a.event_type, a.det AS det_a, b.det AS det_b, count(*)::BIGINT AS n_both " +
+        "FROM al a JOIN al b ON a.event_type = b.event_type AND a.day = b.day " +
+        "AND a.det < b.det GROUP BY 1, 2, 3), " +
+        "pr(det_a, det_b) AS (VALUES ('ewma', 'mad'), ('ewma', 'spike'), ('mad', 'spike')), " +
+        "ty AS (SELECT DISTINCT event_type FROM al), " +
+        "g AS (SELECT ty.event_type, pr.det_a, pr.det_b, " +
+        "COALESCE(ca.n, CAST(0 AS BIGINT)) AS n_a, " +
+        "COALESCE(cb.n, CAST(0 AS BIGINT)) AS n_b, " +
+        "COALESCE(ins.n_both, CAST(0 AS BIGINT)) AS n_both " +
+        "FROM ty CROSS JOIN pr " +
+        "LEFT JOIN cn ca ON ca.event_type = ty.event_type AND ca.det = pr.det_a " +
+        "LEFT JOIN cn cb ON cb.event_type = ty.event_type AND cb.det = pr.det_b " +
+        "LEFT JOIN ins ON ins.event_type = ty.event_type " +
+        "AND ins.det_a = pr.det_a AND ins.det_b = pr.det_b) " +
+        "SELECT event_type, det_a, det_b, n_a, n_b, n_both, " +
+        "CASE WHEN n_a + n_b - n_both = 0 THEN CAST(NULL AS BIGINT) " +
+        "ELSE (n_both * 10000) // (n_a + n_b - n_both) END AS jaccard_bp " +
+        "FROM g ORDER BY event_type, det_a, det_b"
+    },
 
     "text_coverage_curve" ->
       (s"WITH f AS (SELECT lang, tok, count(*)::BIGINT AS f FROM " +

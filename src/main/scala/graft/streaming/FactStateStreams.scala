@@ -1316,6 +1316,67 @@ object FactStateStreams {
       }
   }
 
+  /** One panel probe's live similarity moments over all arrivals. */
+  final case class DriftUpdate(
+      probeId: Long, seq: Long, n: Long, meanCosPpm: Long,
+      meanAbsCosPpm: Long, minCosPpm: Long, maxCosPpm: Long)
+
+  /** Per-probe moment cursor: exact integer sums of ppm cosines. Σcos
+    * stays inside int64 to ~9e12 arrivals (1e6 ppm ceiling per row). */
+  final case class DriftState(
+      seq: Long, n: Long, sc: Long, sa: Long, mn: Long, mx: Long)
+
+  /** Live embedding-drift monitor (twenty-eighth face): every arriving
+    * vector is scored against a pinned reference panel and each probe
+    * keeps running cosine moments (n, mean, mean-|·|, min, max in exact
+    * ppm) — the online rendering of `embedding_isotropy`'s health gauge:
+    * when an upstream embedding model changes, the incoming-similarity
+    * distribution shifts and the monitor shows it within a micro-batch,
+    * long before any batch re-index runs. The scoring is stateless (the
+    * knnMaintenance scan shape, same strict index-order IEEE cosine);
+    * the fold is commutative integer sums, so arrival order and batch
+    * splits are irrelevant. State: one constant-width row per panel
+    * probe forever. */
+  def embeddingDriftMonitor(spark: SparkSession, vectors: DataFrame,
+      panel: Seq[(Long, Array[Double])]): Dataset[DriftUpdate] = {
+    import spark.implicits._
+    vectors
+      .selectExpr("vec_id", "embedding")
+      .as[(Long, Seq[Float])]
+      .flatMap { case (_, v) =>
+        panel.map { case (pid, pv) =>
+          var dot = 0.0; var nv = 0.0; var np = 0.0; var i = 0
+          while (i < pv.length) {
+            val x = v(i).toDouble
+            dot += pv(i) * x; np += pv(i) * pv(i); nv += x * x; i += 1
+          }
+          (pid,
+            math.floor(dot / (math.sqrt(np) * math.sqrt(nv)) * 1000000).toLong)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DriftState, DriftUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (pid, rows, state) =>
+        val prev = state.getOption.getOrElse(
+          DriftState(0L, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+        var n = prev.n; var sc = prev.sc; var sa = prev.sa
+        var mn = prev.mn; var mx = prev.mx
+        var any = false
+        rows.foreach { case (_, c) =>
+          any = true; n += 1; sc += c; sa += math.abs(c)
+          if (c < mn) mn = c
+          if (c > mx) mx = c
+        }
+        if (!any) Iterator.empty
+        else {
+          val next = DriftState(prev.seq + 1, n, sc, sa, mn, mx)
+          state.update(next)
+          Iterator.single(DriftUpdate(pid, next.seq, n, sc / n, sa / n, mn, mx))
+        }
+      }
+  }
+
   /** One nation-pair's live flow row — batch graph_trade_reciprocity's
     * flow census maintained under ingestion. */
   final case class FlowUpdate(

@@ -1234,6 +1234,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), "grew a window")
   }
 
+  test("events_anomaly_agreement: flagged-day union persisted once and " +
+      "reused; pair grid broadcast; no cartesian beyond the 3-pair attach") {
+    val p = planOf("events_anomaly_agreement")
+    graft.operators.CacheScope.releaseAll()
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "detector union re-derived per consumer")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), "pair grid not broadcast")
+  }
+
   test("ann_filtered_topk: label predicate applied at the join (pre-filter " +
       "pushes the predicate before scoring), native kernel, rank-pruned") {
     val p = planOf("ann_filtered_topk")

@@ -579,6 +579,41 @@ class StreamingRecoverySpec extends AnyFunSuite {
     }
   }
 
+  // -- embeddingDriftMonitor: running moment sums per panel probe -----------
+
+  test("embeddingDriftMonitor recovers its moments: post-restart arrivals " +
+      "extend pre-restart sums and extremes exactly") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val panel = vecs.take(3)
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq
+    val pool = vecs.slice(3, 27).toSeq
+    def vf(v: (Long, Seq[Float])) =
+      FactInput("vec", v._1.toString, Array[Byte](1),
+        tags = Map("emb" -> v._2.map(_.toString).mkString(",")))
+    val (phase1, phase2) = pool.splitAt(13)
+    val (o1, o2, oU) = runBoth("update", phase1.map(vf), phase2.map(vf))(df =>
+      FactStateStreams.embeddingDriftMonitor(spark, df.selectExpr(
+        "CAST(subject AS BIGINT) AS vec_id",
+        "transform(split(tags['emb'], ','), x -> CAST(x AS FLOAT)) AS embedding"),
+        panel))
+    def fin(rows: Seq[DriftUpdate]): Map[Long, (Long, Long, Long, Long, Long)] =
+      rows.groupBy(_.probeId).map { case (p, rs) =>
+        val last = rs.maxBy(_.seq)
+        p -> ((last.n, last.meanCosPpm, last.meanAbsCosPpm,
+          last.minCosPpm, last.maxCosPpm))
+      }
+    assert(fin(o1 ++ o2) == fin(oU), s"${fin(o1 ++ o2)} vs ${fin(oU)}")
+    // n is cumulative across the restart — a reset would count 11 only
+    assert(fin(o1 ++ o2).values.forall(_._1 == pool.size.toLong))
+    o2.groupBy(_.probeId).foreach { case (p, rs) =>
+      val before = o1.filter(_.probeId == p).map(_.seq)
+      assert(before.nonEmpty && rs.map(_.seq).min > before.max,
+        s"probe $p: seq did not continue across restart")
+    }
+  }
+
   // -- firstSeenByContent: exact-dedup bit per content hash -----------------
 
   test("firstSeenByContent recovers its seen-set: a pre-restart payload " +
