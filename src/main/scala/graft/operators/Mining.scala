@@ -334,14 +334,16 @@ object Mining {
       val byDoc = ct.groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
       var covered = Set.empty[String]
       var remaining = byDoc.keySet
-      val out = (1 to CovPicks).map { k =>
+      // a candidate pool smaller than CovPicks yields a shorter pick list
+      // (the unrolled oracle's empty p_k behavior) — never an empty minBy
+      val out = (1 to CovPicks).iterator.takeWhile(_ => remaining.nonEmpty).map { k =>
         val (pick, gain) = remaining.toSeq
           .map(id => (id, (byDoc(id) -- covered).size.toLong))
           .minBy { case (id, g) => (-g, id) }
         covered ++= byDoc(pick)
         remaining -= pick
         (k.toLong, pick, gain, covered.size.toLong)
-      }
+      }.toSeq
       s.createDataFrame(out).toDF("pick", "doc_id", "gain", "covered")
     }),
 

@@ -308,15 +308,23 @@ object Retrieval {
         var selected = Vector(ordered.head._1)
         var picks = Vector((q, 1L, ordered.head._1, ordered.head._2, 0L,
           7 * ordered.head._2 / 10))
-        for (k <- 2 to MmrPicks) {
+        // a query with fewer than MmrPicks candidates just yields a shorter
+        // pick list (the oracle's empty p_k behavior) — never an empty minBy
+        var k = 2
+        var pool = true
+        while (k <= MmrPicks && pool) {
           val scored = ordered.filterNot(c => selected.contains(c._1))
             .map { case (doc, rel) =>
               val ms = selected.map(sid => simMap.getOrElse((q, doc, sid), 0L)).max
               (doc, rel, ms, (7 * rel - 3 * ms) / 10)
             }
-          val pick = scored.minBy { case (doc, _, _, mmr) => (-mmr, doc) }
-          selected :+= pick._1
-          picks :+= ((q, k.toLong, pick._1, pick._2, pick._3, pick._4))
+          if (scored.isEmpty) pool = false
+          else {
+            val pick = scored.minBy { case (doc, _, _, mmr) => (-mmr, doc) }
+            selected :+= pick._1
+            picks :+= ((q, k.toLong, pick._1, pick._2, pick._3, pick._4))
+            k += 1
+          }
         }
         picks
       }.sortBy(r => (r._1, r._2))

@@ -1344,11 +1344,17 @@ object FactStateStreams {
       .selectExpr("vec_id", "embedding")
       .as[(Long, Seq[Float])]
       .flatMap { case (_, v) =>
-        panel.map { case (pid, pv) =>
-          var dot = 0.0; var nv = 0.0; var np = 0.0; var i = 0
+        // a zero-norm vector has no direction: cosine is 0/0 = NaN and
+        // floor(NaN).toLong would silently fold a fabricated 0 into the
+        // drift moments — reject the row instead
+        var nv = 0.0; var j = 0
+        while (j < v.length) { val x = v(j).toDouble; nv += x * x; j += 1 }
+        if (nv == 0.0) Nil
+        else panel.map { case (pid, pv) =>
+          var dot = 0.0; var np = 0.0; var i = 0
           while (i < pv.length) {
             val x = v(i).toDouble
-            dot += pv(i) * x; np += pv(i) * pv(i); nv += x * x; i += 1
+            dot += pv(i) * x; np += pv(i) * pv(i); i += 1
           }
           (pid,
             math.floor(dot / (math.sqrt(np) * math.sqrt(nv)) * 1000000).toLong)
@@ -1451,11 +1457,16 @@ object FactStateStreams {
       .selectExpr("vec_id", "embedding")
       .as[(Long, Seq[Float])]
       .flatMap { case (id, v) =>
-        probes.map { case (pid, pv) =>
-          var dot = 0.0; var nv = 0.0; var np = 0.0; var i = 0
+        // zero-norm guard: cosine undefined (0/0) — skip the vector rather
+        // than let floor(NaN).toLong plant a spurious cos_ppm=0 neighbor
+        var nv = 0.0; var j = 0
+        while (j < v.length) { val x = v(j).toDouble; nv += x * x; j += 1 }
+        if (nv == 0.0) Nil
+        else probes.map { case (pid, pv) =>
+          var dot = 0.0; var np = 0.0; var i = 0
           while (i < pv.length) {
             val x = v(i).toDouble
-            dot += pv(i) * x; np += pv(i) * pv(i); nv += x * x; i += 1
+            dot += pv(i) * x; np += pv(i) * pv(i); i += 1
           }
           (pid, id,
             math.floor(dot / (math.sqrt(np) * math.sqrt(nv)) * 1000000).toLong)
@@ -1471,7 +1482,12 @@ object FactStateStreams {
         rows.foreach { case (_, id, c) => any = true; n += 1; merged :+= ((c, id)) }
         if (!any) Iterator.empty
         else {
-          val top = merged.distinct.sortBy { case (c, i) => (-c, i) }.take(k)
+          // dedup by vec_id keeping the BEST (cos desc) entry — a re-appended
+          // id with a changed embedding collapses to one neighborhood slot
+          // (best-cos, not latest, keeps the fold commutative: arrival order
+          // and batch splits still cannot change the final state)
+          val top = merged.groupBy(_._2).valuesIterator.map(_.maxBy(_._1)).toSeq
+            .sortBy { case (c, i) => (-c, i) }.take(k)
           val next = KnnState(prev.seq + 1, n, top.map(_._2), top.map(_._1))
           state.update(next)
           Iterator.single(KnnUpdate(pid, next.seq, n, next.ids, next.cos))
