@@ -61,7 +61,7 @@ final case class FileRef(path: String, bloom: Option[Array[Byte]],
 
 /** A checkpoint at seq K supersedes commit records 1..K: the facts live in
   * few position-bucketed compacted files and the idempotency-key set is
-  * carried forward. Published with the same hard-link CAS as commits, so
+  * carried forward. Published with the same put-if-absent CAS as commits, so
   * exactly one checkpoint exists per seq and readers switch atomically.
   * This caps both file count and commit-log length — the knob that keeps a
   * store with millions of appends readable at 100 TB. */
@@ -78,16 +78,19 @@ final case class HeadState(seq: Long, lastPosition: Long, appendedAtNanos: Long)
   *   1. read head (last commit or checkpoint)
   *   2. caller evaluates idempotency + conditions against the committed log
   *   3. write data file(s) with positions head+1..head+N (uncommitted)
-  *   4. atomically publish commit record `seq = head.seq+1` via hard-link
-  *      CAS — exactly one writer wins a given seq; losers delete their data
-  *      file and retry, re-evaluating conditions (mirrors FDB's retry loop,
-  *      making the exactly-one-winner concurrency contract hold)
+  *   4. atomically publish commit record `seq = head.seq+1` via the
+  *      [[CommitPublisher]] put-if-absent CAS (hard link on POSIX,
+  *      conditional PUT on object stores) — exactly one writer wins a
+  *      given seq; losers delete their data file and retry, re-evaluating
+  *      conditions (mirrors FDB's retry loop, making the
+  *      exactly-one-winner concurrency contract hold)
   *
   * Readers take the latest checkpoint plus the contiguous committed suffix
   * after it, so they see an atomic, snapshot-isolated view regardless of
   * in-flight writers or compactions.
   */
-final class FactLog(val storeDir: Path) {
+final class FactLog(val storeDir: Path,
+    val publisher: CommitPublisher = CommitPublisher.default) {
   private val commitsDir = storeDir.resolve("commits")
   private val dataDir = storeDir.resolve("data")
   private val checkpointsDir = storeDir.resolve("checkpoints")
@@ -146,17 +149,8 @@ final class FactLog(val storeDir: Path) {
 
   /** Attempt to publish `record` (with the given seq). True iff this writer
     * won the CAS for that seq. */
-  def tryCommit(record: CommitRecord): Boolean = {
-    val target = commitPath(record.seq)
-    val tmp = commitsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, render(record), UTF_8)
-    try {
-      Files.createLink(target, tmp) // atomic create-if-absent on POSIX
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally Files.deleteIfExists(tmp)
-  }
+  def tryCommit(record: CommitRecord): Boolean =
+    publisher.putIfAbsent(commitPath(record.seq), render(record))
 
   /** Fresh uncommitted data-file path (relative name returned). */
   def newDataFileName(): String = s"${java.util.UUID.randomUUID()}.parquet"
@@ -230,17 +224,14 @@ final class FactLog(val storeDir: Path) {
       val ix = f.index.getOrElse("-")
       body.append(s"f\t${f.path}\t${f.minPos}\t${f.maxPos}\t${f.minNanos}\t${f.maxNanos}\t$b\t$ix\n")
     }
-    val tmp = checkpointsDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, body.toString, UTF_8)
-    try { Files.createLink(checkpointPath(c.seq), tmp); true }
-    catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    finally Files.deleteIfExists(tmp)
+    publisher.putIfAbsent(checkpointPath(c.seq), body.toString)
   }
 
   /** Delete commit records with seq <= `seq` and their data files — they are
     * superseded by a checkpoint. Opt-in: a concurrent reader still holding a
-    * pre-checkpoint snapshot would lose its files. `stream/` hard links
-    * survive (same inodes), so live subscribers are unaffected. */
+    * pre-checkpoint snapshot would lose its files. `stream/` aliases
+    * survive (same inodes on POSIX, independent copies on object-store
+    * profiles), so live subscribers are unaffected. */
   def vacuum(seq: Long): Unit = {
     commitsAfter(0L).takeWhile(_.seq <= seq).foreach { c =>
       c.files.foreach(rel => DirStreams.deleteTree(storeDir.resolve(rel)))
@@ -341,11 +332,12 @@ final class FactLog(val storeDir: Path) {
   }
 
   // --- streaming view -------------------------------------------------------
-  // `stream/` holds hard links to COMMITTED data files only, created after
-  // the commit CAS is won. Spark's file-source streaming can therefore tail
-  // it safely: uncommitted or CAS-losing files never appear, and links
-  // appear atomically. (Batch readers never list directories — they read
-  // exact paths from commit records — so they don't need this.)
+  // `stream/` holds aliases (hard links on POSIX, copies on object-store
+  // profiles) of COMMITTED data files only, created after the commit CAS is
+  // won. Spark's file-source streaming can therefore tail it safely:
+  // uncommitted or CAS-losing files never appear, and aliases appear
+  // atomically. (Batch readers never list directories — they read exact
+  // paths from commit records — so they don't need this.)
   private val streamDir = storeDir.resolve("stream")
 
   def streamPath: Path = streamDir
@@ -362,8 +354,7 @@ final class FactLog(val storeDir: Path) {
         else Seq(src)
       parts.zipWithIndex.foreach { case (p, j) =>
         val target = streamDir.resolve(f"${rec.seq}%020d-$i-$j.parquet")
-        try Files.createLink(target, p)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        publisher.alias(target, p)
       }
     }
   }

@@ -47,14 +47,15 @@ object FactRow {
   *   stores/{storeId}/data/       committed Parquet files
   * }}}
   *
-  * Store creation uses the same hard-link CAS as commits, so duplicate
-  * names lose atomically. Removal deletes the catalog entry first (the
+  * Store creation uses the same [[CommitPublisher]] put-if-absent CAS as
+  * commits, so duplicate names lose atomically. Removal deletes the catalog entry first (the
   * store disappears atomically); data is reclaimed best-effort. Because the
   * data dir is keyed by storeId (UUID), recreate-after-delete starts empty
   * (reference contract AbstractFactStoreTest.kt:1479-1497).
   */
 final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
-    val autoCompactEvery: Int = 64) extends FactStore {
+    val autoCompactEvery: Int = 64,
+    val publisher: CommitPublisher = CommitPublisher.default) extends FactStore {
   private val catalogDir = rootDir.resolve("catalog")
   private val storesDir = rootDir.resolve("stores")
   Files.createDirectories(catalogDir)
@@ -81,15 +82,11 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   override def createStore(name: String): CreateStoreResult = {
     if (!Validation.validStoreName(name)) return CreateStoreResult.InvalidName(name)
     val md = StoreMetadata(UUID.randomUUID().toString, name, Instant.now())
-    val tmp = catalogDir.resolve(s".tmp-${md.id}")
-    Files.writeString(tmp, s"${md.id}\t${md.name}\t${md.createdAt.toEpochMilli}\n", UTF_8)
-    try {
-      Files.createLink(catalogPath(name), tmp)
+    val line = s"${md.id}\t${md.name}\t${md.createdAt.toEpochMilli}\n"
+    if (publisher.putIfAbsent(catalogPath(name), line)) {
       Files.createDirectories(storesDir.resolve(md.id))
       CreateStoreResult.Created(md)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => CreateStoreResult.NameAlreadyExists
-    } finally Files.deleteIfExists(tmp)
+    } else CreateStoreResult.NameAlreadyExists
   }
 
   private def parseMeta(p: Path): StoreMetadata = {
@@ -127,7 +124,8 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   // repeated metadata reads O(new commits), not O(all commits).
   private val logs = mutable.Map[String, FactLog]()
   private def logFor(md: StoreMetadata): FactLog =
-    logs.synchronized(logs.getOrElseUpdate(md.id, new FactLog(storesDir.resolve(md.id))))
+    logs.synchronized(logs.getOrElseUpdate(md.id,
+      new FactLog(storesDir.resolve(md.id), publisher)))
 
   /** Committed log as a DataFrame (optionally pruned via commit metadata). */
   def logDataFrame(name: String,

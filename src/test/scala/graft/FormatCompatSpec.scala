@@ -52,8 +52,15 @@ class FormatCompatSpec extends AnyFunSuite {
       }
   }
 
-  test("round-10 fixture store opens and replays exactly") {
-    val store = new SparkFactStore(SparkTestSession.spark, copied())
+  // every test runs under BOTH commit publishers: the on-disk format is
+  // publisher-independent, so a store written with POSIX hard links must
+  // open and extend under conditional-put semantics and vice versa
+  private val publishers =
+    Seq(graft.store.PosixLinkPublisher, graft.store.ConditionalPutPublisher)
+
+  for (pub <- publishers)
+  test(s"[${pub.name}] round-10 fixture store opens and replays exactly") {
+    val store = new SparkFactStore(SparkTestSession.spark, copied(), publisher = pub)
     val exp = manifest()
     assert(store.storeExists("orders"))
     val got = store.replay("orders", ReplayStart.Beginning)
@@ -69,8 +76,9 @@ class FormatCompatSpec extends AnyFunSuite {
     }
   }
 
-  test("finders answer over the fixture (indexes/sidecars readable)") {
-    val store = new SparkFactStore(SparkTestSession.spark, copied())
+  for (pub <- publishers)
+  test(s"[${pub.name}] finders answer over the fixture (indexes/sidecars readable)") {
+    val store = new SparkFactStore(SparkTestSession.spark, copied(), publisher = pub)
     val exp = manifest()
     // by id (entry-index/bloom path)
     val one = exp(4)
@@ -94,8 +102,9 @@ class FormatCompatSpec extends AnyFunSuite {
       exp.map(_.position))
   }
 
-  test("new appends continue the fixture's position sequence") {
-    val store = new SparkFactStore(SparkTestSession.spark, copied())
+  for (pub <- publishers)
+  test(s"[${pub.name}] new appends continue the fixture's position sequence") {
+    val store = new SparkFactStore(SparkTestSession.spark, copied(), publisher = pub)
     val head = manifest().map(_.position).max
     val r = store.append("orders",
       FactInput("ORDER_PLACED", "order-new", "post-upgrade".getBytes("UTF-8")))

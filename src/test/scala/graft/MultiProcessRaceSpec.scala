@@ -27,10 +27,15 @@ class MultiProcessRaceSpec extends AnyFunSuite {
   private val NPlain = 12
   private val NCond = 6
 
-  test("parent + child JVM race the same root: contiguous positions, " +
-      "exactly one winner per ExpectedLastFact generation") {
+  // Both deployment profiles of the commit CAS must uphold the contract:
+  // the POSIX hard-link publisher and the object-store conditional-put
+  // publisher (no links, no protocol-visible rename). The child JVM is
+  // pointed at the same publisher via -Dgraft.commit.publisher.
+  for (pub <- Seq(graft.store.PosixLinkPublisher, graft.store.ConditionalPutPublisher))
+  test(s"[${pub.name}] parent + child JVM race the same root: contiguous " +
+      "positions, exactly one winner per ExpectedLastFact generation") {
     val root = Files.createTempDirectory("graft-mproc-")
-    val fs = new SparkFactStore(SparkTestSession.spark, root)
+    val fs = new SparkFactStore(SparkTestSession.spark, root, publisher = pub)
     assert(fs.createStore("race").isInstanceOf[CreateStoreResult.Created])
     fs.append("race", FactInput("BASE", "shared", Array[Byte](1))) match {
       case _: AppendResult.Appended => ()
@@ -49,6 +54,7 @@ class MultiProcessRaceSpec extends AnyFunSuite {
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = (Seq(java) ++ addOpens ++ Seq("-Xmx2g",
+      s"-Dgraft.commit.publisher=${pub.name}",
       "-cp", System.getProperty("java.class.path"),
       "graft.StoreRaceChild", root.toString, "race",
       NPlain.toString, NCond.toString)).toArray
