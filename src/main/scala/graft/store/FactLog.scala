@@ -9,7 +9,7 @@ import scala.util.Using
 /** Directory-stream helpers that always close the underlying JDK stream
   * (Files.list/walk leak a file descriptor per call otherwise — fatal in a
   * long-running server process). */
-private[store] object DirStreams {
+private[graft] object DirStreams {
   def listNames[A](dir: Path)(f: Iterator[String] => A): A =
     Using.resource(Files.list(dir))(s => f(s.iterator().asScala.map(_.getFileName.toString)))
   def listPaths[A](dir: Path)(f: Iterator[Path] => A): A =
@@ -375,6 +375,27 @@ final class FactLog(val storeDir: Path,
     CommitRecord(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong, a(4),
       if (a.length > 5 && a(5).nonEmpty) a(5).split(',').toSeq else Seq.empty,
       if (a.length > 6 && a(6) != "-") Some(java.util.Base64.getDecoder.decode(a(6))) else None)
+  }
+}
+
+/** Root-layout resolution shared by [[SparkFactStore]] and the DataSource
+  * V2 provider (graft.sources.GraftDataSource): catalog filenames are the
+  * SHA-256 of the store name (same name -> same file, so the put-if-absent
+  * CAS enforces uniqueness and 255-char names can't exceed filename
+  * limits), and each store's log lives under `stores/{storeId}`. */
+private[graft] object StoreLayout {
+  def catalogPath(root: Path, name: String): Path = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(name.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    root.resolve("catalog").resolve(s"$h.store")
+  }
+
+  /** The store's log directory, if the store exists. */
+  def storeDir(root: Path, name: String): Option[Path] = {
+    val p = catalogPath(root, name)
+    if (!Files.exists(p)) None
+    else Some(root.resolve("stores")
+      .resolve(Files.readString(p, UTF_8).trim.split('\t')(0)))
   }
 }
 

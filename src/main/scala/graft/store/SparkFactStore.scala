@@ -70,14 +70,8 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   import spark.implicits._
 
   // -- catalog ---------------------------------------------------------------
-  // Filename = SHA-256 of the store name: same name -> same file, so the
-  // create-link CAS still enforces name uniqueness, and 255-char store names
-  // (valid per the reference's StoreName rules) can't exceed filename limits.
-  private def catalogPath(name: String): Path = {
-    val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(name.getBytes(UTF_8)).map("%02x".format(_)).mkString
-    catalogDir.resolve(s"$h.store")
-  }
+  // Layout shared with the DSv2 provider — see StoreLayout (FactLog.scala).
+  private def catalogPath(name: String): Path = StoreLayout.catalogPath(rootDir, name)
 
   override def createStore(name: String): CreateStoreResult = {
     if (!Validation.validStoreName(name)) return CreateStoreResult.InvalidName(name)
