@@ -142,50 +142,93 @@ object Retrieval {
     *      (score DESC, term ASC) ties;
     *   3. round 2 re-scores BM25 with integer weights — original terms 2,
     *      expansions 1 — over the expanded term set.
-    * Scale: the only corpus-scale passes are token scans PRUNED by a
-    * broadcast term set before any census (top-3 docs explode is 9 rows'
-    * worth of text; the df census joins the distinct-token stream with
-    * the ≤ queries×(|terms|+2)-row needed-terms set) — posting-list-sized
-    * everywhere, the text_bm25_topk shape applied twice. */
+    * Scale: every corpus pass executes EXACTLY ONCE. The greedy chain
+    * (round-1 ranking → candidate terms → expansion picks) runs on
+    * corpus-INDEPENDENT collects (queries×3 doc picks, the ≤9 picked
+    * docs' token census, a |needTerms|-row df map — the ANN-codebook
+    * bounded-collect discipline), so the round-1 BM25 subtree is never
+    * re-planned into downstream DAGs (the previous all-DataFrame
+    * rendering recomputed it once per consumer branch and was the
+    * slowest non-composite query in the round-12 ledger). The returned
+    * round-2 plan contains ONE corpus token scan — the posting census
+    * keyed by the literal expanded term set — with df, weights, and
+    * corpus scalars attached as literal broadcasts. */
   private def prfParts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    // round-1 top-3 docs per query, computed ONCE and collected
     val top3 = queries("text_bm25_topk")(s, d)
       .filter(col("rank") <= 3).select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    val emptyTerms = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("query_id", LongType), StructField("rank", LongType),
+        StructField("term", StringType), StructField("sum_tf", LongType),
+        StructField("df", LongType), StructField("exp_score", StringType))))
+    val emptyResc = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("query_id", LongType), StructField("rank", LongType),
+        StructField("doc_id", LongType), StructField("score2_e6", LongType))))
+    if (top3.isEmpty) return (emptyTerms, emptyResc)
     val base = docs(s, d).selectExpr(
       "doc_id", s"${tokensSpark("text")} AS toks")
       .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS dl", "toks")
-    val qt = qtDf(s)
-    // candidate (query, term) evidence from the top-3 docs only
-    val t3tf = base.join(broadcast(top3), Seq("doc_id"))
-      .select(col("query_id"), explode(col("toks")).as("term"))
-      .groupBy(col("query_id"), col("term"))
-      .agg(count(lit(1)).as("sum_tf"))
-    val cand = t3tf.join(qt, Seq("query_id", "term"), "left_anti")
-    val needTerms = cand.select(col("term"))
-      .union(qt.select(col("term"))).distinct()
-    // df census pruned to the needed terms before the census
-    val dfN = base.select(col("doc_id"),
+    // per-term tf of the picked docs (pushdown-pruned read of ≤ 9 docs;
+    // collected — bounded by those docs' lengths, corpus-independent)
+    val t3docs = top3.map(_._2).distinct
+    val docTf = base.filter(col("doc_id").isin(t3docs: _*))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect()
+    val tfByDoc = docTf.groupBy(_._1)
+    val t3tf = top3
+      .flatMap { case (q, doc) =>
+        tfByDoc.getOrElse(doc, Array.empty).map { case (_, t, n) => ((q, t), n) } }
+      .groupBy(_._1).map { case ((q, t), v) => (q, t, v.map(_._2).sum) }.toSeq
+    val qtPairs = Bm25Queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }.toSet
+    val cand = t3tf.filterNot { case (q, t, _) => qtPairs((q, t)) }
+    val needTerms = (cand.map(_._2) ++ Bm25Queries.flatMap(_._2)).distinct.sorted
+    // df census for exactly the needed terms: one distinct-token scan,
+    // map-side combined to |needTerms| rows, collected
+    val dfMap = base.select(col("doc_id"),
         explode(expr("array_distinct(toks)")).as("term"))
-      .join(broadcast(needTerms), Seq("term"))
+      .filter(col("term").isin(needTerms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scal = base.agg(count(lit(1)).cast("bigint").as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    val expTerms = cand.join(dfN, Seq("term")).crossJoin(broadcast(scal))
-      .selectExpr("query_id", "term", "sum_tf", "df",
-        """CAST(sum_tf AS DECIMAL(38,0)) *
-           ((CAST(n_docs AS DECIMAL(38,0)) * 1000000) div df) AS exp_score""")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(desc("exp_score"), asc("term"))))
-      .filter(col("rank") <= 2)
-    val qt2 = qt.select(col("query_id"), col("term"), lit(2L).as("weight"))
-      .union(expTerms.select(col("query_id"), col("term"), lit(1L).as("weight")))
-    val tf2 = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(qt2.select(col("term")).distinct()), Seq("term"))
+      .as[(String, Long)].collect().toMap
+    val (nDocs, sumDl) = base
+      .agg(count(lit(1)).cast("bigint"), sum(col("dl"))).as[(Long, Long)].head()
+    // expansion scoring on plain BigInt — the exact integer twin of the
+    // DECIMAL(38,0)/HUGEINT rendering (truncating division, positive
+    // operands); rank ties (exp_score DESC, term ASC)
+    val expRows = cand
+      .map { case (q, t, stf) =>
+        val df = dfMap(t) // cand terms came from a committed doc: df >= 1
+        (q, t, stf, df, BigInt(stf) * ((BigInt(nDocs) * 1000000) / BigInt(df)))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy { case (_, t, _, _, sc) => (-sc, t) }.take(2).zipWithIndex
+          .map { case ((_, t, stf, df, sc), i) =>
+            (q, (i + 1).toLong, t, stf, df, sc.toString) }
+      }.sortBy(r => (r._1, r._2))
+    val expTerms = s.createDataFrame(expRows)
+      .toDF("query_id", "rank", "term", "sum_tf", "df", "exp_score")
+    // round 2: the ONLY corpus pass in the returned plan — a posting
+    // census keyed by the literal expanded term set; df, weights, and
+    // corpus scalars ride in as literal broadcasts
+    val qt2 = qtPairs.toSeq.map { case (q, t) => (q, t, 2L) } ++
+      expRows.map(r => (r._1, r._3, 1L))
+    val qt2Df = s.createDataFrame(qt2).toDF("query_id", "term", "weight")
+    val qt2Terms = qt2.map(_._2).distinct
+    val dfDf = s.createDataFrame(dfMap.toSeq).toDF("term", "df")
+    val tf2 = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qt2Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val rescored = tf2.join(dfN, Seq("term"))
-      .join(broadcast(qt2), Seq("term"))
-      .crossJoin(broadcast(scal))
+    val rescored = tf2.join(broadcast(dfDf), Seq("term"))
+      .join(broadcast(qt2Df), Seq("term"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
       .selectExpr("query_id", "doc_id", "weight",
         """((CAST(n_docs AS DECIMAL(38,0)) * 2 - CAST(df AS DECIMAL(38,0)) * 2 + 1)
             * 1000000) div (CAST(df AS DECIMAL(38,0)) * 2 + 1) AS idf_e6""",
