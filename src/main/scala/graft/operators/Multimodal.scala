@@ -29,13 +29,20 @@ import graft.functions.CrossHash._
   *    computed from the DECODED frames. PCM-in-WAV is lossless, so the
   *    oracle's closed-form per-sample replay pins the codec round-trip.
   *
-  *  - `decodeStub` remains for codecs the JDK does not ship (JPEG is
-  *    lossy and decoder-version-dependent; video and compressed audio
-  *    need external libs): it derives deterministic fake dimensions from the byte
-  *    content behind the same mapPartitions seam a real kernel plugs
-  *    into. The driver tables carry no binary column, so the stub
-  *    queries derive bytes from `documents.text` (ASCII ⇒ byte i ==
-  *    char code i, which keeps DuckDB bit-exact).
+  *  - `media_decode_jpeg` is the LOSSY tier: payloads round-trip through
+  *    the JDK JPEG codec at a pinned quality. Pixel-exact replay is
+  *    impossible by design, so the oracle declares what every conformant
+  *    decoder agrees on — bitstream-exact SOF header fields plus
+  *    per-channel mean-error BANDS (0 iff within `JpegTolLevels` of the
+  *    closed-form gradient); the tight in-JVM error bound is pinned
+  *    separately in a spec.
+  *
+  *  - `decodeStub` remains for codecs the JDK does not ship (video and
+  *    compressed audio need external libs): it derives deterministic fake
+  *    dimensions from the byte content behind the same mapPartitions seam
+  *    a real kernel plugs into. The driver tables carry no binary column,
+  *    so the stub queries derive bytes from `documents.text` (ASCII ⇒
+  *    byte i == char code i, which keeps DuckDB bit-exact).
   */
 object Multimodal {
 
@@ -221,6 +228,133 @@ object Multimodal {
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => phashOf(id, decodedRaster(id)))
+      }
+  }
+
+  // ---- lossy-codec tier: REAL JPEG decode, tolerance-banded oracle ---------
+
+  /** Per-doc JPEG spec: 16-28 × 16-26 px. Unlike the PNG/BMP tier the
+    * payload is LOSSY, so the oracle cannot replay pixels bit-exactly;
+    * instead the declared semantics are (a) header fields — width, height,
+    * component count, sample precision — which every conformant decoder
+    * reads identically from the bitstream, and (b) per-channel mean-error
+    * BANDS: |decoded_sum − true_sum| div (Tol · n_pixels), which is 0 for
+    * any decoder whose mean error stays under Tol levels. The pattern is a
+    * smooth wrap-free gradient (JPEG-friendly: observed mean error ≲ 1
+    * level at quality 0.92; IEEE-1180-conformant IDCTs differ from each
+    * other by ≤ ~1 level per pixel), so Tol = 8 absorbs both compression
+    * loss and cross-decoder variance with wide margin. A spec pins the
+    * much tighter in-JVM bound separately. */
+  def jpegSpec(docId: Long): (Int, Int) =
+    (16 + (docId % 13).toInt, 16 + (docId % 11).toInt)
+
+  /** Mean-error tolerance in 0-255 levels for the banded oracle. */
+  val JpegTolLevels = 8L
+
+  /** Smooth, wrap-free gradient: channel values stay in [0, 155] without
+    * mod-256 sawtooth edges, so JPEG block transforms track them closely.
+    * Closed-form for the oracle: r = base_r + 2x, g = base_g + 2y,
+    * b = base_b + x + y with bases = (doc_id · {7,11,13}) % 100. */
+  def jpegRgb(docId: Long, x: Int, y: Int): Int = {
+    val r = ((docId * 7) % 100).toInt + 2 * x
+    val g = ((docId * 11) % 100).toInt + 2 * y
+    val b = ((docId * 13) % 100).toInt + x + y
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Render + encode one payload through the real JDK JPEG writer at a
+    * pinned quality (MODE_EXPLICIT so encoder defaults can't drift). */
+  def encodeJpeg(docId: Long): Array[Byte] = {
+    val (w, h) = jpegSpec(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, jpegRgb(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.92f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Bitstream-exact SOF header parse (precision, height, width,
+    * components) — decoder-independent by the JPEG spec: walk the marker
+    * stream to the first SOF0/1/2 segment. */
+  def parseSof(payload: Array[Byte]): (Int, Int, Int, Int) = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    require(u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG (missing SOI)")
+    var i = 2
+    while (i + 3 < payload.length) {
+      require(u8(i) == 0xff, s"marker desync at byte $i")
+      val marker = u8(i + 1)
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+        return (u8(i + 4), (u8(i + 5) << 8) | u8(i + 6),
+          (u8(i + 7) << 8) | u8(i + 8), u8(i + 9))
+      i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
+  /** Decoded JPEG facts: header fields exact, channel means as tolerance
+    * bands (0 = within JpegTolLevels of the closed-form truth). */
+  final case class JpegDecoded(
+      doc_id: Long, width: Long, height: Long,
+      n_components: Long, precision: Long,
+      r_band: Long, g_band: Long, b_band: Long)
+
+  /** The real lossy decode kernel: bytes in, banded raster facts out. The
+    * SOF parse and the decoder must agree on dimensions — a disagreement
+    * is a corrupt payload, not a tolerance matter. */
+  def decodeJpeg(docId: Long, payload: Array[Byte]): JpegDecoded = {
+    val (precision, sofH, sofW, nComp) = parseSof(payload)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"imageio failed to decode JPEG doc $docId")
+    require(img.getWidth == sofW && img.getHeight == sofH,
+      s"decoder/header dimension mismatch for doc $docId")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    // closed-form true sums of the wrap-free gradient
+    val baseR = (docId * 7) % 100; val baseG = (docId * 11) % 100
+    val baseB = (docId * 13) % 100
+    val sx = w.toLong * (w - 1) / 2 // Σx per row
+    val sy = h.toLong * (h - 1) / 2 // Σy per column
+    val trueR = baseR * n + 2 * sx * h
+    val trueG = baseG * n + 2 * sy * w
+    val trueB = baseB * n + sx * h + sy * w
+    JpegDecoded(docId, w.toLong, h.toLong, nComp.toLong, precision.toLong,
+      math.abs(rs - trueR) / (JpegTolLevels * n),
+      math.abs(gs - trueG) / (JpegTolLevels * n),
+      math.abs(bs - trueB) / (JpegTolLevels * n))
+  }
+
+  /** Batch JPEG encode→decode over partitions: the same row-local kernel
+    * shape as [[decodeImages]], applied to the lossy tier. */
+  def decodeJpegs(spark: SparkSession, ids: DataFrame): Dataset[JpegDecoded] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map(id => decodeJpeg(id, encodeJpeg(id)))
       }
   }
 
@@ -485,6 +619,16 @@ object Multimodal {
       decodeImages(s, docs(s, d).select(col("doc_id")))
         .toDF().orderBy(asc("doc_id"))),
 
+    // REAL lossy decode (JPEG through javax.imageio): header fields are
+    // bitstream-exact (SOF parse must agree with the decoder); channel
+    // means are tolerance BANDS — 0 iff the decoded mean is within
+    // JpegTolLevels of the closed-form gradient, the declared semantics
+    // any conformant decoder satisfies. Row-local kernel like the
+    // lossless tier; the tight in-JVM error bound is pinned in a spec.
+    "media_decode_jpeg" -> ((s, d) =>
+      decodeJpegs(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"))),
+
     // REAL resize execution (not just the plan): decode → integer box
     // filter to a 4×4 block grid, floor-divided channel means exact by
     // construction (cropping makes every block the same size). Row-local
@@ -643,6 +787,20 @@ object Multimodal {
         "CAST(least(min(r), min(g), min(b)) AS BIGINT) AS px_min, " +
         "CAST(greatest(max(r), max(g), max(b)) AS BIGINT) AS px_max " +
         "FROM px GROUP BY doc_id, format, width, height ORDER BY doc_id"),
+    // Tolerance-banded replay of media_decode_jpeg: the oracle declares
+    // the bitstream-exact header fields closed-form and the error bands
+    // as 0 (= decoded means within JpegTolLevels of the gradient truth);
+    // a green row proves the real lossy round-trip landed inside the
+    // declared envelope. Pixel-exact replay is impossible for a lossy
+    // codec BY DESIGN — the band is the honest contract.
+    "media_decode_jpeg" ->
+      ("SELECT doc_id, CAST(16 + doc_id % 13 AS BIGINT) AS width, " +
+        "CAST(16 + doc_id % 11 AS BIGINT) AS height, " +
+        "CAST(3 AS BIGINT) AS n_components, CAST(8 AS BIGINT) AS precision, " +
+        "CAST(0 AS BIGINT) AS r_band, CAST(0 AS BIGINT) AS g_band, " +
+        "CAST(0 AS BIGINT) AS b_band " +
+        "FROM documents ORDER BY doc_id"),
+
     // 4×4 box-filter replay: crop to block multiples, floor-divided means
     "media_resize_exec" ->
       ("WITH dims AS (SELECT doc_id, CAST((12 + doc_id % 13) // 4 AS BIGINT) AS bw, " +
