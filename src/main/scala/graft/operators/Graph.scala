@@ -84,15 +84,28 @@ object Graph {
       _ => edgesBuild(s, d).localCheckpoint(true))
 
   private def edgesBuild(s: SparkSession, d: String): DataFrame = {
+    // collect_set is an OBJECT aggregate: past the sort-based fallback
+    // threshold it externally SORTS each partition — at the 100× probe the
+    // 32-partition default put ~2M orders per task and spilled 28 GB.
+    // Repartitioning by the group key to cpu-scaled width (the exchange
+    // the agg needs anyway, just wider) keeps every per-task slice
+    // hash-aggregable: zero spill, same single shuffle.
     val items = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(s.sparkContext.defaultParallelism * 8, col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, ItemCap).as("items"))
       .filter(size(col("items")) >= 2)
+    // the pair census gets the same cpu-scaled exchange: co-purchase pairs
+    // are MOSTLY UNIQUE (support ≥ 2 is the rare case), so map-side combine
+    // cannot shrink this shuffle anyway — but 32 final partitions put ~5M
+    // groups per task and tipped the hash aggregate into its sort-based
+    // fallback (the remaining 12 GB of the probe's spill)
     items
       .select(explode(col("items")).as("u"), col("items"))
       .select(col("u"), explode(col("items")).as("v"))
       .filter(col("u") < col("v"))
+      .repartition(s.sparkContext.defaultParallelism * 8, col("u"), col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2L)
@@ -190,17 +203,25 @@ object Graph {
     // are eagerly localCheckpointed per round (the pagerank loop shape),
     // so lineage stays flat at any round count.
     "graph_label_propagation" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
       val (adj, deg) = adjWithDeg(edges(s, d))
       var lab = deg.select(col("node"), col("node").as("label"))
       (1 to LpaRounds).foreach { _ =>
+        // majority label via max_by over struct(n, -label) — identical
+        // tie-break to the oracle's (n DESC, label ASC) row_number, but a
+        // HASH aggregation instead of a sort window: the windowed rendering
+        // sorted the arc-sized (src, label, n) relation every round and
+        // spilled 28 GB at the 100× probe (labels are node ids ≥ 1, so
+        // -label is safe)
+        // shuffle-hash hint: sort-merge would SORT the arc relation every
+        // round (the other 28 GB of the probe's spill); hashing the
+        // node-sized label side partition-wise never sorts arcs
         lab = adj
-          .join(lab.withColumnRenamed("node", "dst"), Seq("dst"))
+          .join(lab.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            Seq("dst"))
           .groupBy(col("src"), col("label"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("rk", row_number().over(
-            W.partitionBy(col("src")).orderBy(desc("n"), asc("label"))))
-          .filter(col("rk") === 1)
+          .groupBy(col("src"))
+          .agg(expr("max_by(label, struct(n, -label))").as("label"))
           .select(col("src").as("node"), col("label"))
           .localCheckpoint(true)
       }

@@ -203,7 +203,11 @@ object Mining {
         .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("dst_nation"))
       val flows = t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        // shuffle-hash: sort-merge would SORT both fact relations (1.6 GB
+        // spilled at the 100× probe); hashing the orders side per
+        // partition never sorts either
+        .join(t(s, d, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .selectExpr("src_nation", "dst_nation", s"$RevE8 AS r8")

@@ -294,6 +294,87 @@ object Retrieval {
     "retrieval_prf_expansion" -> ((s, d) =>
       prfParts(s, d)._2.orderBy(asc("query_id"), asc("rank"))),
 
+    // Channel-agreement diagnostic between the lexical and embedding
+    // rankings, per query: top-10 set overlap (exact Jaccard e6 over the
+    // truncated lists) plus Kendall tau-a over the COMMON docs when ≥ 2
+    // exist (exact concordant-pair counting; ranks are distinct so no tie
+    // terms) — NULL tau when the channels share fewer than 2 docs, which
+    // on a corpus where lexical and embedding relevance genuinely diverge
+    // is itself the signal (this corpus: zero overlap, the reason every
+    // query emits a row instead of vanishing on an inner join). Composes
+    // both sources VERBATIM; everything above them is ≤ queries×10 rows.
+    "retrieval_rank_correlation" -> ((s, d) => {
+      val qs = s.createDataFrame(Bm25Queries.map(q => Tuple1(q._1)))
+        .toDF("query_id")
+      val bm = queries("text_bm25_topk")(s, d)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_bm"))
+        .transform(CacheScope.persist)
+      val cs = Similarity.queries("ann_bruteforce_topk")(s, d)
+        .filter(col("query_id").isin(Bm25Queries.map(_._1): _*))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_cs"))
+        .transform(CacheScope.persist)
+      val na = bm.groupBy(col("query_id")).agg(count(lit(1)).as("n_bm"))
+      val nb = cs.groupBy(col("query_id")).agg(count(lit(1)).as("n_cs"))
+      val common = bm.join(cs, Seq("query_id", "doc_id"))
+        .transform(CacheScope.persist)
+      val nc = common.groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+      val taus = common.alias("a")
+        .join(common.alias("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .selectExpr("a.query_id AS query_id",
+          "CASE WHEN (a.rank_bm - b.rank_bm) * (a.rank_cs - b.rank_cs) > 0 " +
+            "THEN 1L ELSE 0L END AS conc")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("conc")).as("n_concordant"))
+      qs.join(na, Seq("query_id"), "left").join(nb, Seq("query_id"), "left")
+        .join(nc, Seq("query_id"), "left").join(taus, Seq("query_id"), "left")
+        .selectExpr("query_id",
+          "CAST(coalesce(n_bm, 0) AS BIGINT) AS n_bm",
+          "CAST(coalesce(n_cs, 0) AS BIGINT) AS n_cs",
+          "CAST(coalesce(n_common, 0) AS BIGINT) AS n_common",
+          "CASE WHEN coalesce(n_bm, 0) + coalesce(n_cs, 0) = 0 " +
+            "THEN CAST(NULL AS BIGINT) ELSE " +
+            "(CAST(coalesce(n_common, 0) AS BIGINT) * 1000000) div " +
+            "(coalesce(n_bm, 0) + coalesce(n_cs, 0) - coalesce(n_common, 0)) " +
+            "END AS jaccard_e6",
+          "CAST(n_pairs AS BIGINT) AS n_pairs",
+          "CAST(n_concordant AS BIGINT) AS n_concordant",
+          "CASE WHEN n_pairs IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
+            "((2 * n_concordant - n_pairs) * 1000000) div n_pairs END AS tau_e6")
+        .orderBy(asc("query_id"))
+    }),
+
+    // Per-source retrieval quality against the FUSED ranking as the
+    // pseudo-relevance truth (the standard no-labels IR eval): for each
+    // channel, hits into the fusion top-5, precision@5, first-hit rank,
+    // MRR — all integer-exact (mrr_e6 = 1e6 div first_hit_rank). Composes
+    // the fusion and both sources verbatim; every relation above them is
+    // ≤ queries×10 rows.
+    "retrieval_source_eval" -> ((s, d) => {
+      val rel = queries("retrieval_rrf_fusion")(s, d)
+        .filter(col("rank") <= 5).select(col("query_id"), col("doc_id"))
+      val bm = queries("text_bm25_topk")(s, d)
+        .selectExpr("query_id", "doc_id", "rank", "'bm25' AS source")
+      val cs = Similarity.queries("ann_bruteforce_topk")(s, d)
+        .filter(col("query_id").isin(Bm25Queries.map(_._1): _*))
+        .selectExpr("query_id", "neighbor_id AS doc_id", "rank",
+          "'cosine' AS source")
+      bm.union(cs).join(rel, Seq("query_id", "doc_id"))
+        .groupBy(col("query_id"), col("source"))
+        .agg(count(lit(1)).as("n_rel_found"),
+          sum(when(col("rank") <= 5, 1L).otherwise(0L)).as("h5"),
+          min(col("rank")).as("first_hit_rank"))
+        .selectExpr("query_id", "source",
+          "CAST(n_rel_found AS BIGINT) AS n_rel_found",
+          "CAST(h5 AS BIGINT) AS n_hits_top5",
+          "(CAST(h5 AS BIGINT) * 1000000) div 5 AS p_at5_e6",
+          "first_hit_rank",
+          "1000000 div first_hit_rank AS mrr_e6")
+        .orderBy(asc("query_id"), asc("source"))
+    }),
+
     // Maximal-marginal-relevance re-rank (Carbonell–Goldstein) of the
     // BM25 top-10: greedily pick MmrPicks docs maximizing
     // λ·rel − (1−λ)·max_sim(selected), λ = 7/10 — the diversity re-rank
@@ -381,21 +462,69 @@ object Retrieval {
     "retrieval_prf_terms" -> prfTermsOracle,
     "retrieval_prf_expansion" -> prfExpansionOracle,
     "retrieval_mmr_rerank" -> mmrOracle,
-    "retrieval_rrf_fusion" ->
-      ("WITH bmr AS (SELECT query_id, doc_id, rank FROM " +
-        s"($bm25TopkOracle) _b), " +
+    "retrieval_rrf_fusion" -> rrfOracle,
+    "retrieval_rank_correlation" ->
+      (s"WITH qs(query_id) AS (VALUES " +
+        Bm25Queries.map(q => s"(CAST(${q._1} AS BIGINT))").mkString(", ") + "), " +
+        s"bmr AS (SELECT query_id, doc_id, rank FROM ($bm25TopkOracle) _b), " +
         "csr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM " +
         s"(${Similarity.oracles("ann_bruteforce_topk")}) _c " +
         s"WHERE query_id IN (${Bm25Queries.map(_._1).mkString(", ")})), " +
-        "u AS (SELECT query_id, doc_id, rank FROM bmr " +
-        "UNION ALL SELECT query_id, doc_id, rank FROM csr), " +
-        s"f AS (SELECT query_id, doc_id, CAST(sum(1000000 // ($RrfK + rank)) AS BIGINT) AS rrf_e6, " +
-        "CAST(count(*) AS BIGINT) AS n_sources FROM u GROUP BY query_id, doc_id), " +
-        "ranked AS (SELECT query_id, doc_id, rrf_e6, n_sources, row_number() OVER " +
-        "(PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank FROM f) " +
-        "SELECT query_id, rank, doc_id, rrf_e6, n_sources " +
-        "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank")
+        "na AS (SELECT query_id, count(*)::BIGINT AS n_bm FROM bmr GROUP BY 1), " +
+        "nb AS (SELECT query_id, count(*)::BIGINT AS n_cs FROM csr GROUP BY 1), " +
+        "common AS (SELECT bmr.query_id, bmr.doc_id, bmr.rank AS rank_bm, " +
+        "csr.rank AS rank_cs FROM bmr JOIN csr " +
+        "ON bmr.query_id = csr.query_id AND bmr.doc_id = csr.doc_id), " +
+        "nc AS (SELECT query_id, count(*)::BIGINT AS n_common FROM common GROUP BY 1), " +
+        "pr AS (SELECT a.query_id, CASE WHEN (a.rank_bm - b.rank_bm) * " +
+        "(a.rank_cs - b.rank_cs) > 0 THEN 1 ELSE 0 END AS conc " +
+        "FROM common a JOIN common b " +
+        "ON a.query_id = b.query_id AND a.doc_id < b.doc_id), " +
+        "pp AS (SELECT query_id, count(*)::BIGINT AS n_pairs, " +
+        "CAST(sum(conc) AS BIGINT) AS n_concordant FROM pr GROUP BY 1) " +
+        "SELECT qs.query_id, COALESCE(n_bm, 0) AS n_bm, " +
+        "COALESCE(n_cs, 0) AS n_cs, COALESCE(n_common, 0) AS n_common, " +
+        "CASE WHEN COALESCE(n_bm, 0) + COALESCE(n_cs, 0) = 0 " +
+        "THEN CAST(NULL AS BIGINT) ELSE " +
+        "(COALESCE(n_common, 0) * 1000000) // " +
+        "(COALESCE(n_bm, 0) + COALESCE(n_cs, 0) - COALESCE(n_common, 0)) " +
+        "END AS jaccard_e6, " +
+        "n_pairs, n_concordant, " +
+        "CASE WHEN n_pairs IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
+        "((2 * n_concordant - n_pairs) * 1000000) // n_pairs END AS tau_e6 " +
+        "FROM qs LEFT JOIN na USING (query_id) LEFT JOIN nb USING (query_id) " +
+        "LEFT JOIN nc USING (query_id) LEFT JOIN pp USING (query_id) " +
+        "ORDER BY qs.query_id"),
+    "retrieval_source_eval" ->
+      (s"WITH f5 AS (SELECT query_id, doc_id FROM ($rrfOracle) _f WHERE rank <= 5), " +
+        s"srcs AS (SELECT query_id, doc_id, rank, 'bm25' AS source FROM ($bm25TopkOracle) _b " +
+        "UNION ALL SELECT query_id, neighbor_id AS doc_id, rank, 'cosine' AS source FROM " +
+        s"(${Similarity.oracles("ann_bruteforce_topk")}) _c " +
+        s"WHERE query_id IN (${Bm25Queries.map(_._1).mkString(", ")})), " +
+        "h AS (SELECT s.query_id, s.source, s.rank FROM srcs s " +
+        "JOIN f5 USING (query_id, doc_id)) " +
+        "SELECT query_id, source, count(*)::BIGINT AS n_rel_found, " +
+        "CAST(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_top5, " +
+        "(CAST(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // 5 AS p_at5_e6, " +
+        "CAST(min(rank) AS BIGINT) AS first_hit_rank, " +
+        "1000000 // CAST(min(rank) AS BIGINT) AS mrr_e6 " +
+        "FROM h GROUP BY 1, 2 ORDER BY query_id, source")
   )
+
+  private lazy val rrfOracle: String =
+    "WITH bmr AS (SELECT query_id, doc_id, rank FROM " +
+      s"($bm25TopkOracle) _b), " +
+      "csr AS (SELECT query_id, neighbor_id AS doc_id, rank FROM " +
+      s"(${Similarity.oracles("ann_bruteforce_topk")}) _c " +
+      s"WHERE query_id IN (${Bm25Queries.map(_._1).mkString(", ")})), " +
+      "u AS (SELECT query_id, doc_id, rank FROM bmr " +
+      "UNION ALL SELECT query_id, doc_id, rank FROM csr), " +
+      s"f AS (SELECT query_id, doc_id, CAST(sum(1000000 // ($RrfK + rank)) AS BIGINT) AS rrf_e6, " +
+      "CAST(count(*) AS BIGINT) AS n_sources FROM u GROUP BY query_id, doc_id), " +
+      "ranked AS (SELECT query_id, doc_id, rrf_e6, n_sources, row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id) AS rank FROM f) " +
+      "SELECT query_id, rank, doc_id, rrf_e6, n_sources " +
+      "FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"
 
   /** MMR oracle: candidate/similarity CTEs plus the greedy unrolled by the
     * same `2 to MmrPicks` loop as the Spark side. */

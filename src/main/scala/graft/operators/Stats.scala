@@ -46,6 +46,42 @@ object Stats {
   private val PeriodDays = 30L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Mann-Whitney U / probability-of-superiority (AUC) of order value per
+    // priority, one-vs-rest, on a BUCKETED value domain ($1000 steps —
+    // declared semantics, what keeps the rank computation grid-sized): a
+    // (bucket × priority) census, cumulative midranks on the ≤ ~600-row
+    // bucket grid (doubled so ties' half-ranks stay integers), rank-sums
+    // per group, U₂ = 2R − n_g(n_g+1) exact on DECIMAL(38,0) (corpus-sized
+    // rank-sums overflow int64 at ~1e10 rows → digit-STRING emission),
+    // auc_e6 = U·1e6/(n_g·n_rest) — the "is URGENT actually bigger?"
+    // question as a distribution-free effect size. No corpus sort, no
+    // corpus window: the only shuffle is the grid census.
+    "stats_mann_whitney" -> ((s, d) => {
+      val b = t(s, d, "orders").selectExpr("o_orderpriority AS priority",
+        s"${e4Sql("o_totalprice")} div 10000000 AS bucket")
+      val cell = b.groupBy(col("bucket"), col("priority"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cell.groupBy(col("bucket")).agg(sum(col("n")).as("n_total"))
+        .withColumn("cum_before", coalesce(sum(col("n_total")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .selectExpr("bucket", "n_total",
+          "2 * cum_before + n_total + 1 AS midrank2")
+      val grand = tot.agg(sum(col("n_total")).as("n_all"))
+      cell.join(tot.select(col("bucket"), col("midrank2")), Seq("bucket"))
+        .groupBy(col("priority"))
+        .agg(sum(col("n")).as("n_g"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * CAST(midrank2 AS DECIMAL(38,0))"))
+            .as("r2"))
+        .crossJoin(broadcast(grand))
+        .selectExpr("priority", "CAST(n_g AS BIGINT) AS n_g",
+          "CAST(n_all - n_g AS BIGINT) AS n_rest",
+          "CAST(r2 - CAST(n_g AS DECIMAL(38,0)) * (CAST(n_g AS DECIMAL(38,0)) + 1) AS STRING) AS u2",
+          "CAST(((r2 - CAST(n_g AS DECIMAL(38,0)) * (CAST(n_g AS DECIMAL(38,0)) + 1)) * 1000000) " +
+            "div (CAST(2 AS DECIMAL(38,0)) * n_g * (n_all - n_g)) AS BIGINT) AS auc_e6")
+        .orderBy(asc("priority"))
+    }),
+
     // Integer-exact OLS of extendedprice on quantity per returnflag: one
     // narrow scan -> five-moment aggregate -> closed-form slope. The whole
     // regression is ONE map-side-combined shuffle of 5 longs per group;
@@ -104,6 +140,26 @@ object Stats {
   )
 
   def oracles: Map[String, String] = Map(
+    // Bucketed-value census → cumulative midranks on the bucket GRID →
+    // rank-sums per group: the window never touches raw rows.
+    "stats_mann_whitney" ->
+      (s"WITH b AS (SELECT o_orderpriority AS priority, " +
+        s"${e4Sql("o_totalprice")} // 10000000 AS bucket FROM orders), " +
+        "cell AS (SELECT bucket, priority, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "tot AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_total FROM cell GROUP BY 1), " +
+        "mr AS (SELECT bucket, n_total, 2 * COALESCE(sum(n_total) OVER " +
+        "(ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "+ n_total + 1 AS midrank2 FROM tot), " +
+        "g AS (SELECT priority, CAST(sum(n) AS BIGINT) AS n_g, " +
+        "sum(CAST(n AS HUGEINT) * CAST(midrank2 AS HUGEINT)) AS r2 " +
+        "FROM cell JOIN mr USING (bucket) GROUP BY 1), " +
+        "alln AS (SELECT CAST(sum(n_total) AS BIGINT) AS n_all FROM tot) " +
+        "SELECT priority, n_g, CAST(n_all - n_g AS BIGINT) AS n_rest, " +
+        "CAST(r2 - CAST(n_g AS HUGEINT) * (CAST(n_g AS HUGEINT) + 1) AS VARCHAR) AS u2, " +
+        "CAST(((r2 - CAST(n_g AS HUGEINT) * (CAST(n_g AS HUGEINT) + 1)) * 1000000) " +
+        "// (CAST(2 AS HUGEINT) * n_g * (n_all - n_g)) AS BIGINT) AS auc_e6 " +
+        "FROM g CROSS JOIN alln ORDER BY priority"),
+
     "stats_qty_price_regression" ->
       ("WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
         s"${e4Sql("l_extendedprice")} AS y_e4 FROM lineitem), " +

@@ -111,6 +111,31 @@ object TextAnalysis {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-language lexical diversity without logarithms: Gini-Simpson
+    // index 1 − Σp² (the entropy stand-in that stays integer-exact:
+    // simpson_e6 = 1e6 − (Σn²·1e6) div N², Σn² on DECIMAL(38,0)/HUGEINT —
+    // ≤ 1e30 at a 1e12-token corpus, inside the ceiling) plus hapax
+    // legomena rate (share of the vocabulary seen exactly once — the
+    // classic "how much tail does this corpus have" curation signal).
+    // One map-side token census collapsed to vocabulary size; the final
+    // aggregate is langs-sized. No corpus window, no second scan.
+    "text_lang_diversity" -> ((s, d) => {
+      val tf = docs(s, d)
+        .selectExpr("lang", s"explode(${tokensSpark("text")}) AS term")
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      tf.groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab"), sum(col("n")).as("n_tokens"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))")).as("sum_sq"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .selectExpr("lang", "CAST(vocab AS BIGINT) AS vocab",
+          "CAST(n_tokens AS BIGINT) AS n_tokens",
+          "CAST(hapax AS BIGINT) AS hapax",
+          "(CAST(hapax AS BIGINT) * 1000000) div vocab AS hapax_rate_e6",
+          "CAST(1000000 - (sum_sq * 1000000) div " +
+            "(CAST(n_tokens AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))) AS BIGINT) AS simpson_e6")
+        .orderBy(asc("lang"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish sub-word proxy
     // (4-char chunks, the standard chars-per-token heuristic).
     "text_token_count" -> ((s, d) =>
@@ -734,6 +759,19 @@ object TextAnalysis {
   def oracles: Map[String, String] = {
     val toks = tokensDuck("text")
     Map(
+      "text_lang_diversity" ->
+        (s"WITH tf AS (SELECT lang, term, count(*) AS n FROM " +
+          s"(SELECT lang, unnest($toks) AS term FROM documents) _ " +
+          "GROUP BY lang, term) " +
+          "SELECT lang, count(*)::BIGINT AS vocab, " +
+          "CAST(sum(n) AS BIGINT) AS n_tokens, " +
+          "CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, " +
+          "(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) " +
+          "// count(*) AS hapax_rate_e6, " +
+          "CAST(1000000 - (sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) * 1000000) " +
+          "// (CAST(sum(n) AS HUGEINT) * CAST(sum(n) AS HUGEINT)) AS BIGINT) AS simpson_e6 " +
+          "FROM tf GROUP BY lang ORDER BY lang"),
+
       "text_token_count" ->
         (s"SELECT doc_id, len($toks) AS n_tokens, " +
           s"len(list_distinct($toks)) AS n_uniq_tokens, " +
