@@ -1494,4 +1494,73 @@ object FactStateStreams {
         }
       }
   }
+
+  /** One priority's live rank-sum row — batch `stats_mann_whitney` online
+    * (u2 as a digit string: corpus-sized rank-sums ride BigInt, the
+    * emission policy applied to streaming output). */
+  final case class AucUpdate(priority: String, seq: Long, n_g: Long,
+      n_rest: Long, u2: String, auc_e6: Long)
+
+  /** One (priority, bucket) cell of the grid state. */
+  final case class AucCell(priority: String, bucket: Long, n: Long)
+
+  final case class AucGridState(seq: Long, cells: Seq[AucCell])
+
+  /** Streaming Mann-Whitney / probability-of-superiority monitor — batch
+    * `stats_mann_whitney` online: arrivals are (priority, value-bucket,
+    * weight) deltas folded into ONE bounded grid (priorities × value
+    * buckets — constant width regardless of stream length), and every
+    * update re-derives each priority's doubled rank-sum U₂ (exact BigInt
+    * over the grid) and AUC vs rest. The "did URGENT orders stop being
+    * bigger" distribution-shift alarm, live.
+    *
+    * Keying: a single grid key. The honest-scale contract is the WEIGHT
+    * column — a 100 TB ingest feeds per-micro-batch (priority, bucket, n)
+    * deltas (pre-reduced upstream, e.g. a foreachBatch census), so the
+    * volume crossing the key is grid-sized per trigger; unit-weight raw
+    * rows are for tests/small streams. The fold is a commutative weighted
+    * census, so arrival order and batch splits cannot change the state. */
+  def aucMonitor(spark: SparkSession, deltas: DataFrame): Dataset[AucUpdate] = {
+    import spark.implicits._
+    deltas.selectExpr("priority", "bucket", "w")
+      .as[(String, Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[AucGridState, AucUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val prev = state.getOption.getOrElse(AucGridState(0L, Seq.empty))
+        val grid = scala.collection.mutable.Map[(String, Long), Long]()
+        prev.cells.foreach(c => grid((c.priority, c.bucket)) = c.n)
+        var any = false
+        rows.foreach { case (p, b, w) =>
+          any = true
+          grid((p, b)) = grid.getOrElse((p, b), 0L) + w
+        }
+        if (!any) Iterator.empty
+        else {
+          val cells = grid.toSeq.sortBy(_._1)
+            .map { case ((p, b), n) => AucCell(p, b, n) }
+          val next = AucGridState(prev.seq + 1, cells)
+          state.update(next)
+          // cumulative doubled midranks over the merged bucket grid
+          val totals = grid.groupBy(_._1._2).view
+            .mapValues(_.values.sum).toSeq.sortBy(_._1)
+          var cum = 0L
+          val midrank2 = totals.map { case (b, t) =>
+            val m = 2 * cum + t + 1; cum += t; b -> m
+          }.toMap
+          val nAll = cum
+          grid.keys.map(_._1).toSeq.distinct.sorted.iterator.map { p =>
+            val nG = grid.collect { case ((q, _), n) if q == p => n }.sum
+            val r2 = grid.iterator.collect { case ((q, b), n) if q == p =>
+              BigInt(n) * midrank2(b) }.sum
+            val u2 = r2 - BigInt(nG) * (nG + 1)
+            val auc =
+              if (nG == 0L || nAll == nG) 0L
+              else (u2 * 1000000 / (BigInt(2) * nG * (nAll - nG))).toLong
+            AucUpdate(p, next.seq, nG, nAll - nG, u2.toString, auc)
+          }
+        }
+      }
+  }
 }
