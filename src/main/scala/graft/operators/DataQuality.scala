@@ -89,6 +89,44 @@ object DataQuality {
     "map(" + BenfordPpm.map { case (k, v) => s"$k, ${v}L" }.mkString(", ") + ")"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tukey-fence outlier census of event value (whole units, explicit
+    // floor BEFORE the BIGINT cast — DuckDB's double→BIGINT rounds, the
+    // benford lesson) per event type: exact type-1 quartiles from a
+    // bounded-domain value census (values span a few hundred integer
+    // units — the window runs on that grid, never on raw rows), fences
+    // at 1.5·IQR carried as DOUBLED integers so the half never rounds,
+    // outlier counts re-read from the same census. The declared quartile
+    // semantics (min v with 4·cum ≥ k·n) are engine-independent by
+    // construction — no percentile_cont/quantile builtin drift. The
+    // value distribution is heavy-tailed, so the high fence actually
+    // fires — the screen a pipeline runs before trusting a value column.
+    "dq_iqr_outliers" -> ((s, d) => {
+      val census = t(s, d, "events")
+        .selectExpr("event_type AS grp", "CAST(floor(value) AS BIGINT) AS v")
+        .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("n"))
+        .transform(graft.operators.CacheScope.persist)
+      val cum = census.withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = census.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
+      val j = cum.join(tot, Seq("grp"))
+      val q1 = j.filter(col("cum") * 4 >= col("tot"))
+        .groupBy(col("grp")).agg(min(col("v")).as("q1"))
+      val q3 = j.filter(col("cum") * 4 >= col("tot") * 3)
+        .groupBy(col("grp")).agg(min(col("v")).as("q3"))
+      census.join(q1, Seq("grp")).join(q3, Seq("grp"))
+        .selectExpr("grp", "q1", "q3", "n",
+          "CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1) THEN n ELSE 0 END AS lo",
+          "CASE WHEN 2 * v > 2 * q3 + 3 * (q3 - q1) THEN n ELSE 0 END AS hi")
+        .groupBy(col("grp"), col("q1"), col("q3"))
+        .agg(sum(col("n")).as("nn"), sum(col("lo")).as("nlo"),
+          sum(col("hi")).as("nhi"))
+        .selectExpr("grp AS event_type", "CAST(nn AS BIGINT) AS n",
+          "q1", "q3", "q3 - q1 AS iqr",
+          "CAST(nlo AS BIGINT) AS n_low", "CAST(nhi AS BIGINT) AS n_high")
+        .orderBy(asc("event_type"))
+    }),
+
     // Benford's-law audit of the order-value distribution: the classic
     // fabricated-data screen (a synthetic or manipulated money column
     // deviates from log10(1+1/d) first-digit mass). Digit extraction is
@@ -309,6 +347,24 @@ object DataQuality {
           FROM (SELECT CAST($fk AS BIGINT) AS k, count(*) AS cnt FROM $fact GROUP BY 1) f
           LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS pk FROM $dim) d ON f.k = d.pk"""
     Map(
+      "dq_iqr_outliers" ->
+        ("WITH census AS (SELECT event_type AS grp, " +
+          "CAST(floor(value) AS BIGINT) AS v, count(*) AS n " +
+          "FROM events GROUP BY 1, 2), " +
+          "c AS (SELECT grp, v, n, sum(n) OVER (PARTITION BY grp ORDER BY v " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM census), " +
+          "tt AS (SELECT grp, sum(n) AS tot FROM census GROUP BY 1), " +
+          "q1 AS (SELECT c.grp, min(v) AS q1 FROM c JOIN tt USING (grp) " +
+          "WHERE cum * 4 >= tot GROUP BY 1), " +
+          "q3 AS (SELECT c.grp, min(v) AS q3 FROM c JOIN tt USING (grp) " +
+          "WHERE cum * 4 >= tot * 3 GROUP BY 1) " +
+          "SELECT grp AS event_type, CAST(sum(n) AS BIGINT) AS n, q1, q3, " +
+          "q3 - q1 AS iqr, " +
+          "CAST(sum(CASE WHEN 2 * v < 2 * q1 - 3 * (q3 - q1) THEN n ELSE 0 END) AS BIGINT) AS n_low, " +
+          "CAST(sum(CASE WHEN 2 * v > 2 * q3 + 3 * (q3 - q1) THEN n ELSE 0 END) AS BIGINT) AS n_high " +
+          "FROM census JOIN q1 USING (grp) JOIN q3 USING (grp) " +
+          "GROUP BY grp, q1, q3 ORDER BY event_type"),
+
       "dq_benford_test" -> {
         val expCase = "CASE digit " + BenfordPpm.map { case (k, v) =>
           s"WHEN $k THEN CAST($v AS BIGINT)" }.mkString(" ") + " END"

@@ -678,6 +678,36 @@ object Similarity {
     // raw vectors) instead of ADC-scored — the accuracy-over-memory end
     // of the IVF family. The member list is tiny (queries × probe × cell
     // size) and broadcasts into the corpus-sized rerank join.
+    // IVF index-health census: per-cell assignment sizes reduced to the
+    // imbalance facts an index operator actually watches — hot-cell factor
+    // (max cell · n_cells / total, 1e6 = perfectly balanced) and the Gini
+    // coefficient of cell sizes (0 = uniform). A skewed coarse quantizer
+    // silently turns probes into scans; this is the eval that catches it.
+    // One assignment pass (the shared cassign artifact), then everything
+    // runs on the CELLS grid — the rank window sorts ≤ n_cells rows.
+    // Wide products ride DECIMAL(38,0)/HUGEINT (cells × corpus overflows
+    // int64 at ~1e10 assignments).
+    "ann_ivf_imbalance" -> ((s, d) => {
+      val e = emb(s, d)
+      val sizes = coarseAssign(e, coarseFor(d, e))
+        .groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      sizes
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(asc("sz"), asc("cell"))))
+        .agg(count(lit(1)).as("nc"), sum(col("sz")).as("tot"),
+          min(col("sz")).as("mn"), max(col("sz")).as("mx"),
+          sum(expr("CAST(2 * rk AS DECIMAL(38,0)) * sz")).as("wsum"))
+        .selectExpr(
+          "CAST(nc AS BIGINT) AS n_cells",
+          "CAST(tot AS BIGINT) AS n_assign",
+          "CAST(mn AS BIGINT) AS min_cell",
+          "CAST(mx AS BIGINT) AS max_cell",
+          "(CAST(mx AS BIGINT) * nc * 1000000) div tot AS hot_factor_e6",
+          "CAST(((wsum - CAST(nc + 1 AS DECIMAL(38,0)) * tot) * 1000000) " +
+            "div (CAST(nc AS DECIMAL(38,0)) * tot) AS BIGINT) AS gini_e6")
+    }),
+
     "ann_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
       val coarse = coarseFor(d, e)
@@ -1729,6 +1759,16 @@ object Similarity {
         s"SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, ${cosPpmDuck("a.v", "b2.v")} AS cos_ppm " +
         "FROM b AS a JOIN b AS b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id " +
         s"WHERE ${cosPpmDuck("a.v", "b2.v")} >= 100000 ORDER BY vec_a, vec_b"),
+    "ann_ivf_imbalance" ->
+      (s"WITH ${coarseDuckCtes()}, " +
+        "sizes AS (SELECT cell, count(*) AS sz FROM cassign GROUP BY cell), " +
+        "r AS (SELECT sz, row_number() OVER (ORDER BY sz, cell) AS rk FROM sizes) " +
+        "SELECT count(*)::BIGINT AS n_cells, CAST(sum(sz) AS BIGINT) AS n_assign, " +
+        "CAST(min(sz) AS BIGINT) AS min_cell, CAST(max(sz) AS BIGINT) AS max_cell, " +
+        "(CAST(max(sz) AS BIGINT) * count(*) * 1000000) // CAST(sum(sz) AS BIGINT) AS hot_factor_e6, " +
+        "CAST(((sum(CAST(2 * rk AS HUGEINT) * sz) - CAST(count(*) + 1 AS HUGEINT) * sum(sz)) " +
+        "* 1000000) // (CAST(count(*) AS HUGEINT) * sum(sz)) AS BIGINT) AS gini_e6 " +
+        "FROM r"),
     "ann_ivf_probe" ->
       (s"WITH ${coarseDuckCtes()}, " +
         "member AS (SELECT DISTINCT p.query_id, a.vec_id FROM cassign a " +

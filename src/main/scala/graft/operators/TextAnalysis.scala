@@ -136,6 +136,37 @@ object TextAnalysis {
         .orderBy(asc("lang"))
     }),
 
+    // Cross-language vocabulary overlap: per lang pair, both vocab sizes,
+    // shared-type count, and Jaccard e6 — the "can these corpora share a
+    // tokenizer" decision grid. One distinct (lang, term) census; the
+    // self-join keys on term (each term contributes ≤ langs² pair rows,
+    // so the join output is vocabulary-sized); pair grid built from the
+    // langs-sized size relation so zero-overlap pairs still emit.
+    "tokenizer_vocab_overlap" -> ((s, d) => {
+      val vocab = docs(s, d)
+        .selectExpr("lang", s"explode(array_distinct(${tokensSpark("text")})) AS term")
+        .distinct()
+        .transform(CacheScope.persist)
+      val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      val shared = vocab.alias("a")
+        .join(vocab.alias("b"),
+          col("a.term") === col("b.term") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("shared"))
+      sizes.alias("x")
+        .join(sizes.alias("y"), col("x.lang") < col("y.lang"))
+        .select(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"),
+          col("x.v").as("vocab_a"), col("y.v").as("vocab_b"))
+        .join(shared, Seq("lang_a", "lang_b"), "left")
+        .selectExpr("lang_a", "lang_b",
+          "CAST(vocab_a AS BIGINT) AS vocab_a",
+          "CAST(vocab_b AS BIGINT) AS vocab_b",
+          "CAST(coalesce(shared, 0) AS BIGINT) AS shared",
+          "(CAST(coalesce(shared, 0) AS BIGINT) * 1000000) div " +
+            "(vocab_a + vocab_b - coalesce(shared, 0)) AS jaccard_e6")
+        .orderBy(asc("lang_a"), asc("lang_b"))
+    }),
+
     // Token counting: whitespace tokens + a BPE-ish sub-word proxy
     // (4-char chunks, the standard chars-per-token heuristic).
     "text_token_count" -> ((s, d) =>
@@ -771,6 +802,20 @@ object TextAnalysis {
           "CAST(1000000 - (sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) * 1000000) " +
           "// (CAST(sum(n) AS HUGEINT) * CAST(sum(n) AS HUGEINT)) AS BIGINT) AS simpson_e6 " +
           "FROM tf GROUP BY lang ORDER BY lang"),
+
+      "tokenizer_vocab_overlap" ->
+        (s"WITH vocab AS (SELECT DISTINCT lang, term FROM " +
+          s"(SELECT lang, unnest($toks) AS term FROM documents) _), " +
+          "sizes AS (SELECT lang, count(*)::BIGINT AS v FROM vocab GROUP BY lang), " +
+          "shared AS (SELECT a.lang AS lang_a, b.lang AS lang_b, " +
+          "count(*)::BIGINT AS shared FROM vocab a JOIN vocab b " +
+          "ON a.term = b.term AND a.lang < b.lang GROUP BY 1, 2) " +
+          "SELECT x.lang AS lang_a, y.lang AS lang_b, x.v AS vocab_a, " +
+          "y.v AS vocab_b, COALESCE(shared, 0) AS shared, " +
+          "(COALESCE(shared, 0) * 1000000) // (x.v + y.v - COALESCE(shared, 0)) AS jaccard_e6 " +
+          "FROM sizes x JOIN sizes y ON x.lang < y.lang " +
+          "LEFT JOIN shared ON shared.lang_a = x.lang AND shared.lang_b = y.lang " +
+          "ORDER BY lang_a, lang_b"),
 
       "text_token_count" ->
         (s"SELECT doc_id, len($toks) AS n_tokens, " +
