@@ -122,6 +122,36 @@ object EventFinders {
       envelope(events(s, d).filter(col("event_id") > 500L && col("event_id") <= 900L))
         .orderBy(asc("event_id"))),
 
+    // TRUE end-to-end store roundtrip ON the correctness gate, through the
+    // DataSource V2 surface: the events rows are bulk-appended into a
+    // fresh store (positions = event_id order by the input-order
+    // contract), then read back via spark.read.format("graft") with a
+    // pushed position range — so every run exercises the commit protocol,
+    // the commit-metadata pruning, and the provider's parquet decode, and
+    // the DuckDB oracle replays the same window from the raw events
+    // table. Nondeterministic store fields (uuid ids, appendedAt) are
+    // deliberately NOT emitted.
+    "fs_dsv2_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2-rt")
+      val fs = new graft.store.SparkFactStore(s, root)
+      fs.createStore("rt")
+      val facts = events(s, d).orderBy(asc("event_id"))
+        .selectExpr("event_type AS fact_type",
+          "CAST(user_id AS STRING) AS subject",
+          "CAST(props AS BINARY) AS payload_data",
+          "CAST(NULL AS STRING) AS payload_format",
+          "CAST(NULL AS STRING) AS payload_schema",
+          "CAST(NULL AS MAP<STRING,STRING>) AS metadata",
+          "CAST(NULL AS MAP<STRING,STRING>) AS tags")
+      fs.bulkAppend("rt", facts)
+      s.read.format("graft")
+        .option("root", root.toString).option("store", "rt").load()
+        .filter(col("position") >= 101L && col("position") <= 900L)
+        .selectExpr("position", "fact_type", "subject",
+          "CAST(length(payload_data) AS BIGINT) AS payload_len")
+        .orderBy(asc("position"))
+    }),
+
     // head pointer: max(position) without a scan-and-sort (SURVEY §2 #23)
     "fs_head_position" -> ((s, d) =>
       events(s, d).select(
@@ -167,6 +197,12 @@ object EventFinders {
       s"SELECT $envelopeSql FROM events WHERE event_id > 500 AND event_id <= 900 ORDER BY event_id",
     "fs_head_position" ->
       "SELECT max(event_id) AS head_position, count(*) AS n_facts FROM events",
+    "fs_dsv2_roundtrip" ->
+      ("WITH ordered AS (SELECT event_type, CAST(user_id AS VARCHAR) AS subject, " +
+        "props, row_number() OVER (ORDER BY event_id) AS position FROM events) " +
+        "SELECT position, event_type AS fact_type, subject, " +
+        "CAST(length(props) AS BIGINT) AS payload_len FROM ordered " +
+        "WHERE position BETWEEN 101 AND 900 ORDER BY position"),
     "fs_type_stats" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS sum_value_e4, " +
