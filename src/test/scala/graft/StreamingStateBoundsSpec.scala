@@ -281,4 +281,20 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
       s"state keys ${st.maxRows} != ${types.size} types (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("aucMonitor state rows stay = 1 (the whole priorities x buckets " +
+      "grid lives inside the single grid key)") {
+    val s0 = spark; import s0.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    // 10 batches x 50 rows over a 5x40 value grid — state must stay ONE
+    // row whose cells are bounded by the grid, not the 500 stream rows
+    val batches = (0 until 10).map { b =>
+      (0 until 50).map(i => (prios((b + i) % 5), ((b * 7 + i * 3) % 40).toLong, 1L))
+    }
+    val st = drive[(String, Long, Long)]("auc", batches,
+      df => FactStateStreams.aucMonitor(spark, df),
+      ms => ms.toDF().toDF("priority", "bucket", "w"))
+    assert(st.maxRows == 1L, s"state keys ${st.maxRows} != 1 (leak)")
+    assert(st.maxBytes < 8L * 1024 * 1024)
+  }
 }
