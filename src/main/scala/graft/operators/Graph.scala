@@ -84,28 +84,23 @@ object Graph {
       _ => edgesBuild(s, d).localCheckpoint(true))
 
   private def edgesBuild(s: SparkSession, d: String): DataFrame = {
-    // collect_set is an OBJECT aggregate: past the sort-based fallback
-    // threshold it externally SORTS each partition — at the 100× probe the
-    // 32-partition default put ~2M orders per task and spilled 28 GB.
-    // Repartitioning by the group key to cpu-scaled width (the exchange
-    // the agg needs anyway, just wider) keeps every per-task slice
-    // hash-aggregable: zero spill, same single shuffle.
-    val items = t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .repartition(s.sparkContext.defaultParallelism * 8, col("l_orderkey"))
+    // scale-aware wide exchanges (Exchanges.widenForAgg): the 100× probe
+    // spilled 28 GB in this collect_set (object-agg sort fallback) and
+    // 12 GB in the pair census; small scans keep Spark's default plan
+    val items = Exchanges.widenForAgg(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(slice(array_sort(collect_set(col("l_partkey"))), 1, ItemCap).as("items"))
       .filter(size(col("items")) >= 2)
-    // the pair census gets the same cpu-scaled exchange: co-purchase pairs
-    // are MOSTLY UNIQUE (support ≥ 2 is the rare case), so map-side combine
-    // cannot shrink this shuffle anyway — but 32 final partitions put ~5M
-    // groups per task and tipped the hash aggregate into its sort-based
-    // fallback (the remaining 12 GB of the probe's spill)
-    items
-      .select(explode(col("items")).as("u"), col("items"))
-      .select(col("u"), explode(col("items")).as("v"))
-      .filter(col("u") < col("v"))
-      .repartition(s.sparkContext.defaultParallelism * 8, col("u"), col("v"))
+    // co-purchase pairs are MOSTLY UNIQUE (support ≥ 2 is the rare case),
+    // so map-side combine cannot shrink this shuffle anyway
+    Exchanges.widenForAgg(
+        items
+          .select(explode(col("items")).as("u"), col("items"))
+          .select(col("u"), explode(col("items")).as("v"))
+          .filter(col("u") < col("v")),
+        col("u"), col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2L)
