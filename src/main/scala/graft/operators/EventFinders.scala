@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object EventFinders {
 
+  /** Temp store roots created by gate/bench queries (fs_dsv2_roundtrip),
+    * deleted on JVM exit via one shared shutdown hook. The result
+    * DataFrame is lazy over the store's files, so deletion can only happen
+    * once the process is done evaluating — repeated runs within one JVM
+    * are bounded by run count and reclaimed at exit instead of
+    * accumulating full copies of the events table in the system temp dir
+    * forever. */
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempRoots.forEach(r =>
+        try graft.store.DirStreams.deleteTree(r) catch { case _: Exception => () })))
+
+  private[operators] def cleanupAtExit(root: java.nio.file.Path): Unit = {
+    cleanupHook
+    tempRoots.add(root)
+  }
+
   /** Single choke point for reading the events table, adaptive to the
     * physical `ts` encoding (the driver has shipped both INT64
     * TIMESTAMP(NANOS) and timestamp[us] across rounds — see VERDICT r8):
@@ -133,6 +151,7 @@ object EventFinders {
     // deliberately NOT emitted.
     "fs_dsv2_roundtrip" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft-dsv2-rt")
+      EventFinders.cleanupAtExit(root) // result DF stays lazy over the store
       val fs = new graft.store.SparkFactStore(s, root)
       fs.createStore("rt")
       val facts = events(s, d).orderBy(asc("event_id"))

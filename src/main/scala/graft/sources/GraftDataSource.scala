@@ -168,10 +168,18 @@ private[sources] final class GraftScan(storeDir: Path, storeName: String,
 
   override def readSchema(): StructType = required
 
-  override def description(): String = {
+  // kept/total from ONE snapshot, computed once however many times the
+  // plan is rendered (description() is called per explain/UI render; an
+  // O(commit log) metadata read each time adds up on long-lived stores)
+  private lazy val fileCounts: (Int, Int) = {
     val log = new FactLog(storeDir)
-    val total = log.committedFiles().size
+    val total = log.committedFiles().size // parsed records cached in `log`
     val kept = log.committedFiles(minPos, maxPos, minNanos, maxNanos).size
+    (kept, total)
+  }
+
+  override def description(): String = {
+    val (kept, total) = fileCounts
     s"graft store=$storeName files=$kept/$total pos=[$minPos,$maxPos] " +
       s"nanos=[$minNanos,$maxNanos] columns=${required.fieldNames.mkString(",")}"
   }
@@ -224,11 +232,12 @@ private[sources] final class GraftMicroBatchStream(storeDir: Path,
   private val log = new FactLog(storeDir)
 
   override def initialOffset(): Offset = GraftOffset(startSeq)
-  override def latestOffset(): Offset = {
-    val head = log.commitsAfter(0L).lastOption.map(_.seq)
-      .orElse(log.latestCheckpoint().map(_.seq)).getOrElse(0L)
-    GraftOffset(math.max(head, startSeq))
-  }
+  // Head via headState(): checkpoint-aware (latest checkpoint + contiguous
+  // commit suffix AFTER it). Walking commits from seq 0 would stop at the
+  // gap a vacuum leaves and pin the offset at the checkpoint forever —
+  // silently stalling any stream attached to a compacted+vacuumed store.
+  override def latestOffset(): Offset =
+    GraftOffset(math.max(log.headState().seq, startSeq))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].seq

@@ -121,14 +121,19 @@ object ConditionalPutPublisher extends CommitPublisher {
   val name = "conditional-put"
 
   // JVM FileLock throws OverlappingFileLockException on same-process
-  // re-entry, so in-JVM contenders serialize on a per-arbiter monitor first
-  private val jvmMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // re-entry, so in-JVM contenders serialize on a monitor first. Monitors
+  // are a FIXED stripe array keyed by the arbiter path's hash — bounded
+  // memory for a long-running server publishing to unboundedly many store
+  // directories (a per-directory map grew one Object per directory ever
+  // touched, never evicted). Two directories sharing a stripe merely
+  // serialize a little coarser in-JVM; same directory always maps to the
+  // same stripe, which is all correctness needs.
+  private val monitorStripes = Array.fill(128)(new Object)
 
   private def withDirLock[A](dir: Path)(body: => A): A = {
     val arbiter = dir.resolve(".cas-arbiter")
-    val monitor = jvmMonitors.computeIfAbsent(
-      arbiter.toAbsolutePath.normalize.toString, _ => new Object)
+    val key = arbiter.toAbsolutePath.normalize.toString
+    val monitor = monitorStripes(math.floorMod(key.hashCode, monitorStripes.length))
     monitor.synchronized {
       val ch = FileChannel.open(arbiter,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)

@@ -169,6 +169,68 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream over a compacted+vacuumed store does not stall: offsets " +
+      "advance past the checkpoint and post-vacuum commits are delivered") {
+    val s = spark
+    import s.implicits._
+    val (fs, root, name) = freshStore()
+    (1 to 3).foreach { i =>
+      assert(fs.append(name, FactInput(s"T$i", "s", Array[Byte](i.toByte)))
+        .isInstanceOf[AppendResult.Appended])
+    }
+    // checkpoint at seq 3, commits 1..3 + their files deleted
+    fs.compact(name, vacuum = true)
+    val cp = Files.createTempDirectory("graft-dsv2-vac-cp").toString
+    val sink = s"dsv2_vac_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("store", name)
+      .option("startseq", "3") // at the checkpoint: tail only the live suffix
+      .load()
+      .select("position", "fact_type")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime(20))
+      .start()
+    try {
+      q.processAllAvailable()
+      (4 to 6).foreach { i =>
+        assert(fs.append(name, FactInput(s"T$i", "s", Array[Byte](i.toByte)))
+          .isInstanceOf[AppendResult.Appended])
+      }
+      q.processAllAvailable() // pre-fix: latestOffset pinned at 0-or-ckpt -> silent stall
+      val got = spark.table(sink).as[(Long, String)].collect().sorted.toSeq
+      assert(got.map(_._1) == (4L to 6L), s"positions: $got")
+    } finally q.stop()
+  }
+
+  test("attaching a fresh stream below a vacuumed checkpoint fails loudly " +
+      "with the restart hint (not a silent stall)") {
+    val (fs, root, name) = freshStore()
+    (1 to 3).foreach { i =>
+      assert(fs.append(name, FactInput(s"T$i", "s", Array[Byte](i.toByte)))
+        .isInstanceOf[AppendResult.Appended])
+    }
+    fs.compact(name, vacuum = true)
+    assert(fs.append(name, FactInput("T4", "s", Array[Byte](4)))
+      .isInstanceOf[AppendResult.Appended])
+    val cp = Files.createTempDirectory("graft-dsv2-vac2-cp").toString
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("store", name).load() // startseq defaults to 0
+      .writeStream.format("memory")
+      .queryName(s"dsv2_vac2_${System.nanoTime()}")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      assert(ex.getMessage.contains("vacuumed") ||
+        Option(ex.getCause).exists(_.getMessage.contains("vacuumed")),
+        s"expected the vacuumed-cursor error, got: ${ex.getMessage}")
+    } finally q.stop()
+  }
+
   test("typed pre-flight errors: missing options and unknown store") {
     intercept[IllegalArgumentException](
       spark.read.format("graft").load().collect())
