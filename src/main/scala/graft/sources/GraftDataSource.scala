@@ -2,12 +2,12 @@ package graft.sources
 
 import java.nio.ByteBuffer
 import java.nio.ByteOrder.LITTLE_ENDIAN
-import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.api.ReadSupport
@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.store.{CommitRecord, DirStreams, FactLog, StoreLayout}
+import graft.store.{CommitPublisher, CommitRecord, FactLog, LocalParquet, StoreLayout, StoreVfs}
 
 /** DataSource V2 provider for fact stores: the "not my process" consumer
   * surface — any external Spark job can read a store with
@@ -67,37 +67,44 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     FactLog.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new GraftTable(GraftDataSource.resolveStoreDir(properties),
-      properties.getOrDefault("store", "?"))
+      properties: JMap[String, String]): Table = {
+    val (dir, vfs) = GraftDataSource.resolveStoreDir(properties)
+    new GraftTable(dir, vfs, properties.getOrDefault("store", "?"))
+  }
 }
 
 object GraftDataSource {
   /** Resolve root+store options to the store's log dir (typed errors
     * before any query runs — the DSv2 rendering of the facade's
     * pre-flight `StoreNotFound`). `path` is accepted as an alias of
-    * `root` so `.load(dir)` works too. */
-  private[sources] def resolveStoreDir(props: JMap[String, String]): Path = {
+    * `root` so `.load(dir)` works too. Roots may be plain local paths or
+    * filesystem URIs (`file://`, `hdfs://`, `s3a://`) — URI roots run all
+    * metadata reads through the Hadoop FileSystem client, same dispatch
+    * as [[graft.store.SparkFactStore.at]]. */
+  private[sources] def resolveStoreDir(props: JMap[String, String]): (HPath, StoreVfs) = {
     val root = Option(props.get("root")).orElse(Option(props.get("path")))
       .getOrElse(throw new IllegalArgumentException(
         "graft: missing required option 'root' (the store root directory)"))
     val store = Option(props.get("store")).getOrElse(
       throw new IllegalArgumentException(
         "graft: missing required option 'store' (the store name)"))
-    StoreLayout.storeDir(Paths.get(root), store).getOrElse(
+    val (rootPath, vfs) = StoreVfs.forRoot(root)
+    val dir = StoreLayout.storeDir(rootPath, vfs, store).getOrElse(
       throw new IllegalArgumentException(
         s"graft: store '$store' not found under root '$root'"))
+    (dir, vfs)
   }
 }
 
-private[sources] final class GraftTable(storeDir: Path, storeName: String)
+private[sources] final class GraftTable(storeDir: HPath, vfs: StoreVfs,
+    storeName: String)
     extends Table with SupportsRead {
   override def name(): String = s"graft:$storeName"
   override def schema(): StructType = FactLog.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(storeDir, storeName, options)
+    new GraftScanBuilder(storeDir, vfs, storeName, options)
 }
 
 /** Pushdown state: range filters on `position` / `appended_at_nanos`
@@ -105,8 +112,8 @@ private[sources] final class GraftTable(storeDir: Path, storeName: String)
   * returned as a post-scan filter (file-level pruning is conservative —
   * Spark re-applies the row-level predicate, like the built-in file
   * sources do). */
-private[sources] final class GraftScanBuilder(storeDir: Path, storeName: String,
-    options: CaseInsensitiveStringMap)
+private[sources] final class GraftScanBuilder(storeDir: HPath, vfs: StoreVfs,
+    storeName: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var minPos = Long.MinValue
@@ -157,12 +164,13 @@ private[sources] final class GraftScanBuilder(storeDir: Path, storeName: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(storeDir, storeName, required,
+    new GraftScan(storeDir, vfs, storeName, required,
       minPos, maxPos, minNanos, maxNanos,
       Option(options.get("startseq")).map(_.toLong).getOrElse(0L))
 }
 
-private[sources] final class GraftScan(storeDir: Path, storeName: String,
+private[sources] final class GraftScan(storeDir: HPath, vfs: StoreVfs,
+    storeName: String,
     required: StructType, minPos: Long, maxPos: Long,
     minNanos: Long, maxNanos: Long, startSeq: Long) extends Scan {
 
@@ -172,7 +180,7 @@ private[sources] final class GraftScan(storeDir: Path, storeName: String,
   // plan is rendered (description() is called per explain/UI render; an
   // O(commit log) metadata read each time adds up on long-lived stores)
   private lazy val fileCounts: (Int, Int) = {
-    val log = new FactLog(storeDir)
+    val log = new FactLog(storeDir, vfs)
     val total = log.committedFiles().size // parsed records cached in `log`
     val kept = log.committedFiles(minPos, maxPos, minNanos, maxNanos).size
     (kept, total)
@@ -186,7 +194,7 @@ private[sources] final class GraftScan(storeDir: Path, storeName: String,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val log = new FactLog(storeDir)
+      val log = new FactLog(storeDir, vfs)
       GraftScan.expandParts(log.committedFiles(minPos, maxPos, minNanos, maxNanos))
         .map(p => GraftInputPartition(p): InputPartition).toArray
     }
@@ -195,20 +203,15 @@ private[sources] final class GraftScan(storeDir: Path, storeName: String,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(storeDir, required.fieldNames, startSeq)
+    new GraftMicroBatchStream(storeDir, vfs, required.fieldNames, startSeq)
 }
 
 private[sources] object GraftScan {
   /** Bulk-append batches and compaction buckets are directories; expand to
-    * their part files (driver-side, tiny listings of bounded dirs). */
+    * their part files (driver-side, tiny listings of bounded dirs; plain
+    * paths list via java.nio, URI paths via the Hadoop client). */
   def expandParts(paths: Seq[String]): Seq[String] =
-    paths.flatMap { p =>
-      val path = Paths.get(p)
-      if (Files.isDirectory(path))
-        DirStreams.listPaths(path)(_.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq.sorted)
-      else Seq(p)
-    }
+    paths.flatMap(LocalParquet.parts)
 }
 
 private[sources] final case class GraftInputPartition(path: String)
@@ -226,10 +229,10 @@ private[sources] final class GraftReaderFactory(columns: Array[String])
   * reference, so recovery re-plans byte-identical batches. `latestOffset`
   * is the contiguous committed head — an in-flight writer's unpublished
   * seq is invisible, exactly like the facade's readers. */
-private[sources] final class GraftMicroBatchStream(storeDir: Path,
-    columns: Array[String], startSeq: Long) extends MicroBatchStream {
+private[sources] final class GraftMicroBatchStream(storeDir: HPath,
+    vfs: StoreVfs, columns: Array[String], startSeq: Long) extends MicroBatchStream {
 
-  private val log = new FactLog(storeDir)
+  private val log = new FactLog(storeDir, vfs)
 
   override def initialOffset(): Offset = GraftOffset(startSeq)
   // Head via headState(): checkpoint-aware (latest checkpoint + contiguous
@@ -251,7 +254,7 @@ private[sources] final class GraftMicroBatchStream(storeDir: Path,
           "readable (vacuumed past this cursor); restart from a startSeq at " +
           "or after the latest checkpoint")
     recs.flatMap(r => GraftScan.expandParts(r.files.map(f =>
-        storeDir.resolve(f).toString)))
+        new HPath(storeDir, f).toString)))
       .map(p => GraftInputPartition(p): InputPartition).toArray
   }
 

@@ -1,25 +1,26 @@
 package graft.store
 
-import java.nio.file.{Files, Path}
-import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path => JPath}
 import scala.jdk.CollectionConverters._
 import scala.collection.mutable
 import scala.util.Using
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Directory-stream helpers that always close the underlying JDK stream
   * (Files.list/walk leak a file descriptor per call otherwise — fatal in a
   * long-running server process). */
 private[graft] object DirStreams {
-  def listNames[A](dir: Path)(f: Iterator[String] => A): A =
+  def listNames[A](dir: JPath)(f: Iterator[String] => A): A =
     Using.resource(Files.list(dir))(s => f(s.iterator().asScala.map(_.getFileName.toString)))
-  def listPaths[A](dir: Path)(f: Iterator[Path] => A): A =
+  def listPaths[A](dir: JPath)(f: Iterator[JPath] => A): A =
     Using.resource(Files.list(dir))(s => f(s.iterator().asScala))
   /** Depth-first delete of a file or directory tree. */
-  def deleteTree(p: Path): Unit =
+  def deleteTree(p: JPath): Unit =
     if (Files.exists(p)) {
       if (Files.isDirectory(p))
         Using.resource(Files.walk(p)) { s =>
-          s.sorted(java.util.Comparator.reverseOrder[Path]())
+          s.sorted(java.util.Comparator.reverseOrder[JPath]())
             .forEach(f => Files.deleteIfExists(f))
         }
       else Files.deleteIfExists(p)
@@ -80,28 +81,40 @@ final case class HeadState(seq: Long, lastPosition: Long, appendedAtNanos: Long)
   *   3. write data file(s) with positions head+1..head+N (uncommitted)
   *   4. atomically publish commit record `seq = head.seq+1` via the
   *      [[CommitPublisher]] put-if-absent CAS (hard link on POSIX,
-  *      conditional PUT on object stores) — exactly one writer wins a
-  *      given seq; losers delete their data file and retry, re-evaluating
-  *      conditions (mirrors FDB's retry loop, making the
-  *      exactly-one-winner concurrency contract hold)
+  *      conditional PUT on object stores, rename-if-absent on HDFS) —
+  *      exactly one writer wins a given seq; losers delete their data file
+  *      and retry, re-evaluating conditions (mirrors FDB's retry loop,
+  *      making the exactly-one-winner concurrency contract hold)
   *
   * Readers take the latest checkpoint plus the contiguous committed suffix
   * after it, so they see an atomic, snapshot-isolated view regardless of
   * in-flight writers or compactions.
+  *
+  * All metadata/data IO goes through the [[StoreVfs]] the store root was
+  * opened with: plain local roots use the direct `java.nio` fast path;
+  * URI roots (`file://`, `hdfs://`, `s3a://`) run through the Hadoop
+  * FileSystem client, so the same log physically lives on cluster storage.
   */
-final class FactLog(val storeDir: Path,
-    val publisher: CommitPublisher = CommitPublisher.default) {
-  private val commitsDir = storeDir.resolve("commits")
-  private val dataDir = storeDir.resolve("data")
-  private val checkpointsDir = storeDir.resolve("checkpoints")
-  Files.createDirectories(commitsDir)
-  Files.createDirectories(dataDir)
+final class FactLog(val storeDir: HPath, val vfs: StoreVfs,
+    val publisher: CommitPublisher) {
+
+  def this(storeDir: JPath, publisher: CommitPublisher) =
+    this(new HPath(storeDir.toString), NioVfs, publisher)
+  def this(storeDir: JPath) = this(storeDir, CommitPublisher.default)
+  def this(storeDir: HPath, vfs: StoreVfs) =
+    this(storeDir, vfs, CommitPublisher.default)
+
+  private val commitsDir = new HPath(storeDir, "commits")
+  private val dataDir = new HPath(storeDir, "data")
+  private val checkpointsDir = new HPath(storeDir, "checkpoints")
+  vfs.mkdirs(commitsDir)
+  vfs.mkdirs(dataDir)
 
   // cache: commits already parsed (append-only and immutable once written,
   // so caching by seq is always safe — even across vacuums)
   private val cache = mutable.LongMap[CommitRecord]()
 
-  private def commitPath(seq: Long): Path = commitsDir.resolve(f"$seq%020d.commit")
+  private def commitPath(seq: Long): HPath = new HPath(commitsDir, f"$seq%020d.commit")
 
   /** Contiguous committed records with seq > `after` (stops at first gap). */
   def commitsAfter(after: Long): Seq[CommitRecord] = synchronized {
@@ -113,8 +126,8 @@ final class FactLog(val storeDir: Path,
         case Some(r) => out += r; seq += 1
         case None =>
           val p = commitPath(seq)
-          if (Files.exists(p)) {
-            val r = parse(Files.readString(p, UTF_8))
+          if (vfs.exists(p)) {
+            val r = parse(vfs.readString(p))
             cache(seq) = r
             out += r
             seq += 1
@@ -154,8 +167,8 @@ final class FactLog(val storeDir: Path,
 
   /** Fresh uncommitted data-file path (relative name returned). */
   def newDataFileName(): String = s"${java.util.UUID.randomUUID()}.parquet"
-  def resolveData(rel: String): Path = dataDir.resolve(rel)
-  def resolve(rel: String): Path = storeDir.resolve(rel)
+  def resolveData(rel: String): HPath = new HPath(dataDir, rel)
+  def resolve(rel: String): HPath = new HPath(storeDir, rel)
 
   /** Absolute paths of all committed data files, optionally pruned by
     * position range and/or appendedAt-nanos range (both inclusive bounds on
@@ -175,33 +188,34 @@ final class FactLog(val storeDir: Path,
     val base = ckpt.toSeq.flatMap(_.files.collect {
       case f if f.maxPos >= minPos && f.minPos <= maxPos &&
         f.maxNanos >= minNanos && f.minNanos <= maxNanos =>
-        FileRef(storeDir.resolve(f.path).toString, f.bloom,
-          f.index.map(i => storeDir.resolve(i).toString))
+        FileRef(new HPath(storeDir, f.path).toString, f.bloom,
+          f.index.map(i => new HPath(storeDir, i).toString))
     })
     // appendedAtNanos is monotonic non-decreasing across commits (assigned in
     // the single-writer critical section), so both prunings are range cuts.
     val inc = incremental.filter { c =>
       c.lastPosition >= minPos && c.firstPosition <= maxPos &&
       c.appendedAtNanos >= minNanos && c.appendedAtNanos <= maxNanos
-    }.flatMap(c => c.files.map(f => FileRef(storeDir.resolve(f).toString, c.bloom)))
+    }.flatMap(c => c.files.map(f => FileRef(new HPath(storeDir, f).toString, c.bloom)))
     base ++ inc
   }
 
   // --- checkpoints (log compaction) -----------------------------------------
 
-  private def checkpointPath(seq: Long): Path = checkpointsDir.resolve(f"$seq%020d.ckpt")
+  private def checkpointPath(seq: Long): HPath =
+    new HPath(checkpointsDir, f"$seq%020d.ckpt")
   private val ckptCache = mutable.LongMap[Checkpoint]() // immutable per seq
 
-  def latestCheckpoint(): Option[Checkpoint] = {
-    if (!Files.exists(checkpointsDir)) return None
-    val seqs = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong).toSeq)
-    seqs.sorted.lastOption.map(sq =>
+  private def checkpointSeqs(): Seq[Long] =
+    vfs.listNames(checkpointsDir).filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt").toLong)
+
+  def latestCheckpoint(): Option[Checkpoint] =
+    checkpointSeqs().sorted.lastOption.map(sq =>
       synchronized(ckptCache.getOrElseUpdate(sq, readCheckpoint(sq))))
-  }
 
   private def readCheckpoint(seq: Long): Checkpoint = {
-    val lines = Files.readAllLines(checkpointPath(seq), UTF_8).asScala
+    val lines = vfs.readString(checkpointPath(seq)).linesIterator.toSeq
     val h = lines.head.split('\t')
     val keys = lines.tail.iterator.filter(_.startsWith("k\t")).map(_.drop(2)).toSet
     val files = lines.tail.iterator.filter(_.startsWith("f\t")).map { l =>
@@ -215,7 +229,7 @@ final class FactLog(val storeDir: Path,
 
   /** CAS-publish a checkpoint; true iff this writer won. */
   def tryPublishCheckpoint(c: Checkpoint): Boolean = {
-    Files.createDirectories(checkpointsDir)
+    vfs.mkdirs(checkpointsDir)
     val body = new StringBuilder
     body.append(s"${c.seq}\t${c.lastPosition}\t${c.appendedAtNanos}\n")
     c.idempotencyKeys.toSeq.sorted.foreach(k => body.append(s"k\t$k\n"))
@@ -234,8 +248,8 @@ final class FactLog(val storeDir: Path,
     * profiles), so live subscribers are unaffected. */
   def vacuum(seq: Long): Unit = {
     commitsAfter(0L).takeWhile(_.seq <= seq).foreach { c =>
-      c.files.foreach(rel => DirStreams.deleteTree(storeDir.resolve(rel)))
-      Files.deleteIfExists(commitPath(c.seq))
+      c.files.foreach(rel => vfs.deleteTree(resolve(rel)))
+      vfs.deleteIfExists(commitPath(c.seq))
     }
   }
 
@@ -245,12 +259,9 @@ final class FactLog(val storeDir: Path,
     * publish. Data files are never touched — slices referenced only by a
     * dropped checkpoint become janitor-collectable after its grace
     * period. */
-  def vacuumCheckpointsKeepLast(n: Int): Unit = {
-    if (!Files.exists(checkpointsDir)) return
-    val seqs = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong).toSeq).sorted
-    seqs.dropRight(n).foreach(sq => Files.deleteIfExists(checkpointPath(sq)))
-  }
+  def vacuumCheckpointsKeepLast(n: Int): Unit =
+    checkpointSeqs().sorted.dropRight(n)
+      .foreach(sq => vfs.deleteIfExists(checkpointPath(sq)))
 
   /** Delete checkpoint records older than `keepSeq`. With `deleteFiles`
     * their compacted files go too (full compaction rewrote everything);
@@ -268,18 +279,15 @@ final class FactLog(val storeDir: Path,
     * period protects in-flight snapshot holders. The cost is reclaim
     * latency (up to the janitor grace period), never correctness. */
   def vacuumCheckpoints(keepSeq: Long, deleteFiles: Boolean): Unit = {
-    if (!Files.exists(checkpointsDir)) return
-    val old = DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
-      .map(_.stripSuffix(".ckpt").toLong).filter(_ < keepSeq).toSeq)
-    old.foreach { seq =>
+    checkpointSeqs().filter(_ < keepSeq).foreach { seq =>
       if (deleteFiles) {
         val c = readCheckpoint(seq)
         c.files.foreach { f =>
-          DirStreams.deleteTree(storeDir.resolve(f.path))
-          f.index.foreach(i => DirStreams.deleteTree(storeDir.resolve(i)))
+          vfs.deleteTree(resolve(f.path))
+          f.index.foreach(i => vfs.deleteTree(resolve(i)))
         }
       }
-      Files.deleteIfExists(checkpointPath(seq))
+      vfs.deleteIfExists(checkpointPath(seq))
     }
   }
 
@@ -299,61 +307,56 @@ final class FactLog(val storeDir: Path,
     * abandoned. Returns the number of artifacts removed. */
   def janitor(olderThanMillis: Long = 3600000L): Int = {
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    def oldEnough(p: Path): Boolean =
-      Files.getLastModifiedTime(p).toMillis < cutoff
+    def oldEnough(p: HPath): Boolean = vfs.modifiedMillis(p) < cutoff
     val referenced = mutable.Set[String]()
-    DirStreams.listNames(commitsDir)(_.filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit").toLong).toSeq).foreach { seq =>
+    vfs.listNames(commitsDir).filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).foreach { seq =>
       val rec = synchronized(cache.getOrElseUpdate(seq,
-        parse(Files.readString(commitPath(seq), UTF_8))))
-      rec.files.foreach(f => referenced += storeDir.resolve(f).normalize.toString)
+        parse(vfs.readString(commitPath(seq)))))
+      rec.files.foreach(f => referenced += new HPath(storeDir, f).toString)
     }
-    if (Files.exists(checkpointsDir))
-      DirStreams.listNames(checkpointsDir)(_.filter(_.endsWith(".ckpt"))
-        .map(_.stripSuffix(".ckpt").toLong).toSeq).foreach { seq =>
-        val c = synchronized(ckptCache.getOrElseUpdate(seq, readCheckpoint(seq)))
-        c.files.foreach { f =>
-          referenced += storeDir.resolve(f.path).normalize.toString
-          f.index.foreach(i => referenced += storeDir.resolve(i).normalize.toString)
-        }
+    checkpointSeqs().foreach { seq =>
+      val c = synchronized(ckptCache.getOrElseUpdate(seq, readCheckpoint(seq)))
+      c.files.foreach { f =>
+        referenced += new HPath(storeDir, f.path).toString
+        f.index.foreach(i => referenced += new HPath(storeDir, i).toString)
       }
+    }
     var removed = 0
-    DirStreams.listPaths(dataDir)(_.toSeq).foreach { p =>
-      if (!referenced.contains(p.normalize.toString) && oldEnough(p)) {
-        DirStreams.deleteTree(p); removed += 1
+    vfs.listPaths(dataDir).foreach { p =>
+      if (!referenced.contains(p.toString) && oldEnough(p)) {
+        vfs.deleteTree(p); removed += 1
       }
     }
-    for (d <- Seq(commitsDir, checkpointsDir) if Files.exists(d))
-      DirStreams.listPaths(d)(_.filter(_.getFileName.toString.startsWith(".tmp-")).toSeq)
-        .foreach { p =>
-          if (oldEnough(p) && Files.deleteIfExists(p)) removed += 1
-        }
+    for (d <- Seq(commitsDir, checkpointsDir))
+      vfs.listPaths(d).filter(_.getName.startsWith(".tmp-")).foreach { p =>
+        if (oldEnough(p) && vfs.deleteIfExists(p)) removed += 1
+      }
     removed
   }
 
   // --- streaming view -------------------------------------------------------
   // `stream/` holds aliases (hard links on POSIX, copies on object-store
-  // profiles) of COMMITTED data files only, created after the commit CAS is
-  // won. Spark's file-source streaming can therefore tail it safely:
-  // uncommitted or CAS-losing files never appear, and aliases appear
-  // atomically. (Batch readers never list directories — they read exact
-  // paths from commit records — so they don't need this.)
-  private val streamDir = storeDir.resolve("stream")
+  // and HDFS profiles) of COMMITTED data files only, created after the
+  // commit CAS is won. Spark's file-source streaming can therefore tail it
+  // safely: uncommitted or CAS-losing files never appear, and aliases
+  // appear atomically. (Batch readers never list directories — they read
+  // exact paths from commit records — so they don't need this.)
+  private val streamDir = new HPath(storeDir, "stream")
 
-  def streamPath: Path = streamDir
+  def streamPath: HPath = streamDir
 
   /** Link the files of a freshly committed record into `stream/`. */
   def publishToStream(rec: CommitRecord): Unit = {
-    Files.createDirectories(streamDir)
+    vfs.mkdirs(streamDir)
     rec.files.zipWithIndex.foreach { case (rel, i) =>
-      val src = storeDir.resolve(rel)
-      val parts: Seq[Path] =
-        if (Files.isDirectory(src))
-          DirStreams.listPaths(src)(
-            _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString))
+      val src = resolve(rel)
+      val parts: Seq[HPath] =
+        if (vfs.isDirectory(src))
+          vfs.listPaths(src).filter(_.getName.endsWith(".parquet")).sortBy(_.toString)
         else Seq(src)
       parts.zipWithIndex.foreach { case (p, j) =>
-        val target = streamDir.resolve(f"${rec.seq}%020d-$i-$j.parquet")
+        val target = new HPath(streamDir, f"${rec.seq}%020d-$i-$j.parquet")
         publisher.alias(target, p)
       }
     }
@@ -384,18 +387,19 @@ final class FactLog(val storeDir: Path,
   * CAS enforces uniqueness and 255-char names can't exceed filename
   * limits), and each store's log lives under `stores/{storeId}`. */
 private[graft] object StoreLayout {
-  def catalogPath(root: Path, name: String): Path = {
+  def catalogPath(root: HPath, name: String): HPath = {
     val h = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(name.getBytes(UTF_8)).map("%02x".format(_)).mkString
-    root.resolve("catalog").resolve(s"$h.store")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new HPath(new HPath(root, "catalog"), s"$h.store")
   }
 
   /** The store's log directory, if the store exists. */
-  def storeDir(root: Path, name: String): Option[Path] = {
+  def storeDir(root: HPath, vfs: StoreVfs, name: String): Option[HPath] = {
     val p = catalogPath(root, name)
-    if (!Files.exists(p)) None
-    else Some(root.resolve("stores")
-      .resolve(Files.readString(p, UTF_8).trim.split('\t')(0)))
+    if (!vfs.exists(p)) None
+    else Some(new HPath(new HPath(root, "stores"),
+      vfs.readString(p).trim.split('\t')(0)))
   }
 }
 

@@ -87,11 +87,13 @@ object LocalParquet {
       c
     })
 
-  /** Write fact rows to one parquet file without Spark. */
-  def write(target: JPath, rows: Seq[FactRow]): Unit = {
+  /** Write fact rows to one parquet file without Spark. The target is a
+    * Hadoop path, so the same writer serves local stores and URI-rooted
+    * ones (parquet-mr resolves the FileSystem from the path's scheme). */
+  def write(target: HPath, rows: Seq[FactRow]): Unit = {
     val conf = writeConf
     val factory = new SimpleGroupFactory(MessageSchema)
-    val writer = ExampleParquetWriter.builder(new HPath(target.toUri))
+    val writer = ExampleParquetWriter.builder(target)
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
@@ -166,16 +168,33 @@ object LocalParquet {
       |  }
       |}""".stripMargin
 
-  /** A file path or a directory of part files — expand to parquet parts. */
-  private def parts(p: JPath): Seq[JPath] =
-    if (JFiles.isDirectory(p))
-      DirStreams.listPaths(p)(
-        _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString))
-    else Seq(p)
+  /** A file path or a directory of part files — expand to parquet parts.
+    * Strings are store paths: plain absolute paths take the `java.nio`
+    * fast path; URI paths (`file:`, `hdfs:`, ...) list through the Hadoop
+    * FileSystem client. */
+  private[graft] def parts(s: String): Seq[String] =
+    if (s.startsWith("/")) { // plain local path
+      val p = JPath.of(s)
+      if (JFiles.isDirectory(p))
+        DirStreams.listPaths(p)(
+          _.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted)
+      else Seq(s)
+    } else {
+      val p = new HPath(s)
+      val fs = p.getFileSystem(footerConf)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).iterator.map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+      else Seq(s)
+    }
+
+  private def sizeOf(s: String): Long =
+    if (s.startsWith("/")) JFiles.size(JPath.of(s))
+    else { val p = new HPath(s); p.getFileSystem(footerConf).getFileStatus(p).getLen }
 
   /** Total bytes of the given files/dirs — the local-vs-Spark switch. */
   def totalBytes(files: Seq[String]): Long =
-    files.iterator.flatMap(f => parts(JPath.of(f))).map(JFiles.size).sum
+    files.iterator.flatMap(parts).map(sizeOf).sum
 
   // Committed files are immutable, so the per-file pruned read schema can be
   // cached forever (footer read once per file per process).
@@ -188,10 +207,10 @@ object LocalParquet {
   private val partPosRangeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def partPosRange(p: JPath): (Long, Long) =
-    partPosRangeCache.computeIfAbsent(p.toString, { _ =>
+  private def partPosRange(p: String): (Long, Long) =
+    partPosRangeCache.computeIfAbsent(p, { _ =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), footerConf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p), footerConf))
       try {
         var mn = Long.MaxValue
         var mx = Long.MinValue
@@ -216,10 +235,10 @@ object LocalParquet {
     * (all-optional) and Spark (non-nullable columns become `required`,
     * e.g. bulkAppend's generated ids). Copying the file's own field types
     * keeps both readable with one code path. */
-  private def projectionForFile(p: JPath, projectionKey: String, wanted: MessageType): String =
-    fileProjectionCache.computeIfAbsent((p.toString, projectionKey), { _ =>
+  private def projectionForFile(p: String, projectionKey: String, wanted: MessageType): String =
+    fileProjectionCache.computeIfAbsent((p, projectionKey), { _ =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p.toUri), footerConf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new HPath(p), footerConf))
       try {
         val fileSchema = reader.getFooter.getFileMetaData.getSchema
         val kept = new java.util.ArrayList[org.apache.parquet.schema.Type]()
@@ -247,14 +266,14 @@ object LocalParquet {
         and(gtEq(longColumn("position"), java.lang.Long.valueOf(lo)),
           ltEq(longColumn("position"), java.lang.Long.valueOf(hi))))
     }
-    val it = files.iterator.flatMap(f => parts(JPath.of(f)))
+    val it = files.iterator.flatMap(parts)
       .filter(p => posRange.forall { case (lo, hi) =>
         val (mn, mx) = partPosRange(p)
         mx >= lo && mn <= hi // skip parts wholly outside the window
       })
       .flatMap { p =>
       val conf = confFor(projectionForFile(p, projection, wanted))
-      val builder = ParquetReader.builder(new GroupReadSupport(), new HPath(p.toUri))
+      val builder = ParquetReader.builder(new GroupReadSupport(), new HPath(p))
         .withConf(conf)
       val reader = filter.fold(builder)(builder.withFilter).build()
       new Iterator[Group] {
@@ -366,9 +385,9 @@ object LocalParquet {
       org.apache.parquet.filter2.compat.FilterCompat.get(
         FA.eq(FA.binaryColumn("entry"), org.apache.parquet.io.api.Binary.fromString(entry)))
     }
-    indexFiles.iterator.flatMap(f => parts(JPath.of(f))).flatMap { p =>
+    indexFiles.iterator.flatMap(parts).flatMap { p =>
       val conf = confFor(projectionForFile(p, "idx", wanted))
-      val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p.toUri))
+      val reader = ParquetReader.builder(new GroupReadSupport(), new HPath(p))
         .withConf(conf).withFilter(filter).build()
       try {
         var out: Option[IndexHit] = None

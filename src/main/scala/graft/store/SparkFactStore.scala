@@ -1,12 +1,12 @@
 package graft.store
 
-import java.nio.file.{Files, Path, StandardCopyOption}
-import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Path => JPath}
 import java.time.Instant
 import java.util.UUID
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,13 +53,28 @@ object FactRow {
   * data dir is keyed by storeId (UUID), recreate-after-delete starts empty
   * (reference contract AbstractFactStoreTest.kt:1479-1497).
   */
-final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
+final class SparkFactStore(val spark: SparkSession, val rootDir: HPath,
+    val vfs: StoreVfs,
     val autoCompactEvery: Int = 64,
     val publisher: CommitPublisher = CommitPublisher.default) extends FactStore {
-  private val catalogDir = rootDir.resolve("catalog")
-  private val storesDir = rootDir.resolve("stores")
-  Files.createDirectories(catalogDir)
-  Files.createDirectories(storesDir)
+
+  /** Local-root constructors (the original signatures — scheme-less paths
+    * keep the direct `java.nio` fast path). URI roots (`file://`,
+    * `hdfs://`, `s3a://`) go through [[SparkFactStore.at]]. */
+  def this(spark: SparkSession, rootDir: JPath) =
+    this(spark, new HPath(rootDir.toString), NioVfs)
+  def this(spark: SparkSession, rootDir: JPath, autoCompactEvery: Int) =
+    this(spark, new HPath(rootDir.toString), NioVfs, autoCompactEvery)
+  def this(spark: SparkSession, rootDir: JPath, publisher: CommitPublisher) =
+    this(spark, new HPath(rootDir.toString), NioVfs, publisher = publisher)
+  def this(spark: SparkSession, rootDir: JPath, autoCompactEvery: Int,
+      publisher: CommitPublisher) =
+    this(spark, new HPath(rootDir.toString), NioVfs, autoCompactEvery, publisher)
+
+  private val catalogDir = new HPath(rootDir, "catalog")
+  private val storesDir = new HPath(rootDir, "stores")
+  vfs.mkdirs(catalogDir)
+  vfs.mkdirs(storesDir)
 
   // serialize same-store writers within this JVM; cross-process safety comes
   // from the commit-file CAS.
@@ -71,55 +86,55 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
 
   // -- catalog ---------------------------------------------------------------
   // Layout shared with the DSv2 provider — see StoreLayout (FactLog.scala).
-  private def catalogPath(name: String): Path = StoreLayout.catalogPath(rootDir, name)
+  private def catalogPath(name: String): HPath = StoreLayout.catalogPath(rootDir, name)
 
   override def createStore(name: String): CreateStoreResult = {
     if (!Validation.validStoreName(name)) return CreateStoreResult.InvalidName(name)
     val md = StoreMetadata(UUID.randomUUID().toString, name, Instant.now())
     val line = s"${md.id}\t${md.name}\t${md.createdAt.toEpochMilli}\n"
     if (publisher.putIfAbsent(catalogPath(name), line)) {
-      Files.createDirectories(storesDir.resolve(md.id))
+      vfs.mkdirs(new HPath(storesDir, md.id))
       CreateStoreResult.Created(md)
     } else CreateStoreResult.NameAlreadyExists
   }
 
-  private def parseMeta(p: Path): StoreMetadata = {
-    val a = Files.readString(p, UTF_8).trim.split('\t')
+  private def parseMeta(p: HPath): StoreMetadata = {
+    val a = vfs.readString(p).trim.split('\t')
     StoreMetadata(a(0), a(1), Instant.ofEpochMilli(a(2).toLong))
   }
 
   override def listStores(): Seq[StoreMetadata] =
-    DirStreams.listPaths(catalogDir)(
-      _.filter(_.getFileName.toString.endsWith(".store"))
-        .map(parseMeta).toSeq.sortBy(_.createdAt))
+    vfs.listPaths(catalogDir)
+      .filter(_.getName.endsWith(".store"))
+      .map(parseMeta).sortBy(_.createdAt)
 
-  override def storeExists(name: String): Boolean = Files.exists(catalogPath(name))
+  override def storeExists(name: String): Boolean = vfs.exists(catalogPath(name))
 
   override def findStoreByName(name: String): Option[StoreMetadata] = {
     val p = catalogPath(name)
-    if (Files.exists(p)) Some(parseMeta(p)) else None
+    if (vfs.exists(p)) Some(parseMeta(p)) else None
   }
 
   override def removeStore(name: String): RemoveStoreResult = {
     findStoreByName(name) match {
       case None => RemoveStoreResult.StoreNotFound
       case Some(md) =>
-        if (!Files.deleteIfExists(catalogPath(name))) RemoveStoreResult.StoreNotFound
+        if (!vfs.deleteIfExists(catalogPath(name))) RemoveStoreResult.StoreNotFound
         else {
-          deleteRecursively(storesDir.resolve(md.id)) // data + commits + idempotency keys
+          deleteRecursively(new HPath(storesDir, md.id)) // data + commits + idempotency keys
           RemoveStoreResult.StoreRemoved
         }
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = DirStreams.deleteTree(p)
+  private def deleteRecursively(p: HPath): Unit = vfs.deleteTree(p)
 
   // FactLog instances cached per store: the parsed-commit cache makes
   // repeated metadata reads O(new commits), not O(all commits).
   private val logs = mutable.Map[String, FactLog]()
   private def logFor(md: StoreMetadata): FactLog =
     logs.synchronized(logs.getOrElseUpdate(md.id,
-      new FactLog(storesDir.resolve(md.id), publisher)))
+      new FactLog(new HPath(storesDir, md.id), vfs, publisher)))
 
   /** Committed log as a DataFrame (optionally pruned via commit metadata). */
   def logDataFrame(name: String,
@@ -184,7 +199,7 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
                 if (autoCompactEvery > 0 && log.snapshot()._2.size >= autoCompactEvery)
                   triggerAsyncCompact(request.storeName, md.id)
                 result = AppendResult.Appended(rows.map(_.id), Timestamps.fromNanos(atNanos))
-              } else Files.deleteIfExists(target) // lost the CAS: discard and re-evaluate
+              } else vfs.deleteIfExists(target) // lost the CAS: discard and re-evaluate
             }
           }
           result
@@ -282,20 +297,9 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
         org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
-  /** Small appends: one in-memory batch -> exactly one parquet file. */
-  private def writeParquetSingleFile(df: DataFrame, target: Path): Unit = {
-    val tmpDir = target.getParent.resolve(s".stage-${UUID.randomUUID()}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = DirStreams.listPaths(tmpDir)(
-        _.find(_.getFileName.toString.endsWith(".parquet")))
-      .getOrElse(throw new IllegalStateException(s"no parquet part in $tmpDir"))
-    Files.move(part, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(tmpDir)
-  }
-
   /** Bulk appends: keep Spark's parallel multi-part output as a directory
     * (parquet readers accept directories in the file list); returns count. */
-  private def writeParquetDir(df: DataFrame, target: Path): Long = {
+  private def writeParquetDir(df: DataFrame, target: HPath): Long = {
     df.write.mode("overwrite").parquet(target.toString)
     spark.read.schema(FactLog.schema).parquet(target.toString).count()
   }
@@ -340,10 +344,9 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
         .orElse(ckpt.map(_.lastPosition)).getOrElse(0L)
       def bytesOf(rel: String): Long = {
         val p = log.resolve(rel)
-        if (!Files.exists(p)) 0L
-        else if (Files.isDirectory(p))
-          DirStreams.listPaths(p)(_.map(f => Files.size(f)).sum)
-        else Files.size(p)
+        if (!vfs.exists(p)) 0L
+        else if (vfs.isDirectory(p)) vfs.listPaths(p).map(vfs.size).sum
+        else vfs.size(p)
       }
       val ckptFiles = ckpt.toSeq.flatMap(_.files)
       StoreStats(
@@ -519,13 +522,13 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
           // partition-column inference may type bucket as int
           val files = metas.sortBy(_.getAs[Number]("bucket").longValue).map { r =>
             val b = r.getAs[Number]("bucket").longValue
-            val src = tmp.resolve(s"bucket=$b")
+            val src = new HPath(tmp, s"bucket=$b")
             val rel = s"data/compact-$ckptId-b$b"
-            Files.move(src, log.resolve(rel)) // same fs: atomic rename
-            val idxSrc = tmpIdx.resolve(s"bucket=$b")
+            vfs.rename(src, log.resolve(rel)) // same fs, writer-unique target
+            val idxSrc = new HPath(tmpIdx, s"bucket=$b")
             val idxRel = s"data/compact-$ckptId-b$b.idx"
-            val idx = if (Files.exists(idxSrc)) {
-              Files.move(idxSrc, log.resolve(idxRel)); Some(idxRel)
+            val idx = if (vfs.exists(idxSrc)) {
+              vfs.rename(idxSrc, log.resolve(idxRel)); Some(idxRel)
             } else None
             FileMeta(rel, r.getAs[Long]("minp"), r.getAs[Long]("maxp"),
               r.getAs[Long]("minn"), r.getAs[Long]("maxn"), blooms.get(b), idx)
@@ -1147,4 +1150,30 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: Path,
   /** Local-read cutoff for bulk replay windows: above this, Spark's
     * vectorized scan wins on throughput despite per-job overhead. */
   private val ReplayLocalMaxBytes = 2L << 20
+}
+
+object SparkFactStore {
+  /** Open a store root by filesystem URI — the cluster-storage entry
+    * point. Scheme-less strings keep the local `java.nio` fast path;
+    * anything with a scheme (`file://`, `hdfs://`, `s3a://`, `abfs://`)
+    * runs every byte of store IO through the Hadoop FileSystem client
+    * configured from the session's own `hadoopConfiguration` (so the
+    * store sees the same credentials/endpoints as Spark's reads).
+    *
+    * The default publisher follows the root: Hadoop-rooted stores publish
+    * via [[HadoopFsPublisher]] (rename-if-absent — the HDFS mapping of
+    * the commit CAS); local roots keep [[CommitPublisher.default]]. Pass
+    * `publisher` explicitly to run, e.g., the conditional-put profile
+    * against an object store. */
+  def at(spark: SparkSession, rootUri: String,
+      autoCompactEvery: Int = 64,
+      publisher: Option[CommitPublisher] = None): SparkFactStore = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (root, vfs) = StoreVfs.forRoot(rootUri, conf)
+    val pub = publisher.getOrElse(vfs match {
+      case _: HadoopVfs => new HadoopFsPublisher(conf)
+      case _ => CommitPublisher.default
+    })
+    new SparkFactStore(spark, root, vfs, autoCompactEvery, pub)
+  }
 }

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core._
 import graft.store.{CommitPublisher, ConditionalPutPublisher, FactLog,
-  PosixLinkPublisher, SparkFactStore}
+  HadoopFsPublisher, PosixLinkPublisher, SparkFactStore}
 
 /** The CommitPublisher seam: both deployment profiles (POSIX hard-link CAS
   * and object-store conditional PUT) must provide exactly-one-winner
@@ -17,7 +17,8 @@ import graft.store.{CommitPublisher, ConditionalPutPublisher, FactLog,
   * no publisher fingerprint). */
 class CommitPublisherSpec extends AnyFunSuite {
 
-  private val publishers = Seq(PosixLinkPublisher, ConditionalPutPublisher)
+  private val publishers =
+    Seq(PosixLinkPublisher, ConditionalPutPublisher, HadoopFsPublisher.default)
 
   for (pub <- publishers)
   test(s"[${pub.name}] putIfAbsent: 16 simultaneous writers, exactly one " +
@@ -79,7 +80,9 @@ class CommitPublisherSpec extends AnyFunSuite {
     val spark = SparkTestSession.spark
     for ((first, second) <- Seq(
         (PosixLinkPublisher: CommitPublisher, ConditionalPutPublisher: CommitPublisher),
-        (ConditionalPutPublisher: CommitPublisher, PosixLinkPublisher: CommitPublisher))) {
+        (ConditionalPutPublisher: CommitPublisher, PosixLinkPublisher: CommitPublisher),
+        (PosixLinkPublisher: CommitPublisher, HadoopFsPublisher.default: CommitPublisher),
+        (HadoopFsPublisher.default: CommitPublisher, ConditionalPutPublisher: CommitPublisher))) {
       val root = Files.createTempDirectory(s"pub-interop-${first.name}-")
       val a = new SparkFactStore(spark, root, publisher = first)
       assert(a.createStore("mix").isInstanceOf[CreateStoreResult.Created])
@@ -117,9 +120,10 @@ class CommitPublisherSpec extends AnyFunSuite {
     assert(positions == Seq(1L, 2L, 3L))
   }
 
-  test("publisher selection: forName round-trips both and rejects unknowns") {
+  test("publisher selection: forName round-trips all three and rejects unknowns") {
     assert(CommitPublisher.forName("posix") eq PosixLinkPublisher)
     assert(CommitPublisher.forName("conditional-put") eq ConditionalPutPublisher)
+    assert(CommitPublisher.forName("hadoop").isInstanceOf[HadoopFsPublisher])
     intercept[IllegalArgumentException](CommitPublisher.forName("s3-magic"))
   }
 }

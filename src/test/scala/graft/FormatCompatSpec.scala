@@ -52,15 +52,24 @@ class FormatCompatSpec extends AnyFunSuite {
       }
   }
 
-  // every test runs under BOTH commit publishers: the on-disk format is
-  // publisher-independent, so a store written with POSIX hard links must
-  // open and extend under conditional-put semantics and vice versa
-  private val publishers =
-    Seq(graft.store.PosixLinkPublisher, graft.store.ConditionalPutPublisher)
+  // every test runs under ALL deployment profiles: the on-disk format is
+  // publisher- and IO-stack-independent, so a store written with POSIX
+  // hard links must open and extend under conditional-put semantics AND
+  // through the Hadoop FileSystem stack (URI root + rename-if-absent CAS)
+  private case class Profile(name: String, open: Path => SparkFactStore)
+  private val profiles = Seq(
+    Profile(graft.store.PosixLinkPublisher.name,
+      root => new SparkFactStore(SparkTestSession.spark, root,
+        publisher = graft.store.PosixLinkPublisher)),
+    Profile(graft.store.ConditionalPutPublisher.name,
+      root => new SparkFactStore(SparkTestSession.spark, root,
+        publisher = graft.store.ConditionalPutPublisher)),
+    Profile(graft.store.HadoopFsPublisher.name,
+      root => SparkFactStore.at(SparkTestSession.spark, root.toUri.toString)))
 
-  for (pub <- publishers)
-  test(s"[${pub.name}] round-10 fixture store opens and replays exactly") {
-    val store = new SparkFactStore(SparkTestSession.spark, copied(), publisher = pub)
+  for (profile <- profiles)
+  test(s"[${profile.name}] round-10 fixture store opens and replays exactly") {
+    val store = profile.open(copied())
     val exp = manifest()
     assert(store.storeExists("orders"))
     val got = store.replay("orders", ReplayStart.Beginning)
@@ -76,9 +85,9 @@ class FormatCompatSpec extends AnyFunSuite {
     }
   }
 
-  for (pub <- publishers)
-  test(s"[${pub.name}] finders answer over the fixture (indexes/sidecars readable)") {
-    val store = new SparkFactStore(SparkTestSession.spark, copied(), publisher = pub)
+  for (profile <- profiles)
+  test(s"[${profile.name}] finders answer over the fixture (indexes/sidecars readable)") {
+    val store = profile.open(copied())
     val exp = manifest()
     // by id (entry-index/bloom path)
     val one = exp(4)
@@ -102,9 +111,9 @@ class FormatCompatSpec extends AnyFunSuite {
       exp.map(_.position))
   }
 
-  for (pub <- publishers)
-  test(s"[${pub.name}] new appends continue the fixture's position sequence") {
-    val store = new SparkFactStore(SparkTestSession.spark, copied(), publisher = pub)
+  for (profile <- profiles)
+  test(s"[${profile.name}] new appends continue the fixture's position sequence") {
+    val store = profile.open(copied())
     val head = manifest().map(_.position).max
     val r = store.append("orders",
       FactInput("ORDER_PLACED", "order-new", "post-upgrade".getBytes("UTF-8")))

@@ -27,15 +27,31 @@ class MultiProcessRaceSpec extends AnyFunSuite {
   private val NPlain = 12
   private val NCond = 6
 
-  // Both deployment profiles of the commit CAS must uphold the contract:
-  // the POSIX hard-link publisher and the object-store conditional-put
-  // publisher (no links, no protocol-visible rename). The child JVM is
-  // pointed at the same publisher via -Dgraft.commit.publisher.
-  for (pub <- Seq(graft.store.PosixLinkPublisher, graft.store.ConditionalPutPublisher))
-  test(s"[${pub.name}] parent + child JVM race the same root: contiguous " +
+  // Every deployment profile of the commit CAS must uphold the contract:
+  // the POSIX hard-link publisher, the object-store conditional-put
+  // publisher (no links, no protocol-visible rename), and the Hadoop
+  // FileSystem profile (URI store root, rename-if-absent CAS — every byte
+  // through the Hadoop client in BOTH processes). The child JVM is pointed
+  // at the same publisher via -Dgraft.commit.publisher; for hadoop the
+  // root is handed to both sides as a file: URI.
+  private case class Profile(name: String,
+      rootArg: java.nio.file.Path => String,
+      mk: java.nio.file.Path => SparkFactStore)
+  private val profiles = Seq(
+    Profile(graft.store.PosixLinkPublisher.name, _.toString,
+      r => new SparkFactStore(SparkTestSession.spark, r,
+        publisher = graft.store.PosixLinkPublisher)),
+    Profile(graft.store.ConditionalPutPublisher.name, _.toString,
+      r => new SparkFactStore(SparkTestSession.spark, r,
+        publisher = graft.store.ConditionalPutPublisher)),
+    Profile(graft.store.HadoopFsPublisher.name, _.toUri.toString,
+      r => SparkFactStore.at(SparkTestSession.spark, r.toUri.toString)))
+
+  for (profile <- profiles)
+  test(s"[${profile.name}] parent + child JVM race the same root: contiguous " +
       "positions, exactly one winner per ExpectedLastFact generation") {
     val root = Files.createTempDirectory("graft-mproc-")
-    val fs = new SparkFactStore(SparkTestSession.spark, root, publisher = pub)
+    val fs = profile.mk(root)
     assert(fs.createStore("race").isInstanceOf[CreateStoreResult.Created])
     fs.append("race", FactInput("BASE", "shared", Array[Byte](1))) match {
       case _: AppendResult.Appended => ()
@@ -54,9 +70,9 @@ class MultiProcessRaceSpec extends AnyFunSuite {
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = (Seq(java) ++ addOpens ++ Seq("-Xmx2g",
-      s"-Dgraft.commit.publisher=${pub.name}",
+      s"-Dgraft.commit.publisher=${profile.name}",
       "-cp", System.getProperty("java.class.path"),
-      "graft.StoreRaceChild", root.toString, "race",
+      "graft.StoreRaceChild", profile.rootArg(root), "race",
       NPlain.toString, NCond.toString)).toArray
     val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val childOut = new StringBuilder

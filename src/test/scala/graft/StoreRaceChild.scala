@@ -22,7 +22,7 @@ import graft.store.SparkFactStore
   * success; any unexpected result crashes the JVM (nonzero exit). */
 object StoreRaceChild {
   def main(args: Array[String]): Unit = {
-    val root = Paths.get(args(0))
+    val rootArg = args(0)
     val store = args(1)
     val nPlain = args(2).toInt
     val nCond = args(3).toInt
@@ -33,7 +33,13 @@ object StoreRaceChild {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fs = new SparkFactStore(spark, root)
+    // URI roots (file://...) take the Hadoop-FS stack, same dispatch as the
+    // parent; the publisher follows -Dgraft.commit.publisher either way.
+    val fs =
+      if (new org.apache.hadoop.fs.Path(rootArg).toUri.getScheme != null)
+        SparkFactStore.at(spark, rootArg,
+          publisher = Some(graft.store.CommitPublisher.default))
+      else new SparkFactStore(spark, Paths.get(rootArg))
 
     (1 to nPlain).foreach { i =>
       fs.append(store, FactInput(s"CHILD-$i", "child", Array[Byte](1))) match {
