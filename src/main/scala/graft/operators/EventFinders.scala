@@ -171,6 +171,37 @@ object EventFinders {
         .orderBy(asc("position"))
     }),
 
+    // TRUE end-to-end WRITE roundtrip through the DataSource V2 surface:
+    // the events rows are appended via df.write.format("graft") — executor
+    // staging, prefix-sum positions, the shared BulkCommit CAS — then read
+    // back through the facade-equivalent DSv2 scan with a pushed position
+    // range. Positions follow (partition, row) order of the
+    // orderBy(event_id) input, so the oracle replays row_number() over
+    // event_id, exactly like the bulkAppend roundtrip above.
+    "fs_dsv2_write_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2-wrt")
+      EventFinders.cleanupAtExit(root)
+      val fs = new graft.store.SparkFactStore(s, root)
+      fs.createStore("wrt")
+      events(s, d).orderBy(asc("event_id"))
+        .selectExpr("event_type AS fact_type",
+          "CAST(user_id AS STRING) AS subject",
+          "CAST(props AS BINARY) AS payload_data",
+          "CAST(NULL AS STRING) AS payload_format",
+          "CAST(NULL AS STRING) AS payload_schema",
+          "CAST(NULL AS MAP<STRING,STRING>) AS metadata",
+          "CAST(NULL AS MAP<STRING,STRING>) AS tags")
+        .write.format("graft")
+        .option("root", root.toString).option("store", "wrt")
+        .mode("append").save()
+      s.read.format("graft")
+        .option("root", root.toString).option("store", "wrt").load()
+        .filter(col("position") >= 151L && col("position") <= 950L)
+        .selectExpr("position", "fact_type", "subject",
+          "CAST(length(payload_data) AS BIGINT) AS payload_len")
+        .orderBy(asc("position"))
+    }),
+
     // head pointer: max(position) without a scan-and-sort (SURVEY §2 #23)
     "fs_head_position" -> ((s, d) =>
       events(s, d).select(
@@ -222,6 +253,12 @@ object EventFinders {
         "SELECT position, event_type AS fact_type, subject, " +
         "CAST(length(props) AS BIGINT) AS payload_len FROM ordered " +
         "WHERE position BETWEEN 101 AND 900 ORDER BY position"),
+    "fs_dsv2_write_roundtrip" ->
+      ("WITH ordered AS (SELECT event_type, CAST(user_id AS VARCHAR) AS subject, " +
+        "props, row_number() OVER (ORDER BY event_id) AS position FROM events) " +
+        "SELECT position, event_type AS fact_type, subject, " +
+        "CAST(length(props) AS BIGINT) AS payload_len FROM ordered " +
+        "WHERE position BETWEEN 151 AND 950 ORDER BY position"),
     "fs_type_stats" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS sum_value_e4, " +

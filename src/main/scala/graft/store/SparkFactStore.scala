@@ -221,58 +221,17 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: HPath,
       case None => AppendResult.StoreNotFound
       case Some(md) =>
         lockFor(md.id).synchronized {
-          val log = logFor(md)
-          var result: AppendResult = null
-          while (result == null) {
-            val head = log.headState()
-            val headPos = head.lastPosition
-            if (log.idempotencyKeys().contains(idempotencyKey)) {
-              result = AppendResult.AlreadyApplied
-            } else {
-              val at = Instant.now()
-              val atNanos = math.max(Timestamps.toNanos(at), head.appendedAtNanos)
+          // Commit loop shared with the DSv2 write path (BulkCommit): one
+          // implementation of positions/bloom/CAS for every bulk producer.
+          BulkCommit.run(spark, logFor(md), vfs, idempotencyKey,
+            (firstPos, atNanos) => {
               val ts = java.sql.Timestamp.from(Timestamps.fromNanos(atNanos))
-              val withPos = zipWithPosition(facts, headPos + 1)
+              zipWithPosition(facts, firstPos)
                 .withColumn("id", expr("uuid()"))
                 .withColumn("appended_at", lit(ts))
                 .withColumn("appended_at_nanos", lit(atNanos))
                 .select(FactLog.schema.fieldNames.map(col): _*)
-              val rel = log.newDataFileName()
-              val target = log.resolveData(rel)
-              val n = writeParquetDir(withPos, target)
-              if (n == 0L) { result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos)) }
-              else {
-                // distributed bloom over the bulk batch so probes can prune
-                // this commit like any other (one mergeable-aggregate pass).
-                // Sized to the batch (~4 entries/row: id, type, subject,
-                // tags) — a fixed-capacity bloom saturates on a multi-M-row
-                // bulk load and every later probe degrades to a full scan.
-                val bloom = spark.read.schema(FactLog.schema).parquet(target.toString)
-                  .select("id", "fact_type", "subject", "tags").rdd
-                  .treeAggregate(
-                    org.apache.spark.util.sketch.BloomFilter.create(
-                      Blooms.capacityFor(n * 4), 0.03))(
-                    (bf, r) => {
-                      bf.putString(s"i:${r.getAs[String]("id")}")
-                      Blooms.entriesOf(r.getAs[String]("fact_type"),
-                        r.getAs[String]("subject"),
-                        Option(r.getAs[Map[String, String]]("tags")).getOrElse(Map.empty))
-                        .foreach(bf.putString)
-                      bf
-                    },
-                    (a, b) => { a.mergeInPlace(b); a })
-                val rec = CommitRecord(
-                  head.seq + 1, headPos + 1, headPos + n,
-                  atNanos, idempotencyKey, Seq(s"data/$rel"),
-                  Some(Blooms.serialize(bloom)))
-                if (log.tryCommit(rec)) {
-                  log.publishToStream(rec)
-                  result = AppendResult.Appended(Seq.empty, Timestamps.fromNanos(atNanos))
-                } else deleteRecursively(target)
-              }
-            }
-          }
-          result
+            })
         }
     }
   }
@@ -295,13 +254,6 @@ final class SparkFactStore(val spark: SparkSession, val rootDir: HPath,
     spark.createDataFrame(withPos,
       schema.add(org.apache.spark.sql.types.StructField("position",
         org.apache.spark.sql.types.LongType, nullable = false)))
-  }
-
-  /** Bulk appends: keep Spark's parallel multi-part output as a directory
-    * (parquet readers accept directories in the file list); returns count. */
-  private def writeParquetDir(df: DataFrame, target: HPath): Long = {
-    df.write.mode("overwrite").parquet(target.toString)
-    spark.read.schema(FactLog.schema).parquet(target.toString).count()
   }
 
   // -- log compaction ----------------------------------------------------------
