@@ -358,6 +358,225 @@ object Multimodal {
       }
   }
 
+  // ---- lossy-tier VARIANTS: progressive scan + chroma-subsampling modes ----
+
+  /** The three encoder modes a real image corpus mixes freely:
+    *  - `baseline`    — sequential DCT, the JDK default 4:2:0 chroma
+    *    (luma sampled 2×2 against 1×1 chroma: SOF says so bitstream-exactly)
+    *  - `progressive` — spectral-selection progressive scan script
+    *    (SOF2 marker instead of SOF0 — the decoder takes a different path)
+    *  - `chroma444`   — full-resolution chroma, forced through the
+    *    writer's image-metadata tree (componentSpec sampling factors 1×1)
+    * All three carry the SAME gradient payload, so one tolerance-banded
+    * oracle covers every mode and any bitstream/decode divergence between
+    * modes surfaces as a broken exact column (marker, sampling) or band. */
+  val JpegVariants: Seq[String] = Seq("baseline", "progressive", "chroma444")
+
+  /** Encode one payload in the given variant (same pinned quality). */
+  def encodeJpegVariant(docId: Long, variant: String): Array[Byte] = {
+    val (w, h) = jpegSpec(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, jpegRgb(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.92f)
+    if (variant == "progressive")
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val metadata =
+      if (variant == "chroma444") {
+        // force 1×1 sampling on every component via the metadata tree —
+        // the only JDK-exposed control over chroma subsampling
+        val md = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_jpeg_image_1.0"
+        val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val comps = root.getElementsByTagName("componentSpec")
+        var i = 0
+        while (i < comps.getLength) {
+          val c = comps.item(i).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          c.setAttribute("HsamplingFactor", "1")
+          c.setAttribute("VsamplingFactor", "1")
+          i += 1
+        }
+        md.setFromTree(fmt, root)
+        md
+      } else null
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, metadata), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Extended SOF parse: marker code and the luma component's packed
+    * sampling byte too ((H << 4) | V — 0x22 for 4:2:0, 0x11 for 4:4:4),
+    * both read straight from the bitstream. */
+  def parseSofExt(payload: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    require(u8(0) == 0xff && u8(1) == 0xd8, "not a JPEG (missing SOI)")
+    var i = 2
+    while (i + 3 < payload.length) {
+      require(u8(i) == 0xff, s"marker desync at byte $i")
+      val marker = u8(i + 1)
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+        return (marker, u8(i + 4), (u8(i + 5) << 8) | u8(i + 6),
+          (u8(i + 7) << 8) | u8(i + 8), u8(i + 9), u8(i + 11))
+      i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
+  /** One decoded variant row: marker + luma sampling exact, means banded. */
+  final case class JpegVariantDecoded(
+      doc_id: Long, variant: String, width: Long, height: Long,
+      sof_marker: Long, y_samp: Long,
+      r_band: Long, g_band: Long, b_band: Long)
+
+  def decodeJpegVariant(docId: Long, variant: String,
+      payload: Array[Byte]): JpegVariantDecoded = {
+    val (marker, _, sofH, sofW, _, ySamp) = parseSofExt(payload)
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, s"imageio failed to decode $variant JPEG doc $docId")
+    require(img.getWidth == sofW && img.getHeight == sofH,
+      s"decoder/header dimension mismatch for doc $docId ($variant)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val baseR = (docId * 7) % 100; val baseG = (docId * 11) % 100
+    val baseB = (docId * 13) % 100
+    val sx = w.toLong * (w - 1) / 2
+    val sy = h.toLong * (h - 1) / 2
+    val trueR = baseR * n + 2 * sx * h
+    val trueG = baseG * n + 2 * sy * w
+    val trueB = baseB * n + sx * h + sy * w
+    JpegVariantDecoded(docId, variant, w.toLong, h.toLong,
+      marker.toLong, ySamp.toLong,
+      math.abs(rs - trueR) / (JpegTolLevels * n),
+      math.abs(gs - trueG) / (JpegTolLevels * n),
+      math.abs(bs - trueB) / (JpegTolLevels * n))
+  }
+
+  /** Row-local variant sweep: every doc through all three encoder modes. */
+  def decodeJpegVariants(spark: SparkSession, ids: DataFrame): Dataset[JpegVariantDecoded] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap(id => JpegVariants.map(v =>
+          decodeJpegVariant(id, v, encodeJpegVariant(id, v))))
+      }
+  }
+
+  // ---- perceptual hash across recompression (phash ∘ JPEG) -----------------
+
+  /** Average-hash of the lossy tier: 6×10 luma-cell grid over the DECODED
+    * JPEG raster (crop to cell multiples, bit i ⇔ cell sum above the
+    * cropped-image mean via exact integer cross-multiply — every cell has
+    * equal pixel count, so `cell · 60 > total` is the comparison). */
+  def jpegPhashOfRaster(img: BufferedImage): Long = {
+    val bw = img.getWidth / 6
+    val bh = img.getHeight / 10
+    val cells = new Array[Long](60)
+    var total = 0L
+    var y = 0
+    while (y < bh * 10) {
+      var x = 0
+      while (x < bw * 6) {
+        val p = img.getRGB(x, y)
+        val luma = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        cells((y / bh) * 6 + (x / bw)) += luma
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 60) {
+      if (cells(i) * 60L > total) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Closed-form truth: the same grid over the EXACT gradient pixels. */
+  def jpegPhashTrue(docId: Long): Long = {
+    val (w, h) = jpegSpec(docId)
+    val bw = w / 6
+    val bh = h / 10
+    val cells = new Array[Long](60)
+    var total = 0L
+    var y = 0
+    while (y < bh * 10) {
+      var x = 0
+      while (x < bw * 6) {
+        val p = jpegRgb(docId, x, y)
+        val luma = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+        cells((y / bh) * 6 + (x / bw)) += luma
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 60) {
+      if (cells(i) * 60L > total) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Hamming drift budget: recompression counts as "same image" while the
+    * lossy hash stays within this many of the 60 bits — the standard
+    * near-dup threshold family for 64-bit average hashes. */
+  val JpegPhashTolBits = 8L
+
+  final case class JpegPhash(doc_id: Long, phash_true: Long, dist_band: Long)
+
+  /** The near-dup-across-recompression primitive: hash the DECODED lossy
+    * raster, compare against the lossless closed-form truth. `phash_true`
+    * is oracle-exact; `dist_band = hamming div JpegPhashTolBits` declares
+    * that one encode→decode generation moves the perceptual hash by fewer
+    * than the dup threshold — exactly the property that lets a corpus
+    * dedup recompressed copies of the same image. The tight in-JVM drift
+    * (empirically ≤ 2-3 bits on the gradient corpus) is pinned in a spec. */
+  def jpegPhashes(spark: SparkSession, ids: DataFrame): Dataset[JpegPhash] = {
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val img = ImageIO.read(new ByteArrayInputStream(encodeJpeg(id)))
+          require(img != null, s"imageio failed to decode JPEG doc $id")
+          val lossy = jpegPhashOfRaster(img)
+          val truth = jpegPhashTrue(id)
+          JpegPhash(id, truth,
+            java.lang.Long.bitCount(lossy ^ truth).toLong / JpegPhashTolBits)
+        }
+      }
+  }
+
   // ---- real audio decode (javax.sound.sampled) -----------------------------
 
   /** Per-doc audio spec, pure integer function of doc_id: 180-280 samples
@@ -629,6 +848,24 @@ object Multimodal {
       decodeJpegs(s, docs(s, d).select(col("doc_id")))
         .toDF().orderBy(asc("doc_id"))),
 
+    // Lossy-tier VARIANTS: the same gradient payload through the three
+    // encoder modes a real corpus mixes (baseline 4:2:0, progressive
+    // SOF2, forced-4:4:4 chroma). Marker + luma sampling byte are
+    // bitstream-exact per variant; means stay tolerance-banded. One green
+    // row set proves the decoder handles all three scan/sampling paths.
+    "media_decode_jpeg_variants" -> ((s, d) =>
+      decodeJpegVariants(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"), asc("variant"))),
+
+    // Perceptual hash ACROSS recompression: average-hash of the decoded
+    // lossy raster vs the closed-form lossless truth. phash_true is
+    // oracle-exact; dist_band = 0 declares the recompressed hash stays
+    // within the near-dup threshold of the original — the property image
+    // dedup at corpus scale rests on. Row-local kernel, zero shuffle.
+    "media_phash_jpeg" -> ((s, d) =>
+      jpegPhashes(s, docs(s, d).select(col("doc_id")))
+        .toDF().orderBy(asc("doc_id"))),
+
     // REAL resize execution (not just the plan): decode → integer box
     // filter to a 4×4 block grid, floor-divided channel means exact by
     // construction (cropping makes every block the same size). Row-local
@@ -800,6 +1037,40 @@ object Multimodal {
         "CAST(0 AS BIGINT) AS r_band, CAST(0 AS BIGINT) AS g_band, " +
         "CAST(0 AS BIGINT) AS b_band " +
         "FROM documents ORDER BY doc_id"),
+
+    // Variant sweep: the exact columns come straight from the declared
+    // encoder modes (SOF0=192 vs SOF2=194; luma sampling byte 0x22=34 for
+    // 4:2:0, 0x11=17 for forced 4:4:4); bands declare the same Tol
+    // envelope as the baseline tier for every mode.
+    "media_decode_jpeg_variants" ->
+      ("WITH v(variant, sof_marker, y_samp) AS (VALUES " +
+        "('baseline', 192, 34), ('chroma444', 192, 17), ('progressive', 194, 34)) " +
+        "SELECT doc_id, variant, CAST(16 + doc_id % 13 AS BIGINT) AS width, " +
+        "CAST(16 + doc_id % 11 AS BIGINT) AS height, " +
+        "CAST(sof_marker AS BIGINT) AS sof_marker, CAST(y_samp AS BIGINT) AS y_samp, " +
+        "CAST(0 AS BIGINT) AS r_band, CAST(0 AS BIGINT) AS g_band, " +
+        "CAST(0 AS BIGINT) AS b_band " +
+        "FROM documents, v ORDER BY doc_id, variant"),
+
+    // phash-across-recompression: the truth hash replays the exact
+    // gradient grid in SQL; dist_band = 0 is the declared within-dup-
+    // threshold drift envelope for one encode→decode generation.
+    "media_phash_jpeg" ->
+      ("WITH dims AS (SELECT doc_id, CAST((16 + doc_id % 13) // 6 AS BIGINT) AS bw, " +
+        "CAST((16 + doc_id % 11) // 10 AS BIGINT) AS bh FROM documents), " +
+        "pxg AS (SELECT d.doc_id, bw, bh, t.i % (bw * 6) AS x, t.i // (bw * 6) AS y " +
+        "FROM dims d, unnest(range(0, bw * 6 * bh * 10)) AS t(i)), " +
+        "cells AS (SELECT doc_id, (y // bh) * 6 + (x // bw) AS i, " +
+        "sum(299 * ((doc_id * 7) % 100 + 2 * x) + " +
+        "587 * ((doc_id * 11) % 100 + 2 * y) + " +
+        "114 * ((doc_id * 13) % 100 + x + y)) AS cell " +
+        "FROM pxg GROUP BY 1, 2), " +
+        "tot AS (SELECT doc_id, sum(cell) AS total FROM cells GROUP BY 1), " +
+        "ph AS (SELECT c.doc_id, " +
+        "CAST(sum(CASE WHEN cell * 60 > total THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS phash_true " +
+        "FROM cells c JOIN tot USING (doc_id) GROUP BY c.doc_id) " +
+        "SELECT doc_id, phash_true, CAST(0 AS BIGINT) AS dist_band " +
+        "FROM ph ORDER BY doc_id"),
 
     // 4×4 box-filter replay: crop to block multiples, floor-divided means
     "media_resize_exec" ->
