@@ -658,6 +658,104 @@ object Dedup {
         .orderBy(asc("lang"))
     }),
 
+    // The funnel consuming the round-13 EVALS as gate evidence — v4 plus
+    // two evidence-driven down-weights, each a deterministic coin (never a
+    // hard drop: unusual data is down-sampled, not censored):
+    //  - LENGTH-OUTLIER fences (the dq_iqr_outliers discipline lifted to
+    //    the documents corpus): exact type-1 quartiles of n_tokens from a
+    //    bounded-domain census, 1.5·IQR fences in doubled integers; docs
+    //    outside the fences keep a 1-in-4 coin.
+    //  - WEAK SOURCES (the retrieval_source_eval signal mapped onto
+    //    documents.source): the fusion top-5 across the query set is the
+    //    pseudo-relevant pool; a source none of whose docs ever surfaces
+    //    there has no demonstrated retrieval utility and its docs keep a
+    //    1-in-2 coin. The strong-source relation is sources-sized and
+    //    broadcast.
+    // Both coins hash a PREFIXED doc key ('o:'/'w:' + doc_id) so they are
+    // independent of each other and of the soft-dedup coin. Stage order
+    // (prefix-AND, first-failing-stage attribution, one persisted corpus
+    // pass — the v4 shape): mixed → quality → outlier → weak-source →
+    // soft-dedup → decontamination.
+    "corpus_pipeline_v5" -> ((s, d) => {
+      val base = docs(s, d)
+        .selectExpr("doc_id", "lang", "source", s"${tokensSpark("text")} AS toks")
+        .selectExpr("doc_id", "lang", "source",
+          "CAST(size(toks) AS BIGINT) AS n_tokens",
+          "(CAST(size(array_distinct(toks)) AS BIGINT) * 10000) div greatest(size(toks), 1) AS ttr_bp",
+          s"${TextAnalysis.codeSwitchedSpark("toks")} AS mixed")
+        .transform(CacheScope.persist)
+      // dq_iqr fences over the corpus length distribution (global census)
+      val census = base.groupBy(col("n_tokens").as("v"))
+        .agg(count(lit(1)).as("n"))
+      // single-partition window is SAFE here: it runs on the token-count
+      // CENSUS (bounded domain), never on corpus rows — the dq_iqr rule
+      val cum = census.withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = census.agg(sum(col("n")).as("tot"))
+      val fences = cum.crossJoin(tot)
+        .agg(min(when(col("cum") * 4 >= col("tot"), col("v"))).as("q1"),
+          min(when(col("cum") * 4 >= col("tot") * 3, col("v"))).as("q3"))
+      // strong sources: own >= 1 doc of the fusion top-5 pseudo-relevant pool
+      val strong = Retrieval.queries("retrieval_rrf_fusion")(s, d)
+        .filter(col("rank") <= 5).select(col("doc_id"))
+        .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source")).distinct()
+        .withColumn("is_strong", lit(1))
+      val labels = connectedComponents(
+        minhashVerified(s, d).select(col("doc_a"), col("doc_b")))
+      val csize = labels.join(
+          labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("csize")),
+          Seq("cluster_id"))
+        .select(col("doc_id").as("sdoc"), col("csize"))
+      val sig = signatures(s, d)
+      val m = TrainingPipeline.FuzzyBenchMod
+      val bench = sig.filter(col("doc_id") % m === 0)
+      val corpus = sig.filter(col("doc_id") % m =!= 0)
+      val cont = bandsOf(corpus).as("c")
+        .join(broadcast(bandsOf(bench)).as("b"),
+          col("c.band") === col("b.band") && col("c.bkey") === col("b.bkey"))
+        .select(col("c.doc_id").as("cd"), col("b.doc_id").as("bd")).distinct()
+        .join(corpus.select(col("doc_id"), col("sh")).as("l"), col("cd") === col("l.doc_id"))
+        .join(broadcast(bench.select(col("doc_id"), col("sh")).as("r")), col("bd") === col("r.doc_id"))
+        .filter(expr("(CAST(size(array_intersect(l.sh, r.sh)) AS BIGINT) * 10000)" +
+          s" div size(r.sh) >= ${TrainingPipeline.FuzzyContainmentMinBp}L"))
+        .select(col("cd").as("fdoc")).distinct()
+      base
+        .crossJoin(broadcast(fences))
+        .join(broadcast(strong), Seq("source"), "left")
+        .join(csize, col("doc_id") === col("sdoc"), "left")
+        .join(cont.withColumn("is_cont", lit(1)), col("doc_id") === col("fdoc"), "left")
+        .selectExpr("lang", "n_tokens",
+          "NOT mixed AS s1",
+          "ttr_bp >= 5000 AS q",
+          "2 * n_tokens >= 2 * q1 - 3 * (q3 - q1) AND " +
+            "2 * n_tokens <= 2 * q3 + 3 * (q3 - q1) AS infence",
+          s"(${charHashSpark("concat('o:', CAST(doc_id AS STRING))")} * ${CoinScramble}L) % ${P}L % 4 = 0 AS ocoin",
+          "is_strong IS NOT NULL AS strongsrc",
+          s"(${charHashSpark("concat('w:', CAST(doc_id AS STRING))")} * ${CoinScramble}L) % ${P}L % 2 = 0 AS wcoin",
+          s"(${charHashSpark("CAST(doc_id AS STRING)")} * ${CoinScramble}L) % ${P}L" +
+            " % coalesce(csize, 1L) = 0 AS keepcoin",
+          s"doc_id % ${m}L <> 0 AND is_cont IS NULL AS clean")
+        .selectExpr("lang", "n_tokens", "s1",
+          "s1 AND q AS s2",
+          "s1 AND q AND (infence OR ocoin) AS s3",
+          "s1 AND q AND (infence OR ocoin) AND (strongsrc OR wcoin) AS s4",
+          "s1 AND q AND (infence OR ocoin) AND (strongsrc OR wcoin) AND keepcoin AS s5",
+          "s1 AND q AND (infence OR ocoin) AND (strongsrc OR wcoin) AND keepcoin AND clean AS s6")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("s1"), 1L).otherwise(0L)).as("n_dropped_mixed"),
+          sum(when(col("s1") && !col("s2"), 1L).otherwise(0L)).as("n_dropped_quality"),
+          sum(when(col("s2") && !col("s3"), 1L).otherwise(0L)).as("n_dropped_outlier"),
+          sum(when(col("s3") && !col("s4"), 1L).otherwise(0L)).as("n_dropped_weak_source"),
+          sum(when(col("s4") && !col("s5"), 1L).otherwise(0L)).as("n_dropped_softdup"),
+          sum(when(col("s5") && !col("s6"), 1L).otherwise(0L)).as("n_dropped_contaminated"),
+          sum(when(col("s6"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("s6"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .orderBy(asc("lang"))
+    }),
+
     // SoftDeDup: instead of the hard keep-one-per-cluster rule, every doc
     // survives with probability 1/|its near-dup cluster| via a
     // deterministic scrambled coin (h(doc_id) mod cluster_size == 0) —
@@ -1249,6 +1347,71 @@ object Dedup {
           "CAST(sum(CASE WHEN s1 AND q AND keepcoin AND clean THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "CAST(sum(CASE WHEN s1 AND q AND keepcoin AND clean THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
           "FROM f GROUP BY lang ORDER BY lang"
+      },
+      "corpus_pipeline_v5" -> {
+        val m = TrainingPipeline.FuzzyBenchMod
+        val fc = TrainingPipeline.FuzzyContainmentMinBp
+        val toks = tokensDuck("text")
+        s"WITH RECURSIVE $minhashVerifiedCtes, " +
+          "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs " +
+          "UNION SELECT doc_b AS u, doc_a AS v FROM pairs), " +
+          "reach(u, m) AS (" +
+          "SELECT u, u AS m FROM (SELECT DISTINCT u FROM edges) t " +
+          "UNION " +
+          "SELECT e2.u, r.m FROM edges e2 JOIN reach r ON r.u = e2.v), " +
+          "lab AS (SELECT u AS cdoc, min(m) AS cluster_id FROM reach GROUP BY u), " +
+          "cs AS (SELECT cdoc, count(*) OVER (PARTITION BY cluster_id) AS csize FROM lab), " +
+          "fz AS (SELECT DISTINCT c.doc_id AS fdoc FROM bands c " +
+          "JOIN bands b2 ON c.band = b2.band AND c.bkey = b2.bkey " +
+          s"AND c.doc_id % $m <> 0 AND b2.doc_id % $m = 0 " +
+          "JOIN sigs l ON c.doc_id = l.doc_id JOIN sigs r ON b2.doc_id = r.doc_id " +
+          s"WHERE (len(list_intersect(l.sh, r.sh)) * 10000) // len(r.sh) >= $fc), " +
+          // dq_iqr fences over the corpus token-length census
+          s"lc AS (SELECT CAST(len($toks) AS BIGINT) AS v, count(*) AS n FROM documents GROUP BY 1), " +
+          "lcc AS (SELECT v, n, sum(n) OVER (ORDER BY v " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lc), " +
+          "ltot AS (SELECT sum(n) AS tot FROM lc), " +
+          "fences AS (SELECT min(CASE WHEN cum * 4 >= tot THEN v END) AS q1, " +
+          "min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS q3 FROM lcc, ltot), " +
+          // strong sources: own >= 1 doc of the fusion top-5 pool
+          s"rel5 AS (SELECT doc_id FROM (${Retrieval.oracles("retrieval_rrf_fusion")}) _r WHERE rank <= 5), " +
+          "strong AS (SELECT DISTINCT d2.source FROM rel5 r5 JOIN documents d2 USING (doc_id)), " +
+          s"base AS (SELECT doc_id, lang, source, CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"(len(list_distinct($toks)) * 10000) // greatest(len($toks), 1) AS ttr_bp, " +
+          s"${TextAnalysis.codeSwitchedDuck(toks)} AS mixed, " +
+          s"(${charHashDuck("CAST(doc_id AS VARCHAR)")} * $CoinScramble) % $P AS h, " +
+          s"(${charHashDuck("'o:' || CAST(doc_id AS VARCHAR)")} * $CoinScramble) % $P AS ho, " +
+          s"(${charHashDuck("'w:' || CAST(doc_id AS VARCHAR)")} * $CoinScramble) % $P AS hw " +
+          "FROM documents), " +
+          "f AS (SELECT b.lang, b.n_tokens, " +
+          "NOT b.mixed AS s1, b.ttr_bp >= 5000 AS q, " +
+          "(2 * b.n_tokens >= 2 * fe.q1 - 3 * (fe.q3 - fe.q1) AND " +
+          "2 * b.n_tokens <= 2 * fe.q3 + 3 * (fe.q3 - fe.q1)) AS infence, " +
+          "b.ho % 4 = 0 AS ocoin, " +
+          "st.source IS NOT NULL AS strongsrc, " +
+          "b.hw % 2 = 0 AS wcoin, " +
+          "b.h % COALESCE(c.csize, 1) = 0 AS keepcoin, " +
+          s"b.doc_id % $m <> 0 AND fz.fdoc IS NULL AS clean " +
+          "FROM base b CROSS JOIN fences fe " +
+          "LEFT JOIN strong st ON b.source = st.source " +
+          "LEFT JOIN cs c ON b.doc_id = c.cdoc " +
+          "LEFT JOIN fz ON b.doc_id = fz.fdoc), " +
+          "g AS (SELECT lang, n_tokens, s1, s1 AND q AS s2, " +
+          "s1 AND q AND (infence OR ocoin) AS s3, " +
+          "s1 AND q AND (infence OR ocoin) AND (strongsrc OR wcoin) AS s4, " +
+          "s1 AND q AND (infence OR ocoin) AND (strongsrc OR wcoin) AND keepcoin AS s5, " +
+          "s1 AND q AND (infence OR ocoin) AND (strongsrc OR wcoin) AND keepcoin AND clean AS s6 " +
+          "FROM f) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_mixed, " +
+          "CAST(sum(CASE WHEN s1 AND NOT s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality, " +
+          "CAST(sum(CASE WHEN s2 AND NOT s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_outlier, " +
+          "CAST(sum(CASE WHEN s3 AND NOT s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_weak_source, " +
+          "CAST(sum(CASE WHEN s4 AND NOT s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_softdup, " +
+          "CAST(sum(CASE WHEN s5 AND NOT s6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_contaminated, " +
+          "CAST(sum(CASE WHEN s6 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN s6 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept " +
+          "FROM g GROUP BY lang ORDER BY lang"
       },
       "sample_soft_dedup" ->
         (s"WITH RECURSIVE $minhashVerifiedCtes, " +
