@@ -476,9 +476,27 @@ object Graph {
       "adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), " +
       "deg AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)"
 
-  /** One unrolled PageRank iteration as an oracle CTE. */
+  /** [[edgeCte]] with every relation MATERIALIZED — required by the
+    * unrolled pagerank oracle, whose rank CTEs chain 5 deep: DuckDB
+    * inlines plain CTEs by default, so each r_k re-inlines the whole
+    * prefix INCLUDING the pair-explosion `pc`, and the replay count grows
+    * exponentially with iterations — at the 100× replica that exhausted
+    * DuckDB's temp disk (round-13 finding). Materialized, `pc` is
+    * computed once and every r_k is node-sized. Values are identical —
+    * materialization is purely physical. */
+  private val edgeCteMat =
+    "WITH ip AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+      "pc AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n FROM ip a " +
+      "JOIN ip b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      "GROUP BY u, v), " +
+      "e AS MATERIALIZED (SELECT u, v FROM pc WHERE n >= 2), " +
+      "adj AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), " +
+      "deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src)"
+
+  /** One unrolled PageRank iteration as an oracle CTE (MATERIALIZED —
+    * node-sized; see [[edgeCteMat]]). */
   private def prIter(k: Int): String =
-    s"r$k AS (SELECT a.dst AS node, " +
+    s"r$k AS MATERIALIZED (SELECT a.dst AS node, " +
       s"CAST((15 * (${Scale} // nn.n)) // 100 + (85 * sum(r.rank // d.deg)) // 100 AS BIGINT) AS rank " +
       s"FROM adj a JOIN r${k - 1} r ON r.node = a.src " +
       "JOIN deg d ON d.node = a.src CROSS JOIN nn GROUP BY a.dst, nn.n)"
@@ -633,8 +651,8 @@ object Graph {
         "FROM hist CROSS JOIN tot ORDER BY size"),
 
     "graph_pagerank" ->
-      (edgeCte + ", nn AS (SELECT count(*) AS n FROM deg), " +
-        s"r0 AS (SELECT node, ${Scale} // nn.n AS rank FROM deg CROSS JOIN nn)" +
+      (edgeCteMat + ", nn AS MATERIALIZED (SELECT count(*) AS n FROM deg), " +
+        s"r0 AS MATERIALIZED (SELECT node, ${Scale} // nn.n AS rank FROM deg CROSS JOIN nn)" +
         (1 to Iters).map(prIter).mkString(", ", ", ", " ") +
         s"SELECT r.node AS part_key, d.deg AS degree, r.rank AS rank_e12 " +
         s"FROM r$Iters r JOIN deg d ON d.node = r.node " +
