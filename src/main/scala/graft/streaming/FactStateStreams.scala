@@ -1520,6 +1520,70 @@ object FactStateStreams {
     * volume crossing the key is grid-sized per trigger; unit-weight raw
     * rows are for tests/small streams. The fold is a commutative weighted
     * census, so arrival order and batch splits cannot change the state. */
+  /** One per-group IQR-fence snapshot emission (seq = that group's change
+    * counter; downstream keeps the max-seq emission). */
+  final case class IqrUpdate(grp: String, seq: Long, n: Long,
+      q1: Long, q3: Long, iqr: Long, n_low: Long, n_high: Long)
+
+  final case class IqrCell(v: Long, n: Long)
+  final case class IqrState(seq: Long, cells: Seq[IqrCell])
+
+  /** Streaming twin of the batch `dq_iqr_outliers` (DataQuality.scala):
+    * per-group value census as managed state, exact type-1 quartiles and
+    * 1.5·IQR fences re-derived per batch — the live data-quality screen a
+    * pipeline keeps on a value column while ingesting.
+    *
+    * Input is a weighted census-delta relation (`grp`, `v`, `w`) — the
+    * aucMonitor ingest contract: upstream pre-reduces each micro-batch to
+    * (value, count) deltas, so a 100 TB ingest ships value-DOMAIN-sized
+    * deltas, never row-sized ones, and the fold is a commutative weighted
+    * sum (arrival order, batch boundaries, and restarts cannot change the
+    * census). State per group is the value census itself — bounded by the
+    * value DOMAIN (the batch operator's bounded-census precondition,
+    * carried into state), independent of row count. Quartile semantics
+    * are the batch operator's verbatim: q_k = min v with 4·cum ≥ k·tot,
+    * fences compared in DOUBLED integers so the 1.5·IQR half never
+    * rounds. A batch that touches no cell of a group emits nothing. */
+  def iqrMonitor(spark: SparkSession, deltas: DataFrame): Dataset[IqrUpdate] = {
+    import spark.implicits._
+    deltas.selectExpr("grp", "v", "w")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IqrState, IqrUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (grp, rows, state) =>
+        val prev = state.getOption.getOrElse(IqrState(0L, Seq.empty))
+        val census = scala.collection.mutable.Map[Long, Long]()
+        prev.cells.foreach(c => census(c.v) = c.n)
+        var any = false
+        rows.foreach { case (_, v, w) =>
+          any = true
+          census(v) = census.getOrElse(v, 0L) + w
+        }
+        if (!any) Iterator.empty
+        else {
+          val sorted = census.toSeq.sortBy(_._1)
+          val next = IqrState(prev.seq + 1,
+            sorted.map { case (v, n) => IqrCell(v, n) })
+          state.update(next)
+          val tot = sorted.iterator.map(_._2).sum
+          var cum = 0L
+          var q1 = Long.MinValue; var q3 = Long.MinValue
+          sorted.foreach { case (v, n) =>
+            cum += n
+            if (q1 == Long.MinValue && 4 * cum >= tot) q1 = v
+            if (q3 == Long.MinValue && 4 * cum >= 3 * tot) q3 = v
+          }
+          val iqr = q3 - q1
+          val nLow = sorted.iterator
+            .collect { case (v, n) if 2 * v < 2 * q1 - 3 * iqr => n }.sum
+          val nHigh = sorted.iterator
+            .collect { case (v, n) if 2 * v > 2 * q3 + 3 * iqr => n }.sum
+          Iterator.single(IqrUpdate(grp, next.seq, tot, q1, q3, iqr, nLow, nHigh))
+        }
+      }
+  }
+
   def aucMonitor(spark: SparkSession, deltas: DataFrame): Dataset[AucUpdate] = {
     import spark.implicits._
     deltas.selectExpr("priority", "bucket", "w")
