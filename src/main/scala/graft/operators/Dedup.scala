@@ -911,6 +911,88 @@ object Dedup {
           "((n_flagged - n_clusters) * 10000) div n_vectors AS dropped_bp")
     }),
 
+    // Blocking-reliability gauge — the number that says WHERE cell
+    // blocking can be trusted on THIS corpus. On the same n-adaptive
+    // ~500-vector deterministic sample as the minhash eval, compute the
+    // exact cos ≥ 0.4 truth (all sampled pairs, the sample keeps that
+    // constant-size at any n) and the PRODUCTION blocking candidates
+    // (the n-scaled-K, depth-4 cell multi-assignment, verbatim), then
+    // report blocked-candidate recall PER COSINE BAND. The round-14 100×
+    // probe measured why this must be banded: at K = n/100 cells the
+    // [0.4, 0.5) band is decoy-tail geometry (random ≈3σ coincidences in
+    // a crowded space — 242 of its 246 in-range truth pairs), which NO
+    // sublinear blocker can recall once cells shrink below the threshold
+    // ball, while structural bands (exact/near-exact copies) block
+    // perfectly at every scale. A pipeline reads this gauge next to
+    // embedding_decoy_quantiles: bands below the decoy tail are
+    // verify-only territory, not missed dups.
+    "dedup_blocking_reliability" -> ((s, d) => {
+      val raw = embeddings(s, d).transform(CacheScope.persist)
+      val k = Similarity.blockingCellCount(raw.count())
+      val sample = raw.crossJoin(broadcast(raw.agg(count(lit(1)).as("n_all"))))
+        .filter(expr(s"(vec_id % $P) * $CoinScramble % $P % 10000 < " +
+          s"least(10000L, (${EvalSampleTarget}L * 10000) div n_all)"))
+        .selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+        .transform(CacheScope.persist)
+      val truth = sample.as("a").join(sample.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .selectExpr("a.vec_id AS va", "b.vec_id AS vb",
+          """CAST(floor(vec_dot(a.v, b.v)
+              / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
+        .filter(col("cos_ppm") >= 400000)
+        .transform(CacheScope.persist)
+      val sCells = Similarity.coarseCells(d, raw, assignK = DedupAssignK, cells = k)
+        .join(sample.select("vec_id"), Seq("vec_id"), "left_semi")
+      val cand = sCells.as("x").join(sCells.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb")).distinct()
+      val hit = truth.join(cand, Seq("va", "vb"), "left_semi")
+      val bandExpr = "least(cos_ppm div 100000, 7L) AS band"
+      val tB = truth.selectExpr(bandExpr)
+        .groupBy("band").agg(count(lit(1)).as("n_truth"))
+      val hB = hit.selectExpr(bandExpr)
+        .groupBy("band").agg(count(lit(1)).as("n_hit"))
+      s.range(4, 8).selectExpr("id AS band")
+        .join(tB, Seq("band"), "left").join(hB, Seq("band"), "left")
+        .selectExpr("band * 100000 AS band_lo_ppm",
+          "coalesce(n_truth, 0L) AS n_truth", "coalesce(n_hit, 0L) AS n_hit",
+          "CASE WHEN coalesce(n_truth, 0L) = 0 THEN NULL " +
+            "ELSE (coalesce(n_hit, 0L) * 1000000) div n_truth END AS recall_ppm")
+        .orderBy(asc("band_lo_ppm"))
+    }),
+
+    // The decoy-cosine yardstick the reliability gauge is read against:
+    // exact quantiles of the sampled-pair cosine distribution (one census
+    // over the same ~500-vector sample — the pair count is constant at
+    // any corpus size by the n-adaptive coin). p9990 locates the decoy
+    // tail: a dedup threshold below it sits INSIDE random-coincidence
+    // territory (cell blocking can't see it — see
+    // dedup_blocking_reliability); a threshold well above it is
+    // structural and blocks reliably. Quantile semantics are the
+    // dq_iqr_outliers type-1 convention: q = min v with cum·10⁴ ≥ pct·tot
+    // on a value census, never an entity sort.
+    "embedding_decoy_quantiles" -> ((s, d) => {
+      val raw = embeddings(s, d)
+      val sample = raw.crossJoin(broadcast(raw.agg(count(lit(1)).as("n_all"))))
+        .filter(expr(s"(vec_id % $P) * $CoinScramble % $P % 10000 < " +
+          s"least(10000L, (${EvalSampleTarget}L * 10000) div n_all)"))
+        .selectExpr("vec_id", "embedding AS v", "vec_norm2(embedding) AS n2")
+        .transform(CacheScope.persist)
+      val census = sample.as("a").join(sample.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .selectExpr("""CAST(floor(vec_dot(a.v, b.v)
+            / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm""")
+        .groupBy("cos_ppm").agg(count(lit(1)).as("nv"))
+        .transform(CacheScope.persist)
+      val cum = census.withColumn("cum", sum(col("nv")).over(
+          Window.orderBy(col("cos_ppm"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(census.agg(sum(col("nv")).as("tot"))))
+      val pcts = s.range(0, 4).selectExpr(
+        "element_at(array(5000L, 9000L, 9900L, 9990L), CAST(id + 1 AS INT)) AS pct_bp")
+      cum.join(broadcast(pcts), expr("cum * 10000 >= pct_bp * tot"))
+        .groupBy("pct_bp").agg(min(col("cos_ppm")).as("cos_ppm"))
+        .orderBy(asc("pct_bp"))
+    }),
+
     // The WHOLE curation funnel, one DAG, one corpus pass: quality gate →
     // exact dedup (keep min doc per content hash) → near-dup drop (verified
     // MinHash pair whose smaller-id side also survived exact dedup) →
@@ -1520,6 +1602,51 @@ object Dedup {
           "(n_flagged * 10000) // n_vectors AS flagged_bp, " +
           "((n_flagged - n_clusters) * 10000) // n_vectors AS dropped_bp " +
           "FROM f CROSS JOIN tot"),
+      "dedup_blocking_reliability" ->
+        (s"WITH ${Similarity.coarseCellsDuckCtes(DedupAssignK, Similarity.blockingCellCountDuck)}, " +
+          "nall AS (SELECT count(*) AS n_all FROM embeddings), " +
+          "sample AS MATERIALIZED (SELECT vec_id, embedding AS v, " +
+          s"${norm2Duck("embedding", 64)} AS n2 FROM embeddings CROSS JOIN nall " +
+          s"WHERE (vec_id % $P) * $CoinScramble % $P % 10000 < " +
+          s"least(10000, ($EvalSampleTarget * 10000) // n_all)), " +
+          "truth AS MATERIALIZED (SELECT va, vb, cos_ppm FROM (" +
+          "SELECT a.vec_id AS va, b.vec_id AS vb, " +
+          s"CAST(floor(${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
+          "FROM sample a JOIN sample b ON a.vec_id < b.vec_id) _t " +
+          "WHERE cos_ppm >= 400000), " +
+          "scell AS MATERIALIZED (SELECT vec_id, cell FROM cassign " +
+          "WHERE vec_id IN (SELECT vec_id FROM sample)), " +
+          "cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb " +
+          "FROM scell x JOIN scell y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+          "hit AS (SELECT t.cos_ppm FROM truth t JOIN cand c USING (va, vb)), " +
+          "tb AS (SELECT least(cos_ppm // 100000, 7) AS band, " +
+          "CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY 1), " +
+          "hb AS (SELECT least(cos_ppm // 100000, 7) AS band, " +
+          "CAST(count(*) AS BIGINT) AS n_hit FROM hit GROUP BY 1), " +
+          "bds AS (SELECT range AS band FROM range(4, 8)) " +
+          "SELECT band * 100000 AS band_lo_ppm, " +
+          "coalesce(n_truth, 0) AS n_truth, coalesce(n_hit, 0) AS n_hit, " +
+          "CASE WHEN coalesce(n_truth, 0) = 0 THEN NULL " +
+          "ELSE (coalesce(n_hit, 0) * 1000000) // n_truth END AS recall_ppm " +
+          "FROM bds LEFT JOIN tb USING (band) LEFT JOIN hb USING (band) " +
+          "ORDER BY band_lo_ppm"),
+      "embedding_decoy_quantiles" ->
+        ("WITH nall AS (SELECT count(*) AS n_all FROM embeddings), " +
+          "sample AS MATERIALIZED (SELECT vec_id, embedding AS v, " +
+          s"${norm2Duck("embedding", 64)} AS n2 FROM embeddings CROSS JOIN nall " +
+          s"WHERE (vec_id % $P) * $CoinScramble % $P % 10000 < " +
+          s"least(10000, ($EvalSampleTarget * 10000) // n_all)), " +
+          "census AS MATERIALIZED (SELECT cos_ppm, CAST(count(*) AS BIGINT) AS nv FROM (" +
+          "SELECT CAST(floor(" +
+          s"${dotDuck("a.v", "b.v", 64)} / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) AS BIGINT) AS cos_ppm " +
+          "FROM sample a JOIN sample b ON a.vec_id < b.vec_id) _c GROUP BY 1), " +
+          "cum AS (SELECT cos_ppm, sum(nv) OVER (ORDER BY cos_ppm " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "(SELECT sum(nv) FROM census) AS tot FROM census), " +
+          "pcts AS (SELECT unnest([5000, 9000, 9900, 9990]) AS pct_bp) " +
+          "SELECT CAST(pct_bp AS BIGINT) AS pct_bp, min(cos_ppm) AS cos_ppm " +
+          "FROM cum JOIN pcts ON cum * 10000 >= pct_bp * tot " +
+          "GROUP BY 1 ORDER BY pct_bp"),
       "training_data_factory" ->
         (s"WITH $minhashVerifiedCtes, " +
           s"b0 AS (SELECT doc_id, lang, md5(text) AS h, ${tokensDuck("text")} AS toks FROM documents), " +
