@@ -82,6 +82,83 @@ object Stats {
         .orderBy(asc("priority"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov per priority, one-vs-rest, on the SAME
+    // bucketed value domain as stats_mann_whitney (the companion test: MW
+    // reads stochastic dominance, KS reads the worst-case CDF gap and
+    // WHERE it opens). All arithmetic exact: the statistic's numerator is
+    // max over grid buckets of |cum_g·n_rest − cum_rest·n_g| carried in
+    // DECIMAL(38,0) (≈1e22 at 100 TB, 16 orders under the ceiling) and
+    // emitted as a digit STRING; d_e6 = numerator·10⁶ div (n_g·n_rest) is
+    // the bounded scaled statistic; ks_bucket is the smallest bucket
+    // attaining the max (deterministic tie-break). The only corpus-sized
+    // work is the census shuffle; every window runs on the bucket grid.
+    "stats_ks_test" -> ((s, d) => {
+      val b = t(s, d, "orders").selectExpr("o_orderpriority AS priority",
+        s"${e4Sql("o_totalprice")} div 10000000 AS bucket")
+      val cell = b.groupBy(col("bucket"), col("priority"))
+        .agg(count(lit(1)).as("n"))
+        .transform(CacheScope.persist)
+      val tot = cell.groupBy(col("bucket")).agg(sum(col("n")).as("n_total"))
+        .withColumn("cum_all", sum(col("n_total")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val pr = cell.groupBy(col("priority")).agg(sum(col("n")).as("n_g"))
+      val grand = cell.agg(sum(col("n")).as("n_all"))
+      val grid = tot.crossJoin(broadcast(pr))
+        .join(cell, Seq("bucket", "priority"), "left")
+        .withColumn("cum_g", coalesce(sum(col("n")).over(
+          Window.partitionBy(col("priority")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(0L)))
+        .crossJoin(broadcast(grand))
+        .selectExpr("priority", "bucket", "n_g", "n_all - n_g AS n_rest",
+          "abs(CAST(cum_g AS DECIMAL(38,0)) * (n_all - n_g) " +
+            "- CAST(cum_all - cum_g AS DECIMAL(38,0)) * n_g) AS dd")
+        .transform(CacheScope.persist)
+      val mx = grid.groupBy(col("priority"), col("n_g"), col("n_rest"))
+        .agg(max(col("dd")).as("d_num"))
+      mx.join(grid.select(col("priority"), col("bucket"), col("dd")),
+          Seq("priority"))
+        .filter(col("dd") === col("d_num"))
+        .groupBy(col("priority"), col("n_g"), col("n_rest"), col("d_num"))
+        .agg(min(col("bucket")).as("ks_bucket"))
+        .selectExpr("priority", "CAST(n_g AS BIGINT) AS n_g",
+          "CAST(n_rest AS BIGINT) AS n_rest",
+          "CAST(d_num AS STRING) AS d_num",
+          "CAST((d_num * 1000000) div (CAST(n_g AS DECIMAL(38,0)) * n_rest) AS BIGINT) AS d_e6",
+          "ks_bucket")
+        .orderBy(asc("priority"))
+    }),
+
+    // Gini concentration of order value per priority on the SAME bucketed
+    // domain (declared semantics: mass at the bucket index, so the census
+    // stays grid-sized — the exact same reason stats_mann_whitney buckets).
+    // Numerator via the census identity Σ v·c·(2·cum_before + c − n)
+    // (positions B+1..B+c of the sorted sequence contribute
+    // Σ(2i − n − 1) = c·(2B + c − n) each at value v) — one grid window,
+    // no entity sort; G_e6 = numerator·10⁶ div (n · Σ v·c), both sides
+    // DECIMAL(38,0)-exact. The "is revenue concentrated in few orders?"
+    // screen, distribution-free and reproducible digit-for-digit.
+    "stats_gini_concentration" -> ((s, d) => {
+      val cell = t(s, d, "orders")
+        .selectExpr("o_orderpriority AS priority",
+          s"${e4Sql("o_totalprice")} div 10000000 AS v")
+        .groupBy(col("priority"), col("v")).agg(count(lit(1)).as("c"))
+      val cum = cell.withColumn("cb", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("priority")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      cum.groupBy(col("priority"))
+        .agg(sum(col("c")).as("n"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * c")).as("sv"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * c * (2 * CAST(cb AS DECIMAL(38,0)) + c)"))
+            .as("svr"))
+        .selectExpr("priority", "CAST(n AS BIGINT) AS n",
+          "CAST(sv AS STRING) AS sum_buckets",
+          "CASE WHEN sv = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+            "CAST(((svr - sv * CAST(n AS DECIMAL(38,0))) * 1000000) " +
+            "div (CAST(n AS DECIMAL(38,0)) * sv) AS BIGINT) END AS gini_e6")
+        .orderBy(asc("priority"))
+    }),
+
     // Integer-exact OLS of extendedprice on quantity per returnflag: one
     // narrow scan -> five-moment aggregate -> closed-form slope. The whole
     // regression is ONE map-side-combined shuffle of 5 longs per group;
@@ -159,6 +236,44 @@ object Stats {
         "CAST(((r2 - CAST(n_g AS HUGEINT) * (CAST(n_g AS HUGEINT) + 1)) * 1000000) " +
         "// (CAST(2 AS HUGEINT) * n_g * (n_all - n_g)) AS BIGINT) AS auc_e6 " +
         "FROM g CROSS JOIN alln ORDER BY priority"),
+
+    // Same census/grid-window shape; the numerator max runs on the grid.
+    "stats_ks_test" ->
+      (s"WITH b AS (SELECT o_orderpriority AS priority, " +
+        s"${e4Sql("o_totalprice")} // 10000000 AS bucket FROM orders), " +
+        "cell AS MATERIALIZED (SELECT bucket, priority, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "tot AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n_total FROM cell GROUP BY 1), " +
+        "ca AS (SELECT bucket, n_total, sum(n_total) OVER (ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all FROM tot), " +
+        "pr AS (SELECT priority, CAST(sum(n) AS BIGINT) AS n_g FROM cell GROUP BY 1), " +
+        "alln AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM cell), " +
+        "grid AS MATERIALIZED (SELECT priority, bucket, n_g, n_all - n_g AS n_rest, " +
+        "abs(CAST(COALESCE(sum(n) OVER (PARTITION BY priority ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS HUGEINT) * (n_all - n_g) " +
+        "- CAST(cum_all - COALESCE(sum(n) OVER (PARTITION BY priority ORDER BY bucket " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS HUGEINT) * n_g) AS dd " +
+        "FROM ca CROSS JOIN pr LEFT JOIN cell USING (bucket, priority) CROSS JOIN alln), " +
+        "mx AS (SELECT priority, n_g, n_rest, max(dd) AS d_num FROM grid GROUP BY 1, 2, 3) " +
+        "SELECT m.priority, m.n_g, CAST(m.n_rest AS BIGINT) AS n_rest, " +
+        "CAST(m.d_num AS VARCHAR) AS d_num, " +
+        "CAST((m.d_num * 1000000) // (CAST(m.n_g AS HUGEINT) * m.n_rest) AS BIGINT) AS d_e6, " +
+        "min(g.bucket) AS ks_bucket " +
+        "FROM mx m JOIN grid g ON g.priority = m.priority AND g.dd = m.d_num " +
+        "GROUP BY 1, 2, 3, 4, 5 ORDER BY m.priority"),
+
+    "stats_gini_concentration" ->
+      (s"WITH cell AS (SELECT o_orderpriority AS priority, " +
+        s"${e4Sql("o_totalprice")} // 10000000 AS v, count(*) AS c FROM orders GROUP BY 1, 2), " +
+        "cum AS (SELECT priority, v, c, COALESCE(sum(c) OVER (PARTITION BY priority " +
+        "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM cell), " +
+        "g AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n, " +
+        "sum(CAST(v AS HUGEINT) * c) AS sv, " +
+        "sum(CAST(v AS HUGEINT) * c * (2 * CAST(cb AS HUGEINT) + c)) AS svr FROM cum GROUP BY 1) " +
+        "SELECT priority, n, CAST(sv AS VARCHAR) AS sum_buckets, " +
+        "CASE WHEN sv = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+        "CAST(((svr - sv * CAST(n AS HUGEINT)) * 1000000) " +
+        "// (CAST(n AS HUGEINT) * sv) AS BIGINT) END AS gini_e6 " +
+        "FROM g ORDER BY priority"),
 
     "stats_qty_price_regression" ->
       ("WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, " +
