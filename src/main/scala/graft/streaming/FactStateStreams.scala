@@ -1584,6 +1584,76 @@ object FactStateStreams {
       }
   }
 
+  /** One per-key two-sample KS snapshot (seq = change counter; downstream
+    * keeps max-seq). `d_num` is the exact gap numerator max|cumₐ·n_b −
+    * cum_b·nₐ| as a digit STRING (it reaches nₐ·n_b ≈ 10²² at 100 TB —
+    * the u2/tradeFlow emission policy); `d_e6`/`ks_v` are None while
+    * either side is empty (KS undefined, made explicit instead of a
+    * division error). */
+  final case class KsUpdate(key: String, seq: Long, n_a: Long, n_b: Long,
+      d_num: String, d_e6: Option[Long], ks_v: Option[Long])
+
+  final case class KsCell(v: Long, na: Long, nb: Long)
+  final case class KsState(seq: Long, cells: Seq[KsCell])
+
+  /** Streaming twin of the batch `stats_ks_test` arithmetic: per-key
+    * TWO-SAMPLE drift monitor — side A vs side B value censuses as one
+    * managed state, the exact Kolmogorov–Smirnov gap re-derived per batch
+    * over the merged value grid (BigInt: cum·n products overflow int64 at
+    * corpus scale), argmax value reported with the smallest-v tie-break.
+    * The live "is the new source/era distributed like the old one?"
+    * screen a pipeline keeps while ingesting.
+    *
+    * Input is a weighted census-delta relation (`key`, `side` ∈ {0 = A,
+    * 1 = B}, `v`, `w`) — the aucMonitor ingest contract: upstream
+    * pre-reduces each micro-batch to (value, count) deltas, so per-trigger
+    * volume and state are value-DOMAIN-sized, and the fold is a
+    * commutative weighted sum (arrival order, batch splits, restarts
+    * cannot change the census). A batch touching no cell of a key emits
+    * nothing for it. */
+  def ksMonitor(spark: SparkSession, deltas: DataFrame): Dataset[KsUpdate] = {
+    import spark.implicits._
+    deltas.selectExpr("key", "side", "v", "w")
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KsState, KsUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val prev = state.getOption.getOrElse(KsState(0L, Seq.empty))
+        val census = scala.collection.mutable.Map[Long, (Long, Long)]()
+        prev.cells.foreach(c => census(c.v) = (c.na, c.nb))
+        var any = false
+        rows.foreach { case (_, side, v, w) =>
+          any = true
+          val (a, b) = census.getOrElse(v, (0L, 0L))
+          census(v) = if (side == 0L) (a + w, b) else (a, b + w)
+        }
+        if (!any) Iterator.empty
+        else {
+          val sorted = census.toSeq.sortBy(_._1)
+          val next = KsState(prev.seq + 1,
+            sorted.map { case (v, (a, b)) => KsCell(v, a, b) })
+          state.update(next)
+          val nA = sorted.iterator.map(_._2._1).sum
+          val nB = sorted.iterator.map(_._2._2).sum
+          if (nA == 0 || nB == 0)
+            Iterator.single(KsUpdate(key, next.seq, nA, nB, "0", None, None))
+          else {
+            var cumA = 0L; var cumB = 0L
+            var dMax = BigInt(0); var ksV = Long.MinValue
+            sorted.foreach { case (v, (a, b)) =>
+              cumA += a; cumB += b
+              val gap = (BigInt(cumA) * nB - BigInt(cumB) * nA).abs
+              if (gap > dMax) { dMax = gap; ksV = v }
+            }
+            val dE6 = (dMax * 1000000 / (BigInt(nA) * nB)).toLong
+            Iterator.single(KsUpdate(key, next.seq, nA, nB,
+              dMax.toString, Some(dE6), Some(ksV)))
+          }
+        }
+      }
+  }
+
   def aucMonitor(spark: SparkSession, deltas: DataFrame): Dataset[AucUpdate] = {
     import spark.implicits._
     deltas.selectExpr("priority", "bucket", "w")

@@ -297,4 +297,28 @@ class StreamingStateBoundsSpec extends AnyFunSuite {
     assert(st.maxRows == 1L, s"state keys ${st.maxRows} != 1 (leak)")
     assert(st.maxBytes < 8L * 1024 * 1024)
   }
+
+  test("iqrMonitor/ksMonitor state rows stay = group keys; cells bounded " +
+      "by the value DOMAIN, not the stream volume") {
+    val s0 = spark; import s0.implicits._
+    val grps = Seq("A", "B", "C")
+    // 10 batches x 60 rows over a 3-group x 20-value domain
+    val iqrBatches = (0 until 10).map { b =>
+      (0 until 60).map(i => (grps((b + i) % 3), ((b * 11 + i * 7) % 20).toLong, 1L))
+    }
+    val stI = drive[(String, Long, Long)]("iqrb", iqrBatches,
+      df => FactStateStreams.iqrMonitor(spark, df),
+      ms => ms.toDF().toDF("grp", "v", "w"))
+    assert(stI.maxRows == grps.size.toLong, s"iqr keys ${stI.maxRows} (leak)")
+    assert(stI.maxBytes < 8L * 1024 * 1024)
+    val ksBatches = (0 until 10).map { b =>
+      (0 until 60).map(i => (grps((b + i) % 3), (i % 2).toLong,
+        ((b * 13 + i * 5) % 20).toLong, 1L))
+    }
+    val stK = drive[(String, Long, Long, Long)]("ksb", ksBatches,
+      df => FactStateStreams.ksMonitor(spark, df),
+      ms => ms.toDF().toDF("key", "side", "v", "w"))
+    assert(stK.maxRows == grps.size.toLong, s"ks keys ${stK.maxRows} (leak)")
+    assert(stK.maxBytes < 8L * 1024 * 1024)
+  }
 }
