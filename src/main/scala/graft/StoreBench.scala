@@ -25,7 +25,16 @@ object StoreBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val fs = new SparkFactStore(spark, Files.createTempDirectory("graft-storebench-"))
+    // SPARK_GRAFT_STORE_PROFILE=hadoop routes every byte of store IO
+    // through the Hadoop FileSystem client over a file:// root with the
+    // HadoopFsPublisher commit CAS — the same latencies a cluster
+    // deployment pays minus the network, so the binding's overhead is a
+    // measured number, not a guess. Default stays the java.nio fast path.
+    val benchRoot = Files.createTempDirectory("graft-storebench-")
+    val fs = sys.env.get("SPARK_GRAFT_STORE_PROFILE") match {
+      case Some("hadoop") => SparkFactStore.at(spark, s"file://$benchRoot")
+      case _ => new SparkFactStore(spark, benchRoot)
+    }
     fs.createStore("bench")
 
     // warmup: 20 appends
