@@ -125,4 +125,42 @@ class GraftDsv2RecoverySpec extends AnyFunSuite {
     assert(interrupted.values.max >= 6L,
       s"cell counters reset across restart: max=${interrupted.values.max}")
   }
+
+  test("iqrMonitor (round-14 census face) recovers across a DSv2 restart: " +
+      "the post-restart fence decision needs the pre-restart census") {
+    val (fs, root, store) = newStore()
+    val ckpt = Files.createTempDirectory("graft-dsv2rec-ck3-").toString
+    def iqrFact(g: String, v: Long) =
+      FactInput("e", s"$g|$v", Array[Byte](1),
+        tags = Map("g" -> g, "v" -> v.toString))
+    def face(df: DataFrame) =
+      FactStateStreams.iqrMonitor(spark, df.selectExpr(
+        "tags['g'] AS grp", "CAST(tags['v'] AS BIGINT) AS v",
+        "CAST(1 AS BIGINT) AS w"))
+    // phase 1: a tight 1..8 ramp (q1=2, q3=6, high fence at 2v > 2*6+3*4)
+    val p1 = (1L to 8L).map(iqrFact("A", _))
+    // phase 2: one far outlier + one in-fence value — the outlier trips
+    // ONLY against the recovered phase-1 census (a reset state seeing
+    // {5, 100} alone fences nothing)
+    val p2 = Seq(iqrFact("A", 100L), iqrFact("A", 5L))
+    p1.foreach(f => assert(fs.append(store, f).isInstanceOf[AppendResult.Appended]))
+    val out1 = drain(root, store, ckpt)(face)
+    assert(out1.nonEmpty)
+    p2.foreach(f => assert(fs.append(store, f).isInstanceOf[AppendResult.Appended]))
+    val out2 = drain(root, store, ckpt)(face)
+    def fin(xs: Seq[FactStateStreams.IqrUpdate]) =
+      xs.groupBy(_.grp).map { case (g, v) =>
+        val l = v.maxBy(_.seq); g -> ((l.n, l.q1, l.q3, l.n_low, l.n_high)) }
+    val interrupted = fin(out1 ++ out2)
+    val (fsU, rootU, storeU) = newStore()
+    (p1 ++ p2).foreach(f => assert(fsU.append(storeU, f).isInstanceOf[AppendResult.Appended]))
+    val ckptU = Files.createTempDirectory("graft-dsv2rec-cku3-").toString
+    val uninterrupted = fin(drain(rootU, storeU, ckptU)(face))
+    assert(interrupted == uninterrupted,
+      s"restart diverged:\n$interrupted\nvs\n$uninterrupted")
+    assert(interrupted("A")._5 == 1L,
+      s"the high fence needs the recovered census: ${interrupted("A")}")
+    assert(out2.map(_.seq).max > out1.map(_.seq).max,
+      "seq did not accumulate across the DSv2 restart")
+  }
 }
