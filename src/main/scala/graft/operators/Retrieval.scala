@@ -375,6 +375,43 @@ object Retrieval {
         .orderBy(asc("query_id"), asc("source"))
     }),
 
+    // nDCG@10 per channel against the fused-top-5 pseudo-relevance pool —
+    // the graded companion to retrieval_source_eval's p@5/MRR (position
+    // discount where those are positionless). The log2 discounts are the
+    // dq_benford_test discipline: irrational weights evaluated OFFLINE
+    // once and embedded as the SAME integer constants in both engines
+    // (W(r) = floor(1e9 / log2(r+1)), ranks 1..10 — no runtime libm, so
+    // the engines cannot disagree on a transcendental). DCG sums the
+    // weights at the ranks where pool docs appear; IDCG is the ideal
+    // prefix (all |pool| = 5 docs at ranks 1..5); ndcg_e6 = DCG·1e6 div
+    // IDCG, exact. Channels with zero pool hits emit an explicit 0 row
+    // (grid left join), not an absent row. Composes the fusion and both
+    // sources verbatim; everything above them is ≤ queries×10 rows.
+    "retrieval_ndcg_eval" -> ((s, d) => {
+      val rel = queries("retrieval_rrf_fusion")(s, d)
+        .filter(col("rank") <= 5).select(col("query_id"), col("doc_id"))
+      val bm = queries("text_bm25_topk")(s, d)
+        .selectExpr("query_id", "doc_id", "rank", "'bm25' AS source")
+      val cs = Similarity.queries("ann_bruteforce_topk")(s, d)
+        .filter(col("query_id").isin(Bm25Queries.map(_._1): _*))
+        .selectExpr("query_id", "neighbor_id AS doc_id", "rank",
+          "'cosine' AS source")
+      val wArr = s"array(${DcgW9.mkString("L, ")}L)"
+      val hits = bm.union(cs).join(rel, Seq("query_id", "doc_id"))
+        .groupBy(col("query_id"), col("source"))
+        .agg(count(lit(1)).as("n_rel_found"),
+          sum(expr(s"element_at($wArr, CAST(rank AS INT))")).as("dcg"))
+      val grid = s.createDataFrame(for {
+          q <- Bm25Queries; src <- Seq("bm25", "cosine")
+        } yield (q._1, src)).toDF("query_id", "source")
+      grid.join(hits, Seq("query_id", "source"), "left")
+        .selectExpr("query_id", "source",
+          "CAST(coalesce(n_rel_found, 0L) AS BIGINT) AS n_rel_found",
+          "CAST(coalesce(dcg, 0L) AS BIGINT) AS dcg_w9",
+          s"(coalesce(dcg, 0L) * 1000000) div ${IdcgW9}L AS ndcg_e6")
+        .orderBy(asc("query_id"), asc("source"))
+    }),
+
     // Maximal-marginal-relevance re-rank (Carbonell–Goldstein) of the
     // BM25 top-10: greedily pick MmrPicks docs maximizing
     // λ·rel − (1−λ)·max_sim(selected), λ = 7/10 — the diversity re-rank
@@ -457,6 +494,18 @@ object Retrieval {
     })
   )
 
+  /** nDCG rank discounts, ranks 1..10: W(r) = floor(10⁹ / log2(r+1)),
+    * evaluated offline (python: `int(1e9 // math.log2(r+1))`) and pinned
+    * here as literals — the ONE place the table lives; both engines
+    * render from it (the dq_benford_test constants discipline: no
+    * runtime transcendental, no engine disagreement). */
+  private[operators] val DcgW9: Seq[Long] = Seq(
+    1000000000L, 630929753L, 500000000L, 430676558L, 386852807L,
+    356207187L, 333333333L, 315464876L, 301029995L, 289064826L)
+
+  /** Ideal DCG for the 5-doc pseudo-relevance pool: Σ W(1..5). */
+  private[operators] val IdcgW9: Long = DcgW9.take(5).sum
+
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopkOracle,
     "retrieval_prf_terms" -> prfTermsOracle,
@@ -508,7 +557,27 @@ object Retrieval {
         "(CAST(sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // 5 AS p_at5_e6, " +
         "CAST(min(rank) AS BIGINT) AS first_hit_rank, " +
         "1000000 // CAST(min(rank) AS BIGINT) AS mrr_e6 " +
-        "FROM h GROUP BY 1, 2 ORDER BY query_id, source")
+        "FROM h GROUP BY 1, 2 ORDER BY query_id, source"),
+    "retrieval_ndcg_eval" ->
+      (s"WITH f5 AS (SELECT query_id, doc_id FROM ($rrfOracle) _f WHERE rank <= 5), " +
+        s"srcs AS (SELECT query_id, doc_id, rank, 'bm25' AS source FROM ($bm25TopkOracle) _b " +
+        "UNION ALL SELECT query_id, neighbor_id AS doc_id, rank, 'cosine' AS source FROM " +
+        s"(${Similarity.oracles("ann_bruteforce_topk")}) _c " +
+        s"WHERE query_id IN (${Bm25Queries.map(_._1).mkString(", ")})), " +
+        s"w(rank, wt) AS (VALUES ${DcgW9.zipWithIndex.map { case (v, i) =>
+          s"(${i + 1}, CAST($v AS BIGINT))" }.mkString(", ")}), " +
+        "h AS (SELECT s.query_id, s.source, count(*)::BIGINT AS n_rel_found, " +
+        "CAST(sum(wt) AS BIGINT) AS dcg FROM srcs s " +
+        "JOIN f5 USING (query_id, doc_id) JOIN w ON w.rank = s.rank " +
+        "GROUP BY 1, 2), " +
+        "grid AS (SELECT query_id, source FROM (SELECT unnest([" +
+        Bm25Queries.map(q => s"CAST(${q._1} AS BIGINT)").mkString(", ") +
+        "]) AS query_id) q CROSS JOIN (SELECT unnest(['bm25', 'cosine']) AS source) s) " +
+        "SELECT query_id, source, COALESCE(n_rel_found, 0) AS n_rel_found, " +
+        "COALESCE(dcg, 0) AS dcg_w9, " +
+        s"(COALESCE(dcg, 0) * 1000000) // $IdcgW9 AS ndcg_e6 " +
+        "FROM grid LEFT JOIN h USING (query_id, source) " +
+        "ORDER BY query_id, source")
   )
 
   private lazy val rrfOracle: String =
