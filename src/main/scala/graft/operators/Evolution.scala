@@ -70,6 +70,25 @@ object Evolution {
     ("l_shipdate_us", "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING)",
       "CAST(epoch_us(l_shipdate) AS VARCHAR)"))
 
+  /** The numeric seven of [[profileCols]] as native BIGINT renderings —
+    * the engine aggregates these un-padded (HashAggregate-friendly long
+    * buffers) and pads only the final one-row-per-column min/max; the
+    * padding is order-isomorphic on non-negative integers (the invariant
+    * [[profileCols]] documents), so min/max/distinct are unchanged. */
+  private val profileColsNum: Seq[(String, String)] = Seq(
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_linenumber", "CAST(l_linenumber AS BIGINT)"),
+    ("l_quantity_e4", e4Sql("l_quantity")),
+    ("l_extendedprice_e4", e4Sql("l_extendedprice")),
+    ("l_shipdate_us", "unix_micros(CAST(l_shipdate AS TIMESTAMP))"))
+
+  /** The two flag columns keep the padded-string carrier end-to-end. */
+  private val profileColsStr: Seq[(String, String)] = Seq(
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Snapshot CDC: per-customer order state (count, spend) at two log
     // cutoffs, full-outer diffed, summarized per change class. The log is
@@ -132,66 +151,81 @@ object Evolution {
     // null count, exact distinct count, min/max per column — the
     // data-quality dashboard every ingest run publishes.
     "profile_columns" -> ((s, d) => {
-      val stackArgs = profileCols
-        .map { case (n, sp, _) => s"'$n', lpad($sp, 20, '0')" }.mkString(", ")
-      t(s, d, "lineitem")
-        .selectExpr(s"stack(${profileCols.size}, $stackArgs) AS (col_name, v)")
-        .groupBy(col("col_name"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col("v"))).as("n_nulls"),
-          countDistinct(col("v")).as("n_distinct"),
-          min(col("v")).as("min_v"),
-          max(col("v")).as("max_v"))
-        .orderBy(asc("col_name"))
+      // Two-level distinct census with NATIVE carriers: min(string)/max
+      // (string) aggregation buffers are immutable in Spark, so the
+      // previous single-pass string rendering fell back to SortAggregate —
+      // three full sorts of the 9×|lineitem| padded-string relation. The
+      // numeric seven now aggregate as BIGINT (HashAggregate end-to-end,
+      // map-side combined on the (col, value) grid) and render to the
+      // padded strings only after collapsing to one row per column; the
+      // two flag columns keep the string carrier, whose level-2 input is
+      // catalog-sized. Values and the oracle are unchanged — lpad on
+      // non-negative integers is order-isomorphic (see profileColsNum).
+      def twoLevel(df: DataFrame): DataFrame =
+        df.groupBy(col("col_name"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("col_name"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            (sum(col("cnt")) -
+              sum(when(col("v").isNotNull, col("cnt")).otherwise(0L))).as("n_nulls"),
+            count(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v0"),
+            max(col("v")).as("max_v0"))
+      val stackN = profileColsNum.map { case (n, e) => s"'$n', $e" }.mkString(", ")
+      val num = twoLevel(t(s, d, "lineitem")
+          .selectExpr(s"stack(${profileColsNum.size}, $stackN) AS (col_name, v)"))
+        .selectExpr("col_name", "n_rows", "n_nulls", "n_distinct",
+          "lpad(CAST(min_v0 AS STRING), 20, '0') AS min_v",
+          "lpad(CAST(max_v0 AS STRING), 20, '0') AS max_v")
+      val stackS = profileColsStr
+        .map { case (n, e) => s"'$n', lpad($e, 20, '0')" }.mkString(", ")
+      val str = twoLevel(t(s, d, "lineitem")
+          .selectExpr(s"stack(${profileColsStr.size}, $stackS) AS (col_name, v)"))
+        .selectExpr("col_name", "n_rows", "n_nulls", "n_distinct",
+          "min_v0 AS min_v", "max_v0 AS max_v")
+      num.union(str).orderBy(asc("col_name"))
     }),
 
     // Damped random-walk centrality over the event-type transition graph:
     // which states of the behavior log attract the walk. Log→graph is the
     // scale step (one user_id shuffle); the RankIters power iterations run
-    // on the aggregated |types|² graph with floor-division arithmetic both
-    // engines replay bit-exactly (all operands positive, < 2^62).
+    // DRIVER-SIDE on the collected |types|² edge grid (≤ catalog² rows,
+    // corpus-INDEPENDENT — the MMR/PRF bounded-collect discipline): the
+    // DataFrame rendering re-planned 4 unrolled join+agg rounds over a
+    // ≤5-row relation, ~70 exchanges of pure scheduling overhead with zero
+    // distribution benefit. Floor-division arithmetic identical to the
+    // oracle's (all operands positive; multiplyExact keeps the fail-loud
+    // overflow contract both engines share).
     "events_transition_rank" -> ((s, d) => {
       val ev = EventFinders.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
       val byUser = Window.partitionBy(col("user_id")).orderBy(asc("event_id"))
-      // materialize the collapsed graph ONCE — every fixed-point iteration
-      // references edges/nodes, and without the persist each iteration
-      // would re-scan and re-aggregate the full event log
-      val edges = CacheScope.persist(ev
+      // ONE corpus-scale pass: user-sessionized lag → (src, dst, w) census
+      val edges = ev
         .withColumn("src", lag(col("event_type"), 1).over(byUser))
         .filter(col("src").isNotNull)
         .groupBy(col("src"), col("event_type").as("dst"))
-        .agg(count(lit(1)).as("w")))
-      // fresh exprId for the grouping key — joining outw back onto edges
-      // with the inherited `src` attribute would be an ambiguous self-join
-      val outw = edges.select(col("src").as("osrc"), col("w"))
-        .groupBy(col("osrc")).agg(sum(col("w")).as("outw"))
+        .agg(count(lit(1)).as("w"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       // nodes come from the log, not the edge endpoints: an event type seen
       // only in single-event histories has no edges but is still a state
-      val nodes = CacheScope.persist(
-        ev.select(col("event_type").as("node")).distinct())
-      // |types| is a bounded enumeration (5 here); a driver-side scalar for
-      // the literal base term, same spirit as the cached ANN index arrays
-      val n = nodes.count()
+      val nodes = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val outw = edges.groupBy(_._1).map { case (src, es) => src -> es.map(_._3).sum }
+      val n = nodes.length.toLong
       val base = (15L * RankScale) / (100L * n)
-      var pr = nodes.withColumn("pr", lit(RankScale / n))
+      var pr = nodes.map(_ -> RankScale / n).toMap
       for (_ <- 1 to RankIters) {
-        // |types|² rows: broadcast is structurally safe, and explicit —
-        // cache stats are unknown to the static planner, which would
-        // otherwise fall back to a sort-merge join
-        val inflow = pr.join(broadcast(edges), pr("node") === edges("src"))
-          .join(broadcast(outw), col("src") === col("osrc"))
-          .select(col("dst").as("node"),
-            expr("pr * w div outw").as("contrib"))
-          .groupBy(col("node"))
-          .agg(sum(col("contrib")).as("inflow"))
-        pr = nodes.join(broadcast(inflow), Seq("node"), "left")
-          .select(col("node"),
-            (lit(base) + expr(s"85 * coalesce(inflow, 0L) div 100")).as("pr"))
+        val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (src, _, w) =>
+            Math.multiplyExact(pr(src), w) / outw(src) }.sum
+        }
+        pr = nodes.map(nd =>
+          nd -> (base + Math.multiplyExact(85L, inflow.getOrElse(nd, 0L)) / 100L)).toMap
       }
-      pr.select(col("node").as("event_type"), col("pr").as("rank_e12"))
-        .orderBy(desc("rank_e12"), asc("event_type"))
+      val out = nodes.map(nd => (nd, pr(nd))).sortBy { case (t, r) => (-r, t) }
+      s.createDataFrame(out.toIndexedSeq).toDF("event_type", "rank_e12")
     })
   )
 

@@ -23,8 +23,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * cluster the same rule keeps per-task group counts bounded as data and
   * executors scale together. */
 object Exchanges {
-  def widenForAgg(df: DataFrame, keys: Column*): DataFrame = {
-    val scanParts = df.rdd.getNumPartitions
+  def widenForAgg(df: DataFrame, keys: Column*): DataFrame =
+    widenForAggBy(df, df, keys: _*)
+
+  /** Same rule, but with the scale signal taken from an explicit upstream
+    * scan relation — for aggregations downstream of joins/windows, whose
+    * own partition count reflects the shuffle width (or AQE's runtime
+    * coalescing), not the input volume. */
+  def widenForAggBy(df: DataFrame, scanOf: DataFrame, keys: Column*): DataFrame = {
+    val scanParts = scanOf.rdd.getNumPartitions
     val default = df.sparkSession.sparkContext.defaultParallelism
     val width = math.min(scanParts * 8, 1024)
     if (width > math.max(default, 32)) df.repartition(width, keys: _*)

@@ -502,6 +502,49 @@ object Similarity {
       .select(col("vec_id").as("query_id"),
         explode(nearestK(col("embedding"), cb, k)).as("cell"))
 
+  /** Probed IVF member list (query_id, vec_id), persisted per invocation
+    * (CacheScope). The plan is identical wherever it's built, so the
+    * session cache manager canonicalizes and dedupes: when a composed
+    * eval (ann_recall_eval, ann_quantization_pareto) runs several tiers
+    * in ONE invocation, the assignment+probe pass runs once — previously
+    * each tier re-ran the corpus argmin. distinct: a vector whose 2
+    * assigned cells are BOTH probed must not double its score. */
+  private def ivfMember(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val coarse = coarseFor(d, e)
+    CacheScope.persist(coarseAssign(e, coarse)
+      .join(broadcast(probedCells(e, coarse)), Seq("cell"))
+      .select(col("query_id"), col("vec_id")).distinct())
+  }
+
+  /** The IVF+PQ ADC rank relation (query_id, vec_id, adc_e10, rank ≤ 50),
+    * persisted per invocation — the shared prefix of ann_ivf_pq (rank ≤
+    * 10 with scores) and ann_ivf_pq_refined (rank ≤ 50 shortlist): one
+    * codes ⨝ member ⨝ qtab pass instead of two when both tiers run in
+    * one composed eval. row_number semantics identical to both former
+    * inline copies (asc adc_e10, asc vec_id). */
+  private def ivfAdcRanked(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val xsub = CacheScope.persist(subvectors(e))
+    val cb = pqFor(d, e, xsub)
+    CacheScope.persist(pqEncode(xsub, cb)
+      .join(broadcast(ivfMember(s, d)), Seq("vec_id"))
+      .join(broadcast(pqQueryTable(xsub, centFrame(s, cb))), Seq("query_id", "m", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd_e10")).as("adc_e10"))
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
+      .filter(col("rank") <= 50))
+  }
+
+  /** Exact cosine top-10 truth, persisted per invocation — every recall
+    * eval composed into one query invocation reads ONE materialization of
+    * the probe×corpus kernel (released by the caller's releaseAll). */
+  private def bruteTruth(s: SparkSession, d: String): DataFrame =
+    CacheScope.persist(queries("ann_bruteforce_topk")(s, d))
+
   /** (vec_id, m, xs = PqSubDim-dim subvector) for every vector. */
   private def subvectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
@@ -710,10 +753,7 @@ object Similarity {
 
     "ann_ivf_probe" -> ((s, d) => {
       val e = emb(s, d)
-      val coarse = coarseFor(d, e)
-      val member = coarseAssign(e, coarse)
-        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
-        .select(col("query_id"), col("vec_id")).distinct()
+      val member = ivfMember(s, d)
       val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
         "embedding AS qv", "vec_norm2(embedding) AS qn2")
       // rerank kernel reuses precomputed norms (IEEE-identical values)
@@ -835,26 +875,7 @@ object Similarity {
     // codes ⨝ broadcast(member) + broadcast(qtab); memory per executor is
     // codes (M bytes per vector) not vectors (4·dim bytes).
     "ann_ivf_pq" -> ((s, d) => {
-      val W = org.apache.spark.sql.expressions.Window
-      val e = emb(s, d)
-      val coarse = coarseFor(d, e)
-      val probed = probedCells(e, coarse)
-      // distinct: a vector whose 2 assigned cells are BOTH probed must
-      // not double its ADC sum
-      val member = coarseAssign(e, coarse)
-        .join(broadcast(probed), Seq("cell"))
-        .select(col("query_id"), col("vec_id")).distinct()
-      val xsub = CacheScope.persist(subvectors(e))
-      val cb = pqFor(d, e, xsub)
-      val codes = pqEncode(xsub, cb)
-      val qtab = pqQueryTable(xsub, centFrame(s, cb))
-      codes.join(broadcast(member), Seq("vec_id"))
-        .join(broadcast(qtab), Seq("query_id", "m", "code"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("qd_e10")).as("adc_e10"))
-        .withColumn("rank", row_number().over(
-          W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
+      ivfAdcRanked(s, d)
         .filter(col("rank") <= 10)
         .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank",
           "vec_id AS neighbor_id", "CAST(adc_e10 AS BIGINT) AS adc_e10")
@@ -870,21 +891,7 @@ object Similarity {
     "ann_ivf_pq_refined" -> ((s, d) => {
       val W = org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val coarse = coarseFor(d, e)
-      val member = coarseAssign(e, coarse)
-        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
-        .select(col("query_id"), col("vec_id")).distinct()
-      val xsub = CacheScope.persist(subvectors(e))
-      val cb = pqFor(d, e, xsub)
-      val shortlist = pqEncode(xsub, cb)
-        .join(broadcast(member), Seq("vec_id"))
-        .join(broadcast(pqQueryTable(xsub, centFrame(s, cb))), Seq("query_id", "m", "code"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .groupBy(col("query_id"), col("vec_id"))
-        .agg(sum(col("qd_e10")).as("adc_e10"))
-        .withColumn("rank0", row_number().over(
-          W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
-        .filter(col("rank0") <= 50)
+      val shortlist = ivfAdcRanked(s, d)
         .select(col("query_id"), col("vec_id"))
       val q = e.filter(col("vec_id") < 5).selectExpr("vec_id AS query_id",
         "embedding AS qv", "vec_norm2(embedding) AS qn2")
@@ -949,7 +956,7 @@ object Similarity {
     // driver-trivial; the corpus-scale work happens inside the tier
     // queries themselves, whose plans are audited separately.
     "ann_recall_eval" -> ((s, d) => {
-      val truth = queries("ann_bruteforce_topk")(s, d)
+      val truth = bruteTruth(s, d)
         .select(col("query_id"), col("neighbor_id"))
       val methods = Seq("ivf_probe" -> "ann_ivf_probe", "ivf_pq" -> "ann_ivf_pq",
         "ivf_pq_refined" -> "ann_ivf_pq_refined")
@@ -1403,7 +1410,7 @@ object Similarity {
     // codes, PqM + 4·Dim for PQ-with-refinement (codes + the exact
     // vectors the re-rank touches).
     "ann_quantization_pareto" -> ((s, d) => {
-      val full = queries("ann_bruteforce_topk")(s, d)
+      val full = bruteTruth(s, d)
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n"))
         .selectExpr("'full_f32' AS method", s"CAST(${4 * Dim} AS BIGINT) AS bytes_per_vector",
@@ -1442,7 +1449,7 @@ object Similarity {
         "vec_id", s"CAST(${lshBucketSparkExpr("embedding", np)} AS BIGINT) AS bucket"))
       val qb = b.filter(col("vec_id") < 5)
         .selectExpr("vec_id AS query_id", "bucket AS qbucket")
-      val truth = queries("ann_bruteforce_topk")(s, d)
+      val truth = bruteTruth(s, d)
         .select(col("query_id"), col("neighbor_id").as("vec_id"))
         .withColumn("hit", lit(1L))
       def evalFor(label: String, probes: DataFrame): DataFrame =
@@ -1511,7 +1518,7 @@ object Similarity {
     // coordinates while truth is exact cosine — the eval measures what a
     // user of the index experiences, not quantization error in isolation.
     "ann_sq8_recall_eval" -> ((s, d) => {
-      val truth = queries("ann_bruteforce_topk")(s, d)
+      val truth = bruteTruth(s, d)
         .select(col("query_id"), col("neighbor_id"))
       queries("ann_sq8_adc")(s, d)
         .select(col("query_id"), col("neighbor_id"))

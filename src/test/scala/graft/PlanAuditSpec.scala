@@ -350,30 +350,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), "newer-cutoff filter must reach the scan")
   }
 
-  test("profile_columns: no Expand — distinct counts go through the unpivot, not k-fold expansion") {
+  test("profile_columns: no Expand, no SortAggregate — native-carrier two-level census") {
     val p = planOf("profile_columns")
     assert(!p.contains("Expand"),
       "per-column count(distinct) expanded the wide scan k-fold; the unpivot shape is gone")
+    // the r14 optimization: the numeric branch aggregates BIGINT carriers,
+    // so no min(string) buffer forces a sort-based aggregate over the
+    // corpus-sized unpivot (the old shape sorted 9×|lineitem| strings 3×);
+    // the only SortAggregates allowed are the two phases of the flag
+    // branch's level-2 rollup, whose input is the catalog-sized level-1
+    // HashAggregate output
+    val sortAggs = "SortAggregate".r.findAllIn(p).length
+    assert(sortAggs <= 2,
+      s"corpus-fed SortAggregate is back — expected <= 2 (flag-branch level-2 phases), got $sortAggs")
+    assert("HashAggregate\\(keys=\\[col_name".r.findAllIn(p).length >= 4,
+      "level-1 distinct censuses and the numeric level-2 rollup must be HashAggregates")
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 1, s"expected one lineitem scan, got $scans")
+    assert(scans == 2, s"expected the two-branch lineitem scans, got $scans")
   }
 
-  test("events_transition_rank: graph materialized once; iterations broadcast it") {
+  test("events_transition_rank: one corpus pass; fixed point runs driver-side on the collected grid") {
     val df = SparkEntry.queries("events_transition_rank")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     try {
-      // the log->graph collapse (the only corpus-scale work, one user_id
-      // window exchange) must be cached — every fixed-point iteration then
-      // reads the InMemoryRelation instead of re-scanning the event log
-      assert(p.contains("InMemoryTableScan"),
-        "edge/node aggregates not materialized; each iteration re-scans the log")
-      assert(!p.contains("SortMergeJoin"),
-        "fixed-point iterations on the |types|^2 graph must broadcast, not shuffle")
-      // and the cached subplan itself carries exactly one user_id exchange
-      val firstCached = p.indexOf("InMemoryRelation")
-      val cachedSection = if (firstCached >= 0) p.substring(firstCached) else p
-      assert("hashpartitioning\\(user_id".r.findAllIn(cachedSection).nonEmpty,
-        "cached graph plan lost its single user_id window exchange")
+      // the r14 shape: the log→graph collapse happens in the two bounded
+      // collects at build time (|types|² edges, |types| nodes — the
+      // MMR/PRF bounded-collect discipline) and the RankIters fixed point
+      // iterates driver-side; the declared DataFrame is the final
+      // |types|-row local relation — no joins, no iteration scaffolding
+      assert(p.contains("LocalTableScan"),
+        "result must be the driver-computed |types|-row local relation")
+      assert(!p.contains("Join"),
+        "no join scaffolding may remain in the declared plan")
     } finally graft.operators.CacheScope.releaseAll()
   }
 
@@ -460,16 +468,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-user day set lost its map-side partial aggregation")
   }
 
-  test("basket_pairs: join-free pair mining — in-row explode, distributed top-k") {
+  test("basket_pairs: capped-distinct base + order-key equi-join pairs, distributed top-k") {
     val p = planOf("basket_pairs")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "pair generation fell back to a lineitem self-join")
-    assert("Generate explode".r.findAllIn(p).length == 2,
-      "pairs must come from the bounded double-explode of per-order item sets")
+    // the r14 shape: ONE cached capped-distinct relation (lag-dedupe +
+    // WindowGroupLimit cap over a single order-key exchange) replaces the
+    // collect_set census whose ObjectHashAggregate sort-fallback sorted
+    // array payloads; pairs come from an order-key equi-join of the cache
+    // against itself — linear in the emitted pair stream
+    assert(!p.contains("ObjectHashAggregate"),
+      "the collect_set items census is back (object-agg sort fallback class)")
+    assert(p.contains("WindowGroupLimit"),
+      "the ItemCap rank filter lost its group-limit pushdown")
+    assert(p.contains("InMemoryTableScan"),
+      "capped base relation must be cached — both join sides reuse one exchange")
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 lost the distributed top-k (global sort instead)")
-    assert("Scan parquet".r.findAllIn(p).length == 1,
-      "expected exactly one lineitem scan")
+    // ONE physical lineitem scan: the cached subtree renders once under
+    // each of the join's two InMemoryTableScans, so the formatted plan
+    // shows its scan twice — but both read the one cache
+    assert("Scan parquet".r.findAllIn(p).length ==
+      "InMemoryTableScan".r.findAllIn(p).length,
+      "a lineitem scan outside the cached capped relation appeared")
   }
 
   test("rfm_segments: corpus max day is a scalar broadcast, not a window or re-aggregation") {
