@@ -34,7 +34,10 @@ object Dedup {
 
   private def docs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextHashFunctions.register(spark) // codegen'd hash kernels
-    spark.read.parquet(s"$dir/documents.parquet")
+    // spread the single-row-group bench corpus across cores before the
+    // shingle/minhash kernels run in the scan stage; no-op (no exchange
+    // added) on any scan with >= parallelism splits
+    Exchanges.spreadSmallScan(spark.read.parquet(s"$dir/documents.parquet"))
   }
   private def embeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark) // codegen'd vec_dot/vec_norm2

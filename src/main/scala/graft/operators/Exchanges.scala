@@ -26,6 +26,19 @@ object Exchanges {
   def widenForAgg(df: DataFrame, keys: Column*): DataFrame =
     widenForAggBy(df, df, keys: _*)
 
+  /** Spread a SMALL scan to the session's parallelism before expression-
+    * heavy per-row work (tokenize, decimal kernels): the bench corpora are
+    * single-row-group parquet files, so the scan stage — where the
+    * tokenizer runs — executes on ONE core while the rest idle. The
+    * repartition is conditional at plan-build time: a scan that already
+    * has >= defaultParallelism splits (any real corpus) keeps its plan
+    * with NO exchange added, so nothing is shuffled at scale. */
+  def spreadSmallScan(df: DataFrame): DataFrame = {
+    val scanParts = df.rdd.getNumPartitions
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (scanParts < par) df.repartition(par) else df
+  }
+
   /** Same rule, but with the scale signal taken from an explicit upstream
     * scan relation — for aggregations downstream of joins/windows, whose
     * own partition count reflects the shuffle width (or AQE's runtime

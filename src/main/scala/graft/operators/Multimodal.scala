@@ -121,6 +121,21 @@ object Multimodal {
     DecodedImage(docId, fmt, w.toLong, h.toLong, w.toLong * h, rs, gs, bs, mn, mx)
   }
 
+  /** Feed for the row-local codec kernels: the id column, spread to at
+    * least the session's parallelism. The documents scan is a single
+    * input split at bench scale (one small parquet file), so without the
+    * spread every mapPartitions codec ran on ONE core while 31 idled —
+    * measured 2.43 s → 0.40 s on media_decode_jpeg_variants at sf0.1. The
+    * shuffle moves only the 8-byte ids; at scale, where the scan already
+    * has >= parallelism splits, the round-robin exchange keeps the same
+    * width (never narrows a wide scan). */
+  private def idFeed(spark: SparkSession, ids: DataFrame) = {
+    import spark.implicits._
+    val spread = math.max(ids.rdd.getNumPartitions,
+      spark.sparkContext.defaultParallelism)
+    ids.select(col("doc_id").cast("long")).repartition(spread).as[Long]
+  }
+
   /** Batch encode→decode over partitions: row-local CPU work, no shuffle —
     * at 100 TB this is the embarrassingly-parallel kernel shape (the
     * payloads would come off a binary column instead of the generator;
@@ -128,7 +143,7 @@ object Multimodal {
     * executor threads never contend on temp files. */
   def decodeImages(spark: SparkSession, ids: DataFrame): Dataset[DecodedImage] = {
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    idFeed(spark, ids)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { id =>
@@ -214,7 +229,7 @@ object Multimodal {
   /** Real resize over partitions: decode → box-filter, row-local. */
   def resizeImages(spark: SparkSession, ids: DataFrame, grid: Int = 4): Dataset[ResizedBlock] = {
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    idFeed(spark, ids)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.flatMap(id => resizeBlocks(id, decodedRaster(id), grid))
@@ -224,7 +239,7 @@ object Multimodal {
   /** Perceptual hashes over partitions: decode → aHash, row-local. */
   def phashImages(spark: SparkSession, ids: DataFrame): Dataset[PHash] = {
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    idFeed(spark, ids)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => phashOf(id, decodedRaster(id)))
@@ -351,7 +366,7 @@ object Multimodal {
     * shape as [[decodeImages]], applied to the lossy tier. */
   def decodeJpegs(spark: SparkSession, ids: DataFrame): Dataset[JpegDecoded] = {
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    idFeed(spark, ids)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map(id => decodeJpeg(id, encodeJpeg(id)))
@@ -477,7 +492,7 @@ object Multimodal {
   /** Row-local variant sweep: every doc through all three encoder modes. */
   def decodeJpegVariants(spark: SparkSession, ids: DataFrame): Dataset[JpegVariantDecoded] = {
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    idFeed(spark, ids)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.flatMap(id => JpegVariants.map(v =>
@@ -563,7 +578,7 @@ object Multimodal {
     * (empirically ≤ 2-3 bits on the gradient corpus) is pinned in a spec. */
   def jpegPhashes(spark: SparkSession, ids: DataFrame): Dataset[JpegPhash] = {
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    idFeed(spark, ids)
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { id =>
@@ -653,6 +668,12 @@ object Multimodal {
   /** Batch audio encode→decode over partitions — row-local CPU, zero
     * shuffle, the same embarrassingly-parallel kernel shape as
     * [[decodeImages]]. */
+  // NOTE: the audio kernels deliberately do NOT use idFeed — the
+  // per-sample WAV work is light and javax.sound's provider lookup
+  // serializes across threads, so spreading the ids 32-way measured
+  // SLOWER (0.95 → 1.39 s decode, 0.67 → 1.32 s windows at sf0.1) than
+  // the scan's own partitioning. The image kernels (real codec CPU per
+  // doc) keep the spread.
   def decodeAudio(spark: SparkSession, ids: DataFrame): Dataset[DecodedAudio] = {
     import spark.implicits._
     ids.select(col("doc_id").cast("long")).as[Long]
