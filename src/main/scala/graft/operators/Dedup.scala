@@ -39,6 +39,14 @@ object Dedup {
     // added) on any scan with >= parallelism splits
     Exchanges.spreadSmallScan(spark.read.parquet(s"$dir/documents.parquet"))
   }
+
+  /** Registered but UNSPREAD reader for the queries where the round-robin
+    * text shuffle measured worse than the scan-stage work it parallelizes
+    * (dedup_exact, dedup_paragraphs, training_data_factory). */
+  private def docsPlain(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextHashFunctions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
   private def embeddings(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(spark) // codegen'd vec_dot/vec_norm2
     spark.read.parquet(s"$dir/embeddings.parquet")
@@ -236,7 +244,9 @@ object Dedup {
     // Exact dedup: content-hash groupBy; histogram of group sizes is the
     // dedup report (keep-one-per-group is a trivial min(doc_id) on top).
     "dedup_exact" -> ((s, d) =>
-      docs(s, d)
+      // unspread reader: one md5 per row is lighter than the round-robin
+      // shuffle of the raw text the spread would pay first
+      docsPlain(s, d)
         .selectExpr("md5(text) AS h", "doc_id")
         .groupBy(col("h")).agg(count(lit(1)).as("dup_count"))
         .groupBy(col("dup_count")).agg(count(lit(1)).as("n_groups"))
@@ -377,7 +387,10 @@ object Dedup {
     // one join back — no per-pair work, so it stays near-linear at corpus
     // scale (the window-hash domain is bounded by total tokens / 16).
     "dedup_paragraphs" -> ((s, d) => {
-      val win = docs(s, d)
+      // unspread reader: the spread's text shuffle measured worse than the
+      // tokenize+window-hash pass it parallelizes (best-of-runs
+      // 0.54 -> 0.77 s with the spread)
+      val win = docsPlain(s, d)
         .selectExpr("doc_id", s"${tokensSpark("text")} AS toks")
         .filter(expr("size(toks) >= 16"))
         .selectExpr("doc_id",
@@ -1009,7 +1022,9 @@ object Dedup {
     // is the same rendering text_quality_gate reports on
     // (TextAnalysis.qualityOkSpark — one rendering per engine).
     "training_data_factory" -> ((s, d) => {
-      val base = docs(s, d)
+      // unspread reader: the persisted base is built once and the spread's
+      // text shuffle measured worse (best-of-runs 0.98 -> 1.22 s)
+      val base = docsPlain(s, d)
         .selectExpr("doc_id", "lang", "md5(text) AS h",
           s"${tokensSpark("text")} AS toks")
         .selectExpr("doc_id", "lang", "h",

@@ -1410,28 +1410,48 @@ object Similarity {
     // codes, PqM + 4·Dim for PQ-with-refinement (codes + the exact
     // vectors the re-rank touches).
     "ann_quantization_pareto" -> ((s, d) => {
-      val full = bruteTruth(s, d)
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n"))
-        .selectExpr("'full_f32' AS method", s"CAST(${4 * Dim} AS BIGINT) AS bytes_per_vector",
-          "query_id", "CAST(10000 AS BIGINT) AS recall_bp")
-      val sq8 = queries("ann_sq8_recall_eval")(s, d)
-        .selectExpr("'sq8' AS method", s"CAST($Dim AS BIGINT) AS bytes_per_vector",
-          "query_id", "hit_bp AS recall_bp")
-      val ivf = queries("ann_recall_eval")(s, d)
-        .filter(col("method").isin("ivf_pq", "ivf_pq_refined"))
-        .selectExpr("method",
-          s"CAST(CASE WHEN method = 'ivf_pq' THEN $PqM ELSE ${PqM + 4 * Dim} END AS BIGINT) AS bytes_per_vector",
-          "query_id", "hit_bp AS recall_bp")
-      val mat = queries("embedding_matryoshka_eval")(s, d)
-        .selectExpr("concat('matryoshka', CAST(dims AS STRING)) AS method",
-          "dims * 4 AS bytes_per_vector", "query_id", "recall_bp")
-      full.union(sq8).union(ivf).union(mat)
-        .groupBy(col("method"), col("bytes_per_vector"))
-        .agg(count(lit(1)).as("n_queries"), sum(col("recall_bp")).as("sum_bp"))
-        .selectExpr("method", "bytes_per_vector", "n_queries",
-          "sum_bp div n_queries AS mean_recall_bp")
-        .orderBy(asc("bytes_per_vector"), asc("method"))
+      // The tier evals are collected CONCURRENTLY (guide §2.6: actions are
+      // only sequential because driver code calls them sequentially) and
+      // rolled up driver-side: every branch output is queries×tiers ≤ 35
+      // rows (corpus-INDEPENDENT — the bounded-collect discipline), while
+      // the single-union rendering re-planned a 129-exchange composite per
+      // run whose planning floor exceeded its execution. The shared
+      // persisted artifacts (bruteTruth, ivfMember, ivfAdcRanked, xsub)
+      // still canonicalize across the branches, so concurrent first
+      // accessors block on the same cache fill instead of recomputing.
+      // Rollup arithmetic is the exact integer twin of the former
+      // `sum_bp div n_queries` (positive longs, truncating division).
+      def branches: Seq[() => Array[(String, Long, Long, Long)]] = Seq(
+        () => bruteTruth(s, d)
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+          .select(col("query_id")).collect()
+          .map(r => ("full_f32", 4L * Dim, r.getLong(0), 10000L)),
+        () => queries("ann_sq8_recall_eval")(s, d)
+          .select(col("query_id"), col("hit_bp")).collect()
+          .map(r => ("sq8", Dim.toLong, r.getLong(0), r.getLong(1))),
+        () => queries("ann_recall_eval")(s, d)
+          .filter(col("method").isin("ivf_pq", "ivf_pq_refined"))
+          .select(col("method"), col("query_id"), col("hit_bp")).collect()
+          .map { r =>
+            val m = r.getString(0)
+            val bytes = if (m == "ivf_pq") PqM.toLong else (PqM + 4L * Dim)
+            (m, bytes, r.getLong(1), r.getLong(2))
+          },
+        () => queries("embedding_matryoshka_eval")(s, d)
+          .select(col("dims"), col("query_id"), col("recall_bp")).collect()
+          .map(r => (s"matryoshka${r.getLong(0)}", r.getLong(0) * 4L,
+            r.getLong(1), r.getLong(2))))
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val rows = Await.result(
+        Future.sequence(branches.map(b => Future(b()))), Duration.Inf).flatten
+      val out = rows.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((method, bytes), rs) =>
+          (method, bytes, rs.length.toLong, rs.map(_._4).sum / rs.length) }
+        .sortBy { case (method, bytes, _, _) => (bytes, method) }
+      s.createDataFrame(out)
+        .toDF("method", "bytes_per_vector", "n_queries", "mean_recall_bp")
     }),
 
     // Multiprobe LSH: the classic recall lever that needs NO extra index —

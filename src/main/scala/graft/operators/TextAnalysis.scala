@@ -644,17 +644,20 @@ object TextAnalysis {
     // term) census (map-side combined); ranking and the drift sum run on
     // the vocabulary-sized census; output is |sources| rows.
     "source_vocab_drift" -> ((s, d) => {
-      val toks = docs(s, d)
-        .selectExpr("source", "doc_id", s"explode(${tokensSpark("text")}) AS tok")
-        .transform(CacheScope.persist)
       val bounds = docs(s, d).groupBy(col("source"))
         .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
           count(lit(1)).as("n_docs"))
-      val toksH = toks.join(broadcast(bounds), Seq("source"))
+      // ONE corpus pass straight to the vocabulary-sized census; only the
+      // census is persisted. (The previous shape cached the exploded token
+      // stream TWICE — corpus-sized materializations, one consumed exactly
+      // once — and recounted the stream for the half totals, which are
+      // just the census re-aggregated.)
+      val census = docs(s, d)
+        .selectExpr("source", "doc_id", s"explode(${tokensSpark("text")}) AS tok")
+        .join(broadcast(bounds), Seq("source"))
         .selectExpr("source", "tok",
           "((doc_id - d0) * 2) div (d1 - d0 + 1) AS half")
-        .transform(CacheScope.persist)
-      val census = toksH.groupBy(col("source"), col("half"), col("tok"))
+        .groupBy(col("source"), col("half"), col("tok"))
         .agg(count(lit(1)).as("c"))
         .transform(CacheScope.persist)
       val top32 = census.groupBy(col("source"), col("tok"))
@@ -663,8 +666,8 @@ object TextAnalysis {
           Window.partitionBy(col("source")).orderBy(desc("f"), asc("tok"))))
         .filter(col("rk") <= 32)
         .select(col("source"), col("tok"))
-      val totals = toksH.groupBy(col("source"), col("half"))
-        .agg(count(lit(1)).as("t"))
+      val totals = census.groupBy(col("source"), col("half"))
+        .agg(sum(col("c")).as("t"))
       val t0 = totals.filter(col("half") === 0)
         .select(col("source"), col("t").as("t1_tokens"))
       val t1 = totals.filter(col("half") === 1)
