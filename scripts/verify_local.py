@@ -101,20 +101,26 @@ def run_sf(SF, OUT):
     con.close()
     return fail
 
-results = {}
-for SF in SFS:
-    tag = os.path.basename(SF.rstrip("/"))
-    OUT = f"/tmp/verify_out_{tag}"
-    print(f"=== {SF} -> {OUT} ===")
-    results[tag] = run_sf(SF, OUT)
+def main():
+    results = {}
+    for SF in SFS:
+        tag = os.path.basename(SF.rstrip("/"))
+        OUT = f"/tmp/verify_out_{tag}"
+        print(f"=== {SF} -> {OUT} ===")
+        results[tag] = run_sf(SF, OUT)
 
-print("\n== per-SF summary ==")
-bad = 0
-for tag, fail in results.items():
-    if fail is None:
-        print(f"  {tag}: VERIFY RUN FAILED"); bad += 1
-    else:
-        print(f"  {tag}: " + ("ALL GREEN" if fail == 0 else f"{fail} FAILURES"))
-        bad += fail
-print(("ALL GREEN" if bad == 0 else f"{bad} FAILURES"))
-sys.exit(1 if bad else 0)
+    print("\n== per-SF summary ==")
+    bad = 0
+    for tag, fail in results.items():
+        if fail is None:
+            print(f"  {tag}: VERIFY RUN FAILED"); bad += 1
+        else:
+            print(f"  {tag}: " + ("ALL GREEN" if fail == 0 else f"{fail} FAILURES"))
+            bad += fail
+    print(("ALL GREEN" if bad == 0 else f"{bad} FAILURES"))
+    sys.exit(1 if bad else 0)
+
+
+# importable (scripts/compare_out.py reuses run_sf) without running the gate
+if __name__ == "__main__":
+    main()

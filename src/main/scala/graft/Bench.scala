@@ -59,7 +59,11 @@ object Bench {
         f"[bench] $name%-28s min $dt%8.2f s  (all: ${times.map(t => f"$t%.2f").mkString(" ")})")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal per-query values: millisecond resolution is below this
+    // bench's noise floor, and the full-precision doubles made the line
+    // ~12 KB — far past the 2000-char stdout tail the driver's artifact
+    // keeps, which left PERF with no parsable JSON for two rounds
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       // JSON-safe: escape backslash/quote, then flatten ALL control chars
@@ -107,6 +111,14 @@ object Bench {
       java.nio.file.Files.write(target, (json + "\n").getBytes("UTF-8"))
     } catch { case e: Exception => System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     println(json)
+    // SECOND, compact summary line as the FINAL stdout line: the driver
+    // artifact keeps only a ~2000-char stdout TAIL, and at 280 queries the
+    // full line above is front-truncated past repair (PERF_r13/r14:
+    // `parsed: null`), so a tail-parser always finds this one complete.
+    // Summary only — no `queries` map (280 entries cannot fit the tail
+    // window, and a partial map could read as dropped queries); the full
+    // per-query map lives in the line above and in BENCH_LOCAL.json.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$load0,"loadavg_end":$loadAvg,"loaded_run":$loaded,"n_queries":${results.size},"n_errors":${errors.size},"total_sec":$total}""")
     spark.stop()
   }
 }

@@ -18,6 +18,7 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val keyed = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Persist `df` and track it for the next [[releaseAll]]. */
   def persist(df: DataFrame): DataFrame = {
@@ -26,8 +27,20 @@ object CacheScope {
     p
   }
 
+  /** Persist the frame built by `mk` exactly once per `key` within the
+    * current scope: concurrent branches of a composed eval (the pareto
+    * rollup's four futures) used to each call persist on plan-identical
+    * frames — storage deduped via plan canonicalization, but concurrent
+    * first accessors could both compute the cached subtree and each
+    * duplicate enqueued a (benign) extra unpersist. The memo lives only
+    * until [[releaseAll]], so every bench rep still pays its own
+    * materialization. */
+  def persistKeyed(key: String, mk: () => DataFrame): DataFrame =
+    keyed.computeIfAbsent(key, _ => persist(mk()))
+
   /** Unpersist every tracked frame (non-blocking eviction). */
   def releaseAll(): Unit = {
+    keyed.clear()
     var df = live.poll()
     while (df != null) {
       df.unpersist(blocking = false)

@@ -163,18 +163,19 @@ object Dedup {
     * (`doc_id`, `cluster_id` = min doc_id in the component), for every
     * vertex that appears in at least one edge.
     *
-    * Algorithm: min-label propagation fused with pointer jumping. Each
-    * round every vertex takes the minimum label over {itself} ∪ neighbors
-    * (one shuffle join + agg on the edge list), then compresses one level
-    * of indirection via label(v) ← label(label(v)) (one join on the label
-    * table). Plain propagation needs O(diameter) rounds; the jumping step
-    * halves chain height per round, so convergence is O(log d) — the same
-    * round complexity class as large-star/small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) while staying
-    * pure DataFrame joins. Per-round state is cut with an eager
+    * Algorithm: min-label propagation, with pointer jumping engaged only
+    * past [[JumpFromRound]]. Each round every vertex takes the minimum
+    * label over {itself} ∪ neighbors (one shuffle join + agg on the edge
+    * list); deep rounds additionally compress one level of indirection via
+    * label(v) ← label(label(v)) (one join on the label table), restoring
+    * the O(log d) chain-flattening class of large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) for
+    * pathological id-chain graphs while costing nothing on real corpora,
+    * where the round count is bounded by the neighbor-min wave, not chain
+    * depth (measured: identical round counts with and without the jump on
+    * both bench graph shapes). Per-round state is cut with an eager
     * localCheckpoint — persist alone caches data but leaves the logical
-    * plan growing (the self-join doubles the tree every round → 2^rounds
-    * plan nodes), so the checkpoint is what keeps the plan O(1) deep.
+    * plan growing, so the checkpoint is what keeps the plan O(1) deep.
     * Superseded round checkpoints are reclaimed by the ContextCleaner once
     * unreferenced (label tables are vertex-sized, tiny next to the corpus).
     *
@@ -184,6 +185,18 @@ object Dedup {
     * finds most pairs directly), so the expected round count is 1-2 plus
     * the convergence check. The 64-round cap is a safety bound (2^64 chain
     * length), not a tuning knob. */
+  /** First loop round whose stepped labels also get the pointer-jump
+    * compression. Measured on both bench graph shapes (CCLab paired A/B,
+    * r15): the jump join never cuts the round count — convergence is
+    * bounded by the neighbor-min WAVE from each component's minimum, one
+    * edge-hop per round, and the co-purchase graph converges in 7 rounds
+    * with or without jumping — so locally the jump is a pure extra
+    * self-join + checkpoint per round (2.49 → 1.54 s on graph_components
+    * without it). A pathological id-chain graph could still need O(depth)
+    * rounds, so past this threshold the jump switches on and restores the
+    * O(log) chain-flattening class well inside the 64-round safety cap. */
+  private val JumpFromRound = 8
+
   def connectedComponents(pairs0: DataFrame): DataFrame = {
     // the pair graph feeds both directions of the edge union (and the
     // upstream verify join is the expensive part) — persist it once
@@ -191,9 +204,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .transform(CacheScope.persist)
-    var labels = edges.select(col("u").as("vertex")).distinct()
-      .withColumn("label", col("vertex"))
-      .localCheckpoint(true)
+    // Initial labels: round 1's neighbor-min census rides the SAME
+    // aggregation that enumerates the vertex set (labels start as
+    // identity, so stepped₁(v) = min({v} ∪ N(v)) needs no join) — one
+    // full propagation round for free relative to the identity init.
+    var labels =
+      edges.groupBy(col("v").as("vertex")).agg(min(col("u")).as("mn"))
+        .select(col("vertex"), least(col("vertex"), col("mn")).as("label"))
+        .localCheckpoint(true)
     // Convergence detection: labels are vertex-id minima, so any change is
     // a strict DECREASE and sum(label) strictly decreases iff the round
     // changed anything — one vertex-sized aggregate per round instead of a
@@ -221,11 +239,17 @@ object Dedup {
       // pointer jumping: labels are always vertex ids (mins of vertex ids),
       // so label(label) is total on the label table itself. (`stepped`
       // stays eagerly checkpointed: measured, relying on ReusedExchange
-      // for the self-join instead was ~20% slower end-to-end.)
-      val jumped = stepped.as("x").join(stepped.as("p"),
-          col("x.label") === col("p.vertex"))
-        .select(col("x.vertex").as("vertex"), col("p.label").as("label"))
-        .localCheckpoint(true)
+      // for the self-join instead was ~20% slower end-to-end.) The jump
+      // never changes the fixpoint — only how fast label CHAINS flatten —
+      // so deferring it to deep rounds (see JumpFromRound) is
+      // semantics-preserving.
+      val jumped =
+        if (rounds >= JumpFromRound)
+          stepped.as("x").join(stepped.as("p"),
+              col("x.label") === col("p.vertex"))
+            .select(col("x.vertex").as("vertex"), col("p.label").as("label"))
+            .localCheckpoint(true)
+        else stepped
       val curSum = jumped.agg(sum(col("label"))).head.getLong(0)
       converged = curSum == prevSum
       prevSum = curSum
@@ -237,6 +261,8 @@ object Dedup {
     // cluster query (surfacing only as an opaque oracle hash mismatch)
     require(converged,
       s"connectedComponents did not converge in $rounds rounds")
+    if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $rounds rounds")
     labels.select(col("vertex").as("doc_id"), col("label").as("cluster_id"))
   }
 

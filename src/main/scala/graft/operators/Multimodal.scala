@@ -127,13 +127,15 @@ object Multimodal {
     * spread every mapPartitions codec ran on ONE core while 31 idled —
     * measured 2.43 s → 0.40 s on media_decode_jpeg_variants at sf0.1. The
     * shuffle moves only the 8-byte ids; at scale, where the scan already
-    * has >= parallelism splits, the round-robin exchange keeps the same
-    * width (never narrows a wide scan). */
+    * has >= parallelism splits, NO exchange is added at all (the
+    * spreadSmallScan conditional — a same-width round-robin of a wide
+    * scan would still pay a shuffle of the ids for nothing). */
   private def idFeed(spark: SparkSession, ids: DataFrame) = {
     import spark.implicits._
-    val spread = math.max(ids.rdd.getNumPartitions,
-      spark.sparkContext.defaultParallelism)
-    ids.select(col("doc_id").cast("long")).repartition(spread).as[Long]
+    val parts = ids.rdd.getNumPartitions
+    val par = spark.sparkContext.defaultParallelism
+    val longs = ids.select(col("doc_id").cast("long"))
+    (if (parts < par) longs.repartition(par) else longs).as[Long]
   }
 
   /** Batch encode→decode over partitions: row-local CPU work, no shuffle —

@@ -60,7 +60,14 @@ object Retrieval {
   private val MmrPicks = 5
 
   /** BM25 per-(query, doc) integer score — shared by the declared query
-    * and the fusion. One pinned arithmetic rendering per engine. */
+    * and the fusion. One pinned arithmetic rendering per engine. (A
+    * single-tokenize-pass rendering — persisted narrow (doc_id, dl,
+    * query-vocabulary tokens) projection feeding tf and the scalars — was
+    * measured in r15 paired runs: it wins ~0.1 s on the standalone query
+    * but LOSES 0.2-0.7 s on every composite that embeds bm25Scores more
+    * than once, because each persist is a materialization barrier that
+    * serializes branches the fused two-pass plan overlaps. Reverted; the
+    * two tokenize passes stand.) */
   private def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val allTerms = Bm25Queries.flatMap(_._2).distinct.sorted
     val base = docs(s, d).selectExpr(
@@ -189,7 +196,11 @@ object Retrieval {
     val cand = t3tf.filterNot { case (q, t, _) => qtPairs((q, t)) }
     val needTerms = (cand.map(_._2) ++ Bm25Queries.flatMap(_._2)).distinct.sorted
     // df census for exactly the needed terms: one distinct-token scan,
-    // map-side combined to |needTerms| rows, collected
+    // map-side combined to |needTerms| rows, collected. (A concurrent-
+    // futures rendering of these three collects and a single tagged-union
+    // job were BOTH measured slower in paired runs — the driver-side
+    // planning serializes either way and the merged plans cost more to
+    // build than the saved idle time; see OPTIMIZATION_r15.md.)
     val dfMap = base.select(col("doc_id"),
         explode(expr("array_distinct(toks)")).as("term"))
       .filter(col("term").isin(needTerms: _*))
@@ -430,7 +441,16 @@ object Retrieval {
         .selectExpr("query_id", "doc_id", "rank",
           "(11 - rank) * 100000 AS rel_e6")
         .transform(CacheScope.persist)
+      // candidate doc ids collected FIRST (≤ queries×10, corpus-independent
+      // — the same bounded collect the greedy below already does) so the
+      // token pass reads ONLY the candidate docs: the literal isin pushes
+      // into the parquet scan, where the former broadcast-join pruning sat
+      // ABOVE the corpus-wide tokenize+explode and never reached it
+      val candRows = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val candDocs = candRows.map(_._2).distinct.toSeq
       val ct = docs(s, d)
+        .filter(col("doc_id").isin(candDocs: _*))
         .selectExpr("doc_id", s"explode(array_distinct(${tokensSpark("text")})) AS term")
         .join(broadcast(cand.select(col("query_id"), col("doc_id"))),
           Seq("doc_id"))
@@ -458,9 +478,7 @@ object Retrieval {
       // INDEPENDENT, the ANN-codebook bounded-collect discipline): a
       // recursive DataFrame rendering re-plans a 2^picks-branch tree and
       // was measured 60× slower with zero distribution benefit. The
-      // corpus-scale work (BM25, the pruned token scan) stays above.
-      val candRows = cand.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // corpus-scale work (BM25) stays above.
       val simMap = sim.collect()
         .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
         .toMap

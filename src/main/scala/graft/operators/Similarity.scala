@@ -509,13 +509,14 @@ object Similarity {
     * in ONE invocation, the assignment+probe pass runs once — previously
     * each tier re-ran the corpus argmin. distinct: a vector whose 2
     * assigned cells are BOTH probed must not double its score. */
-  private def ivfMember(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val coarse = coarseFor(d, e)
-    CacheScope.persist(coarseAssign(e, coarse)
-      .join(broadcast(probedCells(e, coarse)), Seq("cell"))
-      .select(col("query_id"), col("vec_id")).distinct())
-  }
+  private def ivfMember(s: SparkSession, d: String): DataFrame =
+    CacheScope.persistKeyed(s"ivfMember#${System.identityHashCode(s)}#$d", () => {
+      val e = emb(s, d)
+      val coarse = coarseFor(d, e)
+      coarseAssign(e, coarse)
+        .join(broadcast(probedCells(e, coarse)), Seq("cell"))
+        .select(col("query_id"), col("vec_id")).distinct()
+    })
 
   /** The IVF+PQ ADC rank relation (query_id, vec_id, adc_e10, rank ≤ 50),
     * persisted per invocation — the shared prefix of ann_ivf_pq (rank ≤
@@ -523,27 +524,30 @@ object Similarity {
     * codes ⨝ member ⨝ qtab pass instead of two when both tiers run in
     * one composed eval. row_number semantics identical to both former
     * inline copies (asc adc_e10, asc vec_id). */
-  private def ivfAdcRanked(s: SparkSession, d: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    val e = emb(s, d)
-    val xsub = CacheScope.persist(subvectors(e))
-    val cb = pqFor(d, e, xsub)
-    CacheScope.persist(pqEncode(xsub, cb)
-      .join(broadcast(ivfMember(s, d)), Seq("vec_id"))
-      .join(broadcast(pqQueryTable(xsub, centFrame(s, cb))), Seq("query_id", "m", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd_e10")).as("adc_e10"))
-      .withColumn("rank", row_number().over(
-        W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
-      .filter(col("rank") <= 50))
-  }
+  private def ivfAdcRanked(s: SparkSession, d: String): DataFrame =
+    CacheScope.persistKeyed(s"ivfAdcRanked#${System.identityHashCode(s)}#$d", () => {
+      val W = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val xsub = CacheScope.persistKeyed(
+        s"xsub#${System.identityHashCode(s)}#$d", () => subvectors(e))
+      val cb = pqFor(d, e, xsub)
+      pqEncode(xsub, cb)
+        .join(broadcast(ivfMember(s, d)), Seq("vec_id"))
+        .join(broadcast(pqQueryTable(xsub, centFrame(s, cb))), Seq("query_id", "m", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd_e10")).as("adc_e10"))
+        .withColumn("rank", row_number().over(
+          W.partitionBy(col("query_id")).orderBy(asc("adc_e10"), asc("vec_id"))))
+        .filter(col("rank") <= 50)
+    })
 
   /** Exact cosine top-10 truth, persisted per invocation — every recall
     * eval composed into one query invocation reads ONE materialization of
     * the probe×corpus kernel (released by the caller's releaseAll). */
   private def bruteTruth(s: SparkSession, d: String): DataFrame =
-    CacheScope.persist(queries("ann_bruteforce_topk")(s, d))
+    CacheScope.persistKeyed(s"bruteTruth#${System.identityHashCode(s)}#$d",
+      () => queries("ann_bruteforce_topk")(s, d))
 
   /** (vec_id, m, xs = PqSubDim-dim subvector) for every vector. */
   private def subvectors(e: DataFrame): DataFrame =
@@ -846,8 +850,10 @@ object Similarity {
       val W = org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
       // persisted: the subvector relation feeds every Lloyd round, the
-      // final encode, and the query table
-      val xsub = CacheScope.persist(subvectors(e))
+      // final encode, and the query table (keyed — shared with any
+      // composed tier in the same scope)
+      val xsub = CacheScope.persistKeyed(
+        s"xsub#${System.identityHashCode(s)}#$d", () => subvectors(e))
       val cb = pqFor(d, e, xsub)
       val codes = pqEncode(xsub, cb)
       val qtab = pqQueryTable(xsub, centFrame(s, cb))
@@ -1444,8 +1450,22 @@ object Similarity {
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
-      val rows = Await.result(
-        Future.sequence(branches.map(b => Future(b()))), Duration.Inf).flatten
+      // finite timeout (a hung branch must fail the query, not block the
+      // builder forever) and branch failures unwrapped to their cause with
+      // the branch's context attached. NOTE the builder EXECUTES the tier
+      // evals eagerly at DataFrame-construction time (like
+      // events_transition_rank's bounded collect) — plan-only consumers
+      // (PlanDump) pay the bounded eval.
+      val rows =
+        try Await.result(
+          Future.sequence(branches.map(b => Future(b()))),
+          Duration(600, "s")).flatten
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw new RuntimeException(
+              s"ann_quantization_pareto tier branch failed: ${e.getCause}",
+              e.getCause)
+        }
       val out = rows.groupBy(r => (r._1, r._2)).toSeq
         .map { case ((method, bytes), rs) =>
           (method, bytes, rs.length.toLong, rs.map(_._4).sum / rs.length) }

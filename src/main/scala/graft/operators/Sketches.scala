@@ -345,26 +345,34 @@ object Sketches {
     // semantics: an event is maybe-seen iff every one of its k bit
     // positions was set by a strictly earlier event in its shard; everyone
     // sets its bits after checking). The order key is the exact (ts µs,
-    // event_id) pair packed into a DECIMAL(38,0) — NO corpus-wide window:
-    // first-setter per (shard, pos) is an aggregate min, and the per-event
-    // verdict is a grid join + min. Shard fan-out (64 here, ~100k at
-    // 100 TB) bounds each filter segment; state per shard is SegBits bits
-    // in the streaming face, and this batch twin replays the identical
-    // decision sequence relationally so the DuckDB oracle can pin it.
+    // event_id) pair packed into a DECIMAL(38,0) — NO corpus-wide window.
+    // Physical shape: okey0 = min(okey) participates over every (shard,
+    // pos) INCLUDING the probing event's own row, so okey0 ≤ okey always
+    // and the per-event verdict `min(okey0 < okey) = 0` holds exactly when
+    // the event's own okey IS a first-setter at one of its positions
+    // (winners of a position carry that position by construction, and
+    // events are grouped by (shard, okey), so okey-collided events merge
+    // identically in both renderings). The winner set is bounded by the
+    // filter GEOMETRY — FsShards × SegBits rows at ANY corpus — so the
+    // verdict is a broadcast probe of that grid instead of the former
+    // k·n self-join + k·n re-aggregation; the k·n position census itself
+    // collapses map-side to the same grid bound.
     "events_bloom_first_seen" -> ((s, d) => {
       val ev = EventFinders.events(s, d).selectExpr(
         "user_id",
         "CAST(ts div 1000 AS DECIMAL(38,0)) * 16777216 + event_id AS okey",
         s"${shardSpark("user_id")} AS shard")
-      val posr = CacheScope.persist(ev.select(col("shard"), col("okey"),
-        explode(expr(bloomPosArray("user_id", SegBits.toString, FsPerms))).as("pos")))
-      val firstset = posr.groupBy(col("shard"), col("pos"))
+      val winners = ev.select(col("shard"), col("okey"),
+          explode(expr(bloomPosArray("user_id", SegBits.toString, FsPerms))).as("pos"))
+        .groupBy(col("shard"), col("pos"))
         .agg(min(col("okey")).as("okey0"))
-      posr.join(firstset, Seq("shard", "pos"))
-        .groupBy(col("shard"), col("okey"))
-        .agg(min(expr("CASE WHEN okey0 < okey THEN 1L ELSE 0L END")).as("dup"))
+        .select(col("shard"), col("okey0").as("okey")).distinct()
+        .withColumn("won", lit(1L))
+      ev.select(col("shard"), col("okey")).distinct()
+        .join(broadcast(winners), Seq("shard", "okey"), "left")
         .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_events"), sum(col("dup")).as("n_maybe_dup"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CASE WHEN won IS NULL THEN 1L ELSE 0L END")).as("n_maybe_dup"))
         .selectExpr("shard", "n_events",
           "n_events - n_maybe_dup AS n_first", "n_maybe_dup")
         .orderBy(asc("shard"))
