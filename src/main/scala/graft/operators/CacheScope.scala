@@ -34,9 +34,23 @@ object CacheScope {
     * first accessors could both compute the cached subtree and each
     * duplicate enqueued a (benign) extra unpersist. The memo lives only
     * until [[releaseAll]], so every bench rep still pays its own
-    * materialization. */
-  def persistKeyed(key: String, mk: () => DataFrame): DataFrame =
-    keyed.computeIfAbsent(key, _ => persist(mk()))
+    * materialization.
+    *
+    * NOT computeIfAbsent: builders NEST (ivfAdcRanked's mk() calls
+    * persistKeyed for xsub and ivfMember), and a nested update inside a
+    * ConcurrentHashMap mapping function throws "Recursive update" whenever
+    * the inner key lands in the bin being computed — it surfaced only at
+    * the 100× probe because the bin depends on the corpus-dir string's
+    * hash. get + putIfAbsent allows nesting; a rare concurrent loser just
+    * issues one extra plan-identical persist (exactly the pre-memo
+    * behavior: canonicalized storage, extra unpersist at release). */
+  def persistKeyed(key: String, mk: () => DataFrame): DataFrame = {
+    val hit = keyed.get(key)
+    if (hit != null) return hit
+    val built = persist(mk())
+    val prev = keyed.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
 
   /** Unpersist every tracked frame (non-blocking eviction). */
   def releaseAll(): Unit = {
